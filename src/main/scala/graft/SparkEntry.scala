@@ -1,13 +1,190 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tsne._
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2, plus DuckDB-equivalent SQL for every SQL-expressible one.
+  *
+  * Convention for oracle-comparability (the driver hash-compares values
+  * after sorting columns by name):
+  *   - every floating-point output column is rounded (`_r` suffix) so
+  *     summation-order noise in the last bits can't flip the hash;
+  *   - every query has a total-order `ORDER BY` on both sides;
+  *   - aggregate/computed columns are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0: the full
+    * t-SNE pipeline on the embeddings table (kNN → affinities → optimize). */
+  def entry(spark: SparkSession): DataFrame = {
+    val points = IO.readEmbeddings(spark, "/root/testdata/sf0.001")
+    val knn = Knn.bruteForce(points, 10, "sqeuclidean")
+    val emb = Tsne.computeEmbedding(knn,
+      Optimizer.Params(perplexity = 3.0, iterations = 50, seed = 42L))
+    emb.select(col("id"), col("vec")(0).as("y0"), col("vec")(1).as("y1"))
+  }
+
+  private def knnQuery(s: SparkSession, dir: String, method: String): DataFrame = {
+    val points = IO.readEmbeddings(s, dir)
+    val knn = method match {
+      case "bruteforce" => Knn.bruteForce(points, 10, "sqeuclidean")
+      case "partition"  => Knn.partitionKnn(points, 10, "sqeuclidean", 8)
+    }
+    val w = Window.partitionBy("i").orderBy(col("dist"), col("j"))
+    knn.toDF()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
+      .orderBy("i", "rn")
+  }
+
+  /** Shared DuckDB CTE: all-pairs squared-euclidean distances + top-k. */
+  private val knnSql =
+    """WITH dists AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2)) AS dist
+      |  FROM embeddings a CROSS JOIN embeddings b
+      |  WHERE a.vec_id <> b.vec_id),
+      |knn AS (
+      |  SELECT i, j, dist,
+      |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+      |  FROM dists)
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O5 — brute-force kNN: Cartesian + codegen'd distance + ranking window
+    "q_knn_bruteforce" -> ((s, dir) => knnQuery(s, dir, "bruteforce")),
+
+    // O6 — block-nested-loop kNN (same logical result, bounded shuffle)
+    "q_knn_partition" -> ((s, dir) => knnQuery(s, dir, "partition")),
+
+    // O11 — jointDistribution: symmetrize + normalize over kNN distances
+    "q_joint_distribution" -> ((s, dir) => {
+      val knn = Knn.bruteForce(IO.readEmbeddings(s, dir), 10, "sqeuclidean")
+      Affinities.jointDistribution(knn).toDF()
+        .select(col("i"), col("j"), round(col("dist"), 12).as("p_r"))
+        .orderBy("i", "j")
+    }),
+
+    // O15 — centering (COO form: subtract the per-component mean)
+    "q_center_embedding" -> ((s, dir) => {
+      val coo = IO.embeddingsDf(s, dir)
+        .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
+      coo.select(col("i"), col("j"),
+          round(col("v") - avg(col("v")).over(Window.partitionBy("j")), 6).as("v_r"))
+        .orderBy("i", "j")
+    }),
+
+    // O2 — COO scan + group + dense-vector assembly, verified by exploding
+    // the assembled vectors back to COO triples
+    "q_coo_roundtrip" -> ((s, dir) => {
+      val coo = IO.embeddingsDf(s, dir)
+        .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
+      import s.implicits._
+      val points = IO.cooToPoints(coo.select(col("i"), col("j"), col("v")).as[CooEntry], 64)
+      points.toDF()
+        .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
+        .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))
+        .orderBy("i", "j")
+    }),
+
+    // §2.2 vocabulary — hash aggregation with partial map-side combine
+    "q_agg_lineitem" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 vocabulary — grouped top-k via ranking window (integer output)
+    "q_topk_orders" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.2 vocabulary — multi-way equi-join with broadcast dimension
+    "q_join_agg" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("n_name")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_bruteforce" ->
+      (knnSql +
+        """SELECT i, j, rn, ROUND(dist, 6) AS dist_r
+          |FROM knn WHERE rn <= 10 ORDER BY i, rn""".stripMargin),
+
+    "q_knn_partition" ->
+      (knnSql +
+        """SELECT i, j, rn, ROUND(dist, 6) AS dist_r
+          |FROM knn WHERE rn <= 10 ORDER BY i, rn""".stripMargin),
+
+    "q_joint_distribution" ->
+      (knnSql +
+        """, sym AS (
+          |  SELECT i, j, SUM(dist) AS v FROM (
+          |    SELECT i, j, dist FROM knn WHERE rn <= 10
+          |    UNION ALL
+          |    SELECT j AS i, i AS j, dist FROM knn WHERE rn <= 10)
+          |  GROUP BY i, j)
+          |SELECT i, j, ROUND(v / (SELECT SUM(v) FROM sym), 12) AS p_r
+          |FROM sym ORDER BY i, j""".stripMargin),
+
+    "q_center_embedding" ->
+      """WITH coo AS (
+        |  SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
+        |         CAST(embedding[CAST(g AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) t(g))
+        |SELECT i, j, ROUND(v - AVG(v) OVER (PARTITION BY j), 6) AS v_r
+        |FROM coo ORDER BY i, j""".stripMargin,
+
+    "q_coo_roundtrip" ->
+      """SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
+        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) AS v_r
+        |FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
+        |ORDER BY i, j""".stripMargin,
+
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS rev
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
 }

@@ -1,0 +1,165 @@
+package graft.tsne
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** k-nearest-neighbor variants (ref: `TsneHelpers.scala:41-160`), Spark-first.
+  *
+  * All three return the same logical table `(i, j, dist)` with `k` rows per
+  * `i`, sorted ascending by distance. Ties are broken by `j` ascending — the
+  * reference leaves tie order unspecified (`sortGroup` + `first(k)`,
+  * `TsneHelpers.scala:54-58`), and a total order is required for the
+  * hash-compared DuckDB oracle (SURVEY.md §7).
+  */
+object Knn {
+
+  /** Grouped top-k: the ranking-window idiom — Spark's native form of the
+    * reference's `groupBy.sortGroup(dist).first(k)`. Expects columns
+    * `(i, j, dist)`. */
+  private def topKPerPoint(pairs: DataFrame, k: Int): Dataset[Neighbor] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("i").orderBy(col("dist"), col("j"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("i"), col("j"), col("dist"))
+      .as[Neighbor]
+  }
+
+  /** O5 — brute-force kNN (ref `TsneHelpers.scala:41-59`): all-pairs
+    * distances via Cartesian product, drop self-pairs, grouped top-k.
+    *
+    * The distance is a pure Catalyst expression (`zip_with`/`aggregate`),
+    * so the N² map side stays inside whole-stage codegen; the only shuffle
+    * is the hash partition on `i` for the ranking window. */
+  def bruteForce(points: Dataset[Point], k: Int, metric: String): Dataset[Neighbor] = {
+    val df = points.toDF()
+    val a = df.select(col("id").as("i"), col("vec").as("va"))
+    val b = df.select(col("id").as("j"), col("vec").as("vb"))
+    val pairs = a.crossJoin(b)
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
+    topKPerPoint(pairs, k)
+  }
+
+  /** O6 — block-nested-loop kNN (ref `TsneHelpers.scala:61-91`): points are
+    * modulo-partitioned into `blocks` blocks, blocks are crossed, and
+    * distances are computed block-pair-at-a-time.
+    *
+    * Spark-first twist: instead of shuffling all N² pair distances to the
+    * final grouping (what the reference does), each block-pair task keeps
+    * only a local top-k per left point, so the shuffle carries
+    * N·blocks·k rows instead of N². Same result, bounded memory, and the
+    * reduction that makes this variant actually useful at scale. */
+  def partitionKnn(points: Dataset[Point], k: Int, metric: String, blocks: Int): Dataset[Neighbor] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val fn = Distances.byName(metric)
+
+    val blocked: Dataset[(Int, Array[Point])] = points
+      .groupByKey(p => (p.id % blocks).toInt)
+      .mapGroups((b, it) => (b, it.toArray))
+
+    val localTopK: Dataset[Neighbor] = blocked
+      .joinWith(blocked, lit(true), "cross")
+      .flatMap { case ((_, left), (_, right)) =>
+        left.iterator.flatMap { p =>
+          val cand = new Array[Neighbor](right.length)
+          var n = 0
+          var idx = 0
+          while (idx < right.length) {
+            val q = right(idx)
+            if (q.id != p.id) { cand(n) = Neighbor(p.id, q.id, fn(p.vec, q.vec)); n += 1 }
+            idx += 1
+          }
+          val local = java.util.Arrays.copyOf(cand, n)
+          scala.util.Sorting.stableSort(local,
+            (x: Neighbor, y: Neighbor) => x.dist < y.dist || (x.dist == y.dist && x.j < y.j))
+          local.take(k).iterator
+        }
+      }
+
+    localTopK
+      .groupByKey(_.i)
+      .flatMapGroups { (_, it) =>
+        it.toArray.sortBy(n => (n.dist, n.j)).take(k).iterator
+      }
+  }
+
+  /** O7/O8 — approximate kNN by z-order projections
+    * (ref `TsneHelpers.scala:93-160`): the points (plus `iterations − 1`
+    * randomly shifted copies) are sorted in Morton order; each point's ±k
+    * neighbors in every sort order become candidates; candidates are
+    * deduplicated and re-ranked by true distance.
+    *
+    * The reference's sort is a parallelism-1 `reduceGroup`
+    * (`TsneHelpers.scala:140`); here the Morton code is a materialized
+    * sortable key (see [[ZOrderKey]]) so the sort is a distributed
+    * range-partitioned `orderBy`, and the ±k neighborhood is an equi-join
+    * on rank offsets — no single-task bottleneck anywhere.
+    *
+    * `seed` makes the random shift vectors deterministic (the reference
+    * leaves them unseeded — `DenseVector.rand`, `TsneHelpers.scala:98` — an
+    * acknowledged quirk the rebuild fixes, SURVEY.md §7). */
+  def projectKnn(points: Dataset[Point], k: Int, metric: String,
+                 iterations: Int, seed: Long = 42L): Dataset[Neighbor] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val dim = points.head().vec.length
+    val rnd = new Random(seed)
+    val shifts: Seq[Array[Double]] =
+      Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))
+
+    val candidates: Seq[DataFrame] = shifts.map { shift =>
+      val keyed = points.map { p =>
+        val shifted = new Array[Double](p.vec.length)
+        var d = 0
+        while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }
+        (p.id, ZOrderKey.morton(shifted))
+      }.toDF("id", "z")
+
+      // Distributed Morton sort, then a stable global rank via zipWithIndex
+      // (row_number over an unpartitioned window would collapse to one task).
+      val ranked = keyed.orderBy(col("z"), col("id")).select("id")
+        .rdd.zipWithIndex
+        .map { case (r, idx) => (r.getLong(0), idx) }
+        .toDF("id", "rank")
+
+      // ±k rank neighborhood as an equi-join on rank+offset.
+      val offs = ranked
+        .select(col("id").as("i"), col("rank"),
+          explode(sequence(lit(1), lit(k))).as("off"))
+      val nbr = offs.select(col("i"), (col("rank") + col("off")).as("nrank"))
+        .union(offs.select(col("i"), (col("rank") - col("off")).as("nrank")))
+      nbr.join(ranked.select(col("id").as("j"), col("rank").as("nrank")), "nrank")
+        .select("i", "j")
+    }
+
+    val allCandidates = candidates.reduce(_ union _).dropDuplicates("i", "j")
+
+    // Re-rank candidates by true distance on the original vectors.
+    val va = points.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val vb = points.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    val pairs = allCandidates.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"),
+        Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
+    topKPerPoint(pairs, k)
+  }
+
+  /** kNN method dispatch mirroring the CLI surface
+    * (ref `Tsne.scala:74-79`). */
+  def byMethod(method: String, points: Dataset[Point], k: Int, metric: String,
+               blocks: Int, knnIterations: Int, seed: Long = 42L): Dataset[Neighbor] =
+    method match {
+      case "bruteforce" => bruteForce(points, k, metric)
+      case "partition"  => partitionKnn(points, k, metric, blocks)
+      case "project"    => projectKnn(points, k, metric, knnIterations, seed)
+      case _ => throw new IllegalArgumentException(s"Knn method '$method' not defined")
+    }
+}

@@ -1,0 +1,281 @@
+package graft.tsne
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** t-SNE optimizer: init, iteration loop and 3-phase schedule
+  * (ref: `TsneHelpers.scala:198-219` init, `:371-394` iteration,
+  * `:396-430` schedule).
+  *
+  * Spark has no bulk-iteration primitive, so the superstep loop is a driver
+  * loop (the classic MLlib pattern). Two execution paths share the exact
+  * same math kernels ([[Gradient]], [[BhTree]]):
+  *
+  *   - **distributed**: P (the big, O(N·k) dataset) stays a cached Dataset;
+  *     each iteration broadcasts the small working set (N × 6 doubles, the
+  *     reference broadcasts the full embedding each superstep too —
+  *     `TsneHelpers.scala:277`), runs one fused map over P computing
+  *     attractive + Barnes-Hut repulsive forces, aggregates sumQ, and maps
+  *     the update. The working-set lineage is cut every iteration with
+  *     `localCheckpoint` so plans don't grow O(iterations).
+  *
+  *   - **local fast path**: when P fits comfortably on the driver
+  *     (`maxLocalPEntries`), the whole loop runs in memory. With N in the
+  *     thousands each distributed superstep is pure scheduling overhead —
+  *     this is the same adaptive local-fallback MLlib uses for small
+  *     problems, and the result is identical because the kernels are.
+  */
+object Optimizer {
+
+  final case class Params(
+      perplexity: Double = 30.0,
+      nComponents: Int = 2,
+      earlyExaggeration: Double = 4.0,
+      learningRate: Double = 1000.0,
+      iterations: Int = 300,
+      initialMomentum: Double = 0.5,
+      finalMomentum: Double = 0.8,
+      theta: Double = 0.25,
+      minGain: Double = 0.01,
+      metric: String = "sqeuclidean",
+      seed: Long = 0L,
+      maxLocalPEntries: Long = 2000000L)
+
+  /** O13 — init working set: y ~ N(0, σ=1e-4), step = 0⃗, gains = 1⃗
+    * (ref `TsneHelpers.scala:198-219`). The reference accepts a
+    * `randomState` but never seeds (`Rand.gaussian` unseeded — SURVEY.md §2
+    * O13 quirk); here the draw is a pure function of (seed, id), so results
+    * are deterministic *and* independent of partitioning. */
+  def initWorkingSet(p: Dataset[AffinityRow], nComponents: Int, seed: Long): Dataset[WorkingSet] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    p.map(row => initRow(row.id, nComponents, seed))
+  }
+
+  private[tsne] def initRow(id: Long, nComponents: Int, seed: Long): WorkingSet = {
+    val rng = new java.util.Random(seed ^ (id * 0x9E3779B97F4A7C15L))
+    WorkingSet(
+      id,
+      Array.fill(nComponents)(rng.nextGaussian() * 1e-4),
+      Array.fill(nComponents)(0.0),
+      Array.fill(nComponents)(1.0))
+  }
+
+  /** O20 — the 3-phase momentum/exaggeration schedule
+    * (ref `TsneHelpers.scala:396-430`, arithmetic replicated verbatim):
+    * phase 1 = min(iterations, 20) iters, initial momentum, P × exaggeration;
+    * phase 2 = min(iterations − p1, 81) iters, final momentum, exaggerated;
+    * phase 3 = remainder, final momentum, plain P. */
+  private[tsne] def phases(p: Params): Seq[(Int, Double, Boolean, Int)] = {
+    val p1 = math.min(p.iterations, 20)
+    val p2 = math.min(p.iterations - p1, 101 - 20)
+    val p3 = p.iterations - p2 - p1
+    Seq(
+      (p1, p.initialMomentum, true, 0),
+      (p2, p.finalMomentum, true, p1),
+      (p3, p.finalMomentum, false, p2 + p1)
+    ).filter(_._1 > 0)
+  }
+
+  /** Full optimize: picks the local or distributed path by |P|. */
+  def optimize(p: Dataset[AffinityRow], ws0: Dataset[WorkingSet], params: Params,
+               lossAcc: Option[MapAccumulator] = None): Dataset[Point] = {
+    require(params.nComponents == 2,
+      "gradient is 2-D only, like the reference (TsneHelpers.scala:228, QuadTree.scala:156)")
+    val spark = p.sparkSession
+    import spark.implicits._
+    val pEntries = p.select(sum(size(col("js")))).as[Long].head()
+    if (pEntries <= params.maxLocalPEntries) {
+      val (points, loss) = optimizeLocal(p.collect(), ws0.collect(), params)
+      lossAcc.foreach(acc => loss.foreach(acc.add))
+      spark.createDataset(points)
+    } else {
+      optimizeDistributed(p, ws0, params, lossAcc)
+    }
+  }
+
+  // ================= driver-local fast path ==============================
+
+  def optimizeLocal(pRows: Array[AffinityRow], ws0: Array[WorkingSet],
+                    params: Params): (Array[Point], Map[Int, Double]) = {
+    val metric = Distances.byName(params.metric)
+    val n = ws0.length
+    val loss = scala.collection.mutable.Map.empty[Int, Double]
+
+    // id-indexed state
+    val ids = ws0.map(_.id)
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    ids.zipWithIndex.foreach { case (id, k) => idx.put(id, k) }
+    var y = ws0.map(_.y.clone())
+    var step = ws0.map(_.lastGrad.clone())
+    var gains = ws0.map(_.gains.clone())
+    val rowOf = pRows.map(r => idx.get(r.id))
+
+    for ((iters, momentum, exaggerate, offset) <- phases(params)) {
+      val factor = if (exaggerate) params.earlyExaggeration else 1.0
+      var it = 1
+      while (it <= iters) {
+        val lossIter = it + offset
+        // gradient (ref TsneHelpers.scala:221-318)
+        val tree = BhTree.build(y)
+        val rep = new Array[(Double, Double, Double)](n)
+        var sumQ = 0.0
+        var k = 0
+        while (k < n) {
+          rep(k) = tree.repulsiveForce(y(k)(0), y(k)(1), params.theta)
+          sumQ += rep(k)._3
+          k += 1
+        }
+        val yOf: Long => Array[Double] = id => y(idx.get(id))
+        val grad = new Array[Array[Double]](n)
+        k = 0
+        while (k < pRows.length) {
+          val row = pRows(k)
+          val i = rowOf(k)
+          val ps = if (factor == 1.0) row.ps else row.ps.map(_ * factor)
+          val (ax, ay) = Gradient.attractiveForce(row.js, ps, y(i), yOf, metric)
+          grad(i) = Array(ax - rep(i)._1 / sumQ, ay - rep(i)._2 / sumQ)
+          if (lossIter % 10 == 0) {
+            val l = Gradient.lossPart(row.js, ps, y(i), yOf, metric, sumQ)
+            loss.updateWith(lossIter) { case cur => Some(cur.getOrElse(0.0) + l) }
+          }
+          k += 1
+        }
+        // update + center (ref TsneHelpers.scala:341-369, :320-329)
+        var mx = 0.0; var my = 0.0
+        k = 0
+        while (k < n) {
+          val (ny, ns, ng) =
+            Gradient.update(y(k), step(k), gains(k), grad(k), params.minGain,
+              momentum, params.learningRate)
+          y(k) = ny; step(k) = ns; gains(k) = ng
+          mx += ny(0); my += ny(1)
+          k += 1
+        }
+        mx /= n; my /= n
+        k = 0
+        while (k < n) { y(k)(0) -= mx; y(k)(1) -= my; k += 1 }
+        it += 1
+      }
+    }
+    (ids.zip(y).map { case (id, v) => Point(id, v) }, loss.toMap)
+  }
+
+  // ================= distributed path ====================================
+
+  private final case class Force(
+      id: Long, ax: Double, ay: Double, rx: Double, ry: Double, sumQPart: Double)
+
+  def optimizeDistributed(p: Dataset[AffinityRow], ws0: Dataset[WorkingSet],
+                          params: Params,
+                          lossAcc: Option[MapAccumulator]): Dataset[Point] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val metricName = params.metric
+
+    val pCached = p.persist(StorageLevel.MEMORY_AND_DISK)
+    var state: Dataset[WorkingSet] = ws0.localCheckpoint()
+    // The stored state is *uncentered* (post-update); centering is applied
+    // when the working set is collected, so each iteration costs no extra
+    // pass. The very first working set is used as-is, like the reference.
+    var needCenter = false
+
+    for ((iters, momentum, exaggerate, offset) <- phases(params)) {
+      val factor = if (exaggerate) params.earlyExaggeration else 1.0
+      var it = 1
+      while (it <= iters) {
+        val lossIter = it + offset
+
+        // 1. collect the small working set; center on the driver
+        val arr = state.collect()
+        if (needCenter) {
+          var mx = 0.0; var my = 0.0
+          arr.foreach { w => mx += w.y(0); my += w.y(1) }
+          mx /= arr.length; my /= arr.length
+          arr.foreach { w => w.y(0) -= mx; w.y(1) -= my }
+        }
+        needCenter = true
+        val stateMap = new java.util.HashMap[Long, WorkingSet](arr.length * 2)
+        arr.foreach(w => stateMap.put(w.id, w))
+        val tree = BhTree.build(arr.map(_.y))
+        val bcState = sc.broadcast(stateMap)
+        val bcTree = sc.broadcast(tree)
+
+        // 2. one fused pass over P: attractive + Barnes-Hut repulsive
+        val theta = params.theta
+        val forces = pCached.mapPartitions { rows =>
+          val metric = Distances.byName(metricName)
+          val st = bcState.value
+          val t = bcTree.value
+          rows.map { row =>
+            val yi = st.get(row.id).y
+            val ps = if (factor == 1.0) row.ps else row.ps.map(_ * factor)
+            val (ax, ay) =
+              Gradient.attractiveForce(row.js, ps, yi, id => st.get(id).y, metric)
+            val (rx, ry, sq) = t.repulsiveForce(yi(0), yi(1), theta)
+            Force(row.id, ax, ay, rx, ry, sq)
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+
+        // 3. global sumQ (ref TsneHelpers.scala:266)
+        val sumQ = forces.agg(sum("sumQPart")).as[Double].head()
+
+        // 4. loss side-channel every 10th superstep (ref :297-300)
+        if (lossIter % 10 == 0 && lossAcc.nonEmpty) {
+          val l = pCached.map { row =>
+            val st = bcState.value
+            val yi = st.get(row.id).y
+            val ps = if (factor == 1.0) row.ps else row.ps.map(_ * factor)
+            Gradient.lossPart(row.js, ps, yi, id => st.get(id).y,
+              Distances.byName(metricName), sumQ)
+          }.agg(sum("value")).as[Double].head()
+          lossAcc.foreach(_.add((lossIter, l)))
+        }
+
+        // 5. update via broadcast state — no shuffle, no join
+        val minGain = params.minGain
+        val lr = params.learningRate
+        val mom = momentum
+        val newState = forces.map { f =>
+          val w = bcState.value.get(f.id)
+          val grad = Array(f.ax - f.rx / sumQ, f.ay - f.ry / sumQ)
+          val (ny, ns, ng) = Gradient.update(w.y, w.lastGrad, w.gains, grad,
+            minGain, mom, lr)
+          WorkingSet(f.id, ny, ns, ng)
+        }
+        val next = newState.localCheckpoint()
+        forces.unpersist()
+        bcState.destroy()
+        bcTree.destroy()
+        state = next
+        it += 1
+      }
+    }
+
+    // final centering (the stored state is post-update, pre-center)
+    val fin = state.collect()
+    var mx = 0.0; var my = 0.0
+    fin.foreach { w => mx += w.y(0); my += w.y(1) }
+    mx /= fin.length; my /= fin.length
+    pCached.unpersist()
+    spark.createDataset(fin.map(w => Point(w.id, Array(w.y(0) - mx, w.y(1) - my))).toSeq)
+  }
+
+  /** O15 — centering as a standalone relational operator
+    * (ref `TsneHelpers.scala:320-339`): subtract the per-component mean.
+    * Expressed with a 1-row cross join so the plan stays lazy. */
+  def centerPoints(points: Dataset[Point]): Dataset[Point] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val df = points.toDF()
+    val means = df.select(posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(avg("v").as("mean"))
+      .groupBy().agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("means"))
+      .select(col("means.mean").as("mean"))
+    df.crossJoin(means)
+      .select(col("id"), zip_with(col("vec"), col("mean"), (v, m) => v - m).as("vec"))
+      .as[Point]
+  }
+}

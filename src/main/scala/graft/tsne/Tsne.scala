@@ -1,0 +1,111 @@
+package graft.tsne
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Pipeline assembly + CLI driver (ref: `Tsne.scala:31-136`).
+  *
+  * Flag names, defaults and dispatch mirror the reference's CLI
+  * (`Tsne.scala:39-63`, `README.md:9-38`): `--input --output --dimension
+  * --metric --perplexity --nComponents --earlyExaggeration --learningRate
+  * --iterations --randomState --neighbors --initialMomentum --finalMomentum
+  * --theta --loss --knnIterations --knnMethod --knnBlocks
+  * --inputDistanceMatrix --executionPlan`.
+  */
+object Tsne {
+
+  /** E2 — the library pipeline (ref `Tsne.scala:105-136`):
+    * kNN triples → pairwise affinities → joint distribution → sparse rows →
+    * init → 3-phase optimize. */
+  def computeEmbedding(knn: Dataset[Neighbor], params: Optimizer.Params,
+                       lossAcc: Option[MapAccumulator] = None): Dataset[Point] = {
+    val p = Affinities.highDimAffinities(knn, params.perplexity)
+    val ws0 = Optimizer.initWorkingSet(p, params.nComponents, params.seed)
+    Optimizer.optimize(p, ws0, params, lossAcc)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    def req(k: String) = a.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    def opt(k: String, d: String) = a.getOrElse(k, d)
+
+    val spark = SparkSession.builder()
+      .appName("tsne")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val inputPath = req("input")
+    val outputPath = req("output")
+    val dimension = req("dimension").toInt
+    val metric = opt("metric", "sqeuclidean")
+    val perplexity = opt("perplexity", "30.0").toDouble
+    val neighbors = a.get("neighbors").map(_.toInt).getOrElse(3 * perplexity.toInt)
+    val knnMethod = req("knnMethod")
+    val knnBlocks = a.get("knnBlocks").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val knnIterations = opt("knnIterations", "3").toInt
+    val lossFile = opt("loss", "loss.txt")
+    val params = Optimizer.Params(
+      perplexity = perplexity,
+      nComponents = opt("nComponents", "2").toInt,
+      earlyExaggeration = opt("earlyExaggeration", "4").toDouble,
+      learningRate = opt("learningRate", "1000").toDouble,
+      iterations = opt("iterations", "300").toInt,
+      initialMomentum = opt("initialMomentum", "0.5").toDouble,
+      finalMomentum = opt("finalMomentum", "0.8").toDouble,
+      theta = opt("theta", "0.25").toDouble,
+      metric = metric,
+      seed = opt("randomState", "0").toLong)
+
+    val knn: Dataset[Neighbor] =
+      if (a.contains("inputDistanceMatrix")) {
+        val spark2 = spark
+        import spark2.implicits._
+        IO.readCoo(spark, inputPath)
+          .map(e => Neighbor(e.i, e.j.toLong, e.v))
+      } else {
+        val points = IO.readInput(spark, inputPath, dimension)
+        Knn.byMethod(knnMethod, points, neighbors, metric, knnBlocks,
+          knnIterations, params.seed)
+      }
+
+    val lossAcc = new MapAccumulator
+    spark.sparkContext.register(lossAcc, "loss")
+    val result = computeEmbedding(knn, params, Some(lossAcc))
+
+    if (a.contains("executionPlan")) {
+      // ref Tsne.scala:89-95 — dump the plan instead of executing
+      val pw = new java.io.PrintWriter(new java.io.File("tsne_executionPlan.json"))
+      pw.write(result.queryExecution.toString)
+      pw.close()
+    } else {
+      IO.writeEmbeddingCsv(result, outputPath)
+      val pw = new java.io.PrintWriter(new java.io.File(lossFile))
+      pw.write(lossAcc.value.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))
+      pw.close()
+    }
+    spark.stop()
+  }
+
+  /** `--key value` / bare `--flag` parsing (the reference uses Flink's
+    * `ParameterTool.fromArgs`, `Tsne.scala:34`). */
+  private[tsne] def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var k = 0
+    while (k < args.length) {
+      val arg = args(k)
+      require(arg.startsWith("--"), s"unexpected argument '$arg'")
+      val key = arg.drop(2)
+      if (k + 1 < args.length && !args(k + 1).startsWith("--")) {
+        m(key) = args(k + 1); k += 2
+      } else {
+        m(key) = "true"; k += 1
+      }
+    }
+    m.toMap
+  }
+}
