@@ -105,13 +105,18 @@ object Knn {
     *
     * `seed` makes the random shift vectors deterministic (the reference
     * leaves them unseeded — `DenseVector.rand`, `TsneHelpers.scala:98` — an
-    * acknowledged quirk the rebuild fixes, SURVEY.md §7). */
+    * acknowledged quirk the rebuild fixes, SURVEY.md §7).
+    *
+    * `dimension` is passed in like the reference does (`Tsne.scala:77`);
+    * when < 0 it is read from one row (an extra Spark job — avoid on hot
+    * paths). */
   def projectKnn(points: Dataset[Point], k: Int, metric: String,
-                 iterations: Int, seed: Long = 42L): Dataset[Neighbor] = {
+                 iterations: Int, seed: Long = 42L,
+                 dimension: Int = -1): Dataset[Neighbor] = {
     val spark = points.sparkSession
     import spark.implicits._
 
-    val dim = points.head().vec.length
+    val dim = if (dimension > 0) dimension else points.head().vec.length
     val rnd = new Random(seed)
     val shifts: Seq[Array[Double]] =
       Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))
@@ -155,11 +160,12 @@ object Knn {
   /** kNN method dispatch mirroring the CLI surface
     * (ref `Tsne.scala:74-79`). */
   def byMethod(method: String, points: Dataset[Point], k: Int, metric: String,
-               blocks: Int, knnIterations: Int, seed: Long = 42L): Dataset[Neighbor] =
+               blocks: Int, knnIterations: Int, seed: Long = 42L,
+               dimension: Int = -1): Dataset[Neighbor] =
     method match {
       case "bruteforce" => bruteForce(points, k, metric)
       case "partition"  => partitionKnn(points, k, metric, blocks)
-      case "project"    => projectKnn(points, k, metric, knnIterations, seed)
+      case "project"    => projectKnn(points, k, metric, knnIterations, seed, dimension)
       case _ => throw new IllegalArgumentException(s"Knn method '$method' not defined")
     }
 }

@@ -164,9 +164,6 @@ object Optimizer {
 
   // ================= distributed path ====================================
 
-  private final case class Force(
-      id: Long, ax: Double, ay: Double, rx: Double, ry: Double, sumQPart: Double)
-
   def optimizeDistributed(p: Dataset[AffinityRow], ws0: Dataset[WorkingSet],
                           params: Params,
                           lossAcc: Option[MapAccumulator]): Dataset[Point] = {

@@ -24,18 +24,28 @@ object Tsne {
   }
 
   def main(args: Array[String]): Unit = {
-    val a = parseArgs(args)
-    def req(k: String) = a.getOrElse(k,
-      throw new IllegalArgumentException(s"missing required --$k"))
-    def opt(k: String, d: String) = a.getOrElse(k, d)
-
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("tsne")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    // spark-submit injects spark.master; running the bare main (sbt run,
+    // plain java) gets a local default instead of an init failure
+    if (!sys.props.contains("spark.master")) builder.master("local[*]")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark)
+    finally spark.stop()
+  }
+
+  /** The CLI body, separated from session lifecycle so tests can drive it
+    * on a shared session (the reference runs its pipeline on the test
+    * ExecutionEnvironment the same way). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    val a = parseArgs(args)
+    def req(k: String) = a.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    def opt(k: String, d: String) = a.getOrElse(k, d)
 
     val inputPath = req("input")
     val outputPath = req("output")
@@ -69,7 +79,7 @@ object Tsne {
       } else {
         val points = IO.readInput(spark, inputPath, dimension)
         Knn.byMethod(knnMethod, points, neighbors, metric, knnBlocks,
-          knnIterations, params.seed)
+          knnIterations, params.seed, dimension)
       }
 
     val lossAcc = new MapAccumulator
@@ -88,7 +98,6 @@ object Tsne {
         .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))
       pw.close()
     }
-    spark.stop()
   }
 
   /** `--key value` / bare `--flag` parsing (the reference uses Flink's

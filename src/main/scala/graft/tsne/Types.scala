@@ -35,3 +35,11 @@ final case class WorkingSet(
     y: Array[Double],
     lastGrad: Array[Double],
     gains: Array[Double])
+
+/** Per-point force row of one distributed optimizer superstep: attractive
+  * (ax, ay), Barnes-Hut repulsive (rx, ry) and this point's sumQ partial
+  * (ref gradient sub-steps c–e, `TsneHelpers.scala:258-308`). Top-level so
+  * Spark's generated encoder code can access the class (a `private` nested
+  * class breaks `SpecificSafeProjection` codegen). */
+final case class Force(
+    id: Long, ax: Double, ay: Double, rx: Double, ry: Double, sumQPart: Double)

@@ -1,0 +1,87 @@
+package graft.tsne
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Ports the reference's kNN operator tests (ref
+  * `TsneHelpersTestSuite.scala:29-74`): all three variants on the 9-point
+  * collinear lattice, exact-match against the hand-computed golden set.
+  */
+class KnnSpec extends AnyFlatSpec with Matchers with org.scalatest.Inspectors with SparkTestBase {
+
+  private def asSet(res: Seq[Neighbor]): Set[(Long, Long, Double)] =
+    res.map(n => (n.i, n.j, n.dist)).toSet
+
+  "bruteForce kNN" should "return the k nearest neighbors for each point" in {
+    val s = spark
+    import s.implicits._
+    val input = s.createDataset(Goldens.knnInput)
+    val results = Knn.bruteForce(input, 2, "sqeuclidean").collect().toSeq
+    results.size shouldBe Goldens.knnResults.size
+    // Ties at equal distance are broken by j ascending in the rebuild; the
+    // golden set contains every admissible neighbor, so membership is the
+    // right check (same as the reference's `should contain`).
+    forAll(results) { r => Goldens.knnResults should contain((r.i, r.j, r.dist)) }
+  }
+
+  "partitionKnn" should "match the brute-force result" in {
+    val s = spark
+    import s.implicits._
+    val input = s.createDataset(Goldens.knnInput)
+    val results = Knn.partitionKnn(input, 2, "sqeuclidean", 3).collect().toSeq
+    results.size shouldBe Goldens.knnResults.size
+    forAll(results) { r => Goldens.knnResults should contain((r.i, r.j, r.dist)) }
+  }
+
+  it should "match brute force on the 10x784 fixture for every block count" in {
+    val s = spark
+    import s.implicits._
+    val input = IO.readInput(s, fixturePath("dense_input.csv"), 784)
+    val expected = asSet(Knn.bruteForce(input, 3, "sqeuclidean").collect().toSeq)
+    for (blocks <- Seq(1, 2, 4)) {
+      asSet(Knn.partitionKnn(input, 3, "sqeuclidean", blocks).collect().toSeq) shouldBe expected
+    }
+  }
+
+  "projectKnn" should "produce k rows per point with high recall on the lattice" in {
+    val s = spark
+    import s.implicits._
+    val input = s.createDataset(Goldens.knnInput)
+    val k = 2
+    val results = Knn.projectKnn(input, k, "sqeuclidean", iterations = 4,
+      seed = 42L, dimension = 4).collect().toSeq
+    // shape: exactly k candidates per point
+    results.groupBy(_.i).foreach { case (_, rows) => rows.size shouldBe k }
+    // the ±k z-order window on collinear points recovers the true neighbors
+    val hits = results.count(r => Goldens.knnResults.contains((r.i, r.j, r.dist)))
+    hits.toDouble / results.size should be >= 0.8
+  }
+
+  it should "reach full recall on the fixture with enough projections" in {
+    val s = spark
+    import s.implicits._
+    val input = IO.readInput(s, fixturePath("dense_input.csv"), 784)
+    val truth = asSet(Knn.bruteForce(input, 3, "sqeuclidean").collect().toSeq).map(t => (t._1, t._2))
+    val approx = Knn.projectKnn(input, 3, "sqeuclidean", iterations = 6,
+      seed = 42L, dimension = 784).collect().toSeq
+    val hits = approx.count(r => truth.contains((r.i, r.j)))
+    hits.toDouble / truth.size should be >= 0.9
+  }
+
+  "knn metrics" should "agree with the scalar kernels on euclidean and cosine" in {
+    val s = spark
+    import s.implicits._
+    // drop the all-zero point: cosine distance to it is NaN (0/0), in both
+    // the Breeze reference (`Tsne.scala:165`) and this rebuild
+    val pts = Goldens.knnInput.filter(_.id != 0L)
+    val input = s.createDataset(pts)
+    val vecs = pts.map(p => p.id -> p.vec).toMap
+    for (metric <- Seq("euclidean", "cosine")) {
+      val fn = Distances.byName(metric)
+      val byCol = Knn.bruteForce(input, 2, metric).collect()
+      forAll(byCol.toSeq) { r =>
+        r.dist shouldBe fn(vecs(r.i), vecs(r.j)) +- 1e-12
+      }
+    }
+  }
+}

@@ -1,0 +1,29 @@
+package graft.tsne
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Suite
+
+/** Shared local SparkSession for all specs (one JVM-wide session; ScalaTest
+  * suites run sequentially in the forked test JVM). */
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  def fixturePath(name: String): String =
+    getClass.getResource(s"/$name").getPath
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
