@@ -159,11 +159,16 @@ object Knn {
     * paths). */
   def projectKnn(points: Dataset[Point], k: Int, metric: String,
                  iterations: Int, seed: Long = 42L,
-                 dimension: Int = -1): Dataset[Neighbor] = {
+                 dimension: Int = -1, window: Int = -1): Dataset[Neighbor] = {
     val spark = points.sparkSession
     import spark.implicits._
 
     val dim = if (dimension > 0) dimension else points.head().vec.length
+    // candidate window per sort order: the reference hardwires ±k
+    // (`TsneHelpers.scala:146-156`); a wider window trades linearly more
+    // re-rank work for recall, which is the right knob in high dimensions
+    // where one z-order preserves little locality
+    val w = if (window > 0) window else k
     val rnd = new Random(seed)
     val shifts: Seq[Array[Double]] =
       Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))
@@ -183,10 +188,10 @@ object Knn {
         .map { case (r, idx) => (r.getLong(0), idx) }
         .toDF("id", "rank")
 
-      // ±k rank neighborhood as an equi-join on rank+offset.
+      // ±w rank neighborhood as an equi-join on rank+offset.
       val offs = ranked
         .select(col("id").as("i"), col("rank"),
-          explode(sequence(lit(1), lit(k))).as("off"))
+          explode(sequence(lit(1), lit(w))).as("off"))
       val nbr = offs.select(col("i"), (col("rank") + col("off")).as("nrank"))
         .union(offs.select(col("i"), (col("rank") - col("off")).as("nrank")))
       nbr.join(ranked.select(col("id").as("j"), col("rank").as("nrank")), "nrank")

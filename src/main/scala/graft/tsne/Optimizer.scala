@@ -271,6 +271,44 @@ object Optimizer {
     spark.createDataset(fin.map(w => Point(w.id, Array(w.y(0) - mx, w.y(1) - my))).toSeq)
   }
 
+  /** O14 as a standalone operator — one gradient evaluation of KL(P‖Q) at a
+    * given embedding (ref `TsneHelpers.scala:221-318`). θ=0 forces full
+    * tree descent, i.e. the mathematically exact gradient — the reference
+    * pins its gradient goldens the same way (`TsneHelpersTestSuite.scala:
+    * 168-209`). The embedding (N×2 doubles) is collected and broadcast,
+    * exactly the reference's own strategy (`TsneHelpers.scala:277`); the
+    * O(N·k) attraction pass over P stays distributed. */
+  def gradientDataset(p: Dataset[AffinityRow], y: Dataset[Point], theta: Double,
+                      metric: String): Dataset[Point] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val metricName = metric
+    val arr = y.collect()
+    val tree = BhTree.build(arr.map(_.vec))
+    val yMap = new java.util.HashMap[Long, Array[Double]](arr.length * 2)
+    val repMap = new java.util.HashMap[Long, Array[Double]](arr.length * 2)
+    var sumQ = 0.0
+    arr.foreach { pt =>
+      yMap.put(pt.id, pt.vec)
+      val (rx, ry, sq) = tree.repulsiveForce(pt.vec(0), pt.vec(1), theta)
+      repMap.put(pt.id, Array(rx, ry))
+      sumQ += sq
+    }
+    val bcY = spark.sparkContext.broadcast(yMap)
+    val bcRep = spark.sparkContext.broadcast(repMap)
+    val sq = sumQ
+    p.mapPartitions { rows =>
+      val m = Distances.byName(metricName)
+      val ys = bcY.value
+      rows.map { row =>
+        val yi = ys.get(row.id)
+        val (ax, ay) = Gradient.attractiveForce(row.js, row.ps, yi, ys.get(_), m)
+        val rep = bcRep.value.get(row.id)
+        Point(row.id, Array(ax - rep(0) / sq, ay - rep(1) / sq))
+      }
+    }
+  }
+
   /** O15 — centering as a standalone relational operator
     * (ref `TsneHelpers.scala:320-339`): subtract the per-component mean.
     * Expressed with a 1-row cross join so the plan stays lazy. */
