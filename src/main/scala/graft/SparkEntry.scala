@@ -22,6 +22,12 @@ object SparkEntry {
     * the data wherever the static oracle SQL bakes the constant in. */
   private val embeddingDim = 64
 
+  /** Hyperplane-LSH shape for `q_ann_lsh` (calibrated at sf0.01 for ≥ 0.8
+    * recall: the fixture embeddings are near-isotropic, so recall comes
+    * from table count, selectivity from bits). */
+  private val annLshTables = 64
+  private val annLshBits = 6
+
   /** Flagship query on sf=0.001; driver smoke-checks rows > 0: the full
     * t-SNE pipeline on the embeddings table (kNN → affinities → optimize). */
   def entry(spark: SparkSession): DataFrame = {
@@ -190,6 +196,122 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // ---------------- LLM-data-pipeline operators ----------------------
+
+    // text surface statistics (tokens, types, BPE-ish count, lengths)
+    "q_text_stats" -> ((s, dir) => {
+      pipeline.TextOps.textStats(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // heuristic quality scoring (stopword/type/alpha ratios + composite)
+    "q_text_quality" -> ((s, dir) => {
+      pipeline.TextOps.qualityScore(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic (marker-word + CJK-character scores, argmax)
+    "q_lang_id" -> ((s, dir) => {
+      pipeline.TextOps.langId(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // winnowing fingerprints (MOSS): windowed minima over shingle hashes
+    "q_doc_fingerprint" -> ((s, dir) => {
+      pipeline.TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id", "fp")
+    }),
+
+    // exact dedup: canonical id per content hash
+    "q_dedup_exact" -> ((s, dir) => {
+      pipeline.Dedup.exactCanonical(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // exact 3-gram Jaccard similarity join (sparse, no cartesian product)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      pipeline.Dedup.jaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3, theta = 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jac_r"))
+        .orderBy("i", "j")
+    }),
+
+    // MinHash+LSH near-dedup, exact-verified — must recover the exact ≥θ
+    // pair set (the oracle recomputes it by brute sparse join)
+    "q_dedup_minhash" -> ((s, dir) => {
+      pipeline.Dedup.minHashNearDups(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3, theta = 0.7)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jac_r"))
+        .orderBy("i", "j")
+    }),
+
+    // SimHash signatures, bit-for-bit vs the SQL recomputation
+    "q_dedup_simhash" -> ((s, dir) => {
+      pipeline.Dedup.simHashes(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs via banded blocking == all-pairs Hamming ≤ 3
+    "q_simhash_pairs" -> ((s, dir) => {
+      pipeline.Dedup.simHashNearDups(
+        s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+
+    // embedding near-dup: exact cosine ≥ θ pair set
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = IO.embeddingsDf(s, dir)
+      val a = e.select(col("id").as("i"), col("vec").as("va"))
+      val b = e.select(col("id").as("j"), col("vec").as("vb"))
+      a.crossJoin(b).where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          graft.tsne.Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+        .where(col("sim") >= 0.45)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("i", "j")
+    }),
+
+    // similarity search: exact cosine top-k for a query set (broadcast)
+    "q_ann_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(_.id < 20L)
+      pipeline.Ann.bruteTopK(corpus, queries, 5)
+        .select(col("i"), col("j"), col("rn"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("i", "rn")
+    }),
+
+    // similarity search, scale path: hyperplane LSH — recall floor vs the
+    // exact top-k, deterministic in (seed, data) like q_knn_project
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(_.id < 100L)
+      val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
+      val approx = pipeline.Ann.lshTopK(corpus, queries, k,
+        tables = annLshTables, bits = annLshBits, dim = embeddingDim, seed = 42L)
+      val hits = approx.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      queries.toDF().agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("hits") >= col("n_queries") * k * 0.8).cast("long").as("recall_ok"))
+    }),
+
+    // multimodal plumbing: binary payloads + stub decode + frame samples
+    "q_multimodal_features" -> ((s, dir) => {
+      val mm = pipeline.Multimodal.fromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val feats = pipeline.Multimodal.decodeFeatures(mm, featureDim = 4)
+        .select(col("id") +: (0 until 4).map(m =>
+          round(col("features")(m), 9).as(s"f${m}_r")): _*)
+      val samples = pipeline.Multimodal.frameSample(mm, n = 4)
+        .select((col("id") :: col("byte_len") :: (0 until 4).map(i =>
+          col("samples")(i).as(s"s$i")).toList): _*)
+      feats.join(samples, "id").orderBy("id")
+    }),
+
     // §2.2 vocabulary — multi-way equi-join with broadcast dimension
     "q_join_agg" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -204,7 +326,191 @@ object SparkEntry {
     })
   )
 
+  /** Shared DuckDB CTEs for the text pipeline: whitespace tokens, hashed
+    * distinct 3-gram shingles (md5-60bit, identical to Hashing.hash60). */
+  private val tokSql =
+    """WITH toks AS (
+      |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
+      |  FROM documents)
+      |""".stripMargin
+
+  /** Position-joined shingles (this DuckDB build rejects column-dependent
+    * generate_series, so n-grams come from a 3-way self-join on token
+    * position). */
+  private val tposSql = tokSql +
+    """, tpos AS (
+      |  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      |  FROM toks)
+      |""".stripMargin
+
+  private val shingleSql = tposSql +
+    """, sh AS (
+      |  SELECT DISTINCT a.doc_id,
+      |         ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
+      |  FROM tpos a
+      |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+      |""".stripMargin
+
+  private def jaccardOracle(theta: Double): String = shingleSql +
+    """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i, j, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jac_r
+      |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+      |""".stripMargin +
+    s"WHERE c * 1.0 / (sa.n + sb.n - c) >= $theta ORDER BY i, j"
+
+  private val simhashSql = tokSql +
+    """, th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+      |bits AS (
+      |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN generate_series(0, 59) t(b) GROUP BY 1, 2),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+      |           AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" -> (tokSql +
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        |       CAST(len(regexp_extract_all(text,
+        |            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |       ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 6)
+        |         AS avg_token_len_r
+        |FROM toks ORDER BY doc_id""".stripMargin),
+
+    "q_text_quality" -> (tokSql +
+      """SELECT doc_id,
+        |  ROUND(stop_ratio, 6) AS stop_ratio_r,
+        |  ROUND(type_ratio, 6) AS type_ratio_r,
+        |  ROUND(alpha_ratio, 6) AS alpha_ratio_r,
+        |  ROUND(LEAST(stop_ratio * 5.0, 1.0) * 0.3 + LEAST(type_ratio * 2.0, 1.0) * 0.3
+        |        + alpha_ratio * 0.2
+        |        + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+        |        6) AS quality_r
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
+        |      * 1.0 / len(t) AS stop_ratio,
+        |    len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
+        |    length(text) * 1.0 / len(t) AS mean_len
+        |  FROM toks)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_lang_id" -> (tokSql +
+      """SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+        |  CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+        |       WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+        |       WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+        |       WHEN score_de > score_en THEN 'de'
+        |       ELSE 'en' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS score_fr,
+        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
+        |  FROM toks)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_doc_fingerprint" -> (tposSql +
+      """, sh AS (
+        |  SELECT a.doc_id, a.pos,
+        |         ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
+        |  FROM tpos a
+        |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+        |SELECT DISTINCT doc_id,
+        |       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |FROM sh ORDER BY doc_id, fp""".stripMargin),
+
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardOracle(0.5),
+
+    "q_dedup_minhash" -> jaccardOracle(0.7),
+
+    "q_dedup_simhash" ->
+      (simhashSql + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id"),
+
+    "q_simhash_pairs" -> (simhashSql +
+      """SELECT a.doc_id AS i, b.doc_id AS j,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY i, j""".stripMargin),
+
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / (a.nrm * b.nrm), 6) AS sim_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS sim
+        |  FROM e a CROSS JOIN e b
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |rk AS (
+        |  SELECT i, j, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+        |  FROM sims)
+        |SELECT i, j, rn, ROUND(sim, 6) AS sim_r
+        |FROM rk WHERE rn <= 5 ORDER BY i, rn""".stripMargin,
+
+    "q_ann_lsh" ->
+      """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id,
+        |  ROUND((('0x' || substr(md5(text || '#0'), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0, 9) AS f0_r,
+        |  ROUND((('0x' || substr(md5(text || '#1'), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0, 9) AS f1_r,
+        |  ROUND((('0x' || substr(md5(text || '#2'), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0, 9) AS f2_r,
+        |  ROUND((('0x' || substr(md5(text || '#3'), 1, 15))::BIGINT)
+        |        / 1152921504606846976.0, 9) AS f3_r,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 0 / 4) AS INT) + 1, 1)) AS BIGINT) AS s0,
+        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 1 / 4) AS INT) + 1, 1)) AS BIGINT) AS s1,
+        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 2 / 4) AS INT) + 1, 1)) AS BIGINT) AS s2,
+        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 3 / 4) AS INT) + 1, 1)) AS BIGINT) AS s3
+        |FROM documents ORDER BY id""".stripMargin,
     "q_knn_bruteforce" ->
       (knnSql +
         """SELECT i, j, rn, ROUND(dist, 6) AS dist_r

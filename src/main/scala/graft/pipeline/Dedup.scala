@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Deduplication operators over the `documents` table — exact, n-gram
+  * Jaccard, MinHash+LSH and SimHash. The four standard tiers of a
+  * web-scale corpus dedup stage, each with a different cost/recall point:
+  *
+  *   - exact: one hash aggregation — O(N);
+  *   - Jaccard similarity join: explode to (doc, shingle), self-join on
+  *     shingle, count — exact pairwise scores but cost ∝ Σ df(shingle)²;
+  *   - MinHash+LSH: constant-size signatures, band-bucket join — the
+  *     100 TB path: no all-pairs anywhere, shuffle ∝ N·bands, and the
+  *     verify step touches only bucket-collision candidates;
+  *   - SimHash: one 60-bit signature per doc; near-dups differ in ≤ a few
+  *     bits, found by banded exact-match blocking.
+  *
+  * All shingle/token hashing uses [[Hashing.hash60]], so every stage is
+  * reproducible in the DuckDB oracle.
+  */
+object Dedup {
+
+  // ---------------- shingling ------------------------------------------
+
+  /** Token `n`-gram shingle table: `(doc_id, [pos,] sh_hash)`, distinct per
+    * doc when positions are dropped. Docs with < n tokens produce no rows
+    * (nothing to compare). Pure array expressions — one narrow projection. */
+  def shingles(docs: DataFrame, n: Int = 3, keepPos: Boolean = false): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // guard: sequence(0, x) with x < 0 generates a *descending* sequence
+    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(idxs,
+      i => Hashing.hash60(
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+    val exploded = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "sh_hash")))
+    if (keepPos) exploded
+    else exploded.select("doc_id", "sh_hash").distinct()
+  }
+
+  /** Distinct-shingle count per doc (the |A| term of Jaccard). */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+  // ---------------- exact dedup ----------------------------------------
+
+  /** Exact dedup: canonical id = min doc_id per content hash. One hash
+    * aggregation + one broadcast-friendly join back; no N² anywhere. */
+  def exactCanonical(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), Hashing.hash60(col("text")).as("h"))
+    val canon = hashed.groupBy("h").agg(min("doc_id").as("canon_id"))
+    hashed.join(canon, "h").select(col("doc_id"), col("canon_id"))
+  }
+
+  // ---------------- exact n-gram Jaccard similarity join ----------------
+
+  /** All pairs with Jaccard(shingles) ≥ θ, via the sparse similarity join:
+    * self-join the (doc, shingle) table on shingle with `i < j`, count
+    * intersections, look up set sizes. No cartesian product — cost is
+    * Σ over shingles of df², which is near-linear when shingles are rare
+    * (n-grams are). For skewed corpora, cap df first ([[withDfCap]]). */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, theta: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    jaccardOfShingles(sh, theta)
+  }
+
+  private[pipeline] def jaccardOfShingles(sh: DataFrame, theta: Double): DataFrame = {
+    val sizes = shingleSizes(sh)
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+      .where(col("jaccard") >= theta)
+  }
+
+  /** Optional skew guard: drop shingles appearing in more than `cap` docs
+    * (stopword-grams carry no dedup signal but quadratic join cost). */
+  def withDfCap(sh: DataFrame, cap: Int): DataFrame = {
+    val rare = sh.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+      .where(col("df") <= cap).select("sh_hash")
+    sh.join(rare, "sh_hash")
+  }
+
+  // ---------------- MinHash + LSH --------------------------------------
+
+  /** Seeded affine MinHash family over 31-bit shingle hashes:
+    * h_k(x) = (a_k·x + b_k) mod (2³¹−1). 31-bit domain keeps a_k·x inside
+    * a signed 64-bit product. */
+  final case class MinHashFamily(seed: Long, numHashes: Int) {
+    private val P = 2147483647L // 2^31 − 1
+    val (as, bs) = {
+      val rnd = new Random(seed)
+      (Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
+        Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
+    }
+    def sig(shingleHashes: Iterator[Long]): Array[Long] = {
+      val s = Array.fill(numHashes)(Long.MaxValue)
+      shingleHashes.foreach { h =>
+        val x = h & 0x7FFFFFFFL
+        var k = 0
+        while (k < numHashes) {
+          val v = (as(k) * x + bs(k)) % P
+          if (v < s(k)) s(k) = v
+          k += 1
+        }
+      }
+      s
+    }
+  }
+
+  /** Near-duplicate pairs by MinHash + banded LSH, exact-verified:
+    * `bands` bands of `rowsPerBand` minhashes each; docs colliding in any
+    * band become candidates; candidates are re-scored with the *exact*
+    * shingle Jaccard and filtered at θ. With r=2, b=64 the probability of
+    * missing a pair at s=0.7 is (1−0.49)⁶⁴ ≈ 1e−19 — the output is the
+    * exact ≥θ pair set with overwhelming probability, which is what the
+    * DuckDB oracle checks. Shuffles: shingles (N·s rows), signatures
+    * (N·bands rows), candidate verify (candidates only). No all-pairs. */
+  def minHashNearDups(docs: DataFrame, n: Int = 3, theta: Double = 0.7,
+                      bands: Int = 64, rowsPerBand: Int = 2,
+                      seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fam = MinHashFamily(seed, bands * rowsPerBand)
+    val sh = shingles(docs, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sigs = sh.as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups[(Long, Array[Long])] { (doc: Long, rows: Iterator[(Long, Long)]) =>
+        (doc, fam.sig(rows.map(_._2)))
+      }
+      .toDF("doc_id", "sig")
+
+    // band key = (band index, the band's minhash rows) — equality on the
+    // struct is exactly "collides in this band"
+    val bandStructs = array((0 until bands).map(b =>
+      struct((0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).as(s"h$r")): _*)): _*)
+    val banded = sigs.select(col("doc_id"), posexplode(bandStructs))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+
+    // exact verify on candidates only
+    val sizes = shingleSizes(sh)
+    val verified = cands
+      .join(sh.select(col("doc_id").as("i"), col("sh_hash")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh_hash")), Seq("j", "sh_hash"))
+      .groupBy("i", "j").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
+      .where(col("jaccard") >= theta)
+    verified
+  }
+
+  // ---------------- SimHash --------------------------------------------
+
+  /** 60-bit SimHash signatures over (occurrence-weighted) tokens, fully
+    * relational: explode tokens → hash → explode bit positions → per-bit
+    * majority vote → pack. Three hash aggregations, no UDF, and byte-for-
+    * byte reproducible in SQL (the oracle recomputes it). */
+  def simHashes(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+    toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(Hashing.Bits - 1))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("shiftright(h, cast(b as int)) & 1") === 1, 1)
+          .otherwise(-1).as("v"))
+      .groupBy("doc_id", "b").agg(sum("v").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: banded exact-match blocking (split the
+    * signature into `maxHamming + 1` chunks — any pair within the Hamming
+    * radius must agree exactly on at least one chunk), then verify the true
+    * Hamming distance. No all-pairs. */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = Hashing.Bits / chunks // 15-bit chunks for maxHamming=3
+    val sigs = simHashes(docs)
+    val chunkArr = array((0 until chunks).map(c =>
+      shiftright(col("simhash"), c * width).bitwiseAND((1L << width) - 1)): _*)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(chunkArr).as(Seq("chunk", "ckey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `BinaryType` payloads + typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The Spark-side architecture is the real deliverable here — schema,
+  * batch shape, partitioning, and a decode seam — while the actual
+  * image/audio codecs are STUBBED with a deterministic fake (this
+  * container has no media libraries): `decodeStub` derives a fixed-size
+  * feature vector from the payload bytes via [[Hashing.hash60]], and
+  * `frameSample` takes evenly-strided byte probes the way a video frame
+  * sampler strides timestamps. Swap `decodeStub` for a real codec and
+  * nothing else changes — the seam is the `Array[Byte] => Array[Double]`
+  * function passed to [[decodeFeatures]].
+  */
+object Multimodal {
+
+  /** The canonical multimodal row: id + modality tag + raw payload +
+    * typed metadata. Parquet stores the payload as a binary column —
+    * splittable, column-prunable (metadata reads don't touch bytes). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("source", StringType, nullable = true))), nullable = false)))
+
+  /** Wrap the `documents` table as a multimodal table (text payloads) —
+    * the fixture for exercising the binary plumbing end-to-end. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("id"),
+      lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(length(col("text")).cast("long").as("byte_len"),
+        col("source").as("source")).as("meta"))
+
+  /** STUB decode: `featureDim` doubles in [0, 1), each the scaled
+    * [[Hashing.hash60]] of (payload ‖ '#' ‖ featureIndex). Deterministic,
+    * engine-reproducible, and shaped exactly like an embedding a real
+    * encoder would emit. */
+  def decodeStub(featureDim: Int)(payload: Array[Byte]): Array[Double] =
+    Array.tabulate(featureDim) { m =>
+      val suffix = s"#$m".getBytes("UTF-8")
+      val buf = java.util.Arrays.copyOf(payload, payload.length + suffix.length)
+      System.arraycopy(suffix, 0, buf, payload.length, suffix.length)
+      Hashing.hash60(buf).toDouble / (1L << Hashing.Bits).toDouble
+    }
+
+  /** Batch feature extraction over the payload column: `mapPartitions`
+    * (one decoder init per partition — the Scala analogue of the
+    * batch-iterator contract `mapInPandas` gives Python UDFs), emitting
+    * `(id, features Array[Double])`. The decoder is injected — see
+    * [[decodeStub]]. */
+  def decodeFeatures(mm: DataFrame, featureDim: Int,
+                     decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    val dim = featureDim
+    mm.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = decoder(dim) // per-partition decoder init, like RichMapFunction.open
+        rows.map { case (id, payload) => (id, decode(payload)) }
+      }
+      .toDF("id", "features")
+  }
+
+  /** Evenly-strided probes of the payload (frame-sampling shape): `n`
+    * bytes at positions floor(len·i/n), unsigned. Pure Column expressions. */
+  def frameSample(mm: DataFrame, n: Int): DataFrame = {
+    val len = col("meta.byte_len")
+    val samples = array((0 until n).map { i =>
+      // 1-based substring at floor(len·i/n); byte read back as unsigned
+      // (the Scala `substring` DSL takes only literal positions — expr form)
+      conv(hex(expr(
+        s"substring(payload, cast(floor(meta.byte_len * $i / $n) as int) + 1, 1)")),
+        16, 10).cast("long").as(s"s$i")
+    }: _*)
+    mm.select(col("id"), col("modality"), len.as("byte_len"), samples.as("samples"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table (`doc_id, text, lang, source, n_chars`).
+  *
+  * Everything here is pure Catalyst `Column` expressions — no UDFs — so the
+  * whole stage stays inside whole-stage codegen, pushes down through the
+  * scan, and every operator is DuckDB-oracle-expressible for the driver's
+  * correctness harness. The only "hash function" used anywhere is
+  * [[Hashing.hash60]] (md5-derived), computable identically in any engine.
+  *
+  * These are rebuild extensions, not reference ports: the reference engine
+  * (tsne-flink) has zero string processing — SURVEY.md §2.3 "no string/
+  * date/array functions" — but a 100 TB curation pipeline lives on these.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. The canonical token column for every
+    * downstream operator (stats, shingles, simhash, language ID). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single other
+    * non-space symbols — the classic byte-pair pre-split regex, kept to a
+    * subset whose semantics agree across regex engines. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Per-document surface statistics: characters, tokens, distinct tokens,
+    * BPE-ish token count, mean token length. One narrow projection — no
+    * shuffle, no UDF. */
+  def textStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      bpeishCount(col("text")).cast("long").as("n_bpeish"),
+      round(
+        aggregate(transform(toks, t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / size(toks), 6).as("avg_token_len_r"))
+  }
+
+  /** A small function-word list for quality scoring (English-ish; the
+    * corpus vocabulary is synthetic so the *operator*, not the list, is
+    * what matters). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "in", "to", "is")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** Heuristic quality score — the standard cheap pre-filters for web-scale
+    * corpus curation: stopword density (fluency proxy), type/token ratio
+    * (repetition proxy), alpha-character ratio (boilerplate/markup proxy),
+    * mean token length (gibberish proxy). Composite in [0, 1]. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = hitCount(toks, stopwords) / nTok
+    val typeRatio = size(array_distinct(toks)) / nTok
+    val alphaRatio =
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))) /
+        length(col("text")).cast("double")
+    val meanLen = length(col("text")).cast("double") / nTok
+    // weights: fluent docs have some stopwords (target ~10%+), healthy
+    // type variety, mostly letters, and 3–10 char mean tokens
+    val score =
+      least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(typeRatio * 2.0, lit(1.0)) * 0.3 +
+        alphaRatio * 0.2 +
+        when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0) * 0.2
+    docs.select(
+      col("doc_id"),
+      round(stopRatio, 6).as("stop_ratio_r"),
+      round(typeRatio, 6).as("type_ratio_r"),
+      round(alphaRatio, 6).as("alpha_ratio_r"),
+      round(score, 6).as("quality_r"))
+  }
+
+  /** Marker-word sets for the n-gram/function-word language-ID heuristic.
+    * Deterministic scoring — argmax over per-language hit counts, ties
+    * broken by list order (en first). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq.empty) // scored by CJK character presence instead
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, words) =>
+      val s =
+        if (lang == "zh")
+          size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+        else hitCount(toks, words)
+      lang -> s.cast("long")
+    }
+    // argmax with first-wins tie-break, as a pure CASE chain
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    docs.select(
+      col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }
+        :+ best._2.as("pred_lang"): _*)
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., the MOSS
+    * algorithm): hash every token `n`-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum, dedupe. Robust
+    * position-independent near-dup signatures; ~1/w of the shingle count.
+    * One shuffle (the window by doc), one dedupe. */
+  def fingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val sh = Dedup.shingles(docs, n, keepPos = true) // (doc_id, pos, sh_hash)
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sh.select(col("doc_id"), min(col("sh_hash")).over(win).as("fp"))
+      .distinct()
+  }
+}

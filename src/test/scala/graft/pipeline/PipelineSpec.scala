@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.Inspectors
+
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** Unit tests for the LLM-data-pipeline operators (dedup, text analysis,
+  * ANN, multimodal plumbing) on small synthetic corpora with hand-checkable
+  * expectations; the DuckDB harness covers the full-table oracle parity.
+  */
+class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  "Hashing.hash60" should "agree between the JVM and Column forms" in {
+    val s = spark
+    import s.implicits._
+    val words = Seq("hello", "the quick brown fox", "", "ümlaut")
+    val byCol = words.toDF("w").select(Hashing.hash60(col("w"))).as[Long].collect()
+    byCol.toSeq shouldBe words.map(Hashing.hash60)
+    forAll(byCol.toSeq) { h => h should be >= 0L }
+  }
+
+  "Dedup.shingles" should "emit distinct n-gram hashes and skip short docs" in {
+    val d = docs((1L, "a b c d"), (2L, "a b"), (3L, "a b c a b c"))
+    val sh = Dedup.shingles(d, n = 3).collect()
+    sh.filter(_.getLong(0) == 1L).length shouldBe 2 // "a b c", "b c d"
+    sh.filter(_.getLong(0) == 2L).length shouldBe 0 // < n tokens
+    sh.filter(_.getLong(0) == 3L).length shouldBe 3 // {abc, bca, cab} distinct of 4 grams
+    Dedup.shingles(d, n = 3, keepPos = true).collect()
+      .filter(_.getLong(0) == 3L).length shouldBe 4 // positions kept, no dedupe
+  }
+
+  "Dedup.exactCanonical" should "group byte-identical docs under the min id" in {
+    val d = docs((1L, "same text"), (2L, "other"), (5L, "same text"))
+    val canon = Dedup.exactCanonical(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon shouldBe Map(1L -> 1L, 2L -> 2L, 5L -> 1L)
+  }
+
+  "Dedup.jaccardPairs" should "score overlapping shingle sets exactly" in {
+    // doc1: grams {abc, bcd, cde}; doc2: grams {abc, bcd, cdX} → J = 2/4
+    val d = docs((1L, "a b c d e"), (2L, "a b c d X"))
+    val pairs = Dedup.jaccardPairs(d, n = 3, theta = 0.0).collect()
+    pairs.length shouldBe 1
+    pairs.head.getDouble(2) shouldBe 0.5 +- 1e-12
+  }
+
+  "Dedup.minHashNearDups" should "find exactly the >= theta pairs" in {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    val exact = Dedup.jaccardPairs(d, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashNearDups(d, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe exact
+    lsh should contain((1L, 4L)) // identical
+    lsh should contain((1L, 2L)) // one-token edit
+    forAll(lsh.toSeq) { p => p._2 should not be 3L }
+  }
+
+  "Dedup.simHash near-dups" should "equal the all-pairs Hamming filter" in {
+    // NOTE an added token flips every signature bit whose majority sum sat
+    // at 0/±1, so even a one-word edit can exceed Hamming 3 — the pinned
+    // contract is blocking ≡ all-pairs, plus the exact-dup case
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val sigs = Dedup.simHashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      i <- sigs.keys; j <- sigs.keys if i < j && ham(sigs(i), sigs(j)) <= 3
+    } yield (i, j)).toSet
+    val found = Dedup.simHashNearDups(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    found shouldBe expected
+    found should contain((1L, 2L))
+  }
+
+  "TextOps.textStats" should "count chars, tokens, types" in {
+    val st = TextOps.textStats(docs((1L, "a bb a ccc"))).collect().head
+    st.getAs[Long]("n_chars") shouldBe 10L
+    st.getAs[Long]("n_tokens") shouldBe 4L
+    st.getAs[Long]("n_types") shouldBe 3L
+    st.getAs[Long]("n_bpeish") shouldBe 4L
+    st.getAs[Double]("avg_token_len_r") shouldBe 1.75 +- 1e-9
+  }
+
+  it should "split BPE-ish runs on symbol boundaries" in {
+    val st = TextOps.textStats(docs((1L, "ab12,cd!"))).collect().head
+    st.getAs[Long]("n_bpeish") shouldBe 5L // ab | 12 | , | cd | !
+  }
+
+  "TextOps.langId" should "prefer the highest marker score with first-wins ties" in {
+    val out = TextOps.langId(docs(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze ist"),
+      (3L, "xyz qqq"))).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+    out(3L) shouldBe "en" // all scores 0 → first in list order
+  }
+
+  "TextOps.fingerprints" should "be position-robust" in {
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val prefixed = "zz " + a
+    val fa = TextOps.fingerprints(docs((1L, a))).collect().map(_.getLong(1)).toSet
+    val fb = TextOps.fingerprints(docs((2L, prefixed))).collect().map(_.getLong(1)).toSet
+    // winnowed fingerprints of a shifted copy share most minima
+    (fa intersect fb).size.toDouble / fa.size should be >= 0.5
+  }
+
+  "Ann.bruteTopK and lshTopK" should "rank by cosine with LSH recall" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val pts = (0L until 200L).map(i => graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(20))
+    val exact = Ann.bruteTopK(corpus, queries, 5)
+    exact.groupBy("i").count().collect().foreach(_.getLong(1) shouldBe 5L)
+    // rank 1 is the most similar non-self neighbor
+    val approx = Ann.lshTopK(corpus, queries, 5, tables = 48, bits = 5, dim = 16, seed = 1L)
+    val hits = approx.join(exact.select("i", "j"), Seq("i", "j"), "left_semi").count()
+    hits.toDouble / exact.count() should be >= 0.8
+  }
+
+  "Multimodal" should "round-trip binary payloads through the stub decoder" in {
+    val s = spark
+    import s.implicits._
+    val mm = Multimodal.fromDocuments(
+      Seq((7L, "hello world", "en", "src", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    mm.schema("payload").dataType shouldBe org.apache.spark.sql.types.BinaryType
+    val feats = Multimodal.decodeFeatures(mm, 4).collect().head.getSeq[Double](1)
+    feats.length shouldBe 4
+    // deterministic: equals the JVM-side stub on the same bytes
+    val expected = Multimodal.decodeStub(4)("hello world".getBytes("UTF-8"))
+    feats.toArray shouldBe expected
+    forAll(feats) { f => f should (be >= 0.0 and be < 1.0) }
+    val samp = Multimodal.frameSample(mm, 4).collect().head
+    samp.getAs[Long]("byte_len") shouldBe 11L
+    samp.getSeq[Long](3).length shouldBe 4
+    samp.getSeq[Long](3).head shouldBe 'h'.toLong
+  }
+}
