@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** SparkSessionExtensions entry point: registers the native distance
+  * expressions as SQL functions, so `spark.sql("SELECT graft_cosine_sim
+  * (a, b) …")` and `expr("graft_dot(a, b)")` work next to the Column API.
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `--conf spark.sql.extensions=graft.GraftExtensions` on spark-submit.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    reg("graft_sqeuclidean", "squared euclidean distance of two array<double>") {
+      case Seq(a, b) => SqEuclideanDistance(a, b)
+    }
+    reg("graft_euclidean", "euclidean distance of two array<double>") {
+      case Seq(a, b) => EuclideanDistance(a, b)
+    }
+    reg("graft_dot", "dot product of two array<double>") {
+      case Seq(a, b) => DotProduct(a, b)
+    }
+    reg("graft_cosine_sim", "cosine similarity of two array<double>") {
+      case Seq(a, b) => CosineSimilarity(a, b)
+    }
+  }
+}

@@ -29,6 +29,7 @@ object Tsne {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     // spark-submit injects spark.master; running the bare main (sbt run,
     // plain java) gets a local default instead of an init failure
     if (!sys.props.contains("spark.master")) builder.master("local[*]")
