@@ -23,19 +23,29 @@ object Bench {
       val warm = spark.range(200)
         .select(col("id"), array((0 until 8).map(d => rand(d)): _*).as("vec"))
         .as[graft.tsne.Point]
+      // covers: cross join + native distance exprs + ranking window + hash
+      // agg + the typed groupByKey/flatMapGroups path (per-group search)
+      graft.tsne.Affinities.pairwiseAffinities(
+        graft.tsne.Knn.bruteForce(warm, 5, "sqeuclidean"), 2.0).count()
       graft.tsne.Affinities.jointDistribution(
         graft.tsne.Knn.bruteForce(warm, 5, "sqeuclidean")).count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
+      spark.catalog.clearCache()
     }
 
     // fixed name order: timings are position-independent and diffable;
-    // cache cleared between queries so no query is billed against another's
-    // persisted subtree (several share the kNN lineage)
+    // cache cleared between runs so no query is billed against another's
+    // persisted subtree (several share the kNN lineage); min of 2 runs per
+    // query strips environment noise (this VM shows sporadic 10×
+    // memory-reclaim stalls on an otherwise idle box)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -29,14 +29,19 @@ object Dedup {
     * doc when positions are dropped. Docs with < n tokens produce no rows
     * (nothing to compare). Pure array expressions — one narrow projection. */
   def shingles(docs: DataFrame, n: Int = 3, keepPos: Boolean = false): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    // materialize the token array into its own projection first: a lambda
+    // that references the raw split(...) expression re-evaluates the regex
+    // split on every element_at inside the transform (3n× per shingle) —
+    // an attribute reference reads the array once
+    val tokenized = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val t = col("t")
     // guard: sequence(0, x) with x < 0 generates a *descending* sequence
-    val idxs = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+    val idxs = when(size(t) >= n, sequence(lit(0), size(t) - n))
       .otherwise(array().cast("array<int>"))
     val grams = transform(idxs,
       i => Hashing.hash60(
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
-    val exploded = docs
+        concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
+    val exploded = tokenized
       .select(col("doc_id"), posexplode(grams).as(Seq("pos", "sh_hash")))
     if (keepPos) exploded
     else exploded.select("doc_id", "sh_hash").distinct()
