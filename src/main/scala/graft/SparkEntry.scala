@@ -312,6 +312,41 @@ object SparkEntry {
       feats.join(samples, "id").orderBy("id")
     }),
 
+    // embedding near-dup, scale path: hyperplane-LSH blocking + exact
+    // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val corpus = IO.readEmbeddings(s, dir)
+      pipeline.Ann.lshNearDupPairs(corpus, theta = 0.45,
+        tables = 64, bits = 4, dim = embeddingDim, seed = 42L)
+        .select(col("i"), col("j"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("i", "j")
+    }),
+
+    // ---------------- event-stream operators (batch-verifiable forms of
+    // the Structured Streaming module; EventsStreamingSpec drives the same
+    // functions through MemoryStream + watermarks) ----------------------
+
+    // tumbling-window aggregation (event time)
+    "q_events_window" -> ((s, dir) => {
+      streaming.Events.windowedStats(streaming.Events.readEvents(s, dir), "1 hour")
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value_r"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // gap-based session windows per user (keyed incremental state when
+    // streaming; gaps-and-islands SQL for the oracle)
+    "q_events_sessions" -> ((s, dir) => {
+      streaming.Events.sessionStats(streaming.Events.readEvents(s, dir), "30 minutes")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // JSON-ish property extraction + aggregation
+    "q_events_json" -> ((s, dir) => {
+      streaming.Events.propsStats(streaming.Events.readEvents(s, dir))
+        .orderBy("event_type")
+    }),
+
     // §2.2 vocabulary — multi-way equi-join with broadcast dimension
     "q_join_agg" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -600,6 +635,53 @@ object SparkEntry {
           |       ROUND(attr.ax - rep.rx / (SELECT s FROM sumq), 8) AS gx_r,
           |       ROUND(attr.ay - rep.ry / (SELECT s FROM sumq), 8) AS gy_r
           |FROM attr JOIN rep ON attr.i = rep.i ORDER BY i""".stripMargin),
+
+    "q_embed_neardup_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / (a.nrm * b.nrm), 6) AS sim_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY i, j""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value_r
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts >= COALESCE(LAG(ts) OVER w + INTERVAL '30 minutes',
+        |                                  ts) AND LAG(ts) OVER w IS NOT NULL
+        |              THEN 1
+        |              WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT MIN(ts) AS session_start, user_id,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value_r
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+        |                      AS BIGINT)), 6) AS avg_k_r
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,

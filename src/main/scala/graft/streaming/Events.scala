@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table
+  * (`event_id, ts, user_id, event_type, value, props`).
+  *
+  * Structured-Streaming-first design: every transform here is expressed on
+  * an unbounded-table DataFrame, so the *same function* runs in batch mode
+  * (driver correctness oracle) and under `readStream` (EventsStreamingSpec
+  * drives them through a MemoryStream with watermarks). The reference has
+  * no streaming surface at all (SURVEY.md §2.3 — `flink-streaming` is
+  * declared but unused), so this module is a rebuild extension: the
+  * ingest-side operators a 100 TB training-data pipeline needs for
+  * continuously arriving events.
+  */
+object Events {
+
+  /** Events scan. The fixture's `ts` is parquet TIMESTAMP(NANOS), which
+    * Spark rejects outright — read it as a long (legacy conf) and convert
+    * to a microsecond timestamp with *integer* division (a double division
+    * at 1.7e18 nanos is past the 53-bit mantissa and corrupts low digits;
+    * `div` keeps it exact and truncates exactly like DuckDB's nanos→micros
+    * read, so both engines see identical timestamps). */
+  def readEvents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window stats per event type: count + sum(value). In
+    * streaming mode, bound state with [[withEventWatermark]] first. */
+  def windowedStats(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows per user (gap-based): a session ends after `gap` of
+    * inactivity. Spark's native `session_window` keyed state — in
+    * streaming this is incremental per-key state, no global sort. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value_r"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value_r"))
+
+  /** Property extraction from the JSON-ish `props` payload without a JSON
+    * parser dependency in the oracle: the `k` attribute via regexp (both
+    * engines share RE2-compatible semantics for this pattern). */
+  def propsK(events: DataFrame): DataFrame =
+    events.withColumn("k",
+      regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("long"))
+
+  /** Per-type stats over the extracted property. */
+  def propsStats(events: DataFrame): DataFrame =
+    propsK(events)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k_r"))
+
+  /** Event-time watermark + exactly-once-per-id dedup — the streaming
+    * ingest front door: late duplicates within the watermark horizon are
+    * dropped by keyed state, arbitrarily late events are discarded. */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Watermark helper for composing with the window aggregates. */
+  def withEventWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+}

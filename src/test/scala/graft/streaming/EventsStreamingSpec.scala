@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+import java.sql.Timestamp
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Drives the event operators through Structured Streaming proper —
+  * MemoryStream source, watermarks, complete/append sinks — and pins that
+  * the streaming results equal the batch results of the same functions
+  * (the unbounded-table contract).
+  */
+class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Ev(0L, ts(5), 1L, "view", 1.0, """{"k": 10}"""),
+    Ev(1L, ts(20), 1L, "click", 2.0, """{"k": 20}"""),
+    Ev(2L, ts(65), 2L, "view", 3.0, """{"k": 30}"""),
+    Ev(3L, ts(70), 2L, "view", 4.0, """{"k": 40}"""),
+    Ev(4L, ts(130), 1L, "error", 5.0, """{"k": 50}"""))
+
+  "windowedStats" should "produce identical results in streaming and batch" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    val q = Events.windowedStats(Events.withEventWatermark(input.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("win_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.windowedStats(sample.toDF(), "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    streamed shouldBe batch
+    streamed.map(_._1).size shouldBe 3 // three distinct hours
+  }
+
+  "dedupedStream" should "drop duplicate event ids within the watermark" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    input.addData(sample.take(3): _*) // replayed duplicates
+    val q = Events.dedupedStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val ids = s.table("dedup_out").select("event_id").as[Long].collect().sorted
+    ids.toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+  }
+
+  "sessionStats" should "split user activity on the gap, streaming == batch" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    val q = Events.sessionStats(Events.withEventWatermark(input.toDF()), "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("sess_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Events.sessionStats(sample.toDF(), "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+    // user 1: events at :05/:20 then 2:10 → two sessions; user 2: one
+    streamed.size shouldBe 3
+  }
+
+  "propsStats" should "extract the k property" in {
+    val s = spark
+    import s.implicits._
+    val out = Events.propsStats(sample.toDF()).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out("view") shouldBe ((10.0 + 30 + 40) / 3) +- 1e-6 // avg_k_r is round-6
+    out("click") shouldBe 20.0 +- 1e-6
+    out("error") shouldBe 50.0 +- 1e-6
+  }
+}
