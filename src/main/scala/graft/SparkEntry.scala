@@ -122,6 +122,14 @@ object SparkEntry {
         .orderBy("i", "rn")
     }),
 
+    // O4 — euclidean metric (the third and last metric dispatch arm)
+    "q_knn_euclidean" -> ((s, dir) => {
+      val points = IO.readEmbeddings(s, dir)
+      Knn.topKPerPointRanked(Knn.bruteForcePairs(points, "euclidean"), 10)
+        .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
+        .orderBy("i", "rn")
+    }),
+
     // O7/O8/O9 — projection kNN, machine-checked by recall: the seeded
     // approximate result must recover ≥ 90% of the true kNN pairs (the
     // reference's own projectKnn test is commented out because exact
@@ -275,7 +283,7 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, dir) => {
       import s.implicits._
       val corpus = IO.readEmbeddings(s, dir)
-      val queries = corpus.filter(_.id < 20L)
+      val queries = corpus.filter(col("id") < 20)
       pipeline.Ann.bruteTopK(corpus, queries, 5)
         .select(col("i"), col("j"), col("rn"), round(col("sim"), 6).as("sim_r"))
         .orderBy("i", "rn")
@@ -287,7 +295,7 @@ object SparkEntry {
       import s.implicits._
       val k = 10
       val corpus = IO.readEmbeddings(s, dir)
-      val queries = corpus.filter(_.id < 100L)
+      val queries = corpus.filter(col("id") < 100)
       val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
       val approx = pipeline.Ann.lshTopK(corpus, queries, k,
         tables = annLshTables, bits = annLshBits, dim = embeddingDim, seed = 42L)
@@ -602,6 +610,20 @@ object SparkEntry {
     // the approximate operator's output is checked by a recall floor, which
     // is a deterministic function of (seed, data); the oracle knows only the
     // contract: every point present, recall ≥ 0.9
+    "q_knn_euclidean" ->
+      """WITH dists AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2))) AS dist
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT i, j, dist,
+        |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+        |  FROM dists)
+        |SELECT i, j, rn, ROUND(dist, 6) AS dist_r
+        |FROM knn WHERE rn <= 10 ORDER BY i, rn""".stripMargin,
+
     "q_knn_project" ->
       """SELECT COUNT(*) AS n_points, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings""".stripMargin,

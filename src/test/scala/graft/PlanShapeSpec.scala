@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** Physical-plan regression tests: the properties that matter at 100 TB —
+  * broadcast joins for small dims, column pruning at the scan, filter
+  * pushdown, no unbounded windows in the centering path — pinned so a
+  * refactor can't silently regress them. Runs on sf0.001 (plan shapes are
+  * scale-independent).
+  */
+class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formattedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  "q_join_agg" should "broadcast the dimension tables" in {
+    val plan = formattedPlan("q_join_agg")
+    plan should include("BroadcastHashJoin")
+    // the big fact table is never broadcast
+    plan should not include "CartesianProduct"
+  }
+
+  "q_center_embedding" should "contain no unbounded window (VERDICT r1 #3)" in {
+    val plan = formattedPlan("q_center_embedding")
+    plan should not include "Window"
+    // the mean arrives via a 1-row broadcast nested loop join
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
+  "q_text_stats" should "prune the scan to the referenced columns" in {
+    val plan = formattedPlan("q_text_stats")
+    // documents has (doc_id, text, lang, source, n_chars); only two are read
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  "q_ann_cosine" should "push the query-set filter into the parquet scan" in {
+    val plan = formattedPlan("q_ann_cosine")
+    plan should include("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,20)]")
+  }
+
+  "q_agg_lineitem" should "partial-aggregate before the shuffle" in {
+    val plan = formattedPlan("q_agg_lineitem")
+    plan should include("HashAggregate")
+    // partial + final pair: two HashAggregate nodes around one Exchange
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  "q_knn_bruteforce" should "keep the distance inside codegen" in {
+    val df = SparkEntry.queries("q_knn_bruteforce")(spark, dir)
+    df.collect() // finalize adaptive plan
+    df.queryExecution.executedPlan.toString should include("*(")
+  }
+
+  "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+}
