@@ -307,6 +307,25 @@ object SparkEntry {
           (col("hits") >= col("n_queries") * k * 0.8).cast("long").as("recall_ok"))
     }),
 
+    // similarity search, quantizer path: spherical-k-means IVF — recall
+    // floor vs exact top-k (the fixture embeddings are near-isotropic, so
+    // the cell/neighborhood alignment — and hence the floor — is modest;
+    // measured 0.886 at nlist=16, nprobe=10)
+    "q_ann_ivf" -> ((s, dir) => {
+      val k = 10
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(col("id") < 100)
+      val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
+      val idx = pipeline.Ann.ivfBuild(corpus, nlist = 16, iters = 5, seed = 42L)
+      val approx = pipeline.Ann.ivfTopK(idx, queries, k, nprobe = 10)
+      val hits = approx.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      queries.toDF().agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("hits") >= col("n_queries") * k * 0.75).cast("long").as("recall_ok"))
+    }),
+
     // multimodal plumbing: binary payloads + stub decode + frame samples
     "q_multimodal_features" -> ((s, dir) => {
       val mm = pipeline.Multimodal.fromDocuments(
@@ -535,6 +554,10 @@ object SparkEntry {
         |FROM rk WHERE rn <= 5 ORDER BY i, rn""".stripMargin,
 
     "q_ann_lsh" ->
+      """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q_ann_ivf" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 

@@ -30,6 +30,116 @@ object Ann {
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
 
+  /** IVF (inverted-file) index: a coarse k-means quantizer over the corpus,
+    * cells as inverted lists. [[ivfTopK]] probes the `nprobe` nearest cells
+    * per query and rescores exactly — the FAISS-style scale path: search
+    * cost is nprobe/nlist of the corpus per query, and the index build is
+    * a few Lloyd's iterations of one hash-aggregation each.
+    *
+    * Deterministic: centroids init from evenly-strided corpus vectors
+    * (seeded order), ties in assignment break by centroid id. */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+                            assigned: DataFrame /* (id, vec, cell) */)
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var d = 0
+    while (d < v.length) { n += v(d) * v(d); d += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](v.length)
+    d = 0
+    while (d < v.length) { out(d) = v(d) * inv; d += 1 }
+    out
+  }
+
+  def ivfBuild(corpus: Dataset[Point], nlist: Int, iters: Int = 5,
+               seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic random init: the nlist smallest seeded id-hashes — a
+    // uniform sample that is a pure function of (seed, data)
+    var centroids: Array[Array[Double]] = corpus.toDF()
+      .select(col("vec"), xxhash64(col("id"), lit(seed)).as("h"))
+      .orderBy("h").limit(nlist)
+      .select("vec").as[Array[Double]].collect().map(unit)
+
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // one hash aggregation per iteration: assign + partial sums
+      val next = corpus.mapPartitions { rows =>
+        val cs = bc.value
+        // spherical k-means: cells live on the unit sphere so they align
+        // with cosine neighborhoods (raw-L2 cells don't)
+        rows.map { p => val u = unit(p.vec); (nearestCentroid(u, cs), (u, 1L)) }
+      }.rdd
+        .reduceByKey { (a, b) =>
+          val s = a._1.clone()
+          var d = 0
+          while (d < s.length) { s(d) += b._1(d); d += 1 }
+          (s, a._2 + b._2)
+        }
+        .collect()
+      val updated = centroids.clone()
+      next.foreach { case (cell, (sum, cnt)) =>
+        updated(cell) = unit(sum.map(_ / cnt)) // re-project onto the sphere
+      }
+      bc.destroy()
+      centroids = updated
+      it += 1
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = corpus.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
+    }.toDF("id", "vec", "cell")
+    IvfIndex(centroids, assigned)
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      val d = Distances.sqEuclidean(v, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Approximate cosine top-k via the IVF index: each query probes its
+    * `nprobe` nearest cells (by quantizer distance) and rescores only
+    * those inverted lists. One equi-join on cell id — the probe set is
+    * nprobe rows per query, the join touches nprobe/nlist of the corpus. */
+  def ivfTopK(index: IvfIndex, queries: Dataset[Point], k: Int,
+              nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val probes = queries.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { q =>
+        val u = unit(q.vec)
+        cs.indices
+          .map(c => (c, Distances.sqEuclidean(u, cs(c))))
+          .sortBy { case (c, d) => (d, c) }
+          .take(nprobe)
+          .map { case (c, _) => (q.id, q.vec, c) }
+      }
+    }.toDF("i", "qvec", "cell")
+
+    val scored = probes
+      .join(index.assigned.select(col("id").as("j"), col("vec"), col("cell")), "cell")
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("qvec"), col("vec")).as("sim"))
+    val ranked = Knn.topKPerPointRanked(
+      scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
+
   /** Signed random-hyperplane signature: bit m = sign(v · r_m). Hyperplanes
     * are a pure function of (seed, table, bit), so signatures are
     * deterministic and partitioning-independent. */

@@ -135,6 +135,30 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     hits.toDouble / exact.count() should be >= 0.8
   }
 
+  "Ann.ivfBuild/ivfTopK" should "index deterministically and reach useful recall" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9)
+    // clustered corpus: 10 centers ± small noise — the regime IVF is for
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      graft.tsne.Point(i, c.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(30))
+    val idx = Ann.ivfBuild(corpus, nlist = 10, iters = 5, seed = 1L)
+    idx.centroids.length shouldBe 10
+    // same seed → identical index
+    val idx2 = Ann.ivfBuild(corpus, nlist = 10, iters = 5, seed = 1L)
+    idx.centroids.map(_.toSeq).toSeq shouldBe idx2.centroids.map(_.toSeq).toSeq
+    val exact = Ann.bruteTopK(corpus, queries, 5).select("i", "j")
+    val approx = Ann.ivfTopK(idx, queries, 5, nprobe = 2)
+    val hits = approx.join(exact, Seq("i", "j"), "left_semi").count()
+    // on clustered data, probing 2/10 cells recovers nearly all neighbors
+    hits.toDouble / exact.count() should be >= 0.9
+  }
+
   "Multimodal" should "round-trip binary payloads through the stub decoder" in {
     val s = spark
     import s.implicits._
