@@ -91,6 +91,35 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed.size shouldBe 3
   }
 
+  "windowedStats over a file stream" should "match the batch read of the same parquet" in {
+    val s = spark
+    // real file source: the driver's events table streamed from disk
+    // (nanos ts read as long under the legacy conf, then converted — same
+    // path as Events.readEvents)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    // the file source wants a directory; stage the single parquet file
+    val stageDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamIn = s.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Events.windowedStats(Events.withEventWatermark(streamIn), "1 day")
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("file_win_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Events.windowedStats(Events.readEvents(s, dir), "1 day").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
