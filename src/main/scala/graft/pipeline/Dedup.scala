@@ -108,19 +108,42 @@ object Dedup {
       (Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong),
         Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong))
     }
+    /** Fold one shingle hash into a running signature, in place. */
+    def update(s: Array[Long], h: Long): Unit = {
+      val x = h & 0x7FFFFFFFL
+      var k = 0
+      while (k < numHashes) {
+        val v = (as(k) * x + bs(k)) % P
+        if (v < s(k)) s(k) = v
+        k += 1
+      }
+    }
     def sig(shingleHashes: Iterator[Long]): Array[Long] = {
       val s = Array.fill(numHashes)(Long.MaxValue)
-      shingleHashes.foreach { h =>
-        val x = h & 0x7FFFFFFFL
-        var k = 0
-        while (k < numHashes) {
-          val v = (as(k) * x + bs(k)) % P
-          if (v < s(k)) s(k) = v
-          k += 1
-        }
-      }
+      shingleHashes.foreach(update(s, _))
       s
     }
+  }
+
+  /** MinHash as a typed `Aggregator`: the signature is a semigroup under
+    * elementwise min, so Spark runs it with *partial aggregation* — each
+    * map task folds its local shingles into one 128-long buffer per doc
+    * and the shuffle carries signatures, not shingle rows. (The
+    * `groupByKey.mapGroups` formulation shuffles every shingle.) */
+  final class MinHashAggregator(fam: MinHashFamily)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(fam.numHashes)(Long.MaxValue)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = { fam.update(b, h); b }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < a.length) { if (b(k) < a(k)) a(k) = b(k); k += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** Near-duplicate pairs by MinHash + banded LSH, exact-verified:
@@ -139,12 +162,11 @@ object Dedup {
     val fam = MinHashFamily(seed, bands * rowsPerBand)
     val sh = shingles(docs, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sigs = sh.as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups[(Long, Array[Long])] { (doc: Long, rows: Iterator[(Long, Long)]) =>
-        (doc, fam.sig(rows.map(_._2)))
-      }
-      .toDF("doc_id", "sig")
+    // typed Aggregator → HashAggregate with map-side partial signatures
+    val sigs = sh
+      .groupBy("doc_id")
+      .agg(udaf(new MinHashAggregator(fam),
+        org.apache.spark.sql.Encoders.scalaLong)(col("sh_hash")).as("sig"))
 
     // band key = (band index, the band's minhash rows) — equality on the
     // struct is exactly "collides in this band"

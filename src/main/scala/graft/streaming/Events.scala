@@ -72,4 +72,32 @@ object Events {
   /** Watermark helper for composing with the window aggregates. */
   def withEventWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
+    * profile (event count + value total) that survives across micro-batches
+    * — the primitive for incremental per-entity accumulators that windowed
+    * aggregation can't express (state is unbounded in time, bounded per
+    * key). Emits one updated profile per user per micro-batch. */
+  def userRunningTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserProfile, UserProfile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(user, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserProfile(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }
+
+/** Keyed state row of [[Events.userRunningTotals]] (top-level so Spark's
+  * generated encoder code can access the class). */
+final case class UserProfile(user_id: Long, n_events: Long, total_value: Double)

@@ -120,6 +120,30 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed should not be empty
   }
 
+  "userRunningTotals" should "carry keyed state across micro-batches" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = Events.userRunningTotals(input.toDF())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      input.addData(sample.take(2): _*) // user 1: values 1.0, 2.0
+      q.processAllAvailable()
+      input.addData(sample.drop(2): _*) // user 2 ×2, then user 1 again (5.0)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // last emitted profile per user reflects ALL batches — state survived
+    val last = s.table("state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+    last(1L) shouldBe ((1L, 3L, 8.0))  // 3 events: 1.0 + 2.0 + 5.0
+    last(2L) shouldBe ((2L, 2L, 7.0))  // 2 events: 3.0 + 4.0
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
