@@ -374,6 +374,19 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // §2.2 vocabulary — semi/anti joins (EXISTS / NOT EXISTS): customers
+    // partitioned by whether they have any order, one row per customer
+    "q_semi_anti" -> ((s, dir) => {
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("c_custkey"))
+      val withOrders = customer.join(orders, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(1L).as("has_orders"))
+      val withoutOrders = customer.join(orders, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(0L).as("has_orders"))
+      withOrders.union(withoutOrders).orderBy("c_custkey")
+    }),
+
     // §2.2 vocabulary — multi-way equi-join with broadcast dimension
     "q_join_agg" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -743,6 +756,12 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey,
+        |       CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |            THEN 1 ELSE 0 END AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_join_agg" ->
       """SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS rev

@@ -76,6 +76,27 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
       .collect().length shouldBe 10
   }
 
+  it should "dump the execution plan instead of running with --executionPlan" in {
+    val planFile = new java.io.File("tsne_executionPlan.json")
+    planFile.delete()
+    val outDir = Files.createTempDirectory("tsne-e2e-plan").toString + "/emb"
+    Tsne.run(Array(
+      "--input", fixturePath("dense_input.csv"),
+      "--output", outDir,
+      "--dimension", "784",
+      "--perplexity", "2",
+      "--neighbors", "9",
+      "--iterations", "5",
+      "--knnMethod", "bruteforce",
+      "--randomState", "42",
+      "--executionPlan"), spark)
+    // ref Tsne.scala:89-95: plan file written, nothing executed to the sink
+    planFile.exists() shouldBe true
+    scala.io.Source.fromFile(planFile).mkString should include("Physical Plan")
+    new java.io.File(outDir).exists() shouldBe false
+    planFile.delete()
+  }
+
   "parseArgs" should "parse flags and key-value pairs" in {
     Tsne.parseArgs(Array("--a", "1", "--flag", "--b", "x")) shouldBe
       Map("a" -> "1", "flag" -> "true", "b" -> "x")
