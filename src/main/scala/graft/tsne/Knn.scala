@@ -173,30 +173,40 @@ object Knn {
     val shifts: Seq[Array[Double]] =
       Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))
 
-    val candidates: Seq[DataFrame] = shifts.map { shift =>
-      val keyed = points.map { p =>
-        val shifted = new Array[Double](p.vec.length)
-        var d = 0
-        while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }
-        (p.id, ZOrderKey.morton(shifted))
-      }.toDF("id", "z")
+    // Each projection's rank table needs an eager job (zipWithIndex
+    // computes partition offsets); the projections are independent, so the
+    // jobs are submitted concurrently from driver threads — wall-clock is
+    // the slowest sort, not the sum of `iterations` sorts.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val candidateFutures: Seq[Future[DataFrame]] = shifts.map { shift =>
+      Future {
+        val keyed = points.map { p =>
+          val shifted = new Array[Double](p.vec.length)
+          var d = 0
+          while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }
+          (p.id, ZOrderKey.morton(shifted))
+        }.toDF("id", "z")
 
-      // Distributed Morton sort, then a stable global rank via zipWithIndex
-      // (row_number over an unpartitioned window would collapse to one task).
-      val ranked = keyed.orderBy(col("z"), col("id")).select("id")
-        .rdd.zipWithIndex
-        .map { case (r, idx) => (r.getLong(0), idx) }
-        .toDF("id", "rank")
+        // Distributed Morton sort, then a stable global rank via zipWithIndex
+        // (row_number over an unpartitioned window would collapse to one task).
+        val ranked = keyed.orderBy(col("z"), col("id")).select("id")
+          .rdd.zipWithIndex
+          .map { case (r, idx) => (r.getLong(0), idx) }
+          .toDF("id", "rank")
 
-      // ±w rank neighborhood as an equi-join on rank+offset.
-      val offs = ranked
-        .select(col("id").as("i"), col("rank"),
-          explode(sequence(lit(1), lit(w))).as("off"))
-      val nbr = offs.select(col("i"), (col("rank") + col("off")).as("nrank"))
-        .union(offs.select(col("i"), (col("rank") - col("off")).as("nrank")))
-      nbr.join(ranked.select(col("id").as("j"), col("rank").as("nrank")), "nrank")
-        .select("i", "j")
+        // ±w rank neighborhood as an equi-join on rank+offset.
+        val offs = ranked
+          .select(col("id").as("i"), col("rank"),
+            explode(sequence(lit(1), lit(w))).as("off"))
+        val nbr = offs.select(col("i"), (col("rank") + col("off")).as("nrank"))
+          .union(offs.select(col("i"), (col("rank") - col("off")).as("nrank")))
+        nbr.join(ranked.select(col("id").as("j"), col("rank").as("nrank")), "nrank")
+          .select("i", "j")
+      }
     }
+    val candidates = Await.result(Future.sequence(candidateFutures), Duration.Inf)
 
     val allCandidates = candidates.reduce(_ union _).dropDuplicates("i", "j")
 
