@@ -19,20 +19,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def reg(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    def reg(name: String, usage: String)(build: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), {
+        case Seq(a, b) => build(a, b)
+        case args => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> args.length.toString, "docroot" -> ""))
+      }: Seq[Expression] => Expression))
 
-    reg("graft_sqeuclidean", "squared euclidean distance of two array<double>") {
-      case Seq(a, b) => SqEuclideanDistance(a, b)
-    }
-    reg("graft_euclidean", "euclidean distance of two array<double>") {
-      case Seq(a, b) => EuclideanDistance(a, b)
-    }
-    reg("graft_dot", "dot product of two array<double>") {
-      case Seq(a, b) => DotProduct(a, b)
-    }
-    reg("graft_cosine_sim", "cosine similarity of two array<double>") {
-      case Seq(a, b) => CosineSimilarity(a, b)
-    }
+    reg("graft_sqeuclidean", "squared euclidean distance of two array<double>")(SqEuclideanDistance)
+    reg("graft_euclidean", "euclidean distance of two array<double>")(EuclideanDistance)
+    reg("graft_dot", "dot product of two array<double>")(DotProduct)
+    reg("graft_cosine_sim", "cosine similarity of two array<double>")(CosineSimilarity)
   }
 }

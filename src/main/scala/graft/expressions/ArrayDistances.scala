@@ -16,9 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * both arrays in place, and stay inside whole-stage codegen: no
   * allocation, no boxing, no virtual calls in the hot path.
   *
-  * Summation order is left-to-right, identical to the `aggregate` form and
-  * the scalar kernels, so results are bit-for-bit unchanged (the DuckDB
-  * oracle hashes stay valid).
+  * Semantics match the composable form exactly: summation is
+  * left-to-right (bit-for-bit identical values), a length mismatch yields
+  * NULL (zip_with pads with null → null arithmetic), and a null element
+  * yields NULL. The per-element null check is only emitted when the input
+  * array type says elements can be null, so the common non-nullable hot
+  * path stays branch-free.
   */
 abstract class ArrayDistanceExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -31,37 +34,83 @@ abstract class ArrayDistanceExpression extends BinaryExpression {
           s"$prettyName arguments must be array<double>, got " +
             s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
     }
+
+  protected def elementsNullable: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, n) => n
+      case _ => false
+    }
+
+  /** Per-pair scalar kernel over equal-length, null-free arrays. */
+  protected def evalArrays(x: ArrayData, y: ArrayData, n: Int): Double
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    evalArrays(x, y, n)
+  }
+
+  /** Loop body pieces for codegen: (accumulator declarations,
+    * per-element statement(s), final assignment to `ev.value`). The
+    * element index variable is `i`, inputs `a`/`b`. */
+  protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+                        a: String, b: String, i: String): (String, String, String)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val (decls, accum, finish) = genLoop(ctx, ev, a, b, i)
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $decls
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $accum
+         |  }
+         |  if (!${ev.isNull}) {
+         |    $finish
+         |  }
+         |}
+       """.stripMargin
+    })
 }
 
 /** Σ (aᵢ − bᵢ)² — squared euclidean distance. */
 case class SqEuclideanDistance(left: Expression, right: Expression)
     extends ArrayDistanceExpression {
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def evalArrays(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  ${ev.value}_acc += $d * $d;
-         |}
-         |${ev.value} = ${ev.value}_acc;
-       """.stripMargin
-    })
+  override protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+                                 a: String, b: String, i: String): (String, String, String) = {
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    (s"double $acc = 0.0;",
+      s"double $d = $a.getDouble($i) - $b.getDouble($i); $acc += $d * $d;",
+      s"${ev.value} = $acc;")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -72,31 +121,21 @@ case class SqEuclideanDistance(left: Expression, right: Expression)
 case class EuclideanDistance(left: Expression, right: Expression)
     extends ArrayDistanceExpression {
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def evalArrays(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0
     var i = 0
     while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
     math.sqrt(s)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  ${ev.value}_acc += $d * $d;
-         |}
-         |${ev.value} = java.lang.Math.sqrt(${ev.value}_acc);
-       """.stripMargin
-    })
+  override protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+                                 a: String, b: String, i: String): (String, String, String) = {
+    val acc = ctx.freshName("acc")
+    val d = ctx.freshName("d")
+    (s"double $acc = 0.0;",
+      s"double $d = $a.getDouble($i) - $b.getDouble($i); $acc += $d * $d;",
+      s"${ev.value} = java.lang.Math.sqrt($acc);")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -107,29 +146,20 @@ case class EuclideanDistance(left: Expression, right: Expression)
 case class DotProduct(left: Expression, right: Expression)
     extends ArrayDistanceExpression {
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def evalArrays(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = ${ev.value}_acc;
-       """.stripMargin
-    })
+  override protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+                                 a: String, b: String, i: String): (String, String, String) = {
+    val acc = ctx.freshName("acc")
+    (s"double $acc = 0.0;",
+      s"$acc += $a.getDouble($i) * $b.getDouble($i);",
+      s"${ev.value} = $acc;")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -138,16 +168,12 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** dot/(‖a‖·‖b‖) — cosine *similarity*, one fused pass computing all three
   * accumulators (the composable form runs three separate array traversals
-  * with three intermediate arrays). Matches the scalar kernel's arithmetic:
-  * 1 − [[CosineDistance]] and this agree bit-for-bit with
-  * `Distances.cosine`. */
+  * with three intermediate arrays). `1 − this` agrees bit-for-bit with
+  * the scalar kernel `Distances.cosine`. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends ArrayDistanceExpression {
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override protected def evalArrays(x: ArrayData, y: ArrayData, n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -157,26 +183,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  ${ev.value}_dot += $xv * $yv;
-         |  ${ev.value}_na += $xv * $xv;
-         |  ${ev.value}_nb += $yv * $yv;
-         |}
-         |${ev.value} = ${ev.value}_dot /
-         |  (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
-       """.stripMargin
-    })
+  override protected def genLoop(ctx: CodegenContext, ev: ExprCode,
+                                 a: String, b: String, i: String): (String, String, String) = {
+    val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
+    (s"double $dot = 0.0; double $na = 0.0; double $nb = 0.0;",
+      s"""double $xv = $a.getDouble($i);
+         |double $yv = $b.getDouble($i);
+         |$dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;""".stripMargin,
+      s"${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -39,7 +39,10 @@ object Ann {
     * Deterministic: centroids init from evenly-strided corpus vectors
     * (seeded order), ties in assignment break by centroid id. */
   final case class IvfIndex(centroids: Array[Array[Double]],
-                            assigned: DataFrame /* (id, vec, cell) */)
+                            assigned: DataFrame /* (id, vec, cell) */) {
+    /** Drop the cached inverted lists when done with the index. */
+    def release(): Unit = assigned.unpersist()
+  }
 
   private def unit(v: Array[Double]): Array[Double] = {
     var n = 0.0
@@ -90,10 +93,13 @@ object Ann {
     }
 
     val bc = spark.sparkContext.broadcast(centroids)
+    // the inverted lists ARE the index: persist so probes don't re-scan and
+    // re-assign the corpus on every search (release() when done)
     val assigned = corpus.mapPartitions { rows =>
       val cs = bc.value
       rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
     }.toDF("id", "vec", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(centroids, assigned)
   }
 

@@ -73,13 +73,25 @@ object Dedup {
     jaccardOfShingles(sh, theta)
   }
 
-  private[pipeline] def jaccardOfShingles(sh: DataFrame, theta: Double): DataFrame = {
+  /** Exact Jaccard from a shingle table — over all `i < j` pairs sharing a
+    * shingle, or restricted to a `(i, j)` candidate set when given (the
+    * MinHash verify path; one formula, one implementation). */
+  private[pipeline] def jaccardOfShingles(sh: DataFrame, theta: Double,
+                                          candidates: Option[DataFrame] = None): DataFrame = {
     val sizes = shingleSizes(sh)
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
+    val inter = candidates match {
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("c"))
+      case Some(cands) =>
+        cands
+          .join(sh.select(col("doc_id").as("i"), col("sh_hash")), "i")
+          .join(sh.select(col("doc_id").as("j"), col("sh_hash")), Seq("j", "sh_hash"))
+          .groupBy("i", "j").agg(count(lit(1)).as("c"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
@@ -160,7 +172,11 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val fam = MinHashFamily(seed, bands * rowsPerBand)
-    val sh = shingles(docs, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // not persisted: the shingle projection is a cheap narrow map from the
+    // docs scan, and an internal persist would leak a cached relation per
+    // call (this function returns a lazy DataFrame, so there is no safe
+    // point to unpersist). Callers looping over corpora can cache `docs`.
+    val sh = shingles(docs, n)
 
     // typed Aggregator → HashAggregate with map-side partial signatures
     val sigs = sh
@@ -183,18 +199,8 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
 
-    // exact verify on candidates only
-    val sizes = shingleSizes(sh)
-    val verified = cands
-      .join(sh.select(col("doc_id").as("i"), col("sh_hash")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh_hash")), Seq("j", "sh_hash"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("doc_id").as("i"), col("n_sh").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n_sh").as("nj")), "j")
-      .select(col("i"), col("j"),
-        (col("c").cast("double") / (col("ni") + col("nj") - col("c"))).as("jaccard"))
-      .where(col("jaccard") >= theta)
-    verified
+    // exact verify on candidates only — same formula as the full join
+    jaccardOfShingles(sh, theta, candidates = Some(cands))
   }
 
   // ---------------- SimHash --------------------------------------------

@@ -37,7 +37,7 @@ object Multimodal {
       col("doc_id").as("id"),
       lit("text").as("modality"),
       encode(col("text"), "UTF-8").as("payload"),
-      struct(length(col("text")).cast("long").as("byte_len"),
+      struct(length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"),
         col("source").as("source")).as("meta"))
 
   /** STUB decode: `featureDim` doubles in [0, 1), each the scaled

@@ -22,7 +22,12 @@ object Events {
     * to a microsecond timestamp with *integer* division (a double division
     * at 1.7e18 nanos is past the 53-bit mantissa and corrupts low digits;
     * `div` keeps it exact and truncates exactly like DuckDB's nanos→micros
-    * read, so both engines see identical timestamps). */
+    * read, so both engines see identical timestamps).
+    *
+    * NOTE: `nanosAsLong` is a session-wide SQL conf and stays set after
+    * this call (there is no per-read option for it) — any later scan of a
+    * TIMESTAMP(NANOS) parquet column in the same session will also read it
+    * as BIGINT instead of erroring. */
   def readEvents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")

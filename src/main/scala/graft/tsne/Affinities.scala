@@ -100,7 +100,15 @@ object Affinities {
     * (The reference's `max(_, Double.MinValue)` clamps at `:191,194` are
     * no-ops — scala `Double.MinValue` is −1.8e308 — so plain division is
     * faithful; SURVEY.md §2 O11.) */
-  def jointDistribution(p: Dataset[Neighbor]): Dataset[Neighbor] = {
+  def jointDistribution(p: Dataset[Neighbor]): Dataset[Neighbor] =
+    jointDistributionWithRelease(p)._1
+
+  /** [[jointDistribution]] plus a release handle for the internal cache:
+    * call it once the result has been fully consumed (the pipeline does so
+    * after `optimize` returns). Without releasing, the cached symmetrized
+    * aggregate lives until the session ends — harmless for one-shot jobs,
+    * a leak for long-lived sessions. */
+  def jointDistributionWithRelease(p: Dataset[Neighbor]): (Dataset[Neighbor], () => Unit) = {
     val spark = p.sparkSession
     import spark.implicits._
     val df = p.toDF()
@@ -108,9 +116,10 @@ object Affinities {
       .groupBy("i", "j").agg(sum("dist").as("dist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = sym.agg(sum("dist").as("total"))
-    sym.crossJoin(total)
+    val out = sym.crossJoin(total)
       .select(col("i"), col("j"), (col("dist") / col("total")).as("dist"))
       .as[Neighbor]
+    (out, () => { sym.unpersist(); () })
   }
 
   // ---------------- O12: COO → sparse-row assembly -----------------------
@@ -129,7 +138,14 @@ object Affinities {
   }
 
   /** Full affinity pipeline: kNN distances → P as sparse rows, with the
-    * early-exaggeration factor applied lazily by the optimizer. */
+    * early-exaggeration factor applied lazily by the optimizer. Returns
+    * the release handle of the internal joint-distribution cache. */
+  def highDimAffinitiesWithRelease(knn: Dataset[Neighbor],
+                                   perplexity: Double): (Dataset[AffinityRow], () => Unit) = {
+    val (joint, release) = jointDistributionWithRelease(pairwiseAffinities(knn, perplexity))
+    (toAffinityRows(joint), release)
+  }
+
   def highDimAffinities(knn: Dataset[Neighbor], perplexity: Double): Dataset[AffinityRow] =
-    toAffinityRows(jointDistribution(pairwiseAffinities(knn, perplexity)))
+    highDimAffinitiesWithRelease(knn, perplexity)._1
 }

@@ -183,6 +183,8 @@ object Knn {
     val candidateFutures: Seq[Future[DataFrame]] = shifts.map { shift =>
       Future {
         val keyed = points.map { p =>
+          require(p.vec.length == shift.length,
+            s"projectKnn dimension=${shift.length} but vector ${p.id} has ${p.vec.length}")
           val shifted = new Array[Double](p.vec.length)
           var d = 0
           while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }

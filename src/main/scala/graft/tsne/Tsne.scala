@@ -18,9 +18,13 @@ object Tsne {
     * init → 3-phase optimize. */
   def computeEmbedding(knn: Dataset[Neighbor], params: Optimizer.Params,
                        lossAcc: Option[MapAccumulator] = None): Dataset[Point] = {
-    val p = Affinities.highDimAffinities(knn, params.perplexity)
+    val (p, releaseJointCache) =
+      Affinities.highDimAffinitiesWithRelease(knn, params.perplexity)
     val ws0 = Optimizer.initWorkingSet(p, params.nComponents, params.seed)
-    Optimizer.optimize(p, ws0, params, lossAcc)
+    // optimize returns driver-localized results in both paths, so the
+    // upstream joint-distribution cache can be dropped afterwards
+    try Optimizer.optimize(p, ws0, params, lossAcc)
+    finally releaseJointCache()
   }
 
   def main(args: Array[String]): Unit = {

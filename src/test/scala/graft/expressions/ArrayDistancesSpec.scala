@@ -76,14 +76,17 @@ class ArrayDistancesSpec extends AnyFlatSpec with Matchers with Inspectors with 
     val s = spark
     import s.implicits._
     val df = Seq(
-      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 99.0))), // length mismatch → min length
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 99.0))), // length mismatch → NULL
       (None, Some(Array(1.0, 2.0))),
-      (Some(Array(1.0, 2.0)), None))
+      (Some(Array(1.0, 2.0)), None),
+      (Some(Array(1.0, 5.0)), Some(Array(1.0, 2.0))))
       .toDF("a", "b")
     val out = df.select(Distances.sqEuclideanCol(col("a"), col("b"))).collect()
-    out(0).getDouble(0) shouldBe 0.0
+    // zip_with-compatible semantics: mismatch and null-in → NULL out
+    out(0).isNullAt(0) shouldBe true
     out(1).isNullAt(0) shouldBe true
     out(2).isNullAt(0) shouldBe true
+    out(3).getDouble(0) shouldBe 9.0
   }
 
   "GraftExtensions" should "register the SQL functions" in {
@@ -103,5 +106,8 @@ class ArrayDistancesSpec extends AnyFlatSpec with Matchers with Inspectors with 
     forAll(r.toSeq) { row =>
       row.getDouble(2) shouldBe Distances.sqEuclidean(byId(row.getLong(0)), byId(row.getLong(1)))
     }
+    // wrong arity → a proper analysis error, not a MatchError
+    val err = intercept[Exception](s.sql("SELECT graft_dot(vec) FROM vtest").collect())
+    err.getMessage should include("graft_dot")
   }
 }
