@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("graft_euclidean", "euclidean distance of two array<double>")(EuclideanDistance)
     reg("graft_dot", "dot product of two array<double>")(DotProduct)
     reg("graft_cosine_sim", "cosine similarity of two array<double>")(CosineSimilarity)
+
+    // whole-operator extension: rank-filter windows → sort-free grouped
+    // top-k (logical node + strategy, graft.plans.GroupedTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, UnaryNode, Window => LWindow}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** A whole-operator extension (SURVEY.md §2 tier (c)): grouped top-k as a
+  * first-class plan node.
+  *
+  * Spark 4 already rewrites `row_number() OVER (...) <= k` filters into
+  * `WindowGroupLimit(Partial) → Exchange → WindowGroupLimit(Final) →
+  * Sort → Window` — which bounds the *shuffle*, but still fully sorts
+  * every map partition before the partial limit and again after the
+  * exchange. For inputs like an N² kNN pair table, those sorts dominate.
+  *
+  * [[GroupedTopKLimit]] replaces the whole pattern with a sort-free
+  * two-phase bounded heap: map-side k-heaps per key (partial-aggregation
+  * shape), a hash shuffle of ≤ partitions·keys·k rows, and a per-key
+  * k-merge on the reduce side. Only the ≤ k surviving rows per key are
+  * ever ordered.
+  *
+  * Wiring: [[RewriteRankFilterToTopK]] (optimizer rule) recognizes the
+  * window idiom, [[GroupedTopKStrategy]] plans the logical node to
+  * [[GroupedTopKLimitExec]]; both are registered in `GraftExtensions`, so
+  * every session with the extension gets the fast path for the plain
+  * window idiom automatically — the DuckDB oracle for `q_topk_orders`
+  * machine-checks the rewrite end-to-end.
+  */
+case class GroupedTopKLimit(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    rankAttr: Attribute,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is produced here, not consumed from the child
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Rewrites `Filter(rn <= k, Window(row_number() as rn, part, order))` —
+  * optionally with extra conjuncts not touching `rn`, which stay behind as
+  * a residual filter — into [[GroupedTopKLimit]]. Conservative: fires only
+  * for a single row_number window expression with a non-empty partition
+  * spec and a literal integer bound. */
+object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
+
+  private def rankBound(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val (onRank, residual) = conjuncts.partition(_.references.contains(rank))
+    onRank match {
+      case Seq(LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
+        Some((v, residual))
+      case Seq(LessThan(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
+        Some((v - 1, residual))
+      case _ => None
+    }
+  }
+
+  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
+    condition match {
+      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => other :: Nil
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ LFilter(cond,
+        LWindow(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), partSpec, orderSpec, child, _))
+        if partSpec.nonEmpty && orderSpec.nonEmpty =>
+      rankBound(cond, alias.toAttribute) match {
+        case Some((k, residual)) if k > 0 =>
+          val topk = GroupedTopKLimit(partSpec, orderSpec, alias.toAttribute, k, child)
+          if (residual.isEmpty) topk
+          else LFilter(residual.reduce(And), topk)
+        case Some((k, _)) if k <= 0 => f // degenerate bound: leave as-is
+        case _ => f
+      }
+  }
+}
+
+object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKLimit(partSpec, orderSpec, rankAttr, k, child) =>
+      GroupedTopKLimitExec(partSpec, orderSpec, rankAttr, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupedTopKLimitExec(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    rankAttr: Attribute,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  /** Map-side distinct-key bound (heaps flush early beyond it — correct,
+    * just less reduction). */
+  private val maxPartialKeys = 1 << 20
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val childOutput = child.output
+    val partSpec = partitionSpec
+    val ordSpec = orderSpec
+    val numParts = math.max(conf.numShufflePartitions, 1)
+    val maxKeys = maxPartialKeys
+
+    // phase 1: per-partition bounded heaps, keyed by the grouping tuple
+    val partial: RDD[(UnsafeRow, UnsafeRow)] = child.execute().mapPartitions { rows =>
+      val keyProj = UnsafeProjection.create(partSpec, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
+      val heapOrd = ord.reverse // max-heap: worst of the kept k on top
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      def drain(): Iterator[(UnsafeRow, UnsafeRow)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, UnsafeRow)]
+        heaps.forEach((key, h) => h.forEach(r => out += ((key, r))))
+        heaps.clear()
+        out.iterator
+      }
+      val flushed = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, UnsafeRow)]
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var h = heaps.get(key)
+        if (h == null) {
+          if (heaps.size() >= maxKeys) flushed ++= drain()
+          h = new java.util.PriorityQueue[UnsafeRow](kk + 1, heapOrd)
+          heaps.put(key.copy(), h)
+        }
+        if (h.size() < kk) h.add(rowProj(row).copy())
+        else if (ord.compare(row, h.peek()) < 0) {
+          h.poll()
+          h.add(rowProj(row).copy())
+        }
+      }
+      flushed.iterator ++ drain()
+    }
+
+    // phase 2: hash shuffle on the key, per-key k-merge, append the rank
+    partial
+      .partitionBy(new HashPartitioner(numParts))
+      .mapPartitions { pairs =>
+        val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
+        val groups = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
+        pairs.foreach { case (key, row) =>
+          var buf = groups.get(key)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+            groups.put(key, buf)
+          }
+          buf += row
+        }
+        val joined = new JoinedRow
+        val rankRow = new GenericInternalRow(1)
+        val outProj = UnsafeProjection.create(
+          (childOutput :+ rankAttr).zipWithIndex.map { case (a, i) =>
+            BoundReference(i, a.dataType, a.nullable)
+          })
+        val it = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+        groups.forEach { (_, buf) =>
+          val sorted = buf.sorted(ord)
+          var r = 0
+          val n = math.min(kk, sorted.length)
+          while (r < n) {
+            rankRow.setInt(0, r + 1)
+            it += outProj(joined(sorted(r), rankRow)).copy()
+            r += 1
+          }
+        }
+        it.iterator
+      }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import org.scalatest.Inspectors
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** The grouped-top-k whole-operator extension: the optimizer rule must
+  * rewrite rank-filter window queries to [[GroupedTopKLimitExec]], and the
+  * operator must produce exactly the rows the window idiom produces.
+  */
+class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with SparkTestBase {
+
+  private def sampleDf = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    (1 to 5000).map(i => (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(500).toDouble))
+      .toDF("g", "id", "score")
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  "the rewrite rule" should "plan a direct rank filter as GroupedTopKLimitExec" in {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = sampleDf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    planOf(df) should include("GroupedTopKLimit")
+    planOf(df) should not include "!GroupedTopKLimit"
+  }
+
+  it should "produce exactly the window idiom's rows" in {
+    val s = spark
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val fast = sampleDf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    // ground truth with the rewrite disabled via the excluded-rules conf
+    val ruleName = RewriteRankFilterToTopK.ruleName
+    s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val slow = sampleDf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      planOf(slow) should not include "GroupedTopKLimit"
+      slow.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet shouldBe fast
+    } finally s.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  it should "keep residual predicates and strict bounds" in {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    // extra conjunct stays as a residual filter; rn < 4 ≡ rn <= 3
+    val df = sampleDf.withColumn("rn", row_number().over(w))
+      .where(col("rn") < 4 && col("g") =!= 7L)
+    planOf(df) should include("GroupedTopKLimit")
+    planOf(df) should not include "!GroupedTopKLimit"
+    val rows = df.collect()
+    rows.map(_.getLong(0)).toSet should not contain 7L
+    rows.groupBy(_.getLong(0)).values.foreach(_.length should be <= 3)
+    forAll(rows.toSeq) { r => r.getInt(3) should be <= 3 }
+  }
+
+  it should "not fire on rank() or unpartitioned windows" in {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val rankDf = sampleDf.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
+    planOf(rankDf) should not include "GroupedTopKLimit"
+
+    val wGlobal = Window.orderBy(col("score").desc, col("id"))
+    val globalDf = sampleDf.withColumn("rn", row_number().over(wGlobal)).where(col("rn") <= 3)
+    planOf(globalDf) should not include "GroupedTopKLimit"
+  }
+
+  it should "fire through the cast-to-long form the library queries use" in {
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val df = sampleDf
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3L)
+    // predicate pushdown + cast unwrapping normalize this to the direct
+    // pattern inside the same optimizer fixed point
+    planOf(df) should include("GroupedTopKLimit")
+    planOf(df) should not include "!GroupedTopKLimit"
+    df.collect().length should be > 0
+  }
+}
