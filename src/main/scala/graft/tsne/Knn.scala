@@ -1,6 +1,7 @@
 package graft.tsne
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import scala.util.Random
@@ -25,65 +26,23 @@ object Knn {
   }
 
   /** Grouped top-k with the rank kept: `(i, j, rn, dist)`, rank ordered by
-    * `(dist, j)` ascending — the same contract as
-    * `row_number() OVER (PARTITION BY i ORDER BY dist, j) <= k`.
+    * `(dist, j)` ascending.
     *
-    * Implemented as a two-phase bounded heap rather than a ranking window:
-    * the window form sorts *every* input row inside WindowExec (the whole
-    * N² pair table for the kNN queries), while this keeps at most k rows
-    * per key per input partition map-side (a partial-aggregation shape —
-    * same idea as HashAggregate's partial combine, with a k-heap instead
-    * of a scalar buffer), so the shuffle carries ≤ partitions·keys·k rows
-    * and nothing ever does a full sort. Memory is bounded: if a partition
-    * sees more than [[maxPartialKeys]] distinct keys, current heaps are
-    * flushed early (still correct — just less map-side reduction). */
+    * Deliberately written as the declarative ranking-window idiom: the
+    * engine's own optimizer rule (`graft.plans.RewriteRankFilterToTopK`,
+    * registered by `GraftExtensions`) rewrites it into the sort-free
+    * two-phase bounded-heap operator `GroupedTopKLimitExec` — map-side
+    * k-heaps per key, a shuffle of ≤ partitions·keys·k rows, per-key
+    * k-merge. Declaring the intent and letting the planner pick the
+    * physical strategy is the Spark-first shape; sessions without the
+    * extension still get Spark's built-in WindowGroupLimit pipeline. */
   def topKPerPointRanked(pairs: DataFrame, k: Int): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val kk = k
-
-    def heapOrd: Ordering[(Long, Double)] = // max-heap on (dist, j): worst first
-      Ordering.by[(Long, Double), (Double, Long)] { case (j, d) => (d, j) }.reverse
-
-    val partial = pairs.select(col("i"), col("j"), col("dist"))
-      .as[(Long, Long, Double)]
-      .mapPartitions { rows =>
-        val heaps = new java.util.HashMap[Long, java.util.PriorityQueue[(Long, Double)]]()
-        def drain(): Iterator[(Long, Long, Double)] = {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-          heaps.forEach((i, h) => h.forEach { case (j, d) => out += ((i, j, d)) })
-          heaps.clear()
-          out.iterator
-        }
-        val flushed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        rows.foreach { case (i, j, d) =>
-          var h = heaps.get(i)
-          if (h == null) {
-            if (heaps.size() >= maxPartialKeys) flushed ++= drain()
-            h = new java.util.PriorityQueue[(Long, Double)](kk + 1, heapOrd)
-            heaps.put(i, h)
-          }
-          if (h.size() < kk) h.add((j, d))
-          else {
-            val worst = h.peek()
-            if (d < worst._2 || (d == worst._2 && j < worst._1)) { h.poll(); h.add((j, d)) }
-          }
-        }
-        flushed.iterator ++ drain()
-      }
-
-    partial
-      .groupByKey(_._1)
-      .flatMapGroups[(Long, Long, Long, Double)] { (_: Long, it: Iterator[(Long, Long, Double)]) =>
-        it.toArray.sortBy { case (_, j, d) => (d, j) }.take(kk).iterator.zipWithIndex
-          .map { case ((i, j, d), idx) => (i, j, (idx + 1).toLong, d) }
-      }
-      .toDF("i", "j", "rn", "dist")
+    val w = Window.partitionBy("i").orderBy(col("dist"), col("j"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("i"), col("j"), col("rn"), col("dist"))
   }
-
-  /** Map-side distinct-key bound for the partial top-k heaps (~k·24 bytes
-    * per key); beyond this the maps flush early instead of growing. */
-  private val maxPartialKeys = 1 << 20
 
   /** The brute-force all-pairs distance table (shared by [[bruteForce]] and
     * the ranked query form). */
