@@ -55,10 +55,13 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
   }
 
-  "q_knn_bruteforce" should "keep the distance inside codegen" in {
+  "q_knn_bruteforce" should "keep the distance inside codegen and use the top-k operator" in {
     val df = SparkEntry.queries("q_knn_bruteforce")(spark, dir)
     df.collect() // finalize adaptive plan
-    df.queryExecution.executedPlan.toString should include("*(")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("*(")
+    // the rank-filter window was rewritten to the sort-free heap operator
+    plan should include("GroupedTopKLimit")
   }
 
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
