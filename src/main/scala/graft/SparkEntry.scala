@@ -737,7 +737,7 @@ object SparkEntry {
 
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       ROUND(AVG(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+        |       ROUND(AVG(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
         |                      AS BIGINT)), 6) AS avg_k_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

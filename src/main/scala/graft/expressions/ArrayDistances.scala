@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 abstract class ArrayDistanceExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // always nullable: a length mismatch yields NULL even when both inputs
+  // are non-nullable — and without this override nullSafeCodeGen pins
+  // isNull to a constant for non-nullable children, making the generated
+  // `isNull = true` assignments uncompilable (silent interpreter fallback)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

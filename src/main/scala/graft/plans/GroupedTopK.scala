@@ -56,12 +56,31 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   private def rankBound(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
     val conjuncts = splitConjunctivePredicates(cond)
     val (onRank, residual) = conjuncts.partition(_.references.contains(rank))
-    onRank match {
+    // bound computed in Long so `rn < Int.MinValue` can't wrap positive,
+    // and capped below Int.MaxValue so downstream k+1 arithmetic is safe
+    val bound: Option[Long] = onRank match {
       case Seq(LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
-        Some((v, residual))
+        Some(v.toLong)
       case Seq(LessThan(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
-        Some((v - 1, residual))
+        Some(v.toLong - 1L)
       case _ => None
+    }
+    bound.collect { case k if k > 0 && k < Int.MaxValue => (k.toInt, residual) }
+  }
+
+  /** Spark's NormalizeFloatingNumbers batch runs *after* this rule and
+    * only matches Window/Aggregate/Join nodes — a rewritten plan would
+    * group -0.0 vs 0.0 (and NaN bit patterns) into distinct raw-byte
+    * keys. Rather than re-implementing normalization, the rewrite simply
+    * refuses float-bearing partition keys (rare for top-k grouping). */
+  private def containsFloatingPoint(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => containsFloatingPoint(f.dataType))
+      case a: ArrayType => containsFloatingPoint(a.elementType)
+      case m: MapType => containsFloatingPoint(m.keyType) || containsFloatingPoint(m.valueType)
+      case _ => false
     }
   }
 
@@ -74,14 +93,14 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ LFilter(cond,
         LWindow(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), partSpec, orderSpec, child, _))
-        if partSpec.nonEmpty && orderSpec.nonEmpty =>
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          partSpec.forall(e => !containsFloatingPoint(e.dataType)) =>
       rankBound(cond, alias.toAttribute) match {
-        case Some((k, residual)) if k > 0 =>
+        case Some((k, residual)) =>
           val topk = GroupedTopKLimit(partSpec, orderSpec, alias.toAttribute, k, child)
           if (residual.isEmpty) topk
           else LFilter(residual.reduce(And), topk)
-        case Some((k, _)) if k <= 0 => f // degenerate bound: leave as-is
-        case _ => f
+        case _ => f // degenerate/huge bounds or non-literal: leave the window
       }
   }
 }
@@ -167,18 +186,19 @@ case class GroupedTopKLimitExec(
           (childOutput :+ rankAttr).zipWithIndex.map { case (a, i) =>
             BoundReference(i, a.dataType, a.nullable)
           })
-        val it = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-        groups.forEach { (_, buf) =>
-          val sorted = buf.sorted(ord)
-          var r = 0
-          val n = math.min(kk, sorted.length)
-          while (r < n) {
+        // lazy emission: the grouped input (≤ mapPartitions·k rows per key)
+        // must be held to rank, but the output streams. NOTE: this hash
+        // grouping is on-heap without spill — memory per reduce task is
+        // bounded by its shuffled share (keys·mapPartitions·k rows), which
+        // for top-k workloads is the post-limit data, not the raw input;
+        // integrating TaskMemoryManager spilling is future work.
+        import scala.jdk.CollectionConverters._
+        groups.values().iterator().asScala.flatMap { buf =>
+          buf.sorted(ord).iterator.take(kk).zipWithIndex.map { case (row, r) =>
             rankRow.setInt(0, r + 1)
-            it += outProj(joined(sorted(r), rankRow)).copy()
-            r += 1
+            outProj(joined(row, rankRow)).copy(): InternalRow
           }
         }
-        it.iterator
       }
   }
 
