@@ -353,19 +353,26 @@ object SparkEntry {
     // the Structured Streaming module; EventsStreamingSpec drives the same
     // functions through MemoryStream + watermarks) ----------------------
 
-    // tumbling-window aggregation (event time)
+    // tumbling-window aggregation (event time). Timestamps cross the
+    // DuckDB-compare boundary as epoch seconds: a raw TIMESTAMP column
+    // hash-compares differently depending on the reader's tz/type mapping,
+    // an integer never does.
     "q_events_window" -> ((s, dir) => {
       streaming.Events.windowedStats(streaming.Events.readEvents(s, dir), "1 hour")
-        .select(col("window_start"), col("event_type"), col("n"),
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+          col("event_type"), col("n"),
           round(col("sum_value"), 6).as("sum_value_r"))
-        .orderBy("window_start", "event_type")
+        .orderBy("window_start_s", "event_type")
     }),
 
     // gap-based session windows per user (keyed incremental state when
-    // streaming; gaps-and-islands SQL for the oracle)
+    // streaming; gaps-and-islands SQL for the oracle). Session starts carry
+    // microseconds → epoch micros, same tz-proofing as above.
     "q_events_sessions" -> ((s, dir) => {
       streaming.Events.sessionStats(streaming.Events.readEvents(s, dir), "30 minutes")
-        .orderBy("user_id", "session_start")
+        .select(unix_micros(col("session_start")).as("session_start_us"),
+          col("user_id"), col("n_events"), col("sum_value_r"))
+        .orderBy("user_id", "session_start_us")
     }),
 
     // JSON-ish property extraction + aggregation
@@ -665,7 +672,7 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     "q_affinity_rowsum" ->
-      """SELECT vec_id AS i, ROUND(1.0, 6) AS psum_r
+      """SELECT vec_id AS i, ROUND(CAST(1.0 AS DOUBLE), 6) AS psum_r
         |FROM embeddings ORDER BY i""".stripMargin,
 
     "q_gradient_exact" ->
@@ -711,10 +718,11 @@ object SparkEntry {
         |ORDER BY i, j""".stripMargin,
 
     "q_events_window" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+        |         AS window_start_s,
         |       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value_r
         |FROM events
-        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
 
     "q_events_sessions" ->
       """WITH flagged AS (
@@ -730,10 +738,10 @@ object SparkEntry {
         |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |                                ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged)
-        |SELECT MIN(ts) AS session_start, user_id,
+        |SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, user_id,
         |       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value_r
         |FROM islands GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
