@@ -381,6 +381,81 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // as-of join: every click event joined to the same user's latest view
+    // at or before it (left-outer). Union-and-carry-forward shape — one
+    // keyed shuffle, no per-key cross product; oracle is DuckDB's native
+    // ASOF LEFT JOIN, an independent implementation of the same semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = streaming.Events.readEvents(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_ts_us"), col("value").as("v_val"))
+      ops.TemporalJoins.asOfJoin(clicks, views, Seq("user_id"),
+        leftTs = "ts_us", rightTs = "v_ts_us",
+        rightVals = Seq("v_ts_us", "v_val"), rightTieBreak = Some("v_id"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("v_ts_us"),
+          round(col("v_val"), 6).as("v_val_r"))
+        .orderBy("event_id")
+    }),
+
+    // band (range) self-join: pairs of events of one user within 30 min,
+    // via time-bucketed equi-joins (bin, bin+1) — never a per-key cross
+    // product; oracle is the plain inequality join
+    "q_range_join" -> ((s, dir) => {
+      val ev = streaming.Events.readEvents(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      ops.TemporalJoins.bandJoin(ev, Seq("user_id"), "ts_us", "event_id",
+        bandUs = 30L * 60 * 1000000)
+        .select(col("user_id"), col("i"), col("j"), col("dt_us"))
+        .orderBy("i", "j")
+    }),
+
+    // skew-safe distinct count: dedupe-then-count (two skew-free shuffles)
+    // instead of countDistinct's single final reducer per key
+    "q_skew_distinct" -> ((s, dir) => {
+      ops.Skew.distinctCountByKey(s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag"), "l_orderkey", outCol = "n_orders")
+        .orderBy("l_returnflag")
+    }),
+
+    // salted two-phase sum — same result as the plain grouped sum, hot keys
+    // spread over 16 reducers in phase 1
+    "q_salted_agg" -> ((s, dir) => {
+      ops.Skew.saltedSum(s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
+        saltFrom = "l_orderkey", salts = 16)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sum_l_quantity"), 4).as("sum_qty_r"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // HyperLogLog++ distinct sketch, checked against its error contract
+    // (same boolean-contract pattern as the ANN recall queries)
+    "q_sketch_distinct" -> ((s, dir) => {
+      ops.Sketches.distinctWithinRsd(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey", rsd = 0.05)
+    }),
+
+    // quantile sketch (approx_percentile), checked by true rank error
+    "q_sketch_quantiles" -> ((s, dir) => {
+      ops.Sketches.quantilesWithinRankError(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice",
+        qs = Seq(0.5, 0.9, 0.99), accuracy = 10000, rankTol = 0.005)
+    }),
+
+    // §2.2 vocabulary — ROLLUP grouping sets (subtotals + grand total)
+    "q_rollup_lineitem" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty_r"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty_r"))
+        .orderBy("rf", "ls")
+    }),
+
     // §2.2 vocabulary — semi/anti joins (EXISTS / NOT EXISTS): customers
     // partitioned by whether they have any order, one row per customer
     "q_semi_anti" -> ((s, dir) => {
@@ -776,6 +851,61 @@ object SparkEntry {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of the
+    // same semantics as the union-and-carry-forward Spark shape
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_ts_us,
+        |         value AS v_val
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, c.event_id, c.ts_us, v.v_ts_us,
+        |       ROUND(v.v_val, 6) AS v_val_r
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.v_ts_us <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+        |       b.ts_us - a.ts_us AS dt_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |WHERE (b.ts_us > a.ts_us
+        |       OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+        |  AND b.ts_us <= a.ts_us + 1800000000
+        |ORDER BY i, j""".stripMargin,
+
+    "q_skew_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // sketch contracts: the oracle checks the exact value + the bound flag
+    // (same pattern as the kNN/ANN recall queries)
+    "q_sketch_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_exact, CAST(1 AS BIGINT) AS ok
+        |FROM lineitem""".stripMargin,
+
+    "q_sketch_quantiles" ->
+      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS ok
+        |FROM lineitem""".stripMargin,
+
+    "q_rollup_lineitem" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin
   )
 }

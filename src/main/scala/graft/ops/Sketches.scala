@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates with machine-checkable accuracy contracts.
+  *
+  * At corpus scale the exact forms are the bottleneck (count-distinct keeps
+  * per-key sets; exact quantiles need a global sort), while the sketches —
+  * HyperLogLog++ and the Greenwald-Khanna/KLL-style quantile summary behind
+  * `approx_count_distinct` / `approx_percentile` — are single-pass,
+  * fixed-memory, and merge associatively across partitions.
+  *
+  * An approximate answer can't hash-match an exact oracle, so each operator
+  * returns its *contract*: the exact value (computed once, at test scale)
+  * plus a flag that the sketch landed within its error bound. The oracle
+  * checks the flag — the same pattern as the kNN/ANN recall queries.
+  */
+object Sketches {
+
+  /** `approx_count_distinct` vs exact distinct count: emits one row
+    * `(n_exact, ok)` with ok = 1 iff the relative error is within `rsd`
+    * headroom (3 standard deviations of the configured rsd). */
+  def distinctWithinRsd(df: DataFrame, colName: String,
+                        rsd: Double = 0.05): DataFrame =
+    df.agg(
+      countDistinct(col(colName)).as("n_exact"),
+      approx_count_distinct(col(colName), rsd).as("__n_approx"))
+      .select(col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")) <=
+          greatest(col("n_exact") * (3 * rsd), lit(1.0)))
+          .cast("long").as("ok"))
+
+  /** `approx_percentile` vs the exact empirical CDF: emits one row
+    * `(n, ok)` with ok = 1 iff every approximate quantile's true rank is
+    * within `rankTol` of its target — the sketch's actual guarantee
+    * (rank error ≤ 1/accuracy), checked without a global sort: one pass
+    * for the sketch, one filtered count per quantile against the
+    * broadcast approximations. */
+  def quantilesWithinRankError(df: DataFrame, colName: String,
+                               qs: Seq[Double], accuracy: Int = 10000,
+                               rankTol: Double = 0.005): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val approx = df.agg(percentile_approx(col(colName),
+      array(qs.map(lit): _*), lit(accuracy)).as("aq"))
+    val checks = df.crossJoin(approx)
+      .agg(count(lit(1)).as("n"),
+        qs.indices.map(i =>
+          (sum(when(col(colName) <= col("aq")(i), 1L).otherwise(0L)) /
+            count(lit(1))).as(s"__rank_$i")): _*)
+    checks.select(col("n"),
+      qs.indices.map(i =>
+        (abs(col(s"__rank_$i") - qs(i)) <= rankTol).cast("long"))
+        .reduce(_ * _).as("ok"))
+  }
+}

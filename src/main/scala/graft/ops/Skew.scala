@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-safe aggregation shapes. At 100 TB a handful of hot keys (one
+  * mega-user, one viral document) can pin a whole stage on one reducer;
+  * these operators restructure the aggregation so no single task ever sees
+  * a full hot key.
+  *
+  * Plain algebraic aggregates (sum/count/min/max) don't need help — Spark's
+  * HashAggregate already combines map-side, so each reducer receives one
+  * partial row per (map task, key). The shapes that DO concentrate a key on
+  * one task are the non-algebraic ones: `count(DISTINCT x)`, `collect_*`,
+  * exact medians. Those are handled here.
+  */
+object Skew {
+
+  /** Skew-safe `count(DISTINCT valueCol) GROUP BY keys`.
+    *
+    * `df.groupBy(keys).agg(countDistinct(v))` plans an Expand + two-phase
+    * agg whose final phase still gathers every distinct (key, v) of a hot
+    * key on one reducer *as state*. This shape dedupes on (keys, v) first —
+    * the shuffle spreads a hot key across reducers by v's hash, each
+    * reducer holds one group at a time — then counts rows per key, where
+    * the input is already one row per distinct value (map-side combinable).
+    * Two shuffles, both skew-free; constant memory per task.
+    */
+  def distinctCountByKey(df: DataFrame, keys: Seq[String], valueCol: String,
+                         outCol: String = "n_distinct"): DataFrame =
+    df.select(keys.map(col) :+ col(valueCol): _*)
+      .groupBy(keys.map(col) :+ col(valueCol): _*).agg(lit(1).as("__one"))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as(outCol))
+
+  /** Salted two-phase sum: partial-aggregate under (keys, salt), then
+    * combine per key. The salt comes from hashing `saltFrom` (a
+    * high-cardinality column) so rows of one hot key spread over `salts`
+    * reducers in phase 1; phase 2 merges `salts` rows per key — trivially
+    * small. Equivalent to a plain grouped sum (summation is associative +
+    * commutative; only the combine tree changes).
+    *
+    * Use when map-side partial aggregation is defeated — e.g. the rows of a
+    * hot key arrive pre-shuffled by something else, or the aggregation
+    * state per key is too large to sit in the map-side hash table.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                saltFrom: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    df.withColumn("__salt", pmod(hash(col(saltFrom)), lit(salts)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(sumCols.head match { case h => sum(h).as(s"__p_$h") },
+        sumCols.tail.map(c => sum(c).as(s"__p_$c")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(s"__p_${sumCols.head}").as(s"sum_${sumCols.head}"),
+        sumCols.tail.map(c => sum(s"__p_$c").as(s"sum_$c")): _*)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+import scala.util.Random
+
+/** Temporal joins, skew-safe aggregation and sketch contracts — each checked
+  * against an independent brute-force or built-in formulation. */
+class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private lazy val s = spark
+
+  // Seeded synthetic event stream: (user_id, id, ts) with clustered
+  // timestamps so band/as-of joins have real matches and real misses.
+  private def events(n: Int, users: Int, seed: Long): Seq[(Long, Long, Long)] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      (rnd.nextInt(users).toLong, i.toLong, rnd.nextInt(100000).toLong)
+    }
+  }
+
+  behavior of "asOfJoin"
+
+  it should "match the brute-force latest-at-or-before per row" in {
+    import s.implicits._
+    val left = events(300, 10, 1L)
+    val right = events(200, 10, 2L)
+    val l = left.toDF("user_id", "event_id", "ts")
+    val r = right.toDF("user_id", "v_id", "v_ts")
+      .withColumn("v_val", col("v_id").cast("double") * 1.5)
+
+    val got = TemporalJoins.asOfJoin(l, r, Seq("user_id"),
+      leftTs = "ts", rightTs = "v_ts",
+      rightVals = Seq("v_ts", "v_val"), rightTieBreak = Some("v_id"))
+      .select("event_id", "v_ts", "v_val")
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSeq.sortBy(_._1)
+
+    val expected = left.map { case (u, id, ts) =>
+      // latest right row with same user, v_ts <= ts; ties by max v_id
+      val cand = right.filter { case (ru, _, rts) => ru == u && rts <= ts }
+      if (cand.isEmpty) (id, None, None)
+      else {
+        val best = cand.maxBy { case (_, rid, rts) => (rts, rid) }
+        (id, Some(best._3), Some(best._2.toDouble * 1.5))
+      }
+    }.sortBy(_._1)
+
+    got should have size expected.size.toLong
+    got.zip(expected).foreach { case (g, e) => g shouldBe e }
+  }
+
+  it should "treat an equal timestamp as a match (<= semantics)" in {
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("user_id", "event_id", "ts")
+    val r = Seq((1L, 7L, 100L, 3.0)).toDF("user_id", "v_id", "v_ts", "v_val")
+    val row = TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts",
+      Seq("v_val"), Some("v_id")).select("v_val").head
+    row.getDouble(0) shouldBe 3.0
+  }
+
+  behavior of "bandJoin"
+
+  it should "equal the cross-join filter formulation exactly" in {
+    import s.implicits._
+    val ev = events(400, 8, 3L).toDF("user_id", "event_id", "ts")
+    val band = 5000L
+
+    val got = TemporalJoins.bandJoin(ev, Seq("user_id"), "ts", "event_id", band)
+      .select("user_id", "i", "j", "dt_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val a = ev.select(col("user_id"), col("event_id").as("i"), col("ts").as("ta"))
+    val b = ev.select(col("user_id").as("ub"), col("event_id").as("j"), col("ts").as("tb"))
+    val expected = a.join(b, col("user_id") === col("ub") &&
+        (col("tb") > col("ta") ||
+          (col("tb") === col("ta") && col("j") > col("i"))) &&
+        col("tb") <= col("ta") + band)
+      .select(col("user_id"), col("i"), col("j"), (col("tb") - col("ta")).as("dt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    got shouldBe expected
+    got should not be empty
+  }
+
+  behavior of "Skew"
+
+  it should "compute distinctCountByKey identically to countDistinct" in {
+    import s.implicits._
+    val rnd = new Random(7L)
+    val df = Seq.fill(2000)((rnd.nextInt(5), rnd.nextInt(100)))
+      .toDF("k", "v")
+    val got = Skew.distinctCountByKey(df, Seq("k"), "v", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exp = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    got shouldBe exp
+  }
+
+  it should "compute saltedSum identically to the plain grouped sum" in {
+    import s.implicits._
+    val rnd = new Random(11L)
+    val df = Seq.fill(3000)((rnd.nextInt(3), rnd.nextInt(1000), rnd.nextInt(50).toLong))
+      .toDF("k", "id", "v")
+    val got = Skew.saltedSum(df, Seq("k"), Seq("v"), saltFrom = "id", salts = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exp = df.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    got shouldBe exp
+  }
+
+  behavior of "Sketches"
+
+  it should "land approx_count_distinct within its rsd contract" in {
+    val df = s.range(50000).select((col("id") % 9173).as("x"))
+    val row = Sketches.distinctWithinRsd(df, "x", rsd = 0.05).head
+    row.getLong(0) shouldBe 9173L
+    row.getLong(1) shouldBe 1L
+  }
+
+  it should "land approx_percentile within the rank tolerance" in {
+    val df = s.range(100000).select((col("id") * 37 % 100000).cast("double").as("x"))
+    val row = Sketches.quantilesWithinRankError(df, "x",
+      qs = Seq(0.5, 0.9, 0.99), accuracy = 10000, rankTol = 0.005).head
+    row.getLong(0) shouldBe 100000L
+    row.getLong(1) shouldBe 1L
+  }
+}
