@@ -64,6 +64,26 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimit")
   }
 
+  "q_range_join" should "plan bucketed hash joins, never a per-key cross product" in {
+    val plan = formattedPlan("q_range_join")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // both the same-bin and next-bin candidate joins are equi-joins
+    (plan.sliding("HashJoin".length).count(_ == "HashJoin") +
+      plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")) should be >= 2
+  }
+
+  "q_asof_join" should "run as one keyed sort, not a range join" in {
+    val plan = formattedPlan("q_asof_join")
+    // the union-and-carry-forward shape: no join node at all — one keyed
+    // shuffle + one sort + a running-frame window
+    plan should not include "Join"
+    plan should include("Window")
+    // the event-type filters push through the union into both parquet scans
+    plan should include("EqualTo(event_type,click)")
+    plan should include("EqualTo(event_type,view)")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
