@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
@@ -21,13 +20,15 @@ import org.apache.spark.sql.types.IntegerType
   *
   * [[GroupedTopKLimit]] replaces the whole pattern with a sort-free
   * two-phase bounded heap: map-side k-heaps per key (partial-aggregation
-  * shape), a hash shuffle of ≤ partitions·keys·k rows, and a per-key
-  * k-merge on the reduce side. Only the ≤ k surviving rows per key are
-  * ever ordered.
+  * shape), a standard Tungsten hash exchange of ≤ partitions·keys·k rows,
+  * and a per-key k-merge on the reduce side. Only the ≤ k surviving rows
+  * per key are ever ordered.
   *
   * Wiring: [[RewriteRankFilterToTopK]] (optimizer rule) recognizes the
   * window idiom, [[GroupedTopKStrategy]] plans the logical node to
-  * [[GroupedTopKLimitExec]]; both are registered in `GraftExtensions`, so
+  * [[GroupedTopKLimitPartialExec]] → [[GroupedTopKLimitFinalExec]] (the
+  * final node's required clustered distribution makes EnsureRequirements
+  * insert the exchange); both are registered in `GraftExtensions`, so
   * every session with the extension gets the fast path for the plain
   * window idiom automatically — the DuckDB oracle for `q_topk_orders`
   * machine-checks the rewrite end-to-end.
@@ -108,20 +109,29 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKLimit(partSpec, orderSpec, rankAttr, k, child) =>
-      GroupedTopKLimitExec(partSpec, orderSpec, rankAttr, k, planLater(child)) :: Nil
+      // partial → (Exchange inserted by EnsureRequirements) → final: the
+      // same two-phase shape Spark gives WindowGroupLimit, so the shuffle
+      // is a standard Tungsten UnsafeRow exchange — not an RDD-level
+      // key/value shuffle through the closure serializer
+      GroupedTopKLimitFinalExec(partSpec, orderSpec, rankAttr, k,
+        GroupedTopKLimitPartialExec(partSpec, orderSpec, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-case class GroupedTopKLimitExec(
+/** Map-side phase: per input partition, keep only each key's current best k
+  * rows via bounded heaps. Pure reduction — output schema, partitioning and
+  * ordering are the child's; correctness does not depend on it seeing all
+  * of a key's rows. */
+case class GroupedTopKLimitPartialExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
-    rankAttr: Attribute,
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   /** Map-side distinct-key bound (heaps flush early beyond it — correct,
     * just less reduction). */
@@ -132,23 +142,21 @@ case class GroupedTopKLimitExec(
     val childOutput = child.output
     val partSpec = partitionSpec
     val ordSpec = orderSpec
-    val numParts = math.max(conf.numShufflePartitions, 1)
     val maxKeys = maxPartialKeys
 
-    // phase 1: per-partition bounded heaps, keyed by the grouping tuple
-    val partial: RDD[(UnsafeRow, UnsafeRow)] = child.execute().mapPartitions { rows =>
+    child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
       val heapOrd = ord.reverse // max-heap: worst of the kept k on top
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      def drain(): Iterator[(UnsafeRow, UnsafeRow)] = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, UnsafeRow)]
-        heaps.forEach((key, h) => h.forEach(r => out += ((key, r))))
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.forEach((_, h) => h.forEach(r => out += r))
         heaps.clear()
         out.iterator
       }
-      val flushed = scala.collection.mutable.ArrayBuffer.empty[(UnsafeRow, UnsafeRow)]
+      val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       rows.foreach { row =>
         val key = keyProj(row)
         var h = heaps.get(key)
@@ -164,42 +172,71 @@ case class GroupedTopKLimitExec(
         }
       }
       flushed.iterator ++ drain()
-    }
+    }, preservesPartitioning = true)
+  }
 
-    // phase 2: hash shuffle on the key, per-key k-merge, append the rank
-    partial
-      .partitionBy(new HashPartitioner(numParts))
-      .mapPartitions { pairs =>
-        val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
-        val groups = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
-        pairs.foreach { case (key, row) =>
-          var buf = groups.get(key)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-            groups.put(key, buf)
-          }
-          buf += row
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Reduce-side phase: sees every surviving row of a key (the required
+  * clustered distribution makes EnsureRequirements insert the hash
+  * exchange), k-merges per key and appends the rank. */
+case class GroupedTopKLimitFinalExec(
+    partitionSpec: Seq[Expression],
+    orderSpec: Seq[SortOrder],
+    rankAttr: Attribute,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override def requiredChildDistribution:
+      Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(partitionSpec) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val childOutput = child.output
+    val partSpec = partitionSpec
+    val ordSpec = orderSpec
+    val rank = rankAttr
+
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(partSpec, childOutput)
+      val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
+      val groups = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var buf = groups.get(key)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+          groups.put(key.copy(), buf)
         }
-        val joined = new JoinedRow
-        val rankRow = new GenericInternalRow(1)
-        val outProj = UnsafeProjection.create(
-          (childOutput :+ rankAttr).zipWithIndex.map { case (a, i) =>
-            BoundReference(i, a.dataType, a.nullable)
-          })
-        // lazy emission: the grouped input (≤ mapPartitions·k rows per key)
-        // must be held to rank, but the output streams. NOTE: this hash
-        // grouping is on-heap without spill — memory per reduce task is
-        // bounded by its shuffled share (keys·mapPartitions·k rows), which
-        // for top-k workloads is the post-limit data, not the raw input;
-        // integrating TaskMemoryManager spilling is future work.
-        import scala.jdk.CollectionConverters._
-        groups.values().iterator().asScala.flatMap { buf =>
-          buf.sorted(ord).iterator.take(kk).zipWithIndex.map { case (row, r) =>
-            rankRow.setInt(0, r + 1)
-            outProj(joined(row, rankRow)).copy(): InternalRow
-          }
+        // the exchange reader reuses its row buffer — copy to retain
+        buf += row.asInstanceOf[UnsafeRow].copy()
+      }
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      val outProj = UnsafeProjection.create(
+        (childOutput :+ rank).zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
+      // lazy emission: the grouped input (≤ mapPartitions·k rows per key)
+      // must be held to rank, but the output streams. NOTE: this hash
+      // grouping is on-heap without spill — memory per reduce task is
+      // bounded by its shuffled share (keys·mapPartitions·k rows), which
+      // for top-k workloads is the post-limit data, not the raw input;
+      // integrating TaskMemoryManager spilling is future work.
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatMap { buf =>
+        buf.sorted(ord).iterator.take(kk).zipWithIndex.map { case (row, r) =>
+          rankRow.setInt(0, r + 1)
+          outProj(joined(row, rankRow)).copy(): InternalRow
         }
       }
+    }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

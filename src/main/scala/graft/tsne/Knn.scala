@@ -45,10 +45,20 @@ object Knn {
   }
 
   /** The brute-force all-pairs distance table (shared by [[bruteForce]] and
-    * the ranked query form). */
+    * the ranked query form).
+    *
+    * The left side is spread over the configured shuffle parallelism before
+    * the cross join: a small points table often arrives as one scan
+    * partition, and the cross join inherits the left side's partitioning —
+    * without the spread, all N² distance evaluations (the actual work)
+    * would run in a single task no matter how many cores the cluster has.
+    * The 2 kB/row reshuffle is noise next to the N·d work per row it
+    * parallelizes. */
   def bruteForcePairs(points: Dataset[Point], metric: String): DataFrame = {
+    val spark = points.sparkSession
+    val parallelism = spark.sessionState.conf.numShufflePartitions
     val df = points.toDF()
-    val a = df.select(col("id").as("i"), col("vec").as("va"))
+    val a = df.repartition(parallelism).select(col("id").as("i"), col("vec").as("va"))
     val b = df.select(col("id").as("j"), col("vec").as("vb"))
     a.crossJoin(b)
       .where(col("i") =!= col("j"))
