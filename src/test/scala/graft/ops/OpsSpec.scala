@@ -90,6 +90,27 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got should not be empty
   }
 
+  it should "yield left rows with nulls when the right side is empty" in {
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 11L, 50L)).toDF("user_id", "event_id", "ts")
+    val r = Seq.empty[(Long, Long, Long, Double)].toDF("user_id", "v_id", "v_ts", "v_val")
+    val rows = TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts",
+      Seq("v_val"), Some("v_id")).collect()
+    rows should have length 2
+    // output columns: user_id, event_id, ts, v_val
+    rows.foreach(_.isNullAt(3) shouldBe true)
+  }
+
+  it should "produce no pairs from an empty or singleton input" in {
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "ts")
+    TemporalJoins.bandJoin(empty, Seq("user_id"), "ts", "event_id", 100L)
+      .count() shouldBe 0L
+    val one = Seq((1L, 1L, 5L)).toDF("user_id", "event_id", "ts")
+    TemporalJoins.bandJoin(one, Seq("user_id"), "ts", "event_id", 100L)
+      .count() shouldBe 0L
+  }
+
   behavior of "Skew"
 
   it should "compute distinctCountByKey identically to countDistinct" in {
