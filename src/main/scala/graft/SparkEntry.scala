@@ -88,9 +88,12 @@ object SparkEntry {
     "q_center_embedding" -> ((s, dir) => {
       import s.implicits._
       val points = IO.readEmbeddings(s, dir)
+      // + 0.0 folds a rounded -0.0 into +0.0: centering differences at the
+      // 1e-7 scale can carry opposite signs in Spark vs DuckDB (summation
+      // order), and repr(-0.0) != repr(0.0) under a hash compare
       Optimizer.centerPoints(points).toDF()
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
-        .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))
+        .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v_r"))
         .orderBy("i", "j")
     }),
 
@@ -140,11 +143,16 @@ object SparkEntry {
     "q_knn_project" -> ((s, dir) => {
       val k = 10
       val points = IO.readEmbeddings(s, dir)
-      // 12 projections × ±50 window: measured recall 0.961 at sf0.01
-      // (one z-order preserves little 64-dim locality, so the window does
-      // the work; cost is N·window·iters re-ranks — scale-independent)
+      // One z-order preserves little 64-dim locality, so recall is carried
+      // by the candidate window — and holding a recall floor across scale
+      // needs constant *fractional* coverage of the sorted list, so the
+      // window scales with N (5.5%): measured 0.96+ at sf0.01 (±50) and
+      // 0.92 at sf0.1 (±110) with 14 projections. Deterministic in
+      // (seed, data), so the oracle's constant row is a real check.
+      val n = points.count()
+      val window = math.max(50, math.ceil(n * 0.055).toInt)
       val approx = Knn.projectKnn(points, k, "sqeuclidean",
-        iterations = 12, seed = 42L, dimension = embeddingDim, window = 50)
+        iterations = 14, seed = 42L, dimension = embeddingDim, window = window)
       val truth = Knn.bruteForce(points, k, "sqeuclidean")
       val hits = approx.toDF()
         .join(truth.toDF().select(col("i"), col("j")), Seq("i", "j"), "left_semi")
@@ -178,7 +186,8 @@ object SparkEntry {
         Knn.bruteForce(points, 10, "sqeuclidean")))
       Optimizer.gradientDataset(p, y, theta = 0.0, metric = "sqeuclidean").toDF()
         .select(col("id").as("i"),
-          round(col("vec")(0), 8).as("gx_r"), round(col("vec")(1), 8).as("gy_r"))
+          (round(col("vec")(0), 8) + lit(0.0)).as("gx_r"),
+          (round(col("vec")(1), 8) + lit(0.0)).as("gy_r"))
         .orderBy("i")
     }),
 
@@ -698,7 +707,7 @@ object SparkEntry {
         |  SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
         |         CAST(embedding[CAST(g AS INT)] AS DOUBLE) AS v
         |  FROM embeddings CROSS JOIN generate_series(1, 64) t(g))
-        |SELECT i, j, ROUND(v - AVG(v) OVER (PARTITION BY j), 6) AS v_r
+        |SELECT i, j, ROUND(v - AVG(v) OVER (PARTITION BY j), 6) + 0.0 AS v_r
         |FROM coo ORDER BY i, j""".stripMargin,
 
     "q_coo_roundtrip" ->
@@ -772,8 +781,8 @@ object SparkEntry {
           |rep AS (SELECT i, SUM(q * q * dx) AS rx, SUM(q * q * dy) AS ry
           |        FROM q GROUP BY i)
           |SELECT attr.i AS i,
-          |       ROUND(attr.ax - rep.rx / (SELECT s FROM sumq), 8) AS gx_r,
-          |       ROUND(attr.ay - rep.ry / (SELECT s FROM sumq), 8) AS gy_r
+          |       ROUND(attr.ax - rep.rx / (SELECT s FROM sumq), 8) + 0.0 AS gx_r,
+          |       ROUND(attr.ay - rep.ry / (SELECT s FROM sumq), 8) + 0.0 AS gy_r
           |FROM attr JOIN rep ON attr.i = rep.i ORDER BY i""".stripMargin),
 
     "q_embed_neardup_lsh" ->
