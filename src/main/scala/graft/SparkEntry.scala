@@ -454,6 +454,25 @@ object SparkEntry {
         qs = Seq(0.5, 0.9, 0.99), accuracy = 10000, rankTol = 0.005)
     }),
 
+    // deterministic hash sampling — reproducible corpus slicing: membership
+    // is a pure map-side predicate on md5-60bit(key#salt), so the oracle
+    // recomputes the *exact* selected set (df.sample() could never be
+    // cross-checked this way)
+    "q_sample_uniform" -> ((s, dir) => {
+      ops.Sampling.hashSample(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", 0.1, "train")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // stratified variant: per-language mixing weights (the corpus-mixing
+    // primitive of a training-data pipeline)
+    "q_sample_stratified" -> ((s, dir) => {
+      ops.Sampling.stratifiedHashSample(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), "mix")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // §2.2 vocabulary — ROLLUP grouping sets (subtotals + grand total)
     "q_rollup_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -909,6 +928,21 @@ object SparkEntry {
     "q_sketch_quantiles" ->
       """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS ok
         |FROM lineitem""".stripMargin,
+
+    "q_sample_uniform" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT
+         |      < ${math.round(0.1 * (1L << 60).toDouble)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" -> {
+      def thr(r: Double) = math.round(r * (1L << 60).toDouble)
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT
+         |      < CASE lang WHEN 'en' THEN ${thr(0.5)} WHEN 'de' THEN ${thr(0.25)}
+         |                  WHEN 'zh' THEN ${thr(0.1)} ELSE -1 END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

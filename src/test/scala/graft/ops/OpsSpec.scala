@@ -137,6 +137,49 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got shouldBe exp
   }
 
+  behavior of "Sampling"
+
+  it should "be deterministic, monotone in rate, and near the target rate" in {
+    val df = s.range(20000).toDF("id")
+    val small = Sampling.hashSample(df, "id", 0.05, "t")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(df, "id", 0.20, "t")
+      .collect().map(_.getLong(0)).toSet
+    // monotone: the 5% slice is a subset of the 20% slice
+    small.subsetOf(big) shouldBe true
+    // deterministic: same inputs, same set
+    Sampling.hashSample(df, "id", 0.05, "t")
+      .collect().map(_.getLong(0)).toSet shouldBe small
+    // close to the target rate (md5 is uniform; 3σ ≈ 0.0046 at n=20000)
+    small.size.toDouble / 20000 shouldBe 0.05 +- 0.01
+    big.size.toDouble / 20000 shouldBe 0.20 +- 0.015
+  }
+
+  it should "give independent samples under different salts" in {
+    val df = s.range(20000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.1, "holdout")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "id", 0.1, "train")
+      .collect().map(_.getLong(0)).toSet
+    // overlap ≈ rate² = 1%, far from either salt reusing the other's picks
+    val overlap = a.intersect(b).size.toDouble / 20000
+    overlap shouldBe 0.01 +- 0.01
+    a should not equal b
+  }
+
+  it should "apply per-stratum rates and drop unlisted strata" in {
+    import s.implicits._
+    val df = s.range(30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val got = Sampling.stratifiedHashSample(df, "id", "g",
+      Map("0" -> 0.3, "1" -> 0.05), "t")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    got.keySet shouldBe Set("0", "1") // stratum "2" dropped entirely
+    got("0").toDouble / 10000 shouldBe 0.3 +- 0.02
+    got("1").toDouble / 10000 shouldBe 0.05 +- 0.01
+  }
+
   behavior of "Sketches"
 
   it should "land approx_count_distinct within its rsd contract" in {
