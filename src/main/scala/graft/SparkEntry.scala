@@ -473,6 +473,23 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // the operators composed into the actual use-case: quality filter →
+    // language filter → exact dedup (keep canonical) → deterministic
+    // train-slice sample — one curation pass over the corpus, exactly
+    // recomputable by the oracle
+    "q_curation_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
+      val lang = pipeline.TextOps.langId(docs).select("doc_id", "pred_lang")
+      val canon = pipeline.Dedup.exactCanonical(docs)
+      val kept = docs.select("doc_id")
+        .join(quality, "doc_id").join(lang, "doc_id").join(canon, "doc_id")
+        .where(col("quality_r") >= 0.7 && col("pred_lang") === "en" &&
+          col("canon_id") === col("doc_id"))
+      ops.Sampling.hashSample(kept, "doc_id", 0.5, "train")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // §2.2 vocabulary — ROLLUP grouping sets (subtotals + grand total)
     "q_rollup_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -943,6 +960,46 @@ object SparkEntry {
          |                  WHEN 'zh' THEN ${thr(0.1)} ELSE -1 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_curation_e2e" -> (tokSql +
+      s""", q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(stop_ratio * 5.0, 1.0) * 0.3 + LEAST(type_ratio * 2.0, 1.0) * 0.3
+         |          + alpha_ratio * 0.2
+         |          + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+         |          6) AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
+         |        * 1.0 / len(t) AS stop_ratio,
+         |      len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
+         |      len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
+         |      length(text) * 1.0 / len(t) AS mean_len
+         |    FROM toks)),
+         |l AS (
+         |  SELECT doc_id,
+         |    CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+         |         WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+         |         WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+         |         WHEN score_de > score_en THEN 'de'
+         |         ELSE 'en' END AS pred_lang
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS score_en,
+         |      len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS score_de,
+         |      len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS score_es,
+         |      len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS score_fr,
+         |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
+         |    FROM toks)),
+         |c AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+         |  FROM documents)
+         |SELECT d.doc_id FROM documents d
+         |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (doc_id)
+         |WHERE q.quality >= 0.7 AND l.pred_lang = 'en' AND c.canon_id = d.doc_id
+         |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT
+         |      < ${math.round(0.5 * (1L << 60).toDouble)}
+         |ORDER BY doc_id""".stripMargin),
 
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
