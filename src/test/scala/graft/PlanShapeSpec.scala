@@ -60,8 +60,13 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     df.collect() // finalize adaptive plan
     val plan = df.queryExecution.executedPlan.toString
     plan should include("*(")
-    // the rank-filter window was rewritten to the sort-free heap operator
-    plan should include("GroupedTopKLimit")
+    // the rank-filter window was rewritten to the sort-free heap operator:
+    // map-side partial heaps, a standard Tungsten hash exchange, final
+    // k-merge — and no sort anywhere in the top-k pipeline
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+    (plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(i#"))) shouldBe true
   }
 
   "q_range_join" should "plan bucketed hash joins, never a per-key cross product" in {
