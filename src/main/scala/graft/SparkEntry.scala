@@ -275,10 +275,13 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
-    // embedding near-dup: exact cosine ≥ θ pair set
+    // embedding near-dup: exact cosine ≥ θ pair set (left side spread over
+    // the shuffle parallelism — the cross join inherits its partitioning,
+    // and a 1-partition scan would serialize the N²/2 similarity work)
     "q_embed_neardup" -> ((s, dir) => {
       val e = IO.embeddingsDf(s, dir)
-      val a = e.select(col("id").as("i"), col("vec").as("va"))
+      val parallelism = s.sessionState.conf.numShufflePartitions
+      val a = e.repartition(parallelism).select(col("id").as("i"), col("vec").as("va"))
       val b = e.select(col("id").as("j"), col("vec").as("vb"))
       a.crossJoin(b).where(col("i") < col("j"))
         .select(col("i"), col("j"),

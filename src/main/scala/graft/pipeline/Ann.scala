@@ -19,8 +19,14 @@ object Ann {
     * dot/norm expressions, ranking window per query. The right choice when
     * the query set is small (broadcast the queries) or recall must be 1. */
   def bruteTopK(corpus: Dataset[Point], queries: Dataset[Point], k: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val q = queries.toDF().select(col("id").as("i"), col("vec").as("va"))
-    val c = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    // the broadcast join streams the corpus side and inherits its
+    // partitioning — spread it so a single-partition scan doesn't
+    // serialize the |Q|·N similarity work
+    val c = corpus.toDF()
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("id").as("j"), col("vec").as("vb"))
     val pairs = broadcast(q).crossJoin(c)
       .where(col("i") =!= col("j"))
       .select(col("i"), col("j"),
