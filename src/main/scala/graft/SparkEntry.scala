@@ -582,6 +582,45 @@ object SparkEntry {
       |  FROM bits GROUP BY doc_id)
       |""".stripMargin
 
+  /** Shared quality-score fragments (used by `q_text_quality` and
+    * `q_curation_e2e` — one definition, so the two oracles can't drift). */
+  private val qualityInnerSql =
+    """SELECT doc_id,
+      |    len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
+      |      * 1.0 / len(t) AS stop_ratio,
+      |    len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
+      |    len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
+      |    length(text) * 1.0 / len(t) AS mean_len
+      |  FROM toks""".stripMargin
+
+  private val qualityExprSql =
+    """LEAST(stop_ratio * 5.0, 1.0) * 0.3 + LEAST(type_ratio * 2.0, 1.0) * 0.3
+      |        + alpha_ratio * 0.2
+      |        + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2""".stripMargin
+
+  /** Shared language-ID fragments (`q_lang_id` and `q_curation_e2e`). */
+  private val langScoresSql =
+    """SELECT doc_id,
+      |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+      |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+      |    CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS score_es,
+      |    CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS score_fr,
+      |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
+      |  FROM toks""".stripMargin
+
+  private val langCaseSql =
+    """CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
+      |       WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
+      |       WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
+      |       WHEN score_de > score_en THEN 'de'
+      |       ELSE 'en' END""".stripMargin
+
+  /** Shared exact-dedup canonical-id fragment (`q_dedup_exact` and
+    * `q_curation_e2e`). */
+  private val canonSql =
+    """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+      |FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_text_stats" -> (tokSql +
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -594,40 +633,22 @@ object SparkEntry {
         |FROM toks ORDER BY doc_id""".stripMargin),
 
     "q_text_quality" -> (tokSql +
-      """SELECT doc_id,
-        |  ROUND(stop_ratio, 6) AS stop_ratio_r,
-        |  ROUND(type_ratio, 6) AS type_ratio_r,
-        |  ROUND(alpha_ratio, 6) AS alpha_ratio_r,
-        |  ROUND(LEAST(stop_ratio * 5.0, 1.0) * 0.3 + LEAST(type_ratio * 2.0, 1.0) * 0.3
-        |        + alpha_ratio * 0.2
-        |        + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-        |        6) AS quality_r
-        |FROM (
-        |  SELECT doc_id,
-        |    len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
-        |      * 1.0 / len(t) AS stop_ratio,
-        |    len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
-        |    len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
-        |    length(text) * 1.0 / len(t) AS mean_len
-        |  FROM toks)
-        |ORDER BY doc_id""".stripMargin),
+      s"""SELECT doc_id,
+         |  ROUND(stop_ratio, 6) AS stop_ratio_r,
+         |  ROUND(type_ratio, 6) AS type_ratio_r,
+         |  ROUND(alpha_ratio, 6) AS alpha_ratio_r,
+         |  ROUND($qualityExprSql,
+         |        6) AS quality_r
+         |FROM (
+         |  $qualityInnerSql)
+         |ORDER BY doc_id""".stripMargin),
 
     "q_lang_id" -> (tokSql +
-      """SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
-        |  CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
-        |       WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
-        |       WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
-        |       WHEN score_de > score_en THEN 'de'
-        |       ELSE 'en' END AS pred_lang
-        |FROM (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
-        |    CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
-        |    CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS score_es,
-        |    CAST(len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS score_fr,
-        |    CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS score_zh
-        |  FROM toks)
-        |ORDER BY doc_id""".stripMargin),
+      s"""SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+         |  $langCaseSql AS pred_lang
+         |FROM (
+         |  $langScoresSql)
+         |ORDER BY doc_id""".stripMargin),
 
     "q_doc_fingerprint" -> (tposSql +
       """, sh AS (
@@ -641,10 +662,7 @@ object SparkEntry {
         |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |FROM sh ORDER BY doc_id, fp""".stripMargin),
 
-    "q_dedup_exact" ->
-      """SELECT doc_id,
-        |       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" -> (canonSql + " ORDER BY doc_id"),
 
     "q_dedup_jaccard" -> jaccardOracle(0.5),
 
@@ -910,7 +928,13 @@ object SparkEntry {
         |views AS (
         |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_ts_us,
         |         value AS v_val
-        |  FROM events WHERE event_type = 'view')
+        |  FROM events WHERE event_type = 'view'
+        |  -- dedupe equal-microsecond ties to the max-event_id row: DuckDB's
+        |  -- ASOF picks an arbitrary tied row, the Spark operator picks the
+        |  -- max tie-break row — pre-deduping makes both deterministic and
+        |  -- equal (the fixtures are tie-free today; this pins the contract)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+        |                             ORDER BY event_id DESC) = 1)
         |SELECT c.user_id, c.event_id, c.ts_us, v.v_ts_us,
         |       ROUND(v.v_val, 6) AS v_val_r
         |FROM clicks c ASOF LEFT JOIN views v
@@ -967,36 +991,17 @@ object SparkEntry {
     "q_curation_e2e" -> (tokSql +
       s""", q AS (
          |  SELECT doc_id,
-         |    ROUND(LEAST(stop_ratio * 5.0, 1.0) * 0.3 + LEAST(type_ratio * 2.0, 1.0) * 0.3
-         |          + alpha_ratio * 0.2
-         |          + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+         |    ROUND($qualityExprSql,
          |          6) AS quality
          |  FROM (
-         |    SELECT doc_id,
-         |      len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
-         |        * 1.0 / len(t) AS stop_ratio,
-         |      len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
-         |      len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
-         |      length(text) * 1.0 / len(t) AS mean_len
-         |    FROM toks)),
+         |    $qualityInnerSql)),
          |l AS (
          |  SELECT doc_id,
-         |    CASE WHEN score_zh > GREATEST(score_en, score_de, score_es, score_fr) THEN 'zh'
-         |         WHEN score_fr > GREATEST(score_en, score_de, score_es) THEN 'fr'
-         |         WHEN score_es > GREATEST(score_en, score_de) THEN 'es'
-         |         WHEN score_de > score_en THEN 'de'
-         |         ELSE 'en' END AS pred_lang
+         |    $langCaseSql AS pred_lang
          |  FROM (
-         |    SELECT doc_id,
-         |      len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS score_en,
-         |      len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS score_de,
-         |      len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS score_es,
-         |      len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS score_fr,
-         |      len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
-         |    FROM toks)),
+         |    $langScoresSql)),
          |c AS (
-         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
-         |  FROM documents)
+         |  $canonSql)
          |SELECT d.doc_id FROM documents d
          |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (doc_id)
          |WHERE q.quality >= 0.7 AND l.pred_lang = 'en' AND c.canon_id = d.doc_id

@@ -32,25 +32,31 @@ object Sketches {
           .cast("long").as("ok"))
 
   /** `approx_percentile` vs the exact empirical CDF: emits one row
-    * `(n, ok)` with ok = 1 iff every approximate quantile's true rank is
-    * within `rankTol` of its target — the sketch's actual guarantee
-    * (rank error ≤ 1/accuracy), checked without a global sort: one pass
-    * for the sketch, one filtered count per quantile against the
-    * broadcast approximations. */
+    * `(n, ok)` with ok = 1 iff every approximate quantile is a value whose
+    * rank *interval* covers the target within `rankTol` — the sketch's
+    * actual guarantee (rank error ≤ 1/accuracy). A value v occupies the
+    * whole rank range [P(x < v), P(x ≤ v)]; on duplicate-heavy columns
+    * that interval is wide, and testing only P(x ≤ v) would false-fail a
+    * correct sketch (e.g. one value spanning ranks 0.3–0.9 is the right
+    * answer for q = 0.5). Checked without a global sort: one pass for the
+    * sketch, one aggregation against the broadcast approximations. */
   def quantilesWithinRankError(df: DataFrame, colName: String,
                                qs: Seq[Double], accuracy: Int = 10000,
                                rankTol: Double = 0.005): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     val approx = df.agg(percentile_approx(col(colName),
       array(qs.map(lit): _*), lit(accuracy)).as("aq"))
-    val checks = df.crossJoin(approx)
-      .agg(count(lit(1)).as("n"),
-        qs.indices.map(i =>
-          (sum(when(col(colName) <= col("aq")(i), 1L).otherwise(0L)) /
-            count(lit(1))).as(s"__rank_$i")): _*)
+    val aggCols = count(lit(1)).as("n") +:
+      qs.indices.flatMap(i => Seq(
+        (sum(when(col(colName) < col("aq")(i), 1L).otherwise(0L)) /
+          count(lit(1))).as(s"__lo_$i"),
+        (sum(when(col(colName) <= col("aq")(i), 1L).otherwise(0L)) /
+          count(lit(1))).as(s"__hi_$i")))
+    val checks = df.crossJoin(approx).agg(aggCols.head, aggCols.tail: _*)
     checks.select(col("n"),
       qs.indices.map(i =>
-        (abs(col(s"__rank_$i") - qs(i)) <= rankTol).cast("long"))
+        (lit(qs(i)) >= col(s"__lo_$i") - rankTol &&
+          lit(qs(i)) <= col(s"__hi_$i") + rankTol).cast("long"))
         .reduce(_ * _).as("ok"))
   }
 }

@@ -27,10 +27,17 @@ object Skew {
     * Two shuffles, both skew-free; constant memory per task.
     */
   def distinctCountByKey(df: DataFrame, keys: Seq[String], valueCol: String,
-                         outCol: String = "n_distinct"): DataFrame =
-    df.select(keys.map(col) :+ col(valueCol): _*)
+                         outCol: String = "n_distinct"): DataFrame = {
+    // SQL distinct-count semantics: NULL is not a value and is not counted —
+    // but a key whose values are all NULL still appears, with count 0
+    val counts = df.select(keys.map(col) :+ col(valueCol): _*)
+      .where(col(valueCol).isNotNull)
       .groupBy(keys.map(col) :+ col(valueCol): _*).agg(lit(1).as("__one"))
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as(outCol))
+    df.select(keys.map(col): _*).distinct()
+      .join(counts, keys, "left")
+      .select(keys.map(col) :+ coalesce(col(outCol), lit(0L)).as(outCol): _*)
+  }
 
   /** Salted two-phase sum: partial-aggregate under (keys, salt), then
     * combine per key. The salt comes from hashing `saltFrom` (a

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,29 +43,45 @@ object TemporalJoins {
                rightTieBreak: Option[String] = None): DataFrame = {
     require(rightVals.nonEmpty, "asOfJoin needs at least one right value column")
     val leftOut = left.columns.toSeq.filterNot(keys.contains)
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rightStruct = struct(rightVals.map(col): _*)
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v)))
+
+    // join semantics on NULL keys: a NULL never matches anything, so
+    // null-key left rows bypass the window (kept, unmatched) and null-key
+    // right rows are dropped — Window.partitionBy alone would group NULLs
+    // together and "match" them
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
 
     val tie = rightTieBreak.map(col).getOrElse(lit(0L))
-    val lu = left.select(
+    // the right-side values travel as ONE struct: carrying each column
+    // forward independently would stale-fill a NULL field of the latest
+    // right row from an older row — a row that never existed
+    val lu = left.where(keyNotNull).select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie")) ++
-        leftOut.map(col) ++
-        rightVals.map(v => lit(null).cast(rightTypes(v)).as(s"__r_$v")): _*)
-    val ru = right.select(
+        leftOut.map(col) :+
+        lit(null).cast(rightStructType).as("__r"): _*)
+    val ru = right.where(keyNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"), tie.as("__tie")) ++
-        leftOut.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
-        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+        leftOut.map(c => lit(null).cast(leftTypes(c)).as(c)) :+
+        rightStruct.as("__r"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
-      .select(col("*") +: rightVals.map(v =>
-        last(col(s"__r_$v"), ignoreNulls = true).over(w).as(v)): _*)
+    val matched = lu.unionByName(ru)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(keys.map(col) ++ leftOut.map(col) ++ rightVals.map(col): _*)
+      .select(keys.map(col) ++ leftOut.map(col) ++
+        rightVals.map(v => col("__m").getField(v).as(v)): _*)
+
+    val nullKeyLeft = left.where(!coalesce(keyNotNull, lit(false))).select(
+      keys.map(col) ++ leftOut.map(col) ++
+        rightVals.map(v => lit(null).cast(rightStructType(v).dataType).as(v)): _*)
+    matched.unionByName(nullKeyLeft)
   }
 
   /** Band self-join: all ordered pairs of rows sharing `keys` whose
@@ -102,7 +118,4 @@ object TemporalJoins {
         (col("b_ts") - col("a_ts")).as("dt_us")): _*)
     shape(same).union(shape(next))
   }
-
-  /** Column helper: event-time as epoch microseconds. */
-  def tsUs(c: Column): Column = unix_micros(c)
 }

@@ -31,9 +31,10 @@ object Knn {
     * Deliberately written as the declarative ranking-window idiom: the
     * engine's own optimizer rule (`graft.plans.RewriteRankFilterToTopK`,
     * registered by `GraftExtensions`) rewrites it into the sort-free
-    * two-phase bounded-heap operator `GroupedTopKLimitExec` — map-side
-    * k-heaps per key, a shuffle of ≤ partitions·keys·k rows, per-key
-    * k-merge. Declaring the intent and letting the planner pick the
+    * two-phase bounded-heap operators `GroupedTopKLimitPartialExec` →
+    * `GroupedTopKLimitFinalExec` — map-side k-heaps per key, a hash
+    * exchange of ≤ partitions·keys·k rows, per-key k-merge. Declaring the
+    * intent and letting the planner pick the
     * physical strategy is the Spark-first shape; sessions without the
     * extension still get Spark's built-in WindowGroupLimit pipeline. */
   def topKPerPointRanked(pairs: DataFrame, k: Int): DataFrame = {

@@ -101,6 +101,32 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     rows.foreach(_.isNullAt(3) shouldBe true)
   }
 
+  it should "take NULL fields from the latest right row, not stale-fill them" in {
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("user_id", "event_id", "ts")
+    val r = Seq((1L, 1L, 50L, Some(5.0)), (1L, 2L, 60L, None))
+      .toDF("user_id", "v_id", "v_ts", "v_val")
+    val row = TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts",
+      Seq("v_ts", "v_val"), Some("v_id")).select("v_ts", "v_val").head
+    // the latest right row is (v_ts=60, v_val=NULL) — v_val must be NULL,
+    // not resurrected from the older row
+    row.getLong(0) shouldBe 60L
+    row.isNullAt(1) shouldBe true
+  }
+
+  it should "never match NULL keys (join semantics), but keep null-key left rows" in {
+    import s.implicits._
+    val l = Seq((Some(1L), 10L, 100L), (None, 11L, 100L))
+      .toDF("user_id", "event_id", "ts")
+    val r = Seq((Option.empty[Long], 1L, 50L, 7.0))
+      .toDF("user_id", "v_id", "v_ts", "v_val")
+    val rows = TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts",
+      Seq("v_val"), Some("v_id"))
+      .collect().map(x => (x.getLong(1), x.isNullAt(3))).toSet
+    // both left rows survive; neither matches the null-key right row
+    rows shouldBe Set((10L, true), (11L, true))
+  }
+
   it should "produce no pairs from an empty or singleton input" in {
     import s.implicits._
     val empty = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "ts")
@@ -123,6 +149,18 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val exp = df.groupBy("k").agg(countDistinct("v").as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     got shouldBe exp
+  }
+
+  it should "ignore NULL values but keep all-NULL keys at count 0, like countDistinct" in {
+    import s.implicits._
+    val df = Seq((1, Some(10)), (1, None), (1, Some(20)), (2, None))
+      .toDF("k", "v")
+    val got = Skew.distinctCountByKey(df, Seq("k"), "v", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val exp = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    got shouldBe exp
+    got shouldBe Map(1 -> 2L, 2 -> 0L)
   }
 
   it should "compute saltedSum identically to the plain grouped sum" in {
@@ -194,6 +232,18 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val row = Sketches.quantilesWithinRankError(df, "x",
       qs = Seq(0.5, 0.9, 0.99), accuracy = 10000, rankTol = 0.005).head
     row.getLong(0) shouldBe 100000L
+    row.getLong(1) shouldBe 1L
+  }
+
+  it should "accept a duplicate-heavy column where one value spans the target rank" in {
+    // one value covers ranks 0.2..0.8: the correct median IS that value,
+    // even though P(x <= v) = 0.8 is far from 0.5
+    val df = s.range(10000).select(
+      when(col("id") < 2000, col("id"))
+        .when(col("id") < 8000, lit(5000L))
+        .otherwise(col("id")).cast("double").as("x"))
+    val row = Sketches.quantilesWithinRankError(df, "x",
+      qs = Seq(0.5), accuracy = 10000, rankTol = 0.005).head
     row.getLong(1) shouldBe 1L
   }
 }

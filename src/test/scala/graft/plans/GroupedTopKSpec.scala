@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
 import graft.tsne.SparkTestBase
 
 /** The grouped-top-k whole-operator extension: the optimizer rule must
-  * rewrite rank-filter window queries to [[GroupedTopKLimitExec]], and the
-  * operator must produce exactly the rows the window idiom produces.
+  * rewrite rank-filter window queries to the
+  * [[GroupedTopKLimitPartialExec]] → [[GroupedTopKLimitFinalExec]] pair,
+  * and the operator must produce exactly the rows the window idiom
+  * produces.
   */
 class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with SparkTestBase {
 
