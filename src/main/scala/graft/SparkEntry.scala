@@ -517,6 +517,65 @@ object SparkEntry {
       withOrders.union(withoutOrders).orderBy("c_custkey")
     }),
 
+    // §2.3 vocabulary — full outer join: customers vs a value-bearing
+    // order aggregate, both unmatched sides preserved
+    "q_outer_join" -> ((s, dir) => {
+      val perCust = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .where(col("o_custkey") % 3 === 0)
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .where(col("c_custkey") % 2 === 0)
+      customer.join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_nationkey"), col("rev"))
+        .orderBy("custkey")
+    }),
+
+    // §2.3 vocabulary — set ops: INTERSECT and EXCEPT (distinct semantics)
+    "q_set_ops" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val en = docs.where(col("lang") === "en").select("doc_id")
+      val sampled = ops.Sampling.hashSample(docs, "doc_id", 0.5, "train")
+        .select("doc_id")
+      val both = en.intersect(sampled).select(col("doc_id"), lit("both").as("tag"))
+      val only = en.except(sampled).select(col("doc_id"), lit("only_en").as("tag"))
+      both.union(only).orderBy("doc_id")
+    }),
+
+    // §2.3 vocabulary — the wider window-function family over one pass:
+    // lag, lead, dense_rank, ntile, running sum
+    "q_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          dense_rank().over(w.orderBy(col("o_orderpriority"), col("o_orderkey")))
+            .cast("long").as("prio_rank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("run_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // §2.3 vocabulary — pivot (long → wide): order counts per status
+    "q_pivot_orders" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.2 vocabulary — multi-way equi-join with broadcast dimension
     "q_join_agg" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -918,6 +977,49 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH perCust AS (
+        |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey HAVING o_custkey % 3 = 0),
+        |cust AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_nationkey, rev
+        |FROM cust FULL OUTER JOIN perCust ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_ops" -> {
+      val thr = math.round(0.5 * (1L << 60).toDouble)
+      s"""WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |sampled AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT < $thr)
+         |SELECT doc_id, 'both' AS tag FROM (SELECT doc_id FROM en INTERSECT SELECT doc_id FROM sampled)
+         |UNION ALL
+         |SELECT doc_id, 'only_en' AS tag FROM (SELECT doc_id FROM en EXCEPT SELECT doc_id FROM sampled)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_rev
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_pivot_orders" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN — an independent implementation of the
     // same semantics as the union-and-carry-forward Spark shape
