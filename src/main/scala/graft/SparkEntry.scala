@@ -504,6 +504,15 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // stream-stream interval join in its batch-verifiable form (the
+    // streaming run of the same function is pinned by EventsStreamingSpec)
+    "q_interval_join" -> ((s, dir) => {
+      streaming.Events.clickViewIntervalJoin(
+        streaming.Events.readEvents(s, dir), "30 minutes")
+        .select(col("user_id"), col("click_id"), col("view_id"), col("gap_us"))
+        .orderBy("click_id", "view_id")
+    }),
+
     // §2.2 vocabulary — semi/anti joins (EXISTS / NOT EXISTS): customers
     // partitioned by whether they have any order, one row per customer
     "q_semi_anti" -> ((s, dir) => {
@@ -1054,6 +1063,19 @@ object SparkEntry {
         |       OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
         |  AND b.ts_us <= a.ts_us + 1800000000
         |ORDER BY i, j""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |         event_type
+        |  FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |       c.ts_us - v.ts_us AS gap_us
+        |FROM e c JOIN e v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND v.ts_us BETWEEN c.ts_us - 1800000000 AND c.ts_us
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q_skew_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders

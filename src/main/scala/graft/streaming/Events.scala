@@ -78,6 +78,31 @@ object Events {
   def withEventWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
 
+  /** Stream-stream interval join: each click paired with the same user's
+    * views in the preceding `lookback` (inclusive bounds). The event-time
+    * bound is what makes this runnable as a *streaming* join: Spark's
+    * symmetric hash join can evict any buffered view older than
+    * `watermark + lookback`, so state is bounded — an unconstrained
+    * stream-stream equi-join would buffer both streams forever. In batch
+    * the same expression plans as an equi-join on `user_id` with the time
+    * bound as a residual filter. Watermark both sides before calling when
+    * streaming (`EventsStreamingSpec` drives the self-join form). */
+  def clickViewIntervalJoin(events: DataFrame,
+                            lookback: String = "30 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * profile (event count + value total) that survives across micro-batches
     * — the primitive for incremental per-entity accumulators that windowed

@@ -144,6 +144,31 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     last(2L) shouldBe ((2L, 2L, 7.0))  // 2 events: 3.0 + 4.0
   }
 
+  "clickViewIntervalJoin" should "join streams within the bound, streaming == batch" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    // self-join of one watermarked stream: the event-time bound lets the
+    // symmetric hash join evict state older than watermark + lookback
+    val q = Events.clickViewIntervalJoin(
+      Events.withEventWatermark(input.toDF(), "1 hour"), "30 minutes")
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("ivj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Events.clickViewIntervalJoin(sample.toDF(), "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    streamed shouldBe batch
+    // user 1's click at :20 sees the view at :05 (gap 15 min); nothing else
+    streamed shouldBe Set((1L, 1L, 0L, 15L * 60 * 1000000))
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
