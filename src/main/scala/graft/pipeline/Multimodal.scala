@@ -71,6 +71,33 @@ object Multimodal {
       .toDF("id", "features")
   }
 
+  /** Resize the payload to a fixed byte length by nearest-neighbor
+    * stride resampling — the 1-D byte-domain shape of an image resize
+    * (out[i] = in[floor(i·len/m)]). Like [[decodeFeatures]] this runs in
+    * partition batches; a real media resize drops into the same seam
+    * (`Array[Byte] => Array[Byte]`). Output schema keeps the multimodal
+    * row shape with updated payload + byte_len, so resized tables compose
+    * with every other operator here. Empty payloads resize to empty. */
+  def resize(mm: DataFrame, targetLen: Int): DataFrame = {
+    require(targetLen > 0, s"targetLen must be positive, got $targetLen")
+    val spark = mm.sparkSession
+    import spark.implicits._
+    val m = targetLen
+    mm.select(col("id"), col("modality"), col("payload"), col("meta.source"))
+      .as[(Long, String, Array[Byte], Option[String])]
+      .mapPartitions { rows =>
+        rows.map { case (id, modality, payload, source) =>
+          val out =
+            if (payload.isEmpty) Array.emptyByteArray
+            else Array.tabulate(m)(i => payload((i.toLong * payload.length / m).toInt))
+          (id, modality, out, out.length.toLong, source)
+        }
+      }
+      .toDF("id", "modality", "payload", "byte_len", "source")
+      .select(col("id"), col("modality"), col("payload"),
+        struct(col("byte_len"), col("source")).as("meta"))
+  }
+
   /** Evenly-strided probes of the payload (frame-sampling shape): `n`
     * bytes at positions floor(len·i/n), unsigned. Pure Column expressions. */
   def frameSample(mm: DataFrame, n: Int): DataFrame = {

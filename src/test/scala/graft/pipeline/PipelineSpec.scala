@@ -177,4 +177,24 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     samp.getSeq[Long](3).length shouldBe 4
     samp.getSeq[Long](3).head shouldBe 'h'.toLong
   }
+
+  it should "resize payloads by stride resampling, preserving the row shape" in {
+    val s = spark
+    import s.implicits._
+    val mm = Multimodal.fromDocuments(
+      Seq((7L, "hello world", "en", "src", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val resized = Multimodal.resize(mm, 4)
+    // same multimodal schema: downstream ops compose unchanged
+    resized.schema("payload").dataType shouldBe org.apache.spark.sql.types.BinaryType
+    val row = resized.collect().head
+    val bytes = row.getAs[Array[Byte]]("payload")
+    // out[i] = in[floor(i*11/4)] = in(0), in(2), in(5), in(8)
+    bytes shouldBe Array('h', 'l', ' ', 'r').map(_.toByte)
+    row.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("byte_len") shouldBe 4L
+    // upsampling works too (nearest-neighbor repeats)
+    val up = Multimodal.resize(mm, 22).collect().head.getAs[Array[Byte]]("payload")
+    up.length shouldBe 22
+    new String(up.filter(_ != 0), "UTF-8") should include("hheelllloo")
+  }
 }
