@@ -16,7 +16,11 @@ import graft.expressions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // the full 11-arg constructor (the 5-arg form is deprecated):
+    // className, db, name, usage, arguments, examples, note, group, since,
+    // deprecated, source
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "math_funcs", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def reg(name: String, usage: String)(build: (Expression, Expression) => Expression): Unit =

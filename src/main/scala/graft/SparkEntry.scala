@@ -103,7 +103,7 @@ object SparkEntry {
       val df = IO.embeddingsDf(s, dir)
       // the oracle SQL hardcodes generate_series(1, 64); fail loudly rather
       // than silently diverge if the fixture width ever changes
-      require(df.select(size(col("vec"))).head.getInt(0) == embeddingDim,
+      require(df.select(size(col("vec"))).head().getInt(0) == embeddingDim,
         s"embeddings fixture width != $embeddingDim; update the oracle SQL")
       val coo = df
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))

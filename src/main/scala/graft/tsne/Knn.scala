@@ -213,7 +213,7 @@ object Knn {
         // Distributed Morton sort, then a stable global rank via zipWithIndex
         // (row_number over an unpartitioned window would collapse to one task).
         val ranked = keyed.orderBy(col("z"), col("id")).select("id")
-          .rdd.zipWithIndex
+          .rdd.zipWithIndex()
           .map { case (r, idx) => (r.getLong(0), idx) }
           .toDF("id", "rank")
 

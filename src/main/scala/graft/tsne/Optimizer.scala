@@ -99,7 +99,7 @@ object Optimizer {
       if (pEntries <= params.maxLocalPEntries) {
         val (points, loss) = optimizeLocal(pCached.collect(), ws0.collect(), params)
         lossAcc.foreach(acc => loss.foreach(acc.add))
-        spark.createDataset(points)
+        spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(points))
       } else {
         optimizeDistributed(pCached, ws0, params, lossAcc)
       }
