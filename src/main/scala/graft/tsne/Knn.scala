@@ -189,47 +189,40 @@ object Knn {
     // where one z-order preserves little locality
     val w = if (window > 0) window else k
     val rnd = new Random(seed)
-    val shifts: Seq[Array[Double]] =
-      Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))
+    val shifts: Array[Array[Double]] =
+      (Array.fill(dim)(0.0) +: Seq.fill(iterations - 1)(Array.fill(dim)(rnd.nextDouble()))).toArray
+    val bcShifts = spark.sparkContext.broadcast(shifts)
 
-    // Each projection's rank table needs an eager job (zipWithIndex
-    // computes partition offsets); the projections are independent, so the
-    // jobs are submitted concurrently from driver threads — wall-clock is
-    // the slowest sort, not the sum of `iterations` sorts.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val candidateFutures: Seq[Future[DataFrame]] = shifts.map { shift =>
-      Future {
-        val keyed = points.map { p =>
-          require(p.vec.length == shift.length,
-            s"projectKnn dimension=${shift.length} but vector ${p.id} has ${p.vec.length}")
-          val shifted = new Array[Double](p.vec.length)
-          var d = 0
-          while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }
-          (p.id, ZOrderKey.morton(shifted))
-        }.toDF("id", "z")
-
-        // Distributed Morton sort, then a stable global rank via zipWithIndex
-        // (row_number over an unpartitioned window would collapse to one task).
-        val ranked = keyed.orderBy(col("z"), col("id")).select("id")
-          .rdd.zipWithIndex()
-          .map { case (r, idx) => (r.getLong(0), idx) }
-          .toDF("id", "rank")
-
-        // ±w rank neighborhood as an equi-join on rank+offset.
-        val offs = ranked
-          .select(col("id").as("i"), col("rank"),
-            explode(sequence(lit(1), lit(w))).as("off"))
-        val nbr = offs.select(col("i"), (col("rank") + col("off")).as("nrank"))
-          .union(offs.select(col("i"), (col("rank") - col("off")).as("nrank")))
-        nbr.join(ranked.select(col("id").as("j"), col("rank").as("nrank")), "nrank")
-          .select("i", "j")
+    // ALL projections in one table (proj, id, z): one flatMap, one ranking
+    // pass, one neighborhood join — instead of 2 Spark jobs per projection.
+    // At cluster scale, `iterations` sequential sort jobs are pure
+    // scheduling overhead; one 14×N-row sort is the same shuffle bytes with
+    // one barrier.
+    val keyed = points.flatMap { p =>
+      val sh = bcShifts.value
+      require(p.vec.length == dim,
+        s"projectKnn dimension=$dim but vector ${p.id} has ${p.vec.length}")
+      Iterator.tabulate(sh.length) { t =>
+        val shift = sh(t)
+        val shifted = new Array[Double](p.vec.length)
+        var d = 0
+        while (d < p.vec.length) { shifted(d) = p.vec(d) + shift(d); d += 1 }
+        (t, p.id, ZOrderKey.morton(shifted))
       }
     }
-    val candidates = Await.result(Future.sequence(candidateFutures), Duration.Inf)
 
-    val allCandidates = candidates.reduce(_ union _).dropDuplicates("i", "j")
+    val ranked = rankWithinProjection(keyed).toDF("proj", "id", "rank")
+
+    // ±w rank neighborhood as an equi-join on (projection, rank + offset).
+    val offs = ranked
+      .select(col("proj"), col("id").as("i"), col("rank"),
+        explode(sequence(lit(1), lit(w))).as("off"))
+    val nbr = offs.select(col("proj"), col("i"), (col("rank") + col("off")).as("nrank"))
+      .union(offs.select(col("proj"), col("i"), (col("rank") - col("off")).as("nrank")))
+    val allCandidates = nbr
+      .join(ranked.select(col("proj"), col("id").as("j"), col("rank").as("nrank")),
+        Seq("proj", "nrank"))
+      .select("i", "j").dropDuplicates("i", "j")
 
     // Re-rank candidates by true distance on the original vectors.
     val va = points.toDF().select(col("id").as("i"), col("vec").as("va"))
@@ -238,6 +231,50 @@ object Knn {
       .select(col("i"), col("j"),
         Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
     topKPerPoint(pairs, k)
+  }
+
+  /** Exact global rank of each row *within its projection*, ordered by
+    * (z, id): range-repartition on (proj, z, id) so each projection's rows
+    * are globally sorted across partitions, then two passes in the
+    * zipWithIndex style — per-partition per-projection counts to the
+    * driver, prefix offsets broadcast back, sequential rank assignment.
+    * A `row_number() OVER (PARTITION BY proj)` would gather each whole
+    * projection into one task; this keeps the sort distributed and is
+    * exact (not partition-dependent): the rank is a pure function of the
+    * (proj, z, id) total order. */
+  private def rankWithinProjection(
+      keyed: Dataset[(Int, Long, Array[Byte])]): Dataset[(Int, Long, Long)] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val sorted = keyed.toDF("proj", "id", "z")
+      .repartitionByRange(col("proj"), col("z"), col("id"))
+      .sortWithinPartitions("proj", "z", "id")
+      .as[(Int, Long, Array[Byte])]
+      .rdd
+
+    val counts: Array[Map[Int, Long]] = sorted
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.Map.empty[Int, Long]
+        it.foreach { case (proj, _, _) => m.update(proj, m.getOrElse(proj, 0L) + 1) }
+        Iterator((pid, m.toMap))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets: Array[Map[Int, Long]] = counts
+      .scanLeft(Map.empty[Int, Long]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator
+          .map(p => p -> (acc.getOrElse(p, 0L) + m.getOrElse(p, 0L))).toMap
+      }
+      .dropRight(1)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    sorted.mapPartitionsWithIndex { (pid, it) =>
+      val next = scala.collection.mutable.Map(bcOffsets.value(pid).toSeq: _*)
+      it.map { case (proj, id, _) =>
+        val r = next.getOrElse(proj, 0L)
+        next.update(proj, r + 1)
+        (proj, id, r)
+      }
+    }.toDS()
   }
 
   /** kNN method dispatch mirroring the CLI surface
