@@ -242,7 +242,7 @@ object Knn {
     * projection into one task; this keeps the sort distributed and is
     * exact (not partition-dependent): the rank is a pure function of the
     * (proj, z, id) total order. */
-  private def rankWithinProjection(
+  private[tsne] def rankWithinProjection(
       keyed: Dataset[(Int, Long, Array[Byte])]): Dataset[(Int, Long, Long)] = {
     val spark = keyed.sparkSession
     import spark.implicits._

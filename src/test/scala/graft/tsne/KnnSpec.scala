@@ -57,6 +57,28 @@ class KnnSpec extends AnyFlatSpec with Matchers with org.scalatest.Inspectors wi
     hits.toDouble / results.size should be >= 0.8
   }
 
+  "rankWithinProjection" should "assign exact per-projection ranks across partitions" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5L)
+    // multiple projections, enough rows to span several range partitions
+    val rows = (0 until 3).flatMap { proj =>
+      (0 until 500).map { i =>
+        (proj, i.toLong, ZOrderKey.morton(Array(rnd.nextDouble(), rnd.nextDouble())))
+      }
+    }
+    val got = Knn.rankWithinProjection(s.createDataset(rows).repartition(7))
+      .collect().map { case (p, id, r) => (p, id) -> r }.toMap
+    // ground truth: index in the (z, id)-sorted order, per projection
+    implicit val byteOrd: Ordering[Array[Byte]] =
+      (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+    rows.groupBy(_._1).foreach { case (proj, group) =>
+      group.sortBy(t => (t._3, t._2)).zipWithIndex.foreach { case ((_, id, _), idx) =>
+        got((proj, id)) shouldBe idx.toLong
+      }
+    }
+  }
+
   it should "reach full recall on the fixture with enough projections" in {
     val s = spark
     import s.implicits._
