@@ -76,6 +76,25 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
       .collect().length shouldBe 10
   }
 
+  it should "run end-to-end with the partition and project kNN methods" in {
+    for ((method, extra) <- Seq(
+        ("partition", Seq("--knnBlocks", "2")),
+        ("project", Seq("--knnIterations", "4")))) {
+      val outDir = Files.createTempDirectory(s"tsne-e2e-$method").toString + "/emb"
+      Tsne.run(Array(
+        "--input", fixturePath("dense_input.csv"),
+        "--output", outDir,
+        "--dimension", "784",
+        "--perplexity", "2",
+        "--neighbors", "9",
+        "--iterations", "15",
+        "--knnMethod", method,
+        "--randomState", "42") ++ extra, spark)
+      val out = spark.read.schema("id LONG, y0 DOUBLE, y1 DOUBLE").csv(outDir).collect()
+      withClue(s"method=$method: ") { out.length shouldBe 10 }
+    }
+  }
+
   it should "dump the execution plan instead of running with --executionPlan" in {
     val planFile = new java.io.File("tsne_executionPlan.json")
     planFile.delete()
