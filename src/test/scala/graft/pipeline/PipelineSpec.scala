@@ -54,6 +54,20 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     pairs.head.getDouble(2) shouldBe 0.5 +- 1e-12
   }
 
+  "Dedup.withDfCap" should "drop only shingles above the document-frequency cap" in {
+    // "x y z" appears in all 3 docs (df=3); the remaining shingles are rare
+    val d = docs(
+      (1L, "x y z a b"), (2L, "x y z c d"), (3L, "x y z e f"))
+    val sh = Dedup.shingles(d, n = 3)
+    val capped = Dedup.withDfCap(sh, cap = 2)
+    // the df=3 shingle is gone; each doc keeps its 2 rare shingles
+    capped.count() shouldBe 6
+    // without the hot shingle, no pair shares anything → no Jaccard pairs
+    Dedup.jaccardOfShingles(capped, theta = 0.0).count() shouldBe 0
+    // uncapped, every pair shares the hot shingle
+    Dedup.jaccardOfShingles(sh, theta = 0.0).count() shouldBe 3
+  }
+
   "Dedup.minHashNearDups" should "find exactly the >= theta pairs" in {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
