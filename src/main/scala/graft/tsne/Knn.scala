@@ -211,7 +211,9 @@ object Knn {
       }
     }
 
-    val ranked = rankWithinProjection(keyed).toDF("proj", "id", "rank")
+    val (rankedDs, totalRows) = rankWithinProjectionWithCount(keyed)
+    val ranked = rankedDs.toDF("proj", "id", "rank")
+    val nPoints = totalRows / shifts.length
 
     // ±w rank neighborhood as an equi-join on (projection, rank + offset).
     val offs = ranked
@@ -224,9 +226,16 @@ object Knn {
         Seq("proj", "nrank"))
       .select("i", "j").dropDuplicates("i", "j")
 
-    // Re-rank candidates by true distance on the original vectors.
-    val va = points.toDF().select(col("id").as("i"), col("vec").as("va"))
-    val vb = points.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    // Re-rank candidates by true distance on the original vectors. The
+    // candidate table is ~2·w·iters/k times larger than the points table;
+    // when the vectors fit comfortably in a broadcast (their exact size is
+    // known from the ranking pass — no stats guessing), hint it so Spark
+    // doesn't sort-merge the multi-million-row candidate side twice.
+    val vecBytes = nPoints * (dim + 2L) * 8L
+    val small = vecBytes < 64L * 1024 * 1024
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val va = hint(points.toDF().select(col("id").as("i"), col("vec").as("va")))
+    val vb = hint(points.toDF().select(col("id").as("j"), col("vec").as("vb")))
     val pairs = allCandidates.join(va, "i").join(vb, "j")
       .select(col("i"), col("j"),
         Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
@@ -243,7 +252,14 @@ object Knn {
     * exact (not partition-dependent): the rank is a pure function of the
     * (proj, z, id) total order. */
   private[tsne] def rankWithinProjection(
-      keyed: Dataset[(Int, Long, Array[Byte])]): Dataset[(Int, Long, Long)] = {
+      keyed: Dataset[(Int, Long, Array[Byte])]): Dataset[(Int, Long, Long)] =
+    rankWithinProjectionWithCount(keyed)._1
+
+  /** [[rankWithinProjection]] plus the exact total row count — free here
+    * (the count pass already ran on the driver), and it lets callers make
+    * size-based planning decisions without an extra job. */
+  private[tsne] def rankWithinProjectionWithCount(
+      keyed: Dataset[(Int, Long, Array[Byte])]): (Dataset[(Int, Long, Long)], Long) = {
     val spark = keyed.sparkSession
     import spark.implicits._
     val sorted = keyed.toDF("proj", "id", "z")
@@ -267,7 +283,7 @@ object Knn {
       .dropRight(1)
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
-    sorted.mapPartitionsWithIndex { (pid, it) =>
+    val ranked = sorted.mapPartitionsWithIndex { (pid, it) =>
       val next = scala.collection.mutable.Map(bcOffsets.value(pid).toSeq: _*)
       it.map { case (proj, id, _) =>
         val r = next.getOrElse(proj, 0L)
@@ -275,6 +291,7 @@ object Knn {
         (proj, id, r)
       }
     }.toDS()
+    (ranked, counts.iterator.flatMap(_.valuesIterator).sum)
   }
 
   /** kNN method dispatch mirroring the CLI surface
