@@ -450,6 +450,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey", rsd = 0.05)
     }),
 
+    // count-min sketch over the token stream, checked against the exact
+    // heavy-hitter counts (never underestimates; over by at most eps*n)
+    "q_sketch_topk_tokens" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(pipeline.TextOps.tokens(col("text"))).as("tok"))
+      ops.Sketches.heavyHittersWithinError(toks, "tok", topN = 20,
+        eps = 0.001, confidence = 0.99, seed = 42)
+    }),
+
     // quantile sketch (approx_percentile), checked by true rank error
     "q_sketch_quantiles" -> ((s, dir) => {
       ops.Sketches.quantilesWithinRankError(
@@ -1096,6 +1105,10 @@ object SparkEntry {
     "q_sketch_quantiles" ->
       """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS ok
         |FROM lineitem""".stripMargin,
+
+    "q_sketch_topk_tokens" -> (tokSql +
+      """SELECT CAST(SUM(len(t)) AS BIGINT) AS n, CAST(1 AS BIGINT) AS ok
+        |FROM toks""".stripMargin),
 
     "q_sample_uniform" ->
       s"""SELECT doc_id FROM documents

@@ -31,6 +31,34 @@ object Sketches {
           greatest(col("n_exact") * (3 * rsd), lit(1.0)))
           .cast("long").as("ok"))
 
+  /** Count-min sketch vs exact heavy-hitter counts: emits one row
+    * `(n, ok)` with ok = 1 iff every top-`topN` item's sketch estimate
+    * respects the CMS guarantee — never below the true count, and at most
+    * `eps · n` above it (with the configured confidence). The sketch is a
+    * fixed-size, mergeable, single-pass summary — the frequency-stats
+    * shape for a corpus too large to hold exact per-token counts. */
+  def heavyHittersWithinError(items: DataFrame, colName: String, topN: Int = 20,
+                              eps: Double = 0.001, confidence: Double = 0.99,
+                              seed: Int = 42): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val exact = items.groupBy(col(colName))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(colName)).limit(topN).collect()
+    val total = items.count()
+    val sketchBytes = items
+      .agg(count_min_sketch(col(colName), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val bound = math.ceil(eps * total).toLong
+    val okAll = exact.forall { r =>
+      val est = cms.estimateCount(r.get(0))
+      est >= r.getLong(1) && est <= r.getLong(1) + bound
+    }
+    Seq((total, if (okAll) 1L else 0L)).toDF("n", "ok")
+  }
+
   /** `approx_percentile` vs the exact empirical CDF: emits one row
     * `(n, ok)` with ok = 1 iff every approximate quantile is a value whose
     * rank *interval* covers the target within `rankTol` — the sketch's

@@ -235,6 +235,17 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     row.getLong(1) shouldBe 1L
   }
 
+  it should "bound count-min estimates for the heavy hitters" in {
+    import s.implicits._
+    // zipf-ish: value v appears ~50000/v times
+    val rows = (1 to 200).flatMap(v => Seq.fill(50000 / v)(s"tok$v"))
+    val df = rows.toDF("tok")
+    val row = Sketches.heavyHittersWithinError(df, "tok", topN = 10,
+      eps = 0.001, confidence = 0.99, seed = 42).head
+    row.getLong(0) shouldBe rows.size.toLong
+    row.getLong(1) shouldBe 1L
+  }
+
   it should "accept a duplicate-heavy column where one value spans the target rank" in {
     // one value covers ranks 0.2..0.8: the correct median IS that value,
     // even though P(x <= v) = 0.8 is far from 0.5
