@@ -45,10 +45,11 @@ object Sketches {
     val exact = items.groupBy(col(colName))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col(colName)).limit(topN).collect()
-    val total = items.count()
-    val sketchBytes = items
-      .agg(count_min_sketch(col(colName), lit(eps), lit(confidence), lit(seed)))
-      .head().getAs[Array[Byte]](0)
+    // total count and the sketch ride in ONE aggregation pass
+    val aggRow = items.agg(count(lit(1)).as("n"),
+      count_min_sketch(col(colName), lit(eps), lit(confidence), lit(seed))).head()
+    val total = aggRow.getLong(0)
+    val sketchBytes = aggRow.getAs[Array[Byte]](1)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val bound = math.ceil(eps * total).toLong

@@ -262,11 +262,17 @@ object Knn {
       keyed: Dataset[(Int, Long, Array[Byte])]): (Dataset[(Int, Long, Long)], Long) = {
     val spark = keyed.sparkSession
     import spark.implicits._
+    // RDD-level persist: the sorted table is consumed by the counts pass
+    // and by every plan subtree that reads the ranks (3× in projectKnn) —
+    // without it, the post-shuffle sort re-runs per consumer. RDD caches
+    // (unlike DataFrame cache entries) are auto-unpersisted by Spark's
+    // ContextCleaner once unreachable, so this cannot leak across queries.
     val sorted = keyed.toDF("proj", "id", "z")
       .repartitionByRange(col("proj"), col("z"), col("id"))
       .sortWithinPartitions("proj", "z", "id")
       .as[(Int, Long, Array[Byte])]
       .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts: Array[Map[Int, Long]] = sorted
       .mapPartitionsWithIndex { (pid, it) =>

@@ -80,7 +80,8 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
     for ((method, extra) <- Seq(
         ("partition", Seq("--knnBlocks", "2")),
         ("project", Seq("--knnIterations", "4")))) {
-      val outDir = Files.createTempDirectory(s"tsne-e2e-$method").toString + "/emb"
+      val tmp = Files.createTempDirectory(s"tsne-e2e-$method").toString
+      val outDir = tmp + "/emb"
       Tsne.run(Array(
         "--input", fixturePath("dense_input.csv"),
         "--output", outDir,
@@ -89,7 +90,8 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
         "--neighbors", "9",
         "--iterations", "15",
         "--knnMethod", method,
-        "--randomState", "42") ++ extra, spark)
+        "--randomState", "42",
+        "--loss", tmp + "/loss.txt") ++ extra, spark)
       val out = spark.read.schema("id LONG, y0 DOUBLE, y1 DOUBLE").csv(outDir).collect()
       withClue(s"method=$method: ") { out.length shouldBe 10 }
     }
