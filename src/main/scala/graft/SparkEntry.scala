@@ -594,6 +594,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // bucketed co-located join: both sides written bucketBy(custkey) once,
+    // then joined with zero exchanges (BucketingSpec pins the plan); the
+    // result must equal the plain join the oracle computes
+    "q_bucketed_join" -> ((s, dir) => {
+      ops.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey"), col("o_totalprice")),
+        "bq_orders", "o_custkey", buckets = 8)
+      ops.Bucketing.writeBucketed(
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "bq_customer", "o_custkey", buckets = 8)
+      ops.Bucketing.bucketedJoin(s, "bq_orders", "bq_customer", "o_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("c_nationkey")
+    }),
+
     // §2.2 vocabulary — multi-way equi-join with broadcast dimension
     "q_join_agg" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
@@ -995,6 +1014,12 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_outer_join" ->
       """WITH perCust AS (
