@@ -169,6 +169,46 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed shouldBe Set((1L, 1L, 0L, 15L * 60 * 1000000))
   }
 
+  "a checkpointed query" should "recover from the checkpoint without duplicating output" in {
+    val s = spark
+    // file source + file sink + checkpoint: stop the query after the first
+    // file, drop in a second file, restart from the SAME checkpoint — the
+    // second run must process only the new file (exactly-once sink)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("ckpt-src")
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt-out").toString + "/out"
+    val ckptDir = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+
+    val all = Events.readEvents(s, "/root/testdata/sf0.001")
+    all.where(col("event_id") % 2 === 0).write.mode("overwrite")
+      .parquet(srcDir.resolve("batch1").toString)
+    val schema = s.read.parquet(srcDir.resolve("batch1").toString).schema
+
+    def start() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000")
+      .parquet(srcDir.toString + "/*")
+      .select(col("event_id"), col("user_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = s.read.parquet(outDir).count()
+
+    all.where(col("event_id") % 2 === 1).write.mode("overwrite")
+      .parquet(srcDir.resolve("batch2").toString)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val ids = s.read.parquet(outDir).select("event_id").collect()
+      .map(_.getLong(0)).sorted
+    val expected = all.select("event_id").collect().map(_.getLong(0)).sorted
+    afterFirst shouldBe expected.count(_ % 2 == 0)
+    ids.toSeq shouldBe expected.toSeq // every event exactly once, no replay
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
