@@ -239,6 +239,16 @@ object SparkEntry {
         .orderBy("doc_id", "fp")
     }),
 
+    // PII redaction: emails and long digit runs replaced before a corpus
+    // leaves the pipeline; exact string compare against the oracle's
+    // identical RE2-safe patterns
+    "q_text_redact" -> ((s, dir) => {
+      pipeline.TextOps.redactPii(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // exact dedup: canonical id per content hash
     "q_dedup_exact" -> ((s, dir) => {
       pipeline.Dedup.exactCanonical(s.read.parquet(s"$dir/documents.parquet"))
@@ -757,6 +767,15 @@ object SparkEntry {
         |       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
         |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |FROM sh ORDER BY doc_id, fp""".stripMargin),
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |      '[EMAIL]', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '[NUM]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" -> (canonSql + " ORDER BY doc_id"),
 

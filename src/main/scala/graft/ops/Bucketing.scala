@@ -19,16 +19,35 @@ object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table registered
     * in the session catalog. Joins between tables bucketed with the same
-    * `buckets` count on the same key are co-located. */
+    * `buckets` count on the same key are co-located.
+    *
+    * Idempotent across sessions: a managed-table location left behind by a
+    * previous session (whose in-memory catalog is gone) would make
+    * `saveAsTable` fail with LOCATION_ALREADY_EXISTS — drop the catalog
+    * entry AND the orphaned location first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    deleteRecursively(java.nio.file.Paths.get(warehouse, table))
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
   }
 
   /** Co-located equi-join of two tables previously written with

@@ -112,6 +112,21 @@ object TextOps {
         :+ best._2.as("pred_lang"): _*)
   }
 
+  /** PII redaction for corpus publication: emails → `[EMAIL]`, runs of 6+
+    * digits (phone/account/card shapes) → `[NUM]`. Pure codegen'd
+    * `regexp_replace` — a narrow map, no shuffle, and the patterns avoid
+    * constructs whose semantics differ between Java regex (Spark) and RE2
+    * (DuckDB), so the redaction is reproducible in the oracle. Order
+    * matters: emails first, so their digits aren't partially eaten. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val DigitRunPattern = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
+        DigitRunPattern, "[NUM]"))
+
   /** Winnowing document fingerprints (Schleimer et al., the MOSS
     * algorithm): hash every token `n`-gram, slide a window of `w`
     * consecutive hashes, keep each window's minimum, dedupe. Robust

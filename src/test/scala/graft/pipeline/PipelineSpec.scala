@@ -54,6 +54,15 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     pairs.head.getDouble(2) shouldBe 0.5 +- 1e-12
   }
 
+  "TextOps.redactPii" should "replace emails and long digit runs" in {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "mail a.b+c@ex-ample.org now, card 4111111111111111, zip 12345"))
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(d).select("text").head.getString(0)
+    out shouldBe "mail [EMAIL] now, card [NUM], zip 12345"
+  }
+
   "Dedup.withDfCap" should "drop only shingles above the document-frequency cap" in {
     // "x y z" appears in all 3 docs (df=3); the remaining shingles are rare
     val d = docs(
