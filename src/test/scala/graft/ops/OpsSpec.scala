@@ -218,6 +218,31 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got("1").toDouble / 10000 shouldBe 0.05 +- 0.01
   }
 
+  behavior of "argument validation"
+
+  it should "reject invalid arguments with clear messages" in {
+    import s.implicits._
+    val df = Seq((1L, 1L, 1L)).toDF("user_id", "event_id", "ts")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.bandJoin(df, Seq("user_id"), "ts", "event_id", bandUs = 0L)
+    }.getMessage should include("bandUs")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(df, df, Seq("user_id"), "ts", "ts", Seq.empty)
+    }.getMessage should include("right value column")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(df, "user_id", rate = 1.5)
+    }.getMessage should include("rate")
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedHashSample(df, "user_id", "event_id", Map.empty)
+    }.getMessage should include("stratum")
+    intercept[IllegalArgumentException] {
+      Skew.saltedSum(df, Seq("user_id"), Seq("ts"), "event_id", salts = 0)
+    }.getMessage should include("salts")
+    intercept[IllegalArgumentException] {
+      Bucketing.writeBucketed(df, "bad", "user_id", buckets = -1)
+    }.getMessage should include("buckets")
+  }
+
   behavior of "Sketches"
 
   it should "land approx_count_distinct within its rsd contract" in {
