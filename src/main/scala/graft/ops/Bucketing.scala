@@ -30,24 +30,20 @@ object Bucketing {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = java.net.URI.create(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    deleteRecursively(java.nio.file.Paths.get(warehouse, table))
+    // the orphaned location must be removed through the warehouse's OWN
+    // filesystem (it may be HDFS/S3, not the driver's local disk), at the
+    // catalog's casing (managed-table identifiers are stored lowercased)
+    val location = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = location.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(location)) fs.delete(location, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
   }
 
   /** Co-located equi-join of two tables previously written with
