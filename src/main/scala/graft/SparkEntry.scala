@@ -615,6 +615,9 @@ object SparkEntry {
       // touches several scale factors can't reuse the wrong data.
       val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
       val (tOrders, tCustomer) = (s"bq_orders_$tag", s"bq_customer_$tag")
+      // reclaim bucketed-table directories orphaned by previous sessions
+      // (their catalog entries died with the session; ours are registered)
+      ops.Bucketing.sweepStaleTables(s)
       if (!s.catalog.tableExists(tOrders))
         ops.Bucketing.writeBucketed(
           s.read.parquet(s"$dir/orders.parquet")

@@ -24,14 +24,24 @@ object Events {
     * `div` keeps it exact and truncates exactly like DuckDB's nanos→micros
     * read, so both engines see identical timestamps).
     *
-    * NOTE: `nanosAsLong` is a session-wide SQL conf and stays set after
-    * this call (there is no per-read option for it) — any later scan of a
-    * TIMESTAMP(NANOS) parquet column in the same session will also read it
-    * as BIGINT instead of erroring. */
+    * `nanosAsLong` is a session-wide SQL conf with no per-read option, so
+    * it is set only for the duration of the `spark.read` call (which is
+    * where the parquet→catalyst schema conversion consults it; the
+    * returned DataFrame's lazy execution does not — measured, not
+    * assumed) and then restored to its previous value. A later scan of a
+    * TIMESTAMP(NANOS) column elsewhere in the session still errors
+    * loudly instead of silently reading BIGINT (`EventsStreamingSpec`
+    * pins both properties). The window is driver-side and brief; a
+    * session issuing concurrent reads from other threads during it would
+    * see the legacy value, like any SQL-conf change. */
   def readEvents(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try spark.read.parquet(s"$sfDir/events.parquet")
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window stats per event type: count + sum(value). In

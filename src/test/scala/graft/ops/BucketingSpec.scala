@@ -45,4 +45,32 @@ class BucketingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       s.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  "sweepStaleTables" should "drop orphaned prefix dirs and keep registered tables" in {
+    val s = spark
+    import s.implicits._
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sessionState.newHadoopConf())
+    try {
+      // a live table of this session (registered in the catalog)…
+      Bucketing.writeBucketed(
+        s.range(100).select(col("id").as("k")), "bq_live", "k", buckets = 2)
+      // …and an orphan directory as a dead session leaves it: data on disk,
+      // no catalog entry
+      fs.mkdirs(new org.apache.hadoop.fs.Path(warehouse, "bq_orphan"))
+      // plus an unrelated dir that must never be touched
+      fs.mkdirs(new org.apache.hadoop.fs.Path(warehouse, "other_dir"))
+
+      Bucketing.sweepStaleTables(s)
+
+      fs.exists(new org.apache.hadoop.fs.Path(warehouse, "bq_orphan")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(warehouse, "bq_live")) shouldBe true
+      fs.exists(new org.apache.hadoop.fs.Path(warehouse, "other_dir")) shouldBe true
+      s.table("bq_live").count() shouldBe 100L
+    } finally {
+      s.sql("DROP TABLE IF EXISTS bq_live")
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, "other_dir"), true)
+    }
+  }
 }
