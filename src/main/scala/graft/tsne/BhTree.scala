@@ -106,29 +106,56 @@ final class BhTree private (rootX: Double, rootY: Double, rootHw: Double)
   }
 
   /** Insert a point; returns false iff outside the root cell (the
-    * reference then drops it too, `QuadTree.scala:74-76`). */
+    * reference then drops it too, `QuadTree.scala:74-76`).
+    *
+    * One deliberate divergence from the reference: when a leaf that has
+    * accumulated duplicate mass is subdivided, the resident moves down with
+    * its FULL accumulated mass. The reference re-inserts `leafPoint` once
+    * (`QuadTree.scala:59-61`), silently halving duplicates' weight in every
+    * descendant cell — a mass-conservation bug a θ=0 traversal exposes.
+    * Fixing it keeps the driver build and the merged distributed build
+    * ([[mergeFrom]]) bit-identical in total mass per leaf. */
   def insert(x: Double, y: Double): Boolean = {
     if (!contains(0, x, y)) return false
+    insertMass(x, y, 1, x, y)
+    true
+  }
+
+  def size: Int = cnt(0)
+
+  /** Root cell of this tree — two trees are mergeable iff these agree. */
+  private[tsne] def rootCell: (Double, Double, Double) = (cx(0), cy(0), hw(0))
+
+  /** Insert an aggregated mass packet: `mc` points all located at (x, y)
+    * — or, past MaxDepth, a mixed-mass packet represented by (x, y) —
+    * carrying exact coordinate sums (msx, msy). [[insert]] is the
+    * special case (mc=1, msx=x, msy=y); this generalization is what makes
+    * subtree *merging* possible: a leaf of another tree moves wholesale,
+    * duplicates' mass included, without replaying its individual inserts. */
+  private def insertMass(x: Double, y: Double, mc: Int, msx: Double, msy: Double): Unit = {
     var node = 0
     var depth = 0
     while (true) {
-      sumX(node) += x; sumY(node) += y; cnt(node) += 1
+      sumX(node) += msx; sumY(node) += msy; cnt(node) += mc
       if (firstChild(node) == -1) {
         if (!hasPoint(node)) {
           px(node) = x; py(node) = y; hasPoint(node) = true
-          return true
+          return
         } else if (px(node) == x && py(node) == y) {
-          return true // duplicate: mass only
+          return // same location: mass only, like insert's duplicate case
         } else if (depth >= MaxDepth) {
-          return true // pathological closeness: stop splitting, keep mass
+          return // pathological closeness: keep mass, keep resident
         } else {
-          subdivide(node)
-          // Push the resident point down one level (mass was already
-          // accounted at this node when it was first inserted).
+          // resident moves down one level with ALL its accumulated mass
+          // (this node's totals minus the incoming packet)
+          val rc = cnt(node) - mc
+          val rsx = sumX(node) - msx
+          val rsy = sumY(node) - msy
           val ox = px(node); val oy = py(node)
+          subdivide(node)
           hasPoint(node) = false
           val ochild = owningChild(node, ox, oy)
-          sumX(ochild) += ox; sumY(ochild) += oy; cnt(ochild) += 1
+          sumX(ochild) += rsx; sumY(ochild) += rsy; cnt(ochild) += rc
           px(ochild) = ox; py(ochild) = oy; hasPoint(ochild) = true
           node = owningChild(node, x, y)
           depth += 1
@@ -138,10 +165,26 @@ final class BhTree private (rootX: Double, rootY: Double, rootHw: Double)
         depth += 1
       }
     }
-    true
   }
 
-  def size: Int = cnt(0)
+  /** Merge another tree (built with the *same root cell*) into this one by
+    * moving each of its occupied leaves wholesale via [[insertMass]] —
+    * internal-node sums/counts rebuild along the insertion paths. Cost
+    * O(leaves(other) · depth). Associative up to floating-point summation
+    * order in the center-of-mass accumulators (cnt is exact; a θ=0
+    * traversal of the merged tree is therefore bit-exact). */
+  private[tsne] def mergeFrom(other: BhTree): BhTree = {
+    require(cx(0) == other.cx(0) && cy(0) == other.cy(0) && hw(0) == other.hw(0),
+      "cannot merge quadtrees with different root cells")
+    var i = 0
+    while (i < other.n) {
+      if (other.firstChild(i) == -1 && other.cnt(i) > 0)
+        insertMass(other.px(i), other.py(i), other.cnt(i),
+          other.sumX(i), other.sumY(i))
+      i += 1
+    }
+    this
+  }
 
   /** Barnes-Hut traversal (ref `QuadTree.scala:123-152`): returns
     * (Fx, Fy, sumQ-partial) for one query point. */
@@ -203,5 +246,37 @@ object BhTree {
     val t = new BhTree(sx / c, sy / c, math.max(maxX - minX, maxY - minY))
     points.foreach(p => t.insert(p(0), p(1)))
     t
+  }
+
+  /** Driver-free distributed build: one pass for the root cell (mean +
+    * span, like the reference's bounds+mean aggregate,
+    * `TsneHelpers.scala:228-231`), then per-partition subtrees over the
+    * *same* root cell merged pairwise with `treeAggregate` — the
+    * scale-safe alternative to collecting all N points and building on
+    * the driver (ref builds via a global parallelism-1 reduceGroup,
+    * `TsneHelpers.scala:234-256`). The merged tree's structure and masses
+    * match the driver build exactly; center-of-mass sums differ only in
+    * floating-point summation order, so θ=0 traversals are bit-exact and
+    * θ>0 traversals agree to ~1e-12 (`BhTreeSpec`). */
+  def buildRdd(points: org.apache.spark.rdd.RDD[(Double, Double)],
+               depth: Int = 2): BhTree = {
+    val (minX, maxX, minY, maxY, sx, sy, c) = points.treeAggregate(
+      (Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0.0, 0L))(
+      seqOp = { case ((nx, xx, ny, xy, ax, ay, k), (x, y)) =>
+        (math.min(nx, x), math.max(xx, x), math.min(ny, y), math.max(xy, y),
+          ax + x, ay + y, k + 1)
+      },
+      combOp = { case ((nx1, xx1, ny1, xy1, ax1, ay1, k1),
+                       (nx2, xx2, ny2, xy2, ax2, ay2, k2)) =>
+        (math.min(nx1, nx2), math.max(xx1, xx2), math.min(ny1, ny2),
+          math.max(xy1, xy2), ax1 + ax2, ay1 + ay2, k1 + k2)
+      }, depth)
+    require(c > 0, "cannot build a quadtree from zero points")
+    val zero = new BhTree(sx / c, sy / c, math.max(maxX - minX, maxY - minY))
+    points.treeAggregate(zero)(
+      seqOp = (t, p) => { t.insert(p._1, p._2); t },
+      combOp = (a, b) => a.mergeFrom(b),
+      depth)
   }
 }

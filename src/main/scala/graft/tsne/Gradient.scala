@@ -48,6 +48,28 @@ object Gradient {
     loss
   }
 
+  /** The sumQ-independent decomposition of [[lossPart]]: returns
+    * (Σⱼ p·log(p/q), Σⱼ p). Since log(p/(q/sumQ)) = log(p/q) + log(sumQ),
+    * the full loss is Σ lossPre + (Σ pSum)·log(sumQ) — computable in the
+    * same pass that evaluates the forces, *before* the global sumQ is
+    * known, so the distributed optimizer needs no second job over P on
+    * loss supersteps. */
+  def lossPartsPreSumQ(
+      js: Array[Long], ps: Array[Double],
+      yi: Array[Double], yOf: Long => Array[Double],
+      metric: (Array[Double], Array[Double]) => Double): (Double, Double) = {
+    var pre = 0.0
+    var psum = 0.0
+    var k = 0
+    while (k < js.length) {
+      val q = 1.0 / (1.0 + metric(yi, yOf(js(k))))
+      pre += ps(k) * math.log(ps(k) / q)
+      psum += ps(k)
+      k += 1
+    }
+    (pre, psum)
+  }
+
   /** Delta-bar-delta update for one point (ref `TsneHelpers.scala:346-367`):
     * per component, gain shrinks ×0.8 when current gradient and previous
     * *step* agree in sign, else grows +0.2 (floored at minGain); the step is

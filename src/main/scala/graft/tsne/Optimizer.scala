@@ -40,7 +40,8 @@ object Optimizer {
       minGain: Double = 0.01,
       metric: String = "sqeuclidean",
       seed: Long = 0L,
-      maxLocalPEntries: Long = 2000000L)
+      maxLocalPEntries: Long = 2000000L,
+      distTreeMinPoints: Int = 1000000)
 
   /** O13 — init working set: y ~ N(0, σ=1e-4), step = 0⃗, gains = 1⃗
     * (ref `TsneHelpers.scala:198-219`). The reference accepts a
@@ -198,8 +199,8 @@ object Optimizer {
 
         // 1. collect the small working set; center on the driver
         val arr = state.collect()
+        var mx = 0.0; var my = 0.0
         if (needCenter) {
-          var mx = 0.0; var my = 0.0
           arr.foreach { w => mx += w.y(0); my += w.y(1) }
           mx /= arr.length; my /= arr.length
           arr.foreach { w => w.y(0) -= mx; w.y(1) -= my }
@@ -207,12 +208,26 @@ object Optimizer {
         needCenter = true
         val stateMap = new java.util.HashMap[Long, WorkingSet](arr.length * 2)
         arr.foreach(w => stateMap.put(w.id, w))
-        val tree = BhTree.build(arr.map(_.y))
+        // Past distTreeMinPoints the driver-side O(N log N) tree build is
+        // the superstep bottleneck — build it on the executors instead
+        // (per-partition subtrees + structural merge); below it the driver
+        // build is faster than one extra job's scheduling floor. Both use
+        // the same insertion kernels; the RDD map re-applies the exact
+        // centering subtraction performed on `arr` above.
+        val tree =
+          if (arr.length >= params.distTreeMinPoints) {
+            val (ox, oy) = (mx, my)
+            BhTree.buildRdd(state.rdd.map(w => (w.y(0) - ox, w.y(1) - oy)))
+          } else BhTree.build(arr.map(_.y))
         val bcState = sc.broadcast(stateMap)
         val bcTree = sc.broadcast(tree)
 
-        // 2. one fused pass over P: attractive + Barnes-Hut repulsive
+        // 2. one fused pass over P: attractive + Barnes-Hut repulsive +
+        // (on loss supersteps) the sumQ-independent loss partials — the
+        // loss costs no extra job, mirroring how the reference accumulates
+        // it inside the attractive-force map (ref TsneHelpers.scala:297-300)
         val theta = params.theta
+        val needLoss = lossIter % 10 == 0 && lossAcc.nonEmpty
         val forces = pCached.mapPartitions { rows =>
           val metric = Distances.byName(metricName)
           val st = bcState.value
@@ -223,24 +238,21 @@ object Optimizer {
             val (ax, ay) =
               Gradient.attractiveForce(row.js, ps, yi, id => st.get(id).y, metric)
             val (rx, ry, sq) = t.repulsiveForce(yi(0), yi(1), theta)
-            Force(row.id, ax, ay, rx, ry, sq)
+            val (lp, psum) =
+              if (needLoss)
+                Gradient.lossPartsPreSumQ(row.js, ps, yi, id => st.get(id).y, metric)
+              else (0.0, 0.0)
+            Force(row.id, ax, ay, rx, ry, sq, lp, psum)
           }
         }.persist(StorageLevel.MEMORY_AND_DISK)
 
-        // 3. global sumQ (ref TsneHelpers.scala:266)
-        val sumQ = forces.agg(sum("sumQPart")).as[Double].head()
-
-        // 4. loss side-channel every 10th superstep (ref :297-300)
-        if (lossIter % 10 == 0 && lossAcc.nonEmpty) {
-          val l = pCached.map { row =>
-            val st = bcState.value
-            val yi = st.get(row.id).y
-            val ps = if (factor == 1.0) row.ps else row.ps.map(_ * factor)
-            Gradient.lossPart(row.js, ps, yi, id => st.get(id).y,
-              Distances.byName(metricName), sumQ)
-          }.agg(sum("value")).as[Double].head()
-          lossAcc.foreach(_.add((lossIter, l)))
-        }
+        // 3. global sumQ + loss partials in ONE aggregation
+        // (ref TsneHelpers.scala:266); loss = Σ lossPre + (Σ p)·log(sumQ)
+        val aggRow = forces.agg(sum("sumQPart"), sum("lossPre"), sum("pSum")).head()
+        val sumQ = aggRow.getDouble(0)
+        if (needLoss)
+          lossAcc.foreach(_.add(
+            (lossIter, aggRow.getDouble(1) + aggRow.getDouble(2) * math.log(sumQ))))
 
         // 5. update via broadcast state — no shuffle, no join
         val minGain = params.minGain

@@ -37,9 +37,14 @@ final case class WorkingSet(
     gains: Array[Double])
 
 /** Per-point force row of one distributed optimizer superstep: attractive
-  * (ax, ay), Barnes-Hut repulsive (rx, ry) and this point's sumQ partial
-  * (ref gradient sub-steps c–e, `TsneHelpers.scala:258-308`). Top-level so
-  * Spark's generated encoder code can access the class (a `private` nested
-  * class breaks `SpecificSafeProjection` codegen). */
+  * (ax, ay), Barnes-Hut repulsive (rx, ry), this point's sumQ partial, and
+  * — on loss supersteps only, else 0 — the sumQ-independent loss partials
+  * `lossPre` = Σⱼ p·log(p/q) and `pSum` = Σⱼ p, which combine to the KL
+  * loss as Σ lossPre + (Σ pSum)·log(sumQ) without a second pass over P
+  * (ref gradient sub-steps c–e, `TsneHelpers.scala:258-308`; the reference
+  * accumulates loss inside the same attractive-force map, `:297-300`).
+  * Top-level so Spark's generated encoder code can access the class (a
+  * `private` nested class breaks `SpecificSafeProjection` codegen). */
 final case class Force(
-    id: Long, ax: Double, ay: Double, rx: Double, ry: Double, sumQPart: Double)
+    id: Long, ax: Double, ay: Double, rx: Double, ry: Double, sumQPart: Double,
+    lossPre: Double, pSum: Double)
