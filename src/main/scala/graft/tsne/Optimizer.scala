@@ -109,9 +109,26 @@ object Optimizer {
 
   // ================= driver-local fast path ==============================
 
-  def optimizeLocal(pRows: Array[AffinityRow], ws0: Array[WorkingSet],
+  /** The per-point phases (BH traversals, attractive forces, updates) run
+    * data-parallel across the driver's cores — during early exaggeration
+    * the collapsed embedding defeats the replicated squared-distance BH
+    * criterion (every traversal descends fully, so each superstep is
+    * effectively O(N²) node visits), and a single thread leaves the other
+    * 31 cores idle for exactly the iterations that cost the most. Every
+    * parallel phase writes only its own index; all reductions (sumQ, loss,
+    * centering means) are folded sequentially in index order afterwards,
+    * so the result is bit-identical to the sequential loop (and to the
+    * distributed path, which `OptimizerSpec` pins at 1e-9). */
+  def optimizeLocal(pRows0: Array[AffinityRow], ws00: Array[WorkingSet],
                     params: Params): (Array[Point], Map[Int, Double]) = {
     val metric = Distances.byName(params.metric)
+    // Canonical id order: the inputs arrive in collect() partition order,
+    // which varies with shuffle partitioning — and the tree insertion order
+    // (hence center-of-mass summation order) would otherwise leak that
+    // ordering into the trajectory via FP noise that chaotic supersteps
+    // amplify. Sorted, the whole loop is a pure function of (data, seed).
+    val pRows = pRows0.sortBy(_.id)
+    val ws0 = ws00.sortBy(_.id)
     val n = ws0.length
     val loss = scala.collection.mutable.Map.empty[Int, Double]
 
@@ -119,55 +136,61 @@ object Optimizer {
     val ids = ws0.map(_.id)
     val idx = new java.util.HashMap[Long, Int](n * 2)
     ids.zipWithIndex.foreach { case (id, k) => idx.put(id, k) }
-    var y = ws0.map(_.y.clone())
-    var step = ws0.map(_.lastGrad.clone())
-    var gains = ws0.map(_.gains.clone())
+    val y = ws0.map(_.y.clone())
+    val step = ws0.map(_.lastGrad.clone())
+    val gains = ws0.map(_.gains.clone())
     val rowOf = pRows.map(r => idx.get(r.id))
+
+    def parRange(bound: Int)(body: Int => Unit): Unit =
+      java.util.stream.IntStream.range(0, bound).parallel()
+        .forEach(k => body(k))
 
     for ((iters, momentum, exaggerate, offset) <- phases(params)) {
       val factor = if (exaggerate) params.earlyExaggeration else 1.0
       var it = 1
       while (it <= iters) {
         val lossIter = it + offset
+        val needLoss = lossIter % 10 == 0
         // gradient (ref TsneHelpers.scala:221-318)
         val tree = BhTree.build(y)
         val rep = new Array[(Double, Double, Double)](n)
+        parRange(n) { k =>
+          rep(k) = tree.repulsiveForce(y(k)(0), y(k)(1), params.theta)
+        }
         var sumQ = 0.0
         var k = 0
-        while (k < n) {
-          rep(k) = tree.repulsiveForce(y(k)(0), y(k)(1), params.theta)
-          sumQ += rep(k)._3
-          k += 1
-        }
+        while (k < n) { sumQ += rep(k)._3; k += 1 }
+        val sumQFixed = sumQ
         val yOf: Long => Array[Double] = id => y(idx.get(id))
         val grad = new Array[Array[Double]](n)
-        k = 0
-        while (k < pRows.length) {
+        val lossParts = if (needLoss) new Array[Double](pRows.length) else null
+        parRange(pRows.length) { k =>
           val row = pRows(k)
           val i = rowOf(k)
           val ps = if (factor == 1.0) row.ps else row.ps.map(_ * factor)
           val (ax, ay) = Gradient.attractiveForce(row.js, ps, y(i), yOf, metric)
-          grad(i) = Array(ax - rep(i)._1 / sumQ, ay - rep(i)._2 / sumQ)
-          if (lossIter % 10 == 0) {
-            val l = Gradient.lossPart(row.js, ps, y(i), yOf, metric, sumQ)
-            loss.updateWith(lossIter) { case cur => Some(cur.getOrElse(0.0) + l) }
-          }
-          k += 1
+          grad(i) = Array(ax - rep(i)._1 / sumQFixed, ay - rep(i)._2 / sumQFixed)
+          if (needLoss)
+            lossParts(k) = Gradient.lossPart(row.js, ps, y(i), yOf, metric, sumQFixed)
+        }
+        if (needLoss) {
+          var l = 0.0
+          k = 0
+          while (k < lossParts.length) { l += lossParts(k); k += 1 }
+          loss.updateWith(lossIter) { case cur => Some(cur.getOrElse(0.0) + l) }
         }
         // update + center (ref TsneHelpers.scala:341-369, :320-329)
-        var mx = 0.0; var my = 0.0
-        k = 0
-        while (k < n) {
+        parRange(n) { k =>
           val (ny, ns, ng) =
             Gradient.update(y(k), step(k), gains(k), grad(k), params.minGain,
               momentum, params.learningRate)
           y(k) = ny; step(k) = ns; gains(k) = ng
-          mx += ny(0); my += ny(1)
-          k += 1
         }
-        mx /= n; my /= n
+        var mx = 0.0; var my = 0.0
         k = 0
-        while (k < n) { y(k)(0) -= mx; y(k)(1) -= my; k += 1 }
+        while (k < n) { mx += y(k)(0); my += y(k)(1); k += 1 }
+        mx /= n; my /= n
+        parRange(n) { k => y(k)(0) -= mx; y(k)(1) -= my }
         it += 1
       }
     }
@@ -197,8 +220,11 @@ object Optimizer {
       while (it <= iters) {
         val lossIter = it + offset
 
-        // 1. collect the small working set; center on the driver
-        val arr = state.collect()
+        // 1. collect the small working set; center on the driver. Sorted
+        // into canonical id order like optimizeLocal: the centering sums
+        // and the driver tree build must not inherit collect()'s
+        // partition-dependent ordering through FP summation order.
+        val arr = state.collect().sortBy(_.id)
         var mx = 0.0; var my = 0.0
         if (needCenter) {
           arr.foreach { w => mx += w.y(0); my += w.y(1) }
