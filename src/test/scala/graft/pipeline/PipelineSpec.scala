@@ -201,6 +201,46 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     samp.getSeq[Long](3).head shouldBe 'h'.toLong
   }
 
+  it should "decode real PNGs through the same seam (ImageIO codec)" in {
+    val s = spark
+    import s.implicits._
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val solid = png(5, 5)((_, _) => (30 << 16) | (60 << 8) | 90)
+    val gradient = png(8, 8)((x, _) => { val v = x * 255 / 7; (v << 16) | (v << 8) | v })
+    val mm = Seq((1L, solid), (2L, gradient)).toDF("id", "payload")
+      .select(col("id"), lit("image").as("modality"), col("payload"),
+        struct(org.apache.spark.sql.functions.length(col("payload"))
+            .cast("long").as("byte_len"),
+          lit("test").as("source")).as("meta"))
+
+    val feats = Multimodal
+      .decodeFeatures(mm, 16, Multimodal.decodeImageGrayscale)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    feats(1L).length shouldBe 16
+    // solid color: every cell is the same BT.601 luma
+    val luma = (0.299 * 30 + 0.587 * 60 + 0.114 * 90) / 255.0
+    forAll(feats(1L).toSeq) { f => f shouldBe luma +- 1e-12 }
+    // horizontal gradient: each row of the 4x4 grid increases left-to-right
+    val g = feats(2L)
+    for (row <- 0 until 4; c <- 0 until 3)
+      g(row * 4 + c) should be < g(row * 4 + c + 1)
+    // and matches the direct (non-Spark) decoder call bit-for-bit
+    g shouldBe Multimodal.decodeImageGrayscale(16)(gradient)
+    // non-image payloads fail loudly, not silently
+    an[Exception] should be thrownBy
+      Multimodal.decodeImageGrayscale(16)("not a png".getBytes("UTF-8"))
+    // non-square featureDim is rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeImageGrayscale(15)(solid)
+  }
+
   it should "resize payloads by stride resampling, preserving the row shape" in {
     val s = spark
     import s.implicits._
