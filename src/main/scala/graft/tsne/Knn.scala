@@ -175,10 +175,51 @@ object Knn {
     *
     * `dimension` is passed in like the reference does (`Tsne.scala:77`);
     * when < 0 it is read from one row (an extra Spark job — avoid on hot
-    * paths). */
+    * paths).
+    *
+    * **Scale routing rule.** Candidate volume is O(N · window ·
+    * iterations) — sub-quadratic whenever the window is a constant. On
+    * data with low-dimensional structure (real embeddings cluster), a
+    * *fixed* window holds its recall as N grows, because a point's true
+    * neighbors stay within a bounded span of each Morton order
+    * (`KnnSpec` pins this: 4× the points, fixed window, recall ≥ 0.9,
+    * candidate growth ~linear). On structure-free (isotropic
+    * high-dimensional) data no sorted order concentrates neighborhoods,
+    * so holding recall needs window ∝ N — quadratic work in disguise.
+    * Callers should cap the window (the driver queries cap at 512) and
+    * route structure-free corpora to `pipeline.Ann.lshTopK`/`ivfTopK`,
+    * whose bucketing does not depend on 1-D locality. */
   def projectKnn(points: Dataset[Point], k: Int, metric: String,
                  iterations: Int, seed: Long = 42L,
                  dimension: Int = -1, window: Int = -1): Dataset[Neighbor] = {
+    val spark = points.sparkSession
+    val (allCandidates, nPoints, dim) =
+      projectCandidates(points, k, iterations, seed, dimension, window)
+
+    // Re-rank candidates by true distance on the original vectors. The
+    // candidate table is ~2·w·iters/k times larger than the points table;
+    // when the vectors fit comfortably in a broadcast (their exact size is
+    // known from the ranking pass — no stats guessing), hint it so Spark
+    // doesn't sort-merge the multi-million-row candidate side twice.
+    val vecBytes = nPoints * (dim + 2L) * 8L
+    val small = vecBytes < 64L * 1024 * 1024
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val va = hint(points.toDF().select(col("id").as("i"), col("vec").as("va")))
+    val vb = hint(points.toDF().select(col("id").as("j"), col("vec").as("vb")))
+    val pairs = allCandidates.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"),
+        Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
+    topKPerPoint(pairs, k)
+  }
+
+  /** The deduplicated ±window rank-neighborhood candidate pairs of
+    * [[projectKnn]], before true-distance re-ranking — exposed so tests
+    * (and capacity planning) can measure the exact candidate volume the
+    * window induces. Returns (candidates `(i, j)`, nPoints, dim). */
+  private[tsne] def projectCandidates(points: Dataset[Point], k: Int,
+                                      iterations: Int, seed: Long,
+                                      dimension: Int, window: Int)
+      : (DataFrame, Long, Int) = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -225,21 +266,7 @@ object Knn {
       .join(ranked.select(col("proj"), col("id").as("j"), col("rank").as("nrank")),
         Seq("proj", "nrank"))
       .select("i", "j").dropDuplicates("i", "j")
-
-    // Re-rank candidates by true distance on the original vectors. The
-    // candidate table is ~2·w·iters/k times larger than the points table;
-    // when the vectors fit comfortably in a broadcast (their exact size is
-    // known from the ranking pass — no stats guessing), hint it so Spark
-    // doesn't sort-merge the multi-million-row candidate side twice.
-    val vecBytes = nPoints * (dim + 2L) * 8L
-    val small = vecBytes < 64L * 1024 * 1024
-    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val va = hint(points.toDF().select(col("id").as("i"), col("vec").as("va")))
-    val vb = hint(points.toDF().select(col("id").as("j"), col("vec").as("vb")))
-    val pairs = allCandidates.join(va, "i").join(vb, "j")
-      .select(col("i"), col("j"),
-        Distances.colByName(metric)(col("va"), col("vb")).as("dist"))
-    topKPerPoint(pairs, k)
+    (allCandidates, nPoints, dim)
   }
 
   /** Exact global rank of each row *within its projection*, ordered by

@@ -90,6 +90,44 @@ class KnnSpec extends AnyFlatSpec with Matchers with org.scalatest.Inspectors wi
     hits.toDouble / truth.size should be >= 0.9
   }
 
+  it should "hold recall at a FIXED window on clustered data with sub-quadratic candidates" in {
+    // The scale guard behind q_knn_project's window cap (VERDICT r3
+    // next-round #5): on data with low-dimensional structure, a constant
+    // window holds its recall as N grows — so candidate volume grows
+    // ~linearly in N, not quadratically. (Isotropic data is the documented
+    // exception: route to Ann.lshTopK per Knn.projectKnn's scaladoc.)
+    val s = spark
+    import s.implicits._
+    val k = 10
+    val window = 40
+    val dim = 16
+    def clustered(n: Int): Seq[Point] = {
+      val rng = new scala.util.Random(7L)
+      val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian() * 10.0))
+      (0 until n).map { i =>
+        val c = centers(i % centers.length)
+        Point(i.toLong, Array.tabulate(dim)(d => c(d) + rng.nextGaussian() * 0.5))
+      }
+    }
+    val counts = for (n <- Seq(500, 2000)) yield {
+      val pts = s.createDataset(clustered(n))
+      val truth = asSet(Knn.bruteForce(pts, k, "sqeuclidean").collect().toSeq)
+        .map(t => (t._1, t._2))
+      val approx = Knn.projectKnn(pts, k, "sqeuclidean", iterations = 8,
+        seed = 42L, dimension = dim, window = window).collect().toSeq
+      val hits = approx.count(r => truth.contains((r.i, r.j)))
+      withClue(s"recall at n=$n, fixed window=$window: ") {
+        hits.toDouble / truth.size should be >= 0.9
+      }
+      val (cands, _, _) = Knn.projectCandidates(pts, k, iterations = 8,
+        seed = 42L, dimension = dim, window = window)
+      cands.count()
+    }
+    // 4x the points: candidates grow ~4x (linear), nowhere near 16x
+    // (quadratic); 6x allows for boundary effects
+    counts(1).toDouble / counts(0) should be < 6.0
+  }
+
   "knn metrics" should "agree with the scalar kernels on euclidean and cosine" in {
     val s = spark
     import s.implicits._
