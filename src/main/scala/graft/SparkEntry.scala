@@ -251,6 +251,22 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // §2.2 vocabulary — grouped top-k with rank() tie semantics: tie groups
+    // straddling k survive whole, so groups emit >k rows. Executes through
+    // the same GroupedTopKLimit operator in RankMode (tie-aware partial
+    // keepers instead of bounded heaps); the DuckDB RANK() oracle
+    // machine-checks the gap numbering and the whole-group survivors.
+    "q_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_year").desc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_year").cast("long"), col("rk"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    }),
+
     // ---------------- LLM-data-pipeline operators ----------------------
 
     // text surface statistics (tokens, types, BPE-ish count, lengths)
@@ -1078,6 +1094,15 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_year, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         RANK() OVER (PARTITION BY o_custkey
+        |                      ORDER BY year(o_orderdate) DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_custkey,

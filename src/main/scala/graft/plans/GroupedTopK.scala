@@ -33,11 +33,24 @@ import org.apache.spark.sql.types.IntegerType
   * window idiom automatically — the DuckDB oracle for `q_topk_orders`
   * machine-checks the rewrite end-to-end.
   */
+/** Which ranking function's bounded-filter semantics the operator
+  * implements. `row_number() <= k` keeps exactly k rows per key;
+  * `rank() <= k` keeps every row with fewer than k strict predecessors in
+  * the sort order — tie groups survive whole, so a key may emit more than
+  * k rows (exactly like the window function). `dense_rank` is deliberately
+  * NOT offered: its survivor set is "first k distinct sort keys" with
+  * unbounded row count per key, a different (and rarely top-k-shaped)
+  * reduction; such filters keep Spark's window pipeline. */
+sealed trait RankFunctionMode
+case object RowNumberMode extends RankFunctionMode
+case object RankMode extends RankFunctionMode
+
 case class GroupedTopKLimit(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     rankAttr: Attribute,
     k: Int,
+    mode: RankFunctionMode,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rankAttr is produced here, not consumed from the child
@@ -47,11 +60,12 @@ case class GroupedTopKLimit(
     copy(child = newChild)
 }
 
-/** Rewrites `Filter(rn <= k, Window(row_number() as rn, part, order))` —
-  * optionally with extra conjuncts not touching `rn`, which stay behind as
-  * a residual filter — into [[GroupedTopKLimit]]. Conservative: fires only
-  * for a single row_number window expression with a non-empty partition
-  * spec and a literal integer bound. */
+/** Rewrites `Filter(rn <= k, Window(row_number()|rank() as rn, part,
+  * order))` — optionally with extra conjuncts not touching `rn`, which stay
+  * behind as a residual filter — into [[GroupedTopKLimit]]. Conservative:
+  * fires only for a single ranking window expression with a non-empty
+  * partition spec and a literal integer bound; `dense_rank` and every other
+  * window function abstain (see [[RankFunctionMode]]). */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
   private def rankBound(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
@@ -91,14 +105,21 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case other => other :: Nil
     }
 
+  private def modeOf(fn: Expression): Option[RankFunctionMode] = fn match {
+    case RowNumber() => Some(RowNumberMode)
+    case Rank(_) => Some(RankMode)
+    case _ => None // dense_rank, ntile, aggregates, …: keep the window
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ LFilter(cond,
-        LWindow(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), partSpec, orderSpec, child, _))
-        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+        LWindow(Seq(alias @ Alias(WindowExpression(fn, spec), _)), partSpec, orderSpec, child, _))
+        if modeOf(fn).nonEmpty && partSpec.nonEmpty && orderSpec.nonEmpty &&
           partSpec.forall(e => !containsFloatingPoint(e.dataType)) =>
       rankBound(cond, alias.toAttribute) match {
         case Some((k, residual)) =>
-          val topk = GroupedTopKLimit(partSpec, orderSpec, alias.toAttribute, k, child)
+          val topk = GroupedTopKLimit(partSpec, orderSpec, alias.toAttribute, k,
+            modeOf(fn).get, child)
           if (residual.isEmpty) topk
           else LFilter(residual.reduce(And), topk)
         case _ => f // degenerate/huge bounds or non-literal: leave the window
@@ -108,25 +129,29 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopKLimit(partSpec, orderSpec, rankAttr, k, child) =>
+    case GroupedTopKLimit(partSpec, orderSpec, rankAttr, k, mode, child) =>
       // partial → (Exchange inserted by EnsureRequirements) → final: the
       // same two-phase shape Spark gives WindowGroupLimit, so the shuffle
       // is a standard Tungsten UnsafeRow exchange — not an RDD-level
       // key/value shuffle through the closure serializer
-      GroupedTopKLimitFinalExec(partSpec, orderSpec, rankAttr, k,
-        GroupedTopKLimitPartialExec(partSpec, orderSpec, k, planLater(child))) :: Nil
+      GroupedTopKLimitFinalExec(partSpec, orderSpec, rankAttr, k, mode,
+        GroupedTopKLimitPartialExec(partSpec, orderSpec, k, mode, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-/** Map-side phase: per input partition, keep only each key's current best k
-  * rows via bounded heaps. Pure reduction — output schema, partitioning and
-  * ordering are the child's; correctness does not depend on it seeing all
-  * of a key's rows. */
+/** Map-side phase: per input partition, keep only each key's rows that can
+  * still satisfy the rank bound. [[RowNumberMode]] uses a bounded k-heap
+  * per key; [[RankMode]] keeps whole tie groups (a row survives iff its
+  * local strict-predecessor count is < k, so a tied group is kept or
+  * dropped as a unit — see [[TieKeeper]]). Pure reduction — output schema,
+  * partitioning and ordering are the child's; correctness does not depend
+  * on it seeing all of a key's rows. */
 case class GroupedTopKLimitPartialExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     k: Int,
+    mode: RankFunctionMode,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -143,35 +168,58 @@ case class GroupedTopKLimitPartialExec(
     val partSpec = partitionSpec
     val ordSpec = orderSpec
     val maxKeys = maxPartialKeys
+    val rankMode = mode == RankMode
 
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
-      val heapOrd = ord.reverse // max-heap: worst of the kept k on top
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      def drain(): Iterator[InternalRow] = {
-        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        heaps.forEach((_, h) => h.forEach(r => out += r))
-        heaps.clear()
-        out.iterator
-      }
-      val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var h = heaps.get(key)
-        if (h == null) {
-          if (heaps.size() >= maxKeys) flushed ++= drain()
-          h = new java.util.PriorityQueue[UnsafeRow](kk + 1, heapOrd)
-          heaps.put(key.copy(), h)
+      if (rankMode) {
+        val keepers = new java.util.HashMap[UnsafeRow, TieKeeper]()
+        def drain(): Iterator[InternalRow] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          keepers.forEach((_, tk) => tk.foreach(r => out += r))
+          keepers.clear()
+          out.iterator
         }
-        if (h.size() < kk) h.add(rowProj(row).copy())
-        else if (ord.compare(row, h.peek()) < 0) {
-          h.poll()
-          h.add(rowProj(row).copy())
+        val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        rows.foreach { row =>
+          val key = keyProj(row)
+          var tk = keepers.get(key)
+          if (tk == null) {
+            if (keepers.size() >= maxKeys) flushed ++= drain()
+            tk = new TieKeeper(kk, ord)
+            keepers.put(key.copy(), tk)
+          }
+          tk.add(row, rowProj)
         }
+        flushed.iterator ++ drain()
+      } else {
+        val heapOrd = ord.reverse // max-heap: worst of the kept k on top
+        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        def drain(): Iterator[InternalRow] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          heaps.forEach((_, h) => h.forEach(r => out += r))
+          heaps.clear()
+          out.iterator
+        }
+        val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        rows.foreach { row =>
+          val key = keyProj(row)
+          var h = heaps.get(key)
+          if (h == null) {
+            if (heaps.size() >= maxKeys) flushed ++= drain()
+            h = new java.util.PriorityQueue[UnsafeRow](kk + 1, heapOrd)
+            heaps.put(key.copy(), h)
+          }
+          if (h.size() < kk) h.add(rowProj(row).copy())
+          else if (ord.compare(row, h.peek()) < 0) {
+            h.poll()
+            h.add(rowProj(row).copy())
+          }
+        }
+        flushed.iterator ++ drain()
       }
-      flushed.iterator ++ drain()
     }, preservesPartitioning = true)
   }
 
@@ -179,14 +227,55 @@ case class GroupedTopKLimitPartialExec(
     copy(child = newChild)
 }
 
+/** Per-key survivor set for `rank() <= k`: tie groups (rows equal under the
+  * sort order) kept whole in a TreeMap ordered by that sort order. A row
+  * survives iff the total size of the groups strictly before its own is
+  * < k, so the greatest group is evicted wholesale once the rows before it
+  * reach k. Memory is bounded by k plus the size of the straddling tie
+  * group — which is exactly the operator's required output, not a leak
+  * (a key whose rows are all tied legitimately emits every one of them). */
+private[plans] final class TieKeeper(k: Int,
+    ord: java.util.Comparator[InternalRow]) {
+  private val groups =
+    new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](ord)
+  private var total = 0
+
+  def add(row: InternalRow, rowProj: UnsafeProjection): Unit = {
+    val last = groups.lastEntry()
+    // short-circuit: already ≥ k rows, all ordered before this row
+    if (last != null && total >= k && ord.compare(row, last.getKey) > 0) return
+    val copy = rowProj(row).copy()
+    var lst = groups.get(copy)
+    if (lst == null) {
+      lst = new java.util.ArrayList[UnsafeRow]()
+      groups.put(copy, lst)
+    }
+    lst.add(copy)
+    total += 1
+    // evict greatest groups whose strict-predecessor count reached k
+    var l = groups.lastEntry()
+    while (groups.size() > 1 && total - l.getValue.size() >= k) {
+      groups.remove(l.getKey)
+      total -= l.getValue.size()
+      l = groups.lastEntry()
+    }
+  }
+
+  def foreach(f: UnsafeRow => Unit): Unit =
+    groups.forEach((_, lst) => lst.forEach(r => f(r)))
+}
+
 /** Reduce-side phase: sees every surviving row of a key (the required
   * clustered distribution makes EnsureRequirements insert the hash
-  * exchange), k-merges per key and appends the rank. */
+  * exchange), k-merges per key and appends the rank — sequential for
+  * [[RowNumberMode]], gap-numbered with whole tie groups for
+  * [[RankMode]]. */
 case class GroupedTopKLimitFinalExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
     rankAttr: Attribute,
     k: Int,
+    mode: RankFunctionMode,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -230,10 +319,29 @@ case class GroupedTopKLimitFinalExec(
       // for top-k workloads is the post-limit data, not the raw input;
       // integrating TaskMemoryManager spilling is future work.
       import scala.jdk.CollectionConverters._
+      val rankMode = mode == RankMode
       groups.values().iterator().asScala.flatMap { buf =>
-        buf.sorted(ord).iterator.take(kk).zipWithIndex.map { case (row, r) =>
-          rankRow.setInt(0, r + 1)
-          outProj(joined(row, rankRow)).copy(): InternalRow
+        val sorted = buf.sorted(ord)
+        if (rankMode) {
+          // rank(): position-numbered with gaps; a tie group straddling k
+          // is emitted whole (rank <= k tests the group's first position)
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          var i = 0
+          var rank = 1
+          while (i < sorted.length && {
+            if (i > 0 && ord.compare(sorted(i), sorted(i - 1)) != 0) rank = i + 1
+            rank <= kk
+          }) {
+            rankRow.setInt(0, rank)
+            out += outProj(joined(sorted(i), rankRow)).copy()
+            i += 1
+          }
+          out.iterator
+        } else {
+          sorted.iterator.take(kk).zipWithIndex.map { case (row, r) =>
+            rankRow.setInt(0, r + 1)
+            outProj(joined(row, rankRow)).copy(): InternalRow
+          }
         }
       }
     }, preservesPartitioning = true)

@@ -69,6 +69,15 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       l.contains("Exchange hashpartitioning(i#"))) shouldBe true
   }
 
+  "q_rank_topk" should "execute rank() through the tie-aware top-k operator" in {
+    val df = SparkEntry.queries("q_rank_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+    plan should not include "Window" // the window idiom was fully rewritten
+  }
+
   "q_range_join" should "plan bucketed hash joins, never a per-key cross product" in {
     val plan = formattedPlan("q_range_join")
     plan should not include "CartesianProduct"

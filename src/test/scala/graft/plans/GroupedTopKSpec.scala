@@ -66,10 +66,41 @@ class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with Spa
     forAll(rows.toSeq) { r => r.getInt(3) should be <= 3 }
   }
 
-  it should "not fire on rank() or unpartitioned windows" in {
+  it should "rewrite rank() with exact tie semantics (groups straddling k survive whole)" in {
+    val s = spark
+    import s.implicits._
+    // few distinct scores per key => heavy ties; rank() <= 3 can emit far
+    // more than 3 rows per key, and must emit exactly the window's rows
+    val rnd = new scala.util.Random(23)
+    val tied = (1 to 4000)
+      .map(i => (rnd.nextInt(25).toLong, i.toLong, rnd.nextInt(4).toDouble))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    val fastDf = tied.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
+    planOf(fastDf) should include("GroupedTopKLimit")
+    planOf(fastDf) should not include "!GroupedTopKLimit"
+    val fast = fastDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    val ruleName = RewriteRankFilterToTopK.ruleName
+    s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val slowDf = tied.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
+      planOf(slowDf) should not include "GroupedTopKLimit"
+      slowDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet shouldBe fast
+    } finally s.conf.unset("spark.sql.optimizer.excludedRules")
+
+    // the tie semantics were actually exercised: with ~160 rows over 4
+    // distinct scores per key, some key keeps a tie group past 3 rows
+    fast.groupBy(_._1).values.map(_.size).max should be > 3
+  }
+
+  it should "not fire on dense_rank() or unpartitioned windows" in {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    val rankDf = sampleDf.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
-    planOf(rankDf) should not include "GroupedTopKLimit"
+    val denseDf = sampleDf.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
+    planOf(denseDf) should not include "GroupedTopKLimit"
 
     val wGlobal = Window.orderBy(col("score").desc, col("id"))
     val globalDf = sampleDf.withColumn("rn", row_number().over(wGlobal)).where(col("rn") <= 3)
