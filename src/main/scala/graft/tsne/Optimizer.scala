@@ -41,7 +41,17 @@ object Optimizer {
       metric: String = "sqeuclidean",
       seed: Long = 0L,
       maxLocalPEntries: Long = 2000000L,
-      distTreeMinPoints: Int = 1000000)
+      // Executor-side tree build threshold — effectively OFF by default:
+      // measured (TreeBuildBench, local[32]) the treeAggregate build loses
+      // to the driver build at every size that fits (2M pts: 29.9 s vs
+      // 4.7 s), because the broadcast tree must materialize on the driver
+      // regardless, making the final combine Ω(N) driver work *plus*
+      // subtree (de)serialization. The capability stays (OptimizerSpec
+      // forces it and pins 1e-9 agreement) for clusters where driver CPU
+      // is the scarce resource; SCALE.md records the measurement and the
+      // real 100×-scale alternative (distributed state, not a faster
+      // broadcast-tree build).
+      distTreeMinPoints: Int = Int.MaxValue)
 
   /** O13 — init working set: y ~ N(0, σ=1e-4), step = 0⃗, gains = 1⃗
     * (ref `TsneHelpers.scala:198-219`). The reference accepts a
