@@ -287,6 +287,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals (token/bigram/trigram duplication)
+    "q_text_repetition" -> ((s, dir) => {
+      pipeline.TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: corpus docs sharing a trigram with the
+    // benchmark subset (doc_id % 37 == 0) are flagged; the oracle joins on
+    // raw gram text where Spark joins on hash60 — identical sets absent
+    // 60-bit collisions, the same contract every shingle oracle here uses
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.decontaminate(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0))
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (MOSS): windowed minima over shingle hashes
     "q_doc_fingerprint" -> ((s, dir) => {
       pipeline.TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet"))
@@ -729,6 +747,16 @@ object SparkEntry {
       |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
       |""".stripMargin
 
+  /** Raw-text trigrams by position join (the hashless twin of `shingleSql`,
+    * for oracles that can compare gram text directly). */
+  private val trigramTextSql = tposSql +
+    """, tri AS (
+      |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+      |  FROM tpos a
+      |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+      |""".stripMargin
+
   private def jaccardOracle(theta: Double): String = shingleSql +
     """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
@@ -833,6 +861,38 @@ object SparkEntry {
         |       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
         |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |FROM sh ORDER BY doc_id, fp""".stripMargin),
+
+    "q_text_repetition" -> (trigramTextSql +
+      """, bi AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bia AS (
+        |  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac
+        |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |tria AS (
+        |  SELECT doc_id, 1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS dup_trigram_frac
+        |  FROM tri GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |       ROUND(1.0 - len(list_distinct(k.t)) * 1.0 / len(k.t), 6)
+        |         AS dup_token_frac_r,
+        |       ROUND(COALESCE(bia.top_bigram_frac, 0.0), 6) AS top_bigram_frac_r,
+        |       ROUND(COALESCE(tria.dup_trigram_frac, 0.0), 6) AS dup_trigram_frac_r
+        |FROM toks k
+        |LEFT JOIN bia ON bia.doc_id = k.doc_id
+        |LEFT JOIN tria ON tria.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin),
+
+    "q_decontaminate" -> (trigramTextSql +
+      """, bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n
+        |       FROM corp JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_contaminated,
+        |       CAST(CASE WHEN COALESCE(ov.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
 
     "q_text_redact" ->
       """SELECT doc_id,

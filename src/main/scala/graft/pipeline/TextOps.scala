@@ -127,6 +127,70 @@ object TextOps {
         regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
         DigitRunPattern, "[NUM]"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1's "repetition
+    * removal" family, adapted to single-line documents): duplicate-token
+    * fraction (1 − types/tokens), the most-frequent-bigram's share of all
+    * bigram occurrences, and the duplicated-trigram fraction
+    * (1 − distinct/total). High values mark boilerplate, keyword stuffing
+    * and generation loops — the standard cheap repetition pre-filter for
+    * web-scale curation.
+    *
+    * Shape at scale: the token signal is a narrow map; the n-gram signals
+    * are one explode + two hash aggregations each, partial-aggregated
+    * map-side and co-partitioned on `doc_id` for the final joins — no
+    * all-pairs anything. Short documents (< n tokens) report 0 for the
+    * n-gram signals via the left joins. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val tokenized = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
+    val base = tokenized.select(
+      col("doc_id"),
+      (lit(1.0) - size(array_distinct(t)) / size(t).cast("double"))
+        .as("dup_token_frac"))
+    val bigrams = tokenized.select(col("doc_id"),
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val topBigram = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c") / sum("c")).as("top_bigram_frac"))
+    val triDup = Dedup.shingles(docs, 3, keepPos = true)
+      .groupBy("doc_id")
+      .agg((lit(1.0) - countDistinct("sh_hash") / count(lit(1)).cast("double"))
+        .as("dup_trigram_frac"))
+    base
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(triDup, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("dup_token_frac"), 6).as("dup_token_frac_r"),
+        round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac_r"),
+        round(coalesce(col("dup_trigram_frac"), lit(0.0)), 6).as("dup_trigram_frac_r"))
+  }
+
+  /** Benchmark decontamination: flag every corpus document sharing at least
+    * one token `n`-gram with the benchmark set (the standard exact-overlap
+    * contamination check run before training on scraped corpora). Returns
+    * one row per corpus document: distinct contaminated n-gram count + a
+    * 0/1 flag.
+    *
+    * Shape at scale: benchmark suites are tiny next to a 100 TB corpus, so
+    * the distinct benchmark-shingle set is broadcast — the corpus side is
+    * one shingle pass + a broadcast semi-join-shaped hash join + one
+    * aggregation, no shuffle of corpus text. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3): DataFrame = {
+    val corpusShingles = Dedup.shingles(corpus, n)
+    val benchShingles = Dedup.shingles(benchmark, n).select("sh_hash").distinct()
+    val overlap = corpusShingles.join(broadcast(benchShingles), "sh_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select("doc_id").join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., the MOSS
     * algorithm): hash every token `n`-gram, slide a window of `w`
     * consecutive hashes, keep each window's minimum, dedupe. Robust

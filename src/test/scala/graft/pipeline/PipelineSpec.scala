@@ -182,6 +182,40 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     hits.toDouble / exact.count() should be >= 0.9
   }
 
+  "repetitionSignals" should "score duplication on hand-checkable documents" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),          // 1 type / 4 tokens; bigrams all "a a"
+      (2L, "w x y z"),          // no repetition anywhere
+      (3L, "p q p q p q"),      // trigrams: "p q p", "q p q" ×… duplicated
+      (4L, "solo"))             // too short for any n-gram
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    got(1L) shouldBe ((0.75, 1.0, 0.5))      // 3 bigrams "a a"; 2 trigrams, 1 distinct
+    got(2L) shouldBe ((0.0, 0.333333, 0.0))  // 3 distinct bigrams, top 1/3
+    got(3L)._1 shouldBe 0.666667             // 2 types / 6 tokens, rounded
+    got(3L)._2 shouldBe 0.6                  // "p q" 3 of 5 bigrams
+    got(3L)._3 shouldBe 0.5                  // 4 trigrams, 2 distinct
+    got(4L) shouldBe ((0.0, 0.0, 0.0))       // short-doc left joins → 0
+  }
+
+  "decontaminate" should "flag corpus docs sharing an n-gram with the benchmark" in {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"), // shares "quick brown fox"
+      (2L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got(1L) shouldBe ((1L, 1L)) // exactly "quick brown fox" overlaps
+    got(2L) shouldBe ((0L, 0L))
+  }
+
   "Multimodal" should "round-trip binary payloads through the stub decoder" in {
     val s = spark
     import s.implicits._
