@@ -97,6 +97,29 @@ class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with Spa
     fast.groupBy(_._1).values.map(_.size).max should be > 3
   }
 
+  it should "match the window idiom across tie densities, k=1, and all-tied keys" in {
+    val s = spark
+    import s.implicits._
+    val ruleName = RewriteRankFilterToTopK.ruleName
+    // (seed, rows, keys, distinctScores, k): distinctScores=1 makes whole
+    // keys tie at rank 1, so every row survives any k
+    val cases = Seq((1, 900, 7, 1, 2), (2, 1200, 13, 2, 1),
+      (3, 1500, 5, 50, 4), (4, 800, 3, 400, 3))
+    forAll(cases) { case (seed, rows, keys, scores, k) =>
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to rows)
+        .map(i => (rnd.nextInt(keys).toLong, i.toLong, rnd.nextInt(scores).toDouble))
+        .toDF("g", "id", "score")
+      val w = Window.partitionBy("g").orderBy(col("score").desc)
+      def run() = df.withColumn("rk", rank().over(w)).where(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val fast = run()
+      s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+      val slow = try run() finally s.conf.unset("spark.sql.optimizer.excludedRules")
+      withClue(s"seed=$seed k=$k distinctScores=$scores: ") { fast shouldBe slow }
+    }
+  }
+
   it should "not fire on dense_rank() or unpartitioned windows" in {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
     val denseDf = sampleDf.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
