@@ -69,6 +69,24 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       l.contains("Exchange hashpartitioning(i#"))) shouldBe true
   }
 
+  "q_decontaminate" should "broadcast the benchmark shingle set, never sort-merge" in {
+    val df = SparkEntry.queries("q_decontaminate")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // the corpus/benchmark split predicates reach the parquet scans
+    plan should include("(doc_id#")
+  }
+
+  "q_text_repetition" should "partial-aggregate the n-gram counts map-side" in {
+    val plan = formattedPlan("q_text_repetition")
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin" // doc-level joins broadcast
+  }
+
   "q_rank_topk" should "execute rank() through the tie-aware top-k operator" in {
     val df = SparkEntry.queries("q_rank_topk")(spark, dir)
     df.collect()
