@@ -230,6 +230,33 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     s.conf.unset(key)
   }
 
+  "TextOps curation operators" should "run unchanged on a stream (pure-Column contract)" in {
+    // quality scoring / repetition-adjacent stats are pure Column
+    // expressions, so the same functions drive a readStream: a streamed
+    // micro-batch must produce exactly the batch rows
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spam spam spam spam spam"),
+      (3L, "der hund und die katze"))
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = graft.pipeline.TextOps
+      .qualityScore(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = s.table("quality_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).toSet
+    val batch = graft.pipeline.TextOps.qualityScore(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSet
+    streamed shouldBe batch
+    streamed.size shouldBe 3
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
