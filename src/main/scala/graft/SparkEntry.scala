@@ -188,7 +188,8 @@ object SparkEntry {
       val points = IO.readEmbeddings(s, dir)
       // one N² pass feeds both the pipeline (top-30) and the recall truth
       // (top-10); persist the tiny ranked table, not the 25M-row pair table.
-      // Bench/Verify clear the cache between queries; nothing else reads it.
+      // Both harnesses release it: Bench and Verify clearCache after every
+      // query, so the cache cannot outlive this query's run.
       val ranked = Knn
         .topKPerPointRanked(Knn.bruteForcePairs(points, "sqeuclidean"), 30)
         .persist()

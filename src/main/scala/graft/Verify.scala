@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries may persist shared subtrees (e.g. q_tsne_quality's ranked
+      // kNN); release them so one query's cache never outlives its run —
+      // the same hygiene Bench applies between timed runs
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -54,6 +54,13 @@ object Multimodal {
       Hashing.hash60(buf).toDouble / (1L << Hashing.Bits).toDouble
     }
 
+  /** ImageIO's default stream cache is DISK-backed: reading an in-memory
+    * byte stream would create+delete a temp file per image — per-record
+    * disk I/O on the executor hot path. The flag is JVM-global; forcing
+    * this lazy val evaluates the setter once per executor JVM. */
+  private lazy val imageIoCacheDisabled: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** A REAL image codec through the same seam (VERDICT r3 next-round #3):
     * decodes the payload with JDK `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF
     * — no external dependencies), resamples it to a √dim × √dim grid by
@@ -69,6 +76,7 @@ object Multimodal {
     val side = math.sqrt(featureDim.toDouble).toInt
     require(side * side == featureDim,
       s"featureDim must be a perfect square for a grayscale grid, got $featureDim")
+    imageIoCacheDisabled
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not an image ImageIO can decode")
     val w = img.getWidth; val h = img.getHeight

@@ -141,18 +141,16 @@ object TextOps {
     * all-pairs anything. Short documents (< n tokens) report 0 for the
     * n-gram signals via the left joins. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val tokenized = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-    val t = col("t")
-    val base = tokenized.select(
+    val t = tokens(col("text"))
+    val base = docs.select(
       col("doc_id"),
       (lit(1.0) - size(array_distinct(t)) / size(t).cast("double"))
         .as("dup_token_frac"))
-    val bigrams = tokenized.select(col("doc_id"),
-      explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val topBigram = bigrams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    // both n-gram signals ride Dedup.shingles — one shared windowing/
+    // hashing implementation (same 60-bit-collision contract as every
+    // shingle consumer)
+    val topBigram = Dedup.shingles(docs, 2, keepPos = true)
+      .groupBy("doc_id", "sh_hash").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg((max("c") / sum("c")).as("top_bigram_frac"))
     val triDup = Dedup.shingles(docs, 3, keepPos = true)

@@ -273,7 +273,17 @@ object BhTree {
           math.max(xy1, xy2), ax1 + ax2, ay1 + ay2, k1 + k2)
       }, depth)
     require(c > 0, "cannot build a quadtree from zero points")
-    val zero = new BhTree(sx / c, sy / c, math.max(maxX - minX, maxY - minY))
+    buildRdd(points, sx / c, sy / c, math.max(maxX - minX, maxY - minY), depth)
+  }
+
+  /** [[buildRdd]] with a caller-supplied root cell — for callers that
+    * already hold every point (the optimizer superstep collects the working
+    * set for its broadcast state anyway) and can derive the cell in one
+    * O(N) driver pass instead of paying a distributed stats job. */
+  def buildRdd(points: org.apache.spark.rdd.RDD[(Double, Double)],
+               rootX: Double, rootY: Double, rootHw: Double,
+               depth: Int): BhTree = {
+    val zero = new BhTree(rootX, rootY, rootHw)
     points.treeAggregate(zero)(
       seqOp = (t, p) => { t.insert(p._1, p._2); t },
       combOp = (a, b) => a.mergeFrom(b),

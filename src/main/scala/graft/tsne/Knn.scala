@@ -192,7 +192,6 @@ object Knn {
   def projectKnn(points: Dataset[Point], k: Int, metric: String,
                  iterations: Int, seed: Long = 42L,
                  dimension: Int = -1, window: Int = -1): Dataset[Neighbor] = {
-    val spark = points.sparkSession
     val (allCandidates, nPoints, dim) =
       projectCandidates(points, k, iterations, seed, dimension, window)
 

@@ -244,16 +244,30 @@ object Optimizer {
         needCenter = true
         val stateMap = new java.util.HashMap[Long, WorkingSet](arr.length * 2)
         arr.foreach(w => stateMap.put(w.id, w))
-        // Past distTreeMinPoints the driver-side O(N log N) tree build is
-        // the superstep bottleneck — build it on the executors instead
-        // (per-partition subtrees + structural merge); below it the driver
-        // build is faster than one extra job's scheduling floor. Both use
-        // the same insertion kernels; the RDD map re-applies the exact
-        // centering subtraction performed on `arr` above.
+        // Past distTreeMinPoints the tree is built on the executors
+        // (per-partition subtrees + structural merge) instead of on the
+        // driver; see Params.distTreeMinPoints for why that is OFF by
+        // default. Both use the same insertion kernels; the RDD map
+        // re-applies the exact centering subtraction performed on `arr`
+        // above, and the root cell comes from one O(N) driver pass over
+        // the already-collected points — not a second distributed job.
         val tree =
           if (arr.length >= params.distTreeMinPoints) {
             val (ox, oy) = (mx, my)
-            BhTree.buildRdd(state.rdd.map(w => (w.y(0) - ox, w.y(1) - oy)))
+            var loX = Double.PositiveInfinity; var hiX = Double.NegativeInfinity
+            var loY = Double.PositiveInfinity; var hiY = Double.NegativeInfinity
+            var sX = 0.0; var sY = 0.0
+            arr.foreach { w =>
+              val x = w.y(0); val y = w.y(1)
+              if (x < loX) loX = x
+              if (x > hiX) hiX = x
+              if (y < loY) loY = y
+              if (y > hiY) hiY = y
+              sX += x; sY += y
+            }
+            BhTree.buildRdd(state.rdd.map(w => (w.y(0) - ox, w.y(1) - oy)),
+              sX / arr.length, sY / arr.length,
+              math.max(hiX - loX, hiY - loY), depth = 2)
           } else BhTree.build(arr.map(_.y))
         val bcState = sc.broadcast(stateMap)
         val bcTree = sc.broadcast(tree)
