@@ -1,6 +1,7 @@
 package graft.tsne
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Pipeline assembly + CLI driver (ref: `Tsne.scala:31-136`).
   *
@@ -9,7 +10,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * --metric --perplexity --nComponents --earlyExaggeration --learningRate
   * --iterations --randomState --neighbors --initialMomentum --finalMomentum
   * --theta --loss --knnIterations --knnMethod --knnBlocks
-  * --inputDistanceMatrix --executionPlan`.
+  * --inputDistanceMatrix --executionPlan`. Rebuild extensions:
+  * `--recallOut <path> [--recallK k]` — embedding neighbor-recall report.
   */
 object Tsne {
 
@@ -102,6 +104,24 @@ object Tsne {
       pw.write(lossAcc.value.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}"))
       pw.close()
+      // rebuild extension (no reference counterpart): --recallOut <path>
+      // writes the embedding's neighbor-recall@k — the quality gate a real
+      // t-SNE user checks on every run (see graft.tsne.Quality). The truth
+      // side reuses the pipeline's own kNN graph (rank-ordered by dist,
+      // first k of the `neighbors` requested), so no extra N² pass runs.
+      a.get("recallOut").foreach { path =>
+        val k = opt("recallK", "10").toInt
+        require(k > 0 && k <= neighbors,
+          s"--recallK must be in [1, --neighbors]; got $k with neighbors=$neighbors")
+        val truth = Knn.topKPerPointRanked(
+          knn.toDF().select(col("i"), col("j"), col("dist")), k)
+        val row = Quality.neighborRecall(truth, result, k).head()
+        val n = row.getLong(row.fieldIndex("n_points"))
+        val recall = row.getLong(row.fieldIndex("hits")).toDouble / (n.toDouble * k)
+        val rw = new java.io.PrintWriter(new java.io.File(path))
+        rw.write(f"{n=$n, k=$k, recall=$recall%.6f}")
+        rw.close()
+      }
     }
   }
 

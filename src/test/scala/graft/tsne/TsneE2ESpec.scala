@@ -16,6 +16,7 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
   "Tsne.run" should "produce a 2-D embedding and a decreasing loss series" in {
     val outDir = Files.createTempDirectory("tsne-e2e-out").toString + "/emb"
     val lossFile = Files.createTempDirectory("tsne-e2e-loss").toString + "/loss.txt"
+    val recallFile = Files.createTempDirectory("tsne-e2e-recall").toString + "/recall.txt"
 
     Tsne.run(Array(
       "--input", fixturePath("dense_input.csv"),
@@ -27,7 +28,17 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
       "--learningRate", "100",
       "--knnMethod", "bruteforce",
       "--randomState", "42",
+      "--recallOut", recallFile,
+      "--recallK", "3",
       "--loss", lossFile), spark)
+
+    // --recallOut: the quality report parses and the metric is a valid
+    // fraction; on 10 points with 60 supersteps the embedding preserves
+    // at least some input neighborhoods, so it must be > 0
+    val recallBody = scala.io.Source.fromFile(recallFile).mkString.trim
+    recallBody should startWith("{n=10, k=3, recall=")
+    val recall = recallBody.split("recall=")(1).stripSuffix("}").toDouble
+    recall should (be > 0.0 and be <= 1.0)
 
     // CSV output: 10 rows of (id, y0, y1)
     val out = spark.read
