@@ -724,9 +724,13 @@ object SparkEntry {
 
   /** Shared DuckDB CTEs for the text pipeline: whitespace tokens, hashed
     * distinct 3-gram shingles (md5-60bit, identical to Hashing.hash60). */
+  // the list_filter mirrors TextOps.tokens' empty-token filter (leading/
+  // trailing whitespace must not mint "" tokens on either engine)
   private val tokSql =
     """WITH toks AS (
-      |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS t
+      |  SELECT doc_id, text,
+      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |                     x -> len(x) > 0) AS t
       |  FROM documents)
       |""".stripMargin
 
@@ -1199,7 +1203,7 @@ object SparkEntry {
       s"""WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
          |sampled AS (
          |  SELECT doc_id FROM documents
-         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT < $thr)
+         |  WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#train'), 1, 15))::BIGINT < $thr)
          |SELECT doc_id, 'both' AS tag FROM (SELECT doc_id FROM en INTERSECT SELECT doc_id FROM sampled)
          |UNION ALL
          |SELECT doc_id, 'only_en' AS tag FROM (SELECT doc_id FROM en EXCEPT SELECT doc_id FROM sampled)
@@ -1290,8 +1294,10 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT l_orderkey) AS n_exact, CAST(1 AS BIGINT) AS ok
         |FROM lineitem""".stripMargin,
 
+    // n = non-null population (what percentile_approx actually ranks over);
+    // the fixture column is non-null so COUNT(col) == COUNT(*) here
     "q_sketch_quantiles" ->
-      """SELECT COUNT(*) AS n, CAST(1 AS BIGINT) AS ok
+      """SELECT COUNT(l_extendedprice) AS n, CAST(1 AS BIGINT) AS ok
         |FROM lineitem""".stripMargin,
 
     "q_sketch_topk_tokens" -> (tokSql +
@@ -1300,14 +1306,14 @@ object SparkEntry {
 
     "q_sample_uniform" ->
       s"""SELECT doc_id FROM documents
-         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT
+         |WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#train'), 1, 15))::BIGINT
          |      < ${math.round(0.1 * (1L << 60).toDouble)}
          |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" -> {
       def thr(r: Double) = math.round(r * (1L << 60).toDouble)
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::BIGINT
+         |WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#mix'), 1, 15))::BIGINT
          |      < CASE lang WHEN 'en' THEN ${thr(0.5)} WHEN 'de' THEN ${thr(0.25)}
          |                  WHEN 'zh' THEN ${thr(0.1)} ELSE -1 END
          |ORDER BY doc_id""".stripMargin
@@ -1330,7 +1336,7 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN c USING (doc_id)
          |WHERE q.quality >= 0.7 AND l.pred_lang = 'en' AND c.canon_id = d.doc_id
-         |  AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#train'), 1, 15))::BIGINT
+         |  AND ('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR), 'null') || '#train'), 1, 15))::BIGINT
          |      < ${math.round(0.5 * (1L << 60).toDouble)}
          |ORDER BY doc_id""".stripMargin),
 

@@ -28,6 +28,13 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // a qualified name ("db.tbl") lives at warehouse/db.db/tbl — the
+    // cleanup below would probe warehouse/"db.tbl" (wrong path), miss the
+    // orphan, and saveAsTable would still die with LOCATION_ALREADY_EXISTS;
+    // restrict to unqualified default-database names rather than silently
+    // half-working
+    require(!table.contains("."),
+      s"writeBucketed manages default-database tables only, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // the orphaned location must be removed through the warehouse's OWN
@@ -64,8 +71,12 @@ object Bucketing {
     if (fs.exists(warehouse)) {
       fs.listStatus(warehouse).foreach { st =>
         val name = st.getPath.getName
+        // qualify: warehouse-root directories are DEFAULT-database
+        // locations; a bare tableExists(name) resolves against the
+        // CURRENT database, so after setCurrentDatabase("x") it would
+        // report a live default.bq_* table as absent and delete its data
         if (st.isDirectory && name.startsWith(prefix) &&
-            !spark.catalog.tableExists(name))
+            !spark.catalog.tableExists(s"default.$name"))
           fs.delete(st.getPath, true)
       }
     }

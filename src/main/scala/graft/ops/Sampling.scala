@@ -25,12 +25,18 @@ import graft.pipeline.Hashing
   */
 object Sampling {
 
-  /** Membership predicate: `hash60(key # salt) < rate · 2⁶⁰`. */
+  /** Membership predicate: `hash60(key # salt) < rate · 2⁶⁰`. NULL keys
+    * hash the literal string "null" rather than propagating SQL NULL — a
+    * NULL predicate silently drops the row from EVERY sample (a "100%
+    * sample" that isn't the dataset); hashing a sentinel keeps NULL-key
+    * rows sampled at the same rate, deterministically, on both engines
+    * (`COALESCE(CAST(k AS VARCHAR), 'null')` on the oracle side). */
   def hashSamplePredicate(key: Column, rate: Double, salt: String): Column = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
     // 2^60 fits a signed long; the threshold is exact for rate = 0 and 1
     val threshold = math.round(rate * (1L << 60).toDouble)
-    Hashing.hash60(concat(key.cast("string"), lit("#" + salt))) < lit(threshold)
+    Hashing.hash60(concat(coalesce(key.cast("string"), lit("null")),
+      lit("#" + salt))) < lit(threshold)
   }
 
   /** Uniform deterministic sample at `rate` keyed on `keyCol`. */
@@ -57,6 +63,7 @@ object Sampling {
         lit(math.round(r * (1L << 60).toDouble))).otherwise(acc)
     }
     df.where(Hashing.hash60(
-      concat(col(keyCol).cast("string"), lit("#" + salt))) < thresholdCol)
+      concat(coalesce(col(keyCol).cast("string"), lit("null")),
+        lit("#" + salt))) < thresholdCol)
   }
 }

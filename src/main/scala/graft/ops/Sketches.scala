@@ -75,12 +75,16 @@ object Sketches {
     require(qs.nonEmpty, "need at least one quantile")
     val approx = df.agg(percentile_approx(col(colName),
       array(qs.map(lit): _*), lit(accuracy)).as("aq"))
-    val aggCols = count(lit(1)).as("n") +:
+    // denominators use count(col), not count(*): percentile_approx ignores
+    // NULLs, so ranks must be over the non-null population too — with
+    // count(*) a 50%-NULL column would roughly halve every rank and
+    // false-fail a sketch that meets its guarantee
+    val aggCols = count(col(colName)).as("n") +:
       qs.indices.flatMap(i => Seq(
         (sum(when(col(colName) < col("aq")(i), 1L).otherwise(0L)) /
-          count(lit(1))).as(s"__lo_$i"),
+          count(col(colName))).as(s"__lo_$i"),
         (sum(when(col(colName) <= col("aq")(i), 1L).otherwise(0L)) /
-          count(lit(1))).as(s"__hi_$i")))
+          count(col(colName))).as(s"__hi_$i")))
     val checks = df.crossJoin(approx).agg(aggCols.head, aggCols.tail: _*)
     checks.select(col("n"),
       qs.indices.map(i =>

@@ -34,9 +34,13 @@ object Skew {
       .where(col(valueCol).isNotNull)
       .groupBy(keys.map(col) :+ col(valueCol): _*).agg(lit(1).as("__one"))
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as(outCol))
-    df.select(keys.map(col): _*).distinct()
-      .join(counts, keys, "left")
-      .select(keys.map(col) :+ coalesce(col(outCol), lit(0L)).as(outCol): _*)
+    // null-safe (<=>) join back: groupBy treats NULL as a key value, so the
+    // NULL-key group must re-match here too — a plain equi-join would
+    // drop it to the coalesce(0) branch even when it has distinct values
+    val keyRows = df.select(keys.map(col): _*).distinct()
+    val cond = keys.map(k => keyRows(k) <=> counts(k)).reduce(_ && _)
+    keyRows.join(counts, cond, "left")
+      .select(keys.map(keyRows(_)) :+ coalesce(counts(outCol), lit(0L)).as(outCol): _*)
   }
 
   /** Salted two-phase sum: partial-aggregate under (keys, salt), then

@@ -43,6 +43,11 @@ object TemporalJoins {
                rightTieBreak: Option[String] = None): DataFrame = {
     require(rightVals.nonEmpty, "asOfJoin needs at least one right value column")
     val leftOut = left.columns.toSeq.filterNot(keys.contains)
+    // a right value name colliding with a left output name would emit two
+    // identically-named columns — unusable downstream (AMBIGUOUS_REFERENCE)
+    require(rightVals.intersect(leftOut).isEmpty,
+      s"asOfJoin right value columns ${rightVals.intersect(leftOut).mkString(", ")} " +
+        "collide with left columns; alias one side first")
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
     val rightStruct = struct(rightVals.map(col): _*)
     val rightStructType = org.apache.spark.sql.types.StructType(
@@ -63,7 +68,10 @@ object TemporalJoins {
         Seq(col(leftTs).as("__ts"), lit(1).as("__side"), lit(0L).as("__tie")) ++
         leftOut.map(col) :+
         lit(null).cast(rightStructType).as("__r"): _*)
-    val ru = right.where(keyNotNull).select(
+    // NULL right timestamps can match nothing (rightTs <= leftTs is NULL),
+    // but ascending sort puts nulls FIRST — an unfiltered NULL-ts row would
+    // sort before every left row and be carried forward as a fake match
+    val ru = right.where(keyNotNull && col(rightTs).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"), tie.as("__tie")) ++
         leftOut.map(c => lit(null).cast(leftTypes(c)).as(c)) :+

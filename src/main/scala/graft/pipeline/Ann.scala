@@ -65,48 +65,59 @@ object Ann {
                seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // deterministic random init: the nlist smallest seeded id-hashes — a
-    // uniform sample that is a pure function of (seed, data)
-    var centroids: Array[Array[Double]] = corpus.toDF()
-      .select(col("vec"), xxhash64(col("id"), lit(seed)).as("h"))
-      .orderBy("h").limit(nlist)
-      .select("vec").as[Array[Double]].collect().map(unit)
-
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      // one hash aggregation per iteration: assign + partial sums
-      val next = corpus.mapPartitions { rows =>
-        val cs = bc.value
-        // spherical k-means: cells live on the unit sphere so they align
-        // with cosine neighborhoods (raw-L2 cells don't)
-        rows.map { p => val u = unit(p.vec); (nearestCentroid(u, cs), (u, 1L)) }
-      }.rdd
-        .reduceByKey { (a, b) =>
-          val s = a._1.clone()
-          var d = 0
-          while (d < s.length) { s(d) += b._1(d); d += 1 }
-          (s, a._2 + b._2)
-        }
-        .collect()
-      val updated = centroids.clone()
-      next.foreach { case (cell, (sum, cnt)) =>
-        updated(cell) = unit(sum.map(_ / cnt)) // re-project onto the sphere
-      }
-      bc.destroy()
-      centroids = updated
-      it += 1
-    }
-
-    val bc = spark.sparkContext.broadcast(centroids)
-    // the inverted lists ARE the index: persist so probes don't re-scan and
-    // re-assign the corpus on every search (release() when done)
-    val assigned = corpus.mapPartitions { rows =>
-      val cs = bc.value
-      rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
-    }.toDF("id", "vec", "cell")
+    // the Lloyd loop reads the corpus iters+1 times; persist the unit-
+    // normalized projection ONCE so each iteration is a cache read, not a
+    // fresh source scan + re-normalization (at the 100 TB scale this file
+    // targets, an unpersisted loop costs ~iters× the build's I/O)
+    val unitized = corpus.map(p => Point(p.id, unit(p.vec)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(centroids, assigned)
+    try {
+      // deterministic random init: the nlist smallest seeded id-hashes — a
+      // uniform sample that is a pure function of (seed, data)
+      var centroids: Array[Array[Double]] = unitized.toDF()
+        .select(col("vec"), xxhash64(col("id"), lit(seed)).as("h"))
+        .orderBy("h").limit(nlist)
+        .select("vec").as[Array[Double]].collect()
+
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        // one hash aggregation per iteration: assign + partial sums
+        val next = unitized.mapPartitions { rows =>
+          val cs = bc.value
+          // spherical k-means: cells live on the unit sphere so they align
+          // with cosine neighborhoods (raw-L2 cells don't)
+          rows.map { p => (nearestCentroid(p.vec, cs), (p.vec, 1L)) }
+        }.rdd
+          .reduceByKey { (a, b) =>
+            val s = a._1.clone()
+            var d = 0
+            while (d < s.length) { s(d) += b._1(d); d += 1 }
+            (s, a._2 + b._2)
+          }
+          .collect()
+        val updated = centroids.clone()
+        next.foreach { case (cell, (sum, cnt)) =>
+          updated(cell) = unit(sum.map(_ / cnt)) // re-project onto the sphere
+        }
+        bc.destroy()
+        centroids = updated
+        it += 1
+      }
+
+      val bc = spark.sparkContext.broadcast(centroids)
+      // the inverted lists ARE the index: persist so probes don't re-scan
+      // and re-assign the corpus on every search (release() when done).
+      // Lists carry the ORIGINAL vectors (probe rescoring normalizes the
+      // query side; cosineSimCol is scale-invariant in its arguments).
+      val assigned = corpus.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
+      }.toDF("id", "vec", "cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count() // materialize before dropping the upstream cache
+      IvfIndex(centroids, assigned)
+    } finally unitized.unpersist()
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
@@ -196,9 +207,16 @@ object Ann {
     val planes = hyperplanes(seed, tables, bits, dim)
     val bc = spark.sparkContext.broadcast(planes)
     val nt = tables
+    val expectDim = dim
     ds.mapPartitions { rows =>
       val ps = bc.value
       rows.flatMap { p =>
+        // fail fast: a shorter vector would crash mid-dot-product with a
+        // bare ArrayIndexOutOfBounds; a longer one would be SILENTLY
+        // truncated to the first `dim` components, degrading recall below
+        // the (tables, bits) tuning with no visible symptom
+        require(p.vec.length == expectDim,
+          s"LSH hyperplanes are $expectDim-dim but vector ${p.id} has ${p.vec.length}")
         Iterator.tabulate(nt) { t =>
           var sig = 0L
           var b = 0

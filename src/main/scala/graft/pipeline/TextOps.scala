@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenization. The canonical token column for every
-    * downstream operator (stats, shingles, simhash, language ID). */
-  def tokens(text: Column): Column = split(text, "\\s+")
+    * downstream operator (stats, shingles, simhash, language ID).
+    * Empty tokens are filtered out: Java's `split(regex, -1)` keeps the
+    * empty strings that leading/trailing whitespace produces, which would
+    * inflate token counts and poison shingle/SimHash signatures ("  a b"
+    * and "a b" must fingerprint identically). The oracle's `tokSql`
+    * applies the same `list_filter`. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** NULL instead of an ANSI DIVIDE_BY_ZERO error: an empty/whitespace-only
+    * document has zero tokens, and its per-token ratios are undefined, not
+    * a job-killing exception. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0, num / den)
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, single other
     * non-space symbols — the classic byte-pair pre-split regex, kept to a
@@ -41,9 +53,9 @@ object TextOps {
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_types"),
       bpeishCount(col("text")).cast("long").as("n_bpeish"),
-      round(
+      round(safeDiv(
         aggregate(transform(toks, t => length(t).cast("double")),
-          lit(0.0), (a, x) => a + x) / size(toks), 6).as("avg_token_len_r"))
+          lit(0.0), (a, x) => a + x), size(toks)), 6).as("avg_token_len_r"))
   }
 
   /** A small function-word list for quality scoring (English-ish; the
@@ -61,12 +73,12 @@ object TextOps {
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val stopRatio = hitCount(toks, stopwords) / nTok
-    val typeRatio = size(array_distinct(toks)) / nTok
-    val alphaRatio =
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))) /
-        length(col("text")).cast("double")
-    val meanLen = length(col("text")).cast("double") / nTok
+    val stopRatio = safeDiv(hitCount(toks, stopwords), nTok)
+    val typeRatio = safeDiv(size(array_distinct(toks)), nTok)
+    val alphaRatio = safeDiv(
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+      length(col("text")).cast("double"))
+    val meanLen = safeDiv(length(col("text")).cast("double"), nTok)
     // weights: fluent docs have some stopwords (target ~10%+), healthy
     // type variety, mostly letters, and 3–10 char mean tokens
     val score =
@@ -144,7 +156,7 @@ object TextOps {
     val t = tokens(col("text"))
     val base = docs.select(
       col("doc_id"),
-      (lit(1.0) - size(array_distinct(t)) / size(t).cast("double"))
+      (lit(1.0) - safeDiv(size(array_distinct(t)), size(t).cast("double")))
         .as("dup_token_frac"))
     // both n-gram signals ride Dedup.shingles — one shared windowing/
     // hashing implementation (same 60-bit-collision contract as every

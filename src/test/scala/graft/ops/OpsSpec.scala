@@ -64,6 +64,27 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     row.getDouble(0) shouldBe 3.0
   }
 
+  it should "never match right rows with NULL timestamps" in {
+    import s.implicits._
+    // a NULL rightTs satisfies rightTs <= leftTs for NO left row; with
+    // Spark's nulls-first ascending sort it would otherwise sort before
+    // everything and be carried forward as a fabricated match
+    val l = Seq((1L, 10L, 100L)).toDF("user_id", "event_id", "ts")
+    val r = Seq((1L, 7L, Option.empty[Long], 5.0))
+      .toDF("user_id", "v_id", "v_ts", "v_val")
+    val row = TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts",
+      Seq("v_val"), Some("v_id")).select("v_val").head
+    row.isNullAt(0) shouldBe true
+  }
+
+  it should "reject right value columns that collide with left columns" in {
+    import s.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("user_id", "v_val", "ts")
+    val r = Seq((1L, 7L, 90L, 3.0)).toDF("user_id", "v_id", "v_ts", "v_val")
+    an[IllegalArgumentException] should be thrownBy
+      TemporalJoins.asOfJoin(l, r, Seq("user_id"), "ts", "v_ts", Seq("v_val"))
+  }
+
   behavior of "bandJoin"
 
   it should "equal the cross-join filter formulation exactly" in {
@@ -163,6 +184,17 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got shouldBe Map(1 -> 2L, 2 -> 0L)
   }
 
+  it should "count distinct values of the NULL key group (null-safe join back)" in {
+    import s.implicits._
+    // groupBy treats NULL as a key value; the join back must use <=> or
+    // the NULL-key group's count silently collapses to 0
+    val df = Seq((Option.empty[Int], 10), (None, 20), (None, 10), (Some(1), 30))
+      .toDF("k", "v")
+    val got = Skew.distinctCountByKey(df, Seq("k"), "v", "n")
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> r.getLong(1)).toMap
+    got shouldBe Map(-1 -> 2L, 1 -> 1L)
+  }
+
   it should "compute saltedSum identically to the plain grouped sum" in {
     import s.implicits._
     val rnd = new Random(11L)
@@ -191,6 +223,17 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // close to the target rate (md5 is uniform; 3σ ≈ 0.0046 at n=20000)
     small.size.toDouble / 20000 shouldBe 0.05 +- 0.01
     big.size.toDouble / 20000 shouldBe 0.20 +- 0.015
+  }
+
+  it should "keep NULL-key rows in the sample population (sentinel hash)" in {
+    import s.implicits._
+    val df = Seq(Some(1L), None, Some(2L), None).toDF("id")
+    // rate 1.0 must return EVERY row — a NULL predicate would silently
+    // drop the NULL-key rows from a "100% sample"
+    Sampling.hashSample(df, "id", 1.0, "t").count() shouldBe 4L
+    // and NULL keys sample deterministically like any other key
+    val got = Sampling.hashSample(df, "id", 0.5, "t").count()
+    Sampling.hashSample(df, "id", 0.5, "t").count() shouldBe got
   }
 
   it should "give independent samples under different salts" in {

@@ -182,6 +182,33 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     hits.toDouble / exact.count() should be >= 0.9
   }
 
+  "tokens" should "not mint empty tokens from leading/trailing whitespace" in {
+    val s = spark
+    import s.implicits._
+    // "  a b " must tokenize — and therefore shingle/fingerprint —
+    // identically to "a b"; Java split(regex, -1) alone would keep ""
+    val df = Seq((1L, "  a b "), (2L, "a b"), (3L, "   ")).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    toks(1L) shouldBe Seq("a", "b")
+    toks(2L) shouldBe Seq("a", "b")
+    toks(3L) shouldBe Seq.empty
+    val stats = TextOps.textStats(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    stats(1L) shouldBe 2L
+    stats(2L) shouldBe 2L
+  }
+
+  "LSH signatures" should "reject vectors whose width disagrees with the hyperplanes" in {
+    val s = spark
+    import s.implicits._
+    val pts = s.createDataset(Seq(graft.tsne.Point(1L, Array.fill(32)(1.0))))
+    val ex = intercept[Exception] {
+      Ann.lshNearDupPairs(pts, theta = 0.9, tables = 2, bits = 4, dim = 64).count()
+    }
+    ex.getMessage should include("64-dim")
+  }
+
   "repetitionSignals" should "score duplication on hand-checkable documents" in {
     val s = spark
     import s.implicits._
