@@ -105,21 +105,25 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case other => other :: Nil
     }
 
-  private def modeOf(fn: Expression): Option[RankFunctionMode] = fn match {
-    case RowNumber() => Some(RowNumberMode)
-    case Rank(_) => Some(RankMode)
-    case _ => None // dense_rank, ntile, aggregates, …: keep the window
+  /** Extractor binding the mode once per match (dense_rank, ntile,
+    * aggregates, … fall through: keep the window). */
+  private object RankedBy {
+    def unapply(fn: Expression): Option[RankFunctionMode] = fn match {
+      case RowNumber() => Some(RowNumberMode)
+      case Rank(_) => Some(RankMode)
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ LFilter(cond,
-        LWindow(Seq(alias @ Alias(WindowExpression(fn, spec), _)), partSpec, orderSpec, child, _))
-        if modeOf(fn).nonEmpty && partSpec.nonEmpty && orderSpec.nonEmpty &&
+        LWindow(Seq(alias @ Alias(WindowExpression(RankedBy(mode), spec), _)), partSpec, orderSpec, child, _))
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
           partSpec.forall(e => !containsFloatingPoint(e.dataType)) =>
       rankBound(cond, alias.toAttribute) match {
         case Some((k, residual)) =>
           val topk = GroupedTopKLimit(partSpec, orderSpec, alias.toAttribute, k,
-            modeOf(fn).get, child)
+            mode, child)
           if (residual.isEmpty) topk
           else LFilter(residual.reduce(And), topk)
         case _ => f // degenerate/huge bounds or non-literal: leave the window
@@ -174,57 +178,59 @@ case class GroupedTopKLimitPartialExec(
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
-      if (rankMode) {
-        val keepers = new java.util.HashMap[UnsafeRow, TieKeeper]()
-        def drain(): Iterator[InternalRow] = {
-          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          keepers.forEach((_, tk) => tk.foreach(r => out += r))
-          keepers.clear()
-          out.iterator
-        }
-        val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        rows.foreach { row =>
-          val key = keyProj(row)
-          var tk = keepers.get(key)
-          if (tk == null) {
-            if (keepers.size() >= maxKeys) flushed ++= drain()
-            tk = new TieKeeper(kk, ord)
-            keepers.put(key.copy(), tk)
-          }
-          tk.add(row, rowProj)
-        }
-        flushed.iterator ++ drain()
-      } else {
-        val heapOrd = ord.reverse // max-heap: worst of the kept k on top
-        val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-        def drain(): Iterator[InternalRow] = {
-          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          heaps.forEach((_, h) => h.forEach(r => out += r))
-          heaps.clear()
-          out.iterator
-        }
-        val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        rows.foreach { row =>
-          val key = keyProj(row)
-          var h = heaps.get(key)
-          if (h == null) {
-            if (heaps.size() >= maxKeys) flushed ++= drain()
-            h = new java.util.PriorityQueue[UnsafeRow](kk + 1, heapOrd)
-            heaps.put(key.copy(), h)
-          }
-          if (h.size() < kk) h.add(rowProj(row).copy())
-          else if (ord.compare(row, h.peek()) < 0) {
-            h.poll()
-            h.add(rowProj(row).copy())
-          }
-        }
-        flushed.iterator ++ drain()
+      val newKeeper: () => SurvivorKeeper =
+        if (rankMode) () => new TieKeeper(kk, ord)
+        else () => new HeapKeeper(kk, ord)
+      val keepers = new java.util.HashMap[UnsafeRow, SurvivorKeeper]()
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        keepers.forEach((_, sk) => sk.foreach(r => out += r))
+        keepers.clear()
+        out.iterator
       }
+      val flushed = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var sk = keepers.get(key)
+        if (sk == null) {
+          if (keepers.size() >= maxKeys) flushed ++= drain()
+          sk = newKeeper()
+          keepers.put(key.copy(), sk)
+        }
+        sk.add(row, rowProj)
+      }
+      flushed.iterator ++ drain()
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
+}
+
+/** One key's map-side survivor set: rows that can still satisfy the rank
+  * bound. Two implementations share the partial phase's per-key
+  * HashMap/flush/drain loop, differing only in the retention rule. */
+private[plans] sealed trait SurvivorKeeper {
+  def add(row: InternalRow, rowProj: UnsafeProjection): Unit
+  def foreach(f: UnsafeRow => Unit): Unit
+}
+
+/** `row_number() <= k`: a bounded max-heap of exactly k rows (worst kept
+  * row on top). */
+private[plans] final class HeapKeeper(k: Int,
+    ord: org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering)
+    extends SurvivorKeeper {
+  private val heap = new java.util.PriorityQueue[UnsafeRow](k + 1, ord.reverse)
+
+  def add(row: InternalRow, rowProj: UnsafeProjection): Unit = {
+    if (heap.size() < k) heap.add(rowProj(row).copy())
+    else if (ord.compare(row, heap.peek()) < 0) {
+      heap.poll()
+      heap.add(rowProj(row).copy())
+    }
+  }
+
+  def foreach(f: UnsafeRow => Unit): Unit = heap.forEach(r => f(r))
 }
 
 /** Per-key survivor set for `rank() <= k`: tie groups (rows equal under the
@@ -235,7 +241,7 @@ case class GroupedTopKLimitPartialExec(
   * group — which is exactly the operator's required output, not a leak
   * (a key whose rows are all tied legitimately emits every one of them). */
 private[plans] final class TieKeeper(k: Int,
-    ord: java.util.Comparator[InternalRow]) {
+    ord: java.util.Comparator[InternalRow]) extends SurvivorKeeper {
   private val groups =
     new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](ord)
   private var total = 0
@@ -285,6 +291,15 @@ case class GroupedTopKLimitFinalExec(
       Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
     org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(partitionSpec) :: Nil
 
+  /** Forward the exchange's hash partitioning (this node only filters and
+    * appends a column within partitions): without it the default
+    * UnknownPartitioning would make a downstream aggregate/join on the
+    * same keys insert a second, redundant shuffle of already-clustered
+    * rows. */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val childOutput = child.output
@@ -324,19 +339,26 @@ case class GroupedTopKLimitFinalExec(
         val sorted = buf.sorted(ord)
         if (rankMode) {
           // rank(): position-numbered with gaps; a tie group straddling k
-          // is emitted whole (rank <= k tests the group's first position)
-          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          var i = 0
-          var rank = 1
-          while (i < sorted.length && {
-            if (i > 0 && ord.compare(sorted(i), sorted(i - 1)) != 0) rank = i + 1
-            rank <= kk
-          }) {
-            rankRow.setInt(0, rank)
-            out += outProj(joined(sorted(i), rankRow)).copy()
-            i += 1
+          // is emitted whole (rank <= k tests the group's first position).
+          // Streaming emission — an all-tied key legitimately emits every
+          // row, so buffering the output would double that key's peak
+          // memory on exactly the inputs this mode exists for.
+          new Iterator[InternalRow] {
+            private var i = 0
+            private var rank = 1
+            private def rankOfNext(): Int = {
+              if (i > 0 && ord.compare(sorted(i), sorted(i - 1)) != 0)
+                rank = i + 1
+              rank
+            }
+            def hasNext: Boolean = i < sorted.length && rankOfNext() <= kk
+            def next(): InternalRow = {
+              rankRow.setInt(0, rank)
+              val r = outProj(joined(sorted(i), rankRow)).copy()
+              i += 1
+              r
+            }
           }
-          out.iterator
         } else {
           sorted.iterator.take(kk).zipWithIndex.map { case (row, r) =>
             rankRow.setInt(0, r + 1)

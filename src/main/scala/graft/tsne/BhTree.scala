@@ -228,10 +228,12 @@ final class BhTree private (rootX: Double, rootY: Double, rootHw: Double)
 
 object BhTree {
 
-  /** Build a tree the way the reference's gradient does
-    * (`TsneHelpers.scala:228-256`): root centered on the mean with
-    * half-width `max(maxX − minX, maxY − minY)`, then insert every point. */
-  def build(points: Iterable[Array[Double]]): BhTree = {
+  /** The root-cell rule shared by every build path (`TsneHelpers.scala:
+    * 228-231`): centered on the mean, half-width `max(xspan, yspan)`.
+    * One definition so the driver build, the executor build, and the
+    * optimizer's precomputed-cell fast path cannot drift apart (mergeFrom
+    * requires exactly equal root cells). */
+  private[tsne] def rootCellOf(points: Iterable[Array[Double]]): (Double, Double, Double) = {
     var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
     var minY = Double.PositiveInfinity; var maxY = Double.NegativeInfinity
     var sx = 0.0; var sy = 0.0; var c = 0
@@ -243,7 +245,15 @@ object BhTree {
       sx += p(0); sy += p(1); c += 1
     }
     require(c > 0, "cannot build a quadtree from zero points")
-    val t = new BhTree(sx / c, sy / c, math.max(maxX - minX, maxY - minY))
+    (sx / c, sy / c, math.max(maxX - minX, maxY - minY))
+  }
+
+  /** Build a tree the way the reference's gradient does
+    * (`TsneHelpers.scala:228-256`): root from [[rootCellOf]], then insert
+    * every point. */
+  def build(points: Iterable[Array[Double]]): BhTree = {
+    val (cx, cy, hw) = rootCellOf(points)
+    val t = new BhTree(cx, cy, hw)
     points.foreach(p => t.insert(p(0), p(1)))
     t
   }

@@ -254,20 +254,9 @@ object Optimizer {
         val tree =
           if (arr.length >= params.distTreeMinPoints) {
             val (ox, oy) = (mx, my)
-            var loX = Double.PositiveInfinity; var hiX = Double.NegativeInfinity
-            var loY = Double.PositiveInfinity; var hiY = Double.NegativeInfinity
-            var sX = 0.0; var sY = 0.0
-            arr.foreach { w =>
-              val x = w.y(0); val y = w.y(1)
-              if (x < loX) loX = x
-              if (x > hiX) hiX = x
-              if (y < loY) loY = y
-              if (y > hiY) hiY = y
-              sX += x; sY += y
-            }
+            val (rcx, rcy, rhw) = BhTree.rootCellOf(arr.map(_.y))
             BhTree.buildRdd(state.rdd.map(w => (w.y(0) - ox, w.y(1) - oy)),
-              sX / arr.length, sY / arr.length,
-              math.max(hiX - loX, hiY - loY), depth = 2)
+              rcx, rcy, rhw, depth = 2)
           } else BhTree.build(arr.map(_.y))
         val bcState = sc.broadcast(stateMap)
         val bcTree = sc.broadcast(tree)
@@ -324,8 +313,10 @@ object Optimizer {
       }
     }
 
-    // final centering (the stored state is post-update, pre-center)
-    val fin = state.collect()
+    // final centering (the stored state is post-update, pre-center) —
+    // sorted like every superstep collect, so the centering sums don't
+    // re-introduce partition-order FP noise at the very last step
+    val fin = state.collect().sortBy(_.id)
     var mx = 0.0; var my = 0.0
     fin.foreach { w => mx += w.y(0); my += w.y(1) }
     mx /= fin.length; my /= fin.length
@@ -345,7 +336,7 @@ object Optimizer {
     val spark = p.sparkSession
     import spark.implicits._
     val metricName = metric
-    val arr = y.collect()
+    val arr = y.collect().sortBy(_.id) // canonical order, like the optimizer
     val tree = BhTree.build(arr.map(_.vec))
     val yMap = new java.util.HashMap[Long, Array[Double]](arr.length * 2)
     val repMap = new java.util.HashMap[Long, Array[Double]](arr.length * 2)

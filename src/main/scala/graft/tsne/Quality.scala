@@ -20,13 +20,19 @@ object Quality {
     * fed the pipeline. The embedding side is its own kNN (2-D, cheap), a
     * semi join, and one global count: no per-point state leaves the
     * executors, so the metric costs O(N²_lowdim) like any kNN, not a
-    * driver collect. Returns one row `(n_points, hits)`. */
+    * driver collect. Returns one row `(n_points, truth_pairs, hits)`;
+    * recall = hits / truth_pairs (NOT hits / n·k — a sparse truth graph
+    * where some point has fewer than k neighbors would cap the latter
+    * below 1.0 for a perfect embedding). */
   def neighborRecall(truthPairs: DataFrame, emb: Dataset[Point], k: Int,
                      metric: String = "sqeuclidean"): DataFrame = {
     val embKnn = Knn.bruteForce(emb, k, metric).toDF().select(col("i"), col("j"))
-    val hits = truthPairs.select(col("i"), col("j"))
-      .join(embKnn, Seq("i", "j"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    emb.toDF().agg(count(lit(1)).as("n_points")).crossJoin(hits)
+    // one left join counts both sides at once: embKnn pairs are unique
+    // (ranked top-k), so no truth row fans out
+    val counted = truthPairs.select(col("i"), col("j"))
+      .join(embKnn.withColumn("__in_emb", lit(1)), Seq("i", "j"), "left")
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(coalesce(col("__in_emb"), lit(0))).cast("long").as("hits"))
+    emb.toDF().agg(count(lit(1)).as("n_points")).crossJoin(counted)
   }
 }

@@ -91,6 +91,23 @@ object Tsne {
 
     val lossAcc = new MapAccumulator
     spark.sparkContext.register(lossAcc, "loss")
+    // --recallOut reads the kNN graph a second time (as the recall truth);
+    // persist it so that read is a cache hit, not a re-run of the full
+    // kNN lineage (for bruteforce, a second N² pass)
+    val wantRecall = a.contains("recallOut") && !a.contains("executionPlan")
+    if (wantRecall) knn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      runBody(a, spark, knn, params, lossAcc, outputPath, lossFile)
+    } finally if (wantRecall) knn.unpersist()
+  }
+
+  private def runBody(a: Map[String, String], spark: SparkSession,
+                      knn: Dataset[Neighbor], params: Optimizer.Params,
+                      lossAcc: MapAccumulator, outputPath: String,
+                      lossFile: String): Unit = {
+    def opt(k: String, d: String) = a.getOrElse(k, d)
+    val neighbors = a.get("neighbors").map(_.toInt)
+      .getOrElse(3 * params.perplexity.toInt)
     val result = computeEmbedding(knn, params, Some(lossAcc))
 
     if (a.contains("executionPlan")) {
@@ -107,8 +124,8 @@ object Tsne {
       // rebuild extension (no reference counterpart): --recallOut <path>
       // writes the embedding's neighbor-recall@k — the quality gate a real
       // t-SNE user checks on every run (see graft.tsne.Quality). The truth
-      // side reuses the pipeline's own kNN graph (rank-ordered by dist,
-      // first k of the `neighbors` requested), so no extra N² pass runs.
+      // side re-reads the pipeline's own kNN graph (persisted above), so
+      // no kNN lineage re-runs.
       a.get("recallOut").foreach { path =>
         val k = opt("recallK", "10").toInt
         require(k > 0 && k <= neighbors,
@@ -117,7 +134,13 @@ object Tsne {
           knn.toDF().select(col("i"), col("j"), col("dist")), k)
         val row = Quality.neighborRecall(truth, result, k).head()
         val n = row.getLong(row.fieldIndex("n_points"))
-        val recall = row.getLong(row.fieldIndex("hits")).toDouble / (n.toDouble * k)
+        // denominator = actual truth pairs: a sparse graph (distance-matrix
+        // input with < k entries for some rows) must still report 1.0 when
+        // every truth neighborhood is preserved
+        val pairs = row.getLong(row.fieldIndex("truth_pairs"))
+        val recall =
+          if (pairs == 0) 0.0
+          else row.getLong(row.fieldIndex("hits")).toDouble / pairs.toDouble
         val rw = new java.io.PrintWriter(new java.io.File(path))
         rw.write(f"{n=$n, k=$k, recall=$recall%.6f}")
         rw.close()
