@@ -18,11 +18,12 @@ import org.apache.spark.sql.types.IntegerType
   * every map partition before the partial limit and again after the
   * exchange. For inputs like an N² kNN pair table, those sorts dominate.
   *
-  * [[GroupedTopKLimit]] replaces the whole pattern with a sort-free
-  * two-phase bounded heap: map-side k-heaps per key (partial-aggregation
+  * [[GroupedTopKLimit]] replaces the whole pattern with a two-phase
+  * bounded reduction: map-side k-heaps per key (partial-aggregation
   * shape), a standard Tungsten hash exchange of ≤ partitions·keys·k rows,
-  * and a per-key k-merge on the reduce side. Only the ≤ k surviving rows
-  * per key are ever ordered.
+  * then a spillable sort of those SURVIVORS feeding an O(1)-memory
+  * streaming rank scan. Only rows that already passed the per-key limit
+  * are ever sorted — the N² input is never ordered.
   *
   * Wiring: [[RewriteRankFilterToTopK]] (optimizer rule) recognizes the
   * window idiom, [[GroupedTopKStrategy]] plans the logical node to
@@ -273,9 +274,15 @@ private[plans] final class TieKeeper(k: Int,
 
 /** Reduce-side phase: sees every surviving row of a key (the required
   * clustered distribution makes EnsureRequirements insert the hash
-  * exchange), k-merges per key and appends the rank — sequential for
-  * [[RowNumberMode]], gap-numbered with whole tie groups for
-  * [[RankMode]]. */
+  * exchange) in (key, order) sorted order (the required ordering makes it
+  * insert Spark's SPILLABLE external SortExec over the post-limit
+  * survivors), and streams each key's run, appending the rank — sequential
+  * for [[RowNumberMode]], gap-numbered with whole tie groups for
+  * [[RankMode]]. The scan itself holds O(1) rows, so reduce-side memory is
+  * entirely the external sort's, which spills — no on-heap hash grouping
+  * of unbounded key cardinality. (Only survivors are ever sorted: the
+  * partial phase capped each map partition's contribution per key, so the
+  * "sort-free over the raw input" property of the operator is intact.) */
 case class GroupedTopKLimitFinalExec(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -290,6 +297,11 @@ case class GroupedTopKLimitFinalExec(
   override def requiredChildDistribution:
       Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
     org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(partitionSpec) :: Nil
+
+  /** Keys grouped (any ordering direction works — ascending by
+    * convention), then the rank order within each key. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(partitionSpec.map(e => SortOrder(e, Ascending)) ++ orderSpec)
 
   /** Forward the exchange's hash partitioning (this node only filters and
     * appends a column within partitions): without it the default
@@ -306,64 +318,56 @@ case class GroupedTopKLimitFinalExec(
     val partSpec = partitionSpec
     val ordSpec = orderSpec
     val rank = rankAttr
+    val rankMode = mode == RankMode
 
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
-      val groups = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[UnsafeRow]]()
-      rows.foreach { row =>
-        val key = keyProj(row)
-        var buf = groups.get(key)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-          groups.put(key.copy(), buf)
-        }
-        // the exchange reader reuses its row buffer — copy to retain
-        buf += row.asInstanceOf[UnsafeRow].copy()
-      }
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       val outProj = UnsafeProjection.create(
         (childOutput :+ rank).zipWithIndex.map { case (a, i) =>
           BoundReference(i, a.dataType, a.nullable)
         })
-      // lazy emission: the grouped input (≤ mapPartitions·k rows per key)
-      // must be held to rank, but the output streams. NOTE: this hash
-      // grouping is on-heap without spill — memory per reduce task is
-      // bounded by its shuffled share (keys·mapPartitions·k rows), which
-      // for top-k workloads is the post-limit data, not the raw input;
-      // integrating TaskMemoryManager spilling is future work.
-      import scala.jdk.CollectionConverters._
-      val rankMode = mode == RankMode
-      groups.values().iterator().asScala.flatMap { buf =>
-        val sorted = buf.sorted(ord)
-        if (rankMode) {
-          // rank(): position-numbered with gaps; a tie group straddling k
-          // is emitted whole (rank <= k tests the group's first position).
-          // Streaming emission — an all-tied key legitimately emits every
-          // row, so buffering the output would double that key's peak
-          // memory on exactly the inputs this mode exists for.
-          new Iterator[InternalRow] {
-            private var i = 0
-            private var rank = 1
-            private def rankOfNext(): Int = {
-              if (i > 0 && ord.compare(sorted(i), sorted(i - 1)) != 0)
-                rank = i + 1
-              rank
+      new Iterator[InternalRow] {
+        // partition keys are float-free (the rewrite refuses them), so
+        // UnsafeRow byte equality == semantic key equality
+        private var curKey: UnsafeRow = null
+        private var pos = 0            // 0-based position within the key
+        private var curRank = 1
+        private var prev: UnsafeRow = null // previous row, rank-mode ties
+        private var skipKey = false    // rank > k: rest of the key is dead
+        private var pending: InternalRow = null
+
+        private def advance(): Unit = {
+          while (pending == null && rows.hasNext) {
+            val row = rows.next().asInstanceOf[UnsafeRow]
+            val key = keyProj(row)
+            if (curKey == null || !key.equals(curKey)) {
+              curKey = key.copy(); pos = 0; curRank = 1
+              prev = null; skipKey = false
             }
-            def hasNext: Boolean = i < sorted.length && rankOfNext() <= kk
-            def next(): InternalRow = {
-              rankRow.setInt(0, rank)
-              val r = outProj(joined(sorted(i), rankRow)).copy()
-              i += 1
-              r
+            if (!skipKey) {
+              if (rankMode) {
+                if (prev != null && ord.compare(row, prev) != 0)
+                  curRank = pos + 1
+              } else curRank = pos + 1
+              if (curRank <= kk) {
+                // ranks only grow along the run: once one row is dropped,
+                // every later row of the key is too — stop copying/comparing
+                if (rankMode) prev = row.copy()
+                rankRow.setInt(0, curRank)
+                pending = outProj(joined(row, rankRow)).copy()
+              } else skipKey = true
             }
+            pos += 1
           }
-        } else {
-          sorted.iterator.take(kk).zipWithIndex.map { case (row, r) =>
-            rankRow.setInt(0, r + 1)
-            outProj(joined(row, rankRow)).copy(): InternalRow
-          }
+        }
+
+        def hasNext: Boolean = { if (pending == null) advance(); pending != null }
+        def next(): InternalRow = {
+          if (pending == null) advance()
+          val r = pending; pending = null; r
         }
       }
     }, preservesPartitioning = true)

@@ -60,9 +60,10 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     df.collect() // finalize adaptive plan
     val plan = df.queryExecution.executedPlan.toString
     plan should include("*(")
-    // the rank-filter window was rewritten to the sort-free heap operator:
-    // map-side partial heaps, a standard Tungsten hash exchange, final
-    // k-merge — and no sort anywhere in the top-k pipeline
+    // the rank-filter window was rewritten to the bounded-heap operator:
+    // map-side partial heaps, a standard Tungsten hash exchange, then a
+    // spillable sort of the SURVIVORS ONLY feeding the streaming rank
+    // scan — the N² pair input itself is never sorted
     plan should include("GroupedTopKLimitPartial")
     plan should include("GroupedTopKLimitFinal")
     (plan.linesIterator.exists(l =>
