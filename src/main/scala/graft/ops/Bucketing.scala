@@ -83,9 +83,26 @@ object Bucketing {
   }
 
   /** Co-located equi-join of two tables previously written with
-    * [[writeBucketed]] on `key` with equal bucket counts. */
+    * [[writeBucketed]] on `key` with equal bucket counts. The layouts are
+    * checked up front: a mismatched bucket count or key would not fail —
+    * Spark would silently insert the exchange this operator exists to
+    * avoid, and the performance contract would degrade with no symptom. */
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
                    leftTable: String, rightTable: String,
-                   key: String): DataFrame =
+                   key: String): DataFrame = {
+    def spec(t: String) = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      meta.bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"table '$t' is not bucketed"))
+    }
+    val (l, r) = (spec(leftTable), spec(rightTable))
+    require(l.bucketColumnNames == Seq(key) && r.bucketColumnNames == Seq(key),
+      s"both tables must be bucketed by '$key' " +
+        s"(got ${l.bucketColumnNames} / ${r.bucketColumnNames})")
+    require(l.numBuckets == r.numBuckets,
+      s"bucket counts differ (${l.numBuckets} vs ${r.numBuckets}): " +
+        "the join would silently re-shuffle instead of running co-located")
     spark.table(leftTable).join(spark.table(rightTable), key)
+  }
 }

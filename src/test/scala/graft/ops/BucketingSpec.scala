@@ -46,6 +46,28 @@ class BucketingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "bucketedJoin" should "reject mismatched bucket layouts instead of silently re-shuffling" in {
+    val s = spark
+    import s.implicits._
+    try {
+      Bucketing.writeBucketed(
+        s.range(100).select(col("id").as("k")), "bkt_a8", "k", buckets = 8)
+      Bucketing.writeBucketed(
+        s.range(100).select(col("id").as("k")), "bkt_b4", "k", buckets = 4)
+      val ex = intercept[IllegalArgumentException] {
+        Bucketing.bucketedJoin(s, "bkt_a8", "bkt_b4", "k")
+      }
+      ex.getMessage should include("bucket counts differ")
+      // and a plain (unbucketed) table is rejected too
+      s.range(10).select(col("id").as("k")).write
+        .mode("overwrite").saveAsTable("bkt_plain")
+      intercept[IllegalArgumentException] {
+        Bucketing.bucketedJoin(s, "bkt_a8", "bkt_plain", "k")
+      }.getMessage should include("not bucketed")
+    } finally Seq("bkt_a8", "bkt_b4", "bkt_plain")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   "sweepStaleTables" should "drop orphaned prefix dirs and keep registered tables" in {
     val s = spark
     import s.implicits._
