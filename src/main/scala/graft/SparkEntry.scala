@@ -585,6 +585,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // §2.2 vocabulary — CUBE grouping sets (all 2^d subtotal combinations;
+    // ROLLUP's hierarchical subset is pinned by q_rollup_lineitem)
+    "q_cube_lineitem" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty_r"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty_r"))
+        .orderBy("rf", "ls")
+    }),
+
     // §2.2 vocabulary — ROLLUP grouping sets (subtotals + grand total)
     "q_rollup_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -1339,6 +1351,13 @@ object SparkEntry {
          |  AND ('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR), 'null') || '#train'), 1, 15))::BIGINT
          |      < ${math.round(0.5 * (1L << 60).toDouble)}
          |ORDER BY doc_id""".stripMargin),
+
+    "q_cube_lineitem" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
 
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
