@@ -43,7 +43,12 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // foreach, NOT count: under count() Catalyst prunes every column,
+          // so a map-only query (redaction, text stats) would be timed as a
+          // bare parquet row count — the per-row expressions and the final
+          // sort optimized away. foreach must materialize every output row
+          // in full, so the measured plan is the plan a consumer pays for.
+          fn(spark, sfDir).foreach(_ => ())
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -54,7 +59,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // any failure poisons the headline: summing the -1 sentinels would make
+    // a broken round read FASTER than a healthy one
+    val total =
+      if (results.isEmpty) 0.0
+      else if (results.exists(_._2 < 0)) -1.0
+      else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

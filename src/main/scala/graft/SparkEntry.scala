@@ -38,15 +38,16 @@ object SparkEntry {
     emb.select(col("id"), col("vec")(0).as("y0"), col("vec")(1).as("y1"))
   }
 
-  private def knnQuery(s: SparkSession, dir: String, method: String): DataFrame = {
+  private def knnQuery(s: SparkSession, dir: String, method: String,
+                       metric: String = "sqeuclidean"): DataFrame = {
     val points = IO.readEmbeddings(s, dir)
     // ranked forms: the top-k operator emits the rank itself — no second
     // window over already-ranked output
     val ranked = method match {
       case "bruteforce" =>
-        Knn.topKPerPointRanked(Knn.bruteForcePairs(points, "sqeuclidean"), 10)
+        Knn.topKPerPointRanked(Knn.bruteForcePairs(points, metric), 10)
       case "partition" =>
-        Knn.partitionKnnRanked(points, 10, "sqeuclidean", 8)
+        Knn.partitionKnnRanked(points, 10, metric, 8)
     }
     ranked
       .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
@@ -118,20 +119,10 @@ object SparkEntry {
 
     // O4 — cosine metric exercised end-to-end (euclidean/cosine were dark
     // in round 1; the kNN ranking + DuckDB hash pin the whole expression)
-    "q_knn_cosine" -> ((s, dir) => {
-      val points = IO.readEmbeddings(s, dir)
-      Knn.topKPerPointRanked(Knn.bruteForcePairs(points, "cosine"), 10)
-        .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
-        .orderBy("i", "rn")
-    }),
+    "q_knn_cosine" -> ((s, dir) => knnQuery(s, dir, "bruteforce", "cosine")),
 
     // O4 — euclidean metric (the third and last metric dispatch arm)
-    "q_knn_euclidean" -> ((s, dir) => {
-      val points = IO.readEmbeddings(s, dir)
-      Knn.topKPerPointRanked(Knn.bruteForcePairs(points, "euclidean"), 10)
-        .select(col("i"), col("j"), col("rn"), round(col("dist"), 6).as("dist_r"))
-        .orderBy("i", "rn")
-    }),
+    "q_knn_euclidean" -> ((s, dir) => knnQuery(s, dir, "bruteforce", "euclidean")),
 
     // O7/O8/O9 — projection kNN, machine-checked by recall: the seeded
     // approximate result must recover ≥ 90% of the true kNN pairs (the
@@ -423,8 +414,15 @@ object SparkEntry {
 
     // multimodal plumbing: binary payloads + stub decode + frame samples
     "q_multimodal_features" -> ((s, dir) => {
-      val mm = pipeline.Multimodal.fromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // the oracle samples characters (substr/ascii) where Spark samples
+      // payload BYTES at byte offsets — only equivalent while every
+      // document is ASCII; fail loudly if the fixture ever stops being so
+      // (same pattern as the embeddingDim require)
+      require(docs.where(octet_length(col("text")) =!= length(col("text")))
+        .isEmpty, "documents fixture contains non-ASCII text; the " +
+        "q_multimodal_features oracle's char-indexed sampling would diverge")
+      val mm = pipeline.Multimodal.fromDocuments(docs)
       val feats = pipeline.Multimodal.decodeFeatures(mm, featureDim = 4)
         .select(col("id") +: (0 until 4).map(m =>
           round(col("features")(m), 9).as(s"f${m}_r")): _*)
@@ -701,7 +699,11 @@ object SparkEntry {
       val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
       val (tOrders, tCustomer) = (s"bq_orders_$tag", s"bq_customer_$tag")
       // reclaim bucketed-table directories orphaned by previous sessions
-      // (their catalog entries died with the session; ours are registered)
+      // (their catalog entries died with the session; ours are registered).
+      // SERIAL-HARNESS ASSUMPTION: a concurrent session's live bq_* tables
+      // would look like orphans to this catalog check — the harness never
+      // runs two sbt sessions against one working dir (verify SKILL.md
+      // gotcha), which is what makes this sweep safe.
       ops.Bucketing.sweepStaleTables(s)
       if (!s.catalog.tableExists(tOrders))
         ops.Bucketing.writeBucketed(
