@@ -808,7 +808,8 @@ object SparkEntry {
       |    len(list_filter(t, x -> x IN ('the','a','an','of','and','or','in','to','is')))
       |      * 1.0 / len(t) AS stop_ratio,
       |    len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
-      |    len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text) AS alpha_ratio,
+      |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+      |      * 1.0 / length(text) AS alpha_ratio,
       |    length(text) * 1.0 / len(t) AS mean_len
       |  FROM toks""".stripMargin
 

@@ -75,8 +75,11 @@ object TextOps {
     val nTok = size(toks).cast("double")
     val stopRatio = safeDiv(hitCount(toks, stopwords), nTok)
     val typeRatio = safeDiv(size(array_distinct(toks)), nTok)
+    // letter COUNT via replace-length, not regexp_extract_all: the latter
+    // materializes an array entry per matched character — allocation-heavy
+    // on long documents for a number the length difference gives directly
     val alphaRatio = safeDiv(
-      size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+      length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")),
       length(col("text")).cast("double"))
     val meanLen = safeDiv(length(col("text")).cast("double"), nTok)
     // weights: fluent docs have some stopwords (target ~10%+), healthy
