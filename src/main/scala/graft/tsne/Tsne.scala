@@ -89,6 +89,15 @@ object Tsne {
           knnIterations, params.seed, dimension)
       }
 
+    // validate the recall report arguments BEFORE any Spark work: failing
+    // after a multi-minute pipeline has already run (and written output)
+    // is the worst place to learn an argument was out of range
+    if (a.contains("recallOut")) {
+      val k = opt("recallK", "10").toInt
+      require(k > 0 && k <= neighbors,
+        s"--recallK must be in [1, --neighbors]; got $k with neighbors=$neighbors")
+    }
+
     val lossAcc = new MapAccumulator
     spark.sparkContext.register(lossAcc, "loss")
     // --recallOut reads the kNN graph a second time (as the recall truth);

@@ -32,6 +32,16 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
       "--recallK", "3",
       "--loss", lossFile), spark)
 
+    // an out-of-range --recallK fails BEFORE any pipeline work
+    intercept[IllegalArgumentException] {
+      Tsne.run(Array(
+        "--input", fixturePath("dense_input.csv"),
+        "--output", outDir + "_never", "--dimension", "784",
+        "--perplexity", "2", "--neighbors", "9", "--knnMethod", "bruteforce",
+        "--recallOut", recallFile, "--recallK", "10"), spark)
+    }.getMessage should include("--recallK must be in [1, --neighbors]")
+    new java.io.File(outDir + "_never").exists() shouldBe false
+
     // --recallOut: the quality report parses and the metric is a valid
     // fraction; on 10 points with 60 supersteps the embedding preserves
     // at least some input neighborhoods, so it must be > 0
