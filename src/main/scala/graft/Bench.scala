@@ -17,8 +17,10 @@ object Bench {
     // Warm up JIT + codegen on the hot shapes (cross join + array math,
     // ranking window, hash agg) with a tiny in-memory dataset, so the first
     // measured query doesn't absorb one-time JVM compilation cost and
-    // per-query timings are comparable across rounds.
-    {
+    // per-query timings are comparable across rounds. Its cost is reported
+    // as warmup_sec — it lands in sbt wall-clock but in no query timing.
+    val warmT0 = System.nanoTime()
+    locally {
       import spark.implicits._
       val warm = spark.range(200)
         .select(col("id"), array((0 until 8).map(d => rand(d)): _*).as("vec"))
@@ -31,6 +33,34 @@ object Bench {
         graft.tsne.Knn.bruteForce(warm, 5, "sqeuclidean")).count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
       spark.catalog.clearCache()
+    }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+
+    // Prior round's per-query timings (newest BENCH_r{N}.json in cwd) feed
+    // the regression gate below: same harness methodology round over round,
+    // so a >2× per-query jump is a real plan/code regression, not noise.
+    val prior: Map[String, Double] = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f)); case _ => None
+        })
+        .sortBy(-_._1).headOption.map { case (_, f) =>
+          try {
+            import org.json4s._
+            val src = scala.io.Source.fromFile(f)
+            val raw = try src.mkString finally src.close()
+            val j = org.json4s.jackson.JsonMethods.parse(raw)
+            j \ "queries" match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) => k -> v
+                case (k, JInt(v)) => k -> v.toDouble
+                case (k, JDecimal(v)) => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty[String, Double]
+            }
+          } catch { case _: Throwable => Map.empty[String, Double] }
+        }.getOrElse(Map.empty)
     }
 
     // fixed name order: timings are position-independent and diffable;
@@ -59,13 +89,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // any failure poisons the headline: summing the -1 sentinels would make
-    // a broken round read FASTER than a healthy one
+    // any failure poisons the headline: null (not a negative sentinel, which
+    // would still satisfy a naive numeric "total <= 2x baseline" check)
     val total =
-      if (results.isEmpty) 0.0
-      else if (results.exists(_._2 < 0)) -1.0
-      else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      if (results.isEmpty) "0.0"
+      else if (results.exists(_._2 < 0)) "null"
+      else results.map(_._2).sum.toString
+    // >2× the prior round at identical methodology = regression; queries
+    // new this round (or failed either round) can't regress
+    val regressions = results.collect {
+      case (name, now) if now > 0 && prior.getOrElse(name, Double.MaxValue) > 0 &&
+        prior.contains(name) && now > 2 * prior(name) =>
+        f"""{"query":"$name","prior":${prior(name)}%.3f,"now":$now%.3f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""warmup_sec":$warmupSec%.2f,"regressions":$regressions,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -148,7 +148,7 @@ object SparkEntry {
       // window — KnnSpec pins that). Deterministic in (seed, data), so the
       // oracle's constant row is a real check.
       val n = points.count()
-      val window = math.min(512, math.max(50, math.ceil(n * 0.055).toInt))
+      val window = Knn.tunedWindow(n)
       val approx = Knn.projectKnn(points, k, "sqeuclidean",
         iterations = 14, seed = 42L, dimension = embeddingDim, window = window)
       val truth = Knn.bruteForce(points, k, "sqeuclidean")
@@ -191,6 +191,33 @@ object SparkEntry {
       Quality.neighborRecall(truth, emb, k)
         .select(col("n_points"),
           (col("hits") >= col("n_points") * k * 0.08).cast("long").as("recall_ok"))
+    }),
+
+    // Discriminating e2e quality gate (VERDICT r4 next-round #2): same
+    // pipeline as q_tsne_quality but on a deterministic clustered fixture
+    // (200 Gaussian blobs of 10 points — every top-10 truth neighbor is a
+    // blob sibling, so recall@10 measures cluster-membership preservation,
+    // not unstable within-blob ordering). Measured (ClusteredCalibrate):
+    // healthy = 0.900; a schedule truncated after phase 1 = 0.332 (fails);
+    // skipping ONLY phase 2 measured harmless (0.895 — the remaining 199
+    // plain iterations recover), so the broken mode QualitySpec pins below
+    // the floor is the truncated schedule. Floor 0.6 sits mid-gap with wide
+    // margins both ways; the isotropic row above stays for fixture-data
+    // coverage.
+    "q_tsne_quality_clustered" -> ((s, dir) => {
+      import s.implicits._
+      val k = 10
+      val points = s.createDataset(Quality.clusteredCloud(2000, 200, 10, seed = 4242L))
+      val ranked = Knn
+        .topKPerPointRanked(Knn.bruteForcePairs(points, "sqeuclidean"), 30)
+        .persist()
+      val knn = ranked.select(col("i"), col("j"), col("dist")).as[Neighbor]
+      val emb = Tsne.computeEmbedding(knn,
+        Optimizer.Params(perplexity = 5.0, iterations = 250, seed = 42L))
+      val truth = ranked.where(col("rn") <= k)
+      Quality.neighborRecall(truth, emb, k)
+        .select(col("n_points"),
+          (col("hits") >= col("n_points") * k * 0.6).cast("long").as("recall_ok"))
     }),
 
     // O10/O21 — perplexity calibration invariant: every conditional
@@ -417,11 +444,12 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // the oracle samples characters (substr/ascii) where Spark samples
       // payload BYTES at byte offsets — only equivalent while every
-      // document is ASCII; fail loudly if the fixture ever stops being so
-      // (same pattern as the embeddingDim require)
-      require(docs.where(octet_length(col("text")) =!= length(col("text")))
-        .isEmpty, "documents fixture contains non-ASCII text; the " +
-        "q_multimodal_features oracle's char-indexed sampling would diverge")
+      // document is ASCII. The guard is part of the hash-checked output
+      // (ascii_ok, mirrored in the oracle SQL) instead of an eager
+      // pre-scan, so the check costs no extra job and a non-ASCII fixture
+      // fails the CORRECTNESS hash loudly.
+      val asciiOk = docs.select(col("doc_id").as("id"),
+        (octet_length(col("text")) === length(col("text"))).cast("long").as("ascii_ok"))
       val mm = pipeline.Multimodal.fromDocuments(docs)
       val feats = pipeline.Multimodal.decodeFeatures(mm, featureDim = 4)
         .select(col("id") +: (0 until 4).map(m =>
@@ -429,7 +457,7 @@ object SparkEntry {
       val samples = pipeline.Multimodal.frameSample(mm, n = 4)
         .select((col("id") :: col("byte_len") :: (0 until 4).map(i =>
           col("samples")(i).as(s"s$i")).toList): _*)
-      feats.join(samples, "id").orderBy("id")
+      feats.join(samples, "id").join(asciiOk, "id").orderBy("id")
     }),
 
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
@@ -472,6 +500,19 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => {
       streaming.Events.propsStats(streaming.Events.readEvents(s, dir))
         .orderBy("event_type")
+    }),
+
+    // keyed-state accumulator (flatMapGroupsWithState) in its batch form:
+    // one micro-batch holding the whole table, so each user emits exactly
+    // its final running profile — SUM/COUNT per user for the oracle. The
+    // streaming form (incremental state across micro-batches) is pinned
+    // streaming≡batch by EventsStreamingSpec.
+    "q_events_running_totals" -> ((s, dir) => {
+      streaming.Events.userRunningTotals(streaming.Events.readEvents(s, dir))
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 6).as("total_value_r"))
+        .orderBy("user_id")
     }),
 
     // as-of join: every click event joined to the same user's latest view
@@ -997,7 +1038,8 @@ object SparkEntry {
         |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 0 / 4) AS INT) + 1, 1)) AS BIGINT) AS s0,
         |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 1 / 4) AS INT) + 1, 1)) AS BIGINT) AS s1,
         |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 2 / 4) AS INT) + 1, 1)) AS BIGINT) AS s2,
-        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 3 / 4) AS INT) + 1, 1)) AS BIGINT) AS s3
+        |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 3 / 4) AS INT) + 1, 1)) AS BIGINT) AS s3,
+        |  CAST(strlen(text) = length(text) AS BIGINT) AS ascii_ok
         |FROM documents ORDER BY id""".stripMargin,
     "q_knn_bruteforce" ->
       (knnSql +
@@ -1081,6 +1123,12 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_points, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings""".stripMargin,
 
+    // the fixture is generated in-code (seeded, partition-independent), so
+    // the oracle is the deterministic contract row: 2000 points, floor held
+    "q_tsne_quality_clustered" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_points,
+        |       CAST(1 AS BIGINT) AS recall_ok""".stripMargin,
+
     "q_affinity_rowsum" ->
       """SELECT vec_id AS i, ROUND(CAST(1.0 AS DOUBLE), 6) AS psum_r
         |FROM embeddings ORDER BY i""".stripMargin,
@@ -1158,6 +1206,11 @@ object SparkEntry {
         |       ROUND(AVG(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
         |                      AS BIGINT)), 6) AS avg_k_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       ROUND(SUM(value), 6) AS total_value_r
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,

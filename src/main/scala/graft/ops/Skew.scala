@@ -30,15 +30,20 @@ object Skew {
                          outCol: String = "n_distinct"): DataFrame = {
     // SQL distinct-count semantics: NULL is not a value and is not counted —
     // but a key whose values are all NULL still appears, with count 0
+    // the aggregated side's keys are renamed __r_*: both sides share df's
+    // lineage, and identically-named columns would make the join condition
+    // an ambiguous self-join reference (Spark "repairs" it to a trivially
+    // true predicate, with a warning per run)
     val counts = df.select(keys.map(col) :+ col(valueCol): _*)
       .where(col(valueCol).isNotNull)
       .groupBy(keys.map(col) :+ col(valueCol): _*).agg(lit(1).as("__one"))
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as(outCol))
+      .select(keys.map(k => col(k).as(s"__r_$k")) :+ col(outCol): _*)
     // null-safe (<=>) join back: groupBy treats NULL as a key value, so the
     // NULL-key group must re-match here too — a plain equi-join would
     // drop it to the coalesce(0) branch even when it has distinct values
     val keyRows = df.select(keys.map(col): _*).distinct()
-    val cond = keys.map(k => keyRows(k) <=> counts(k)).reduce(_ && _)
+    val cond = keys.map(k => keyRows(k) <=> counts(s"__r_$k")).reduce(_ && _)
     keyRows.join(counts, cond, "left")
       .select(keys.map(keyRows(_)) :+ coalesce(counts(outCol), lit(0L)).as(outCol): _*)
   }

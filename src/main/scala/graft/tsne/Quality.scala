@@ -24,6 +24,24 @@ object Quality {
     * recall = hits / truth_pairs (NOT hits / n·k — a sparse truth graph
     * where some point has fewer than k neighbors would cap the latter
     * below 1.0 for a perfect embedding). */
+  /** Deterministic clustered point cloud for the discriminating quality
+    * gate (`q_tsne_quality_clustered`): `clusters` Gaussian blobs, centers
+    * ~ N(0, 10²) per dimension, unit within-cluster noise, round-robin
+    * assignment. A pure sequential function of its arguments — generated
+    * on the driver (tiny) so the draw is partition-independent, then
+    * parallelized by the caller. With blobs of ~20 points, a healthy
+    * embedding keeps each blob coherent in 2-D and recovers most exact
+    * top-k neighborhoods; an optimizer that loses a schedule phase leaves
+    * blobs unseparated and demonstrably fails the floor (`QualitySpec`). */
+  def clusteredCloud(n: Int, clusters: Int, dim: Int, seed: Long): IndexedSeq[Point] = {
+    val rng = new java.util.Random(seed)
+    val centers = Array.fill(clusters, dim)(rng.nextGaussian() * 10.0)
+    (0 until n).map { i =>
+      val c = centers(i % clusters)
+      Point(i.toLong, Array.tabulate(dim)(d => c(d) + rng.nextGaussian()))
+    }
+  }
+
   def neighborRecall(truthPairs: DataFrame, emb: Dataset[Point], k: Int,
                      metric: String = "sqeuclidean"): DataFrame = {
     val embKnn = Knn.bruteForce(emb, k, metric).toDF().select(col("i"), col("j"))

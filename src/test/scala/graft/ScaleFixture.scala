@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native sf1-equivalent scale evidence (VERDICT r4 next-round #5): a
+  * seeded generator for a ~6M-row lineitem + 1.5M orders + 100k-doc corpus
+  * whose CARDINALITIES actually grow (distinct orderkeys, custkeys, vocab
+  * mixes, duplicate groups) — unlike [[ScaleEvidence]]'s key-shifted
+  * replication, which checks linearity but reuses the same 600k-row value
+  * distributions. Generation is deterministic per (partition, row): every
+  * run produces byte-identical tables.
+  *
+  * Writes parquet to `target/sf1eq/` once (regenerate by deleting the dir),
+  * then runs the same six shapes ScaleEvidence measures, at sf0.1 (x1
+  * baseline) and on the generated tables (x10 rows, x10 cardinality), and
+  * prints rows + seconds — record in SCALE.md.
+  * `sbt 'Test/runMain graft.ScaleFixture'` */
+object ScaleFixture {
+
+  private val Vocab: Array[String] = {
+    // 5,000 distinct tokens (sf0.1's corpus draws from ~40): zipf-ish usage
+    // emerges from the rank-skewed draw below
+    (0 until 5000).map(i => s"tok$i").toArray
+  }
+
+  def generate(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val nOrders = 1500000L
+    val nCust = 150000L
+    val nDocs = 100000L
+
+    // lineitem: ~4 lines per order → ~6M rows
+    spark.range(0, nOrders, 1, 32).flatMap { ok =>
+      val rng = new java.util.Random(0xACE1L ^ (ok * 0x9E3779B97F4A7C15L))
+      val lines = 1 + rng.nextInt(7) // 1..7, mean 4
+      (0 until lines).map { l =>
+        val qty = 1 + rng.nextInt(50)
+        val price = math.rint((901.0 + rng.nextInt(104999)) * qty / 100.0 * 100) / 100
+        val flag = rng.nextInt(4) match {
+          case 0 => "A"; case 1 => "R"; case _ => "N"
+        }
+        val status = if (flag == "N") "O" else "F"
+        (ok + 1, 1L + rng.nextInt(200000), 1L + rng.nextInt(10000),
+          (l + 1).toLong, qty.toLong, price, flag, status)
+      }
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // orders: skewed customer popularity (hash-squared draw → hot customers)
+    spark.range(0, nOrders, 1, 32).map { ok =>
+      val rng = new java.util.Random(0xBEEFL ^ (ok * 0x9E3779B97F4A7C15L))
+      val r = rng.nextDouble()
+      val cust = 1L + (r * r * (nCust - 1)).toLong // quadratic skew
+      val price = math.rint((1000.0 + rng.nextDouble() * 499000.0) * 100) / 100
+      val status = if (rng.nextBoolean()) "O" else "F"
+      (ok + 1, cust, status, price,
+        new java.sql.Timestamp(694224000000L + (rng.nextInt(2557).toLong * 86400000L)),
+        s"${1 + rng.nextInt(5)}-PRIORITY")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // documents: 5k-token vocab, rank-skewed draw, ~2% exact duplicate pairs
+    // (doc 50k+i copies doc i's text) so dedup collapses real groups
+    val vocabBc = spark.sparkContext.broadcast(Vocab)
+    def textOf(id: Long): String = {
+      val rng = new java.util.Random(0xD0C5L ^ (id * 0x9E3779B97F4A7C15L))
+      val v = vocabBc.value
+      val len = 40 + rng.nextInt(260)
+      val sb = new StringBuilder
+      var t = 0
+      while (t < len) {
+        val r = rng.nextDouble()
+        sb.append(v(((r * r) * v.length).toInt min (v.length - 1)))
+        if (t < len - 1) sb.append(' ')
+        t += 1
+      }
+      sb.toString
+    }
+    spark.range(0, nDocs, 1, 32).map { id =>
+      val src = id % 2000 // source of a duplicate's text
+      val text = if (id >= 98000) textOf(src) else textOf(id)
+      val rng = new java.util.Random(0x1A6L ^ (id * 0x9E3779B97F4A7C15L))
+      val lang = rng.nextInt(10) match {
+        case 0 | 1 => "de"; case 2 => "zh"; case _ => "en"
+      }
+      (id, text, lang, s"src${id % 64}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val gen = "target/sf1eq"
+    val spark = SparkSession.builder().appName("scale-fixture")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      if (!new java.io.File(s"$gen/documents.parquet").exists()) {
+        val t0 = System.nanoTime()
+        generate(spark, gen)
+        println(f"SF1EQ generated in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      def time(f: => Long): (Long, Double) = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+        }
+        (runs.head._1, runs.map(_._2).min)
+      }
+      for ((label, dir) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("sf1eq", gen))) {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet").cache()
+        val ord = spark.read.parquet(s"$dir/orders.parquet").cache()
+        val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+        li.count(); ord.count(); docs.count()
+
+        val (aggN, aggT) = time(li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1))).count())
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val (topkN, topkT) = time(ord.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).count())
+        val (joinN, joinT) = time(ord.join(li,
+          col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_custkey").agg(sum("l_extendedprice")).count())
+        val (dedupN, dedupT) = time(pipeline.Dedup.exactCanonical(docs).count())
+        val (repN, repT) = time(pipeline.TextOps.repetitionSignals(docs).count())
+        val bench = spark.read.parquet(s"$dir/documents.parquet")
+          .where(col("doc_id") % 37 === 0)
+        val (decN, decT) = time(pipeline.TextOps.decontaminate(docs, bench).count())
+        val (distN, distT) = time(
+          li.select(countDistinct(col("l_orderkey"))).as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).head())
+
+        println(f"SF1EQ $label%-6s lineitem=${li.count()} docs=${docs.count()} " +
+          f"agg=$aggT%.2f($aggN) topk=$topkT%.2f($topkN) joinagg=$joinT%.2f($joinN) " +
+          f"dedup=$dedupT%.2f($dedupN) repetition=$repT%.2f($repN) " +
+          f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN)")
+        li.unpersist(); ord.unpersist(); docs.unpersist()
+      }
+    } finally spark.stop()
+  }
+}

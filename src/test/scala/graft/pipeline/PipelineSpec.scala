@@ -302,6 +302,57 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
       Multimodal.decodeImageGrayscale(15)(solid)
   }
 
+  it should "decode real WAVs through the same seam (javax.sound codec)" in {
+    val s = spark
+    import s.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // synthesize a 16-bit mono PCM WAV: silence for the first half,
+    // a full-scale square wave for the second — the segment-RMS envelope
+    // must read ~0 then ~1
+    def wav(samples: Array[Short], channels: Int = 1): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        bytes(2 * i) = (v & 0xFF).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt,
+          samples.length / channels),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val n = 800
+    val halfLoud = wav(Array.tabulate(n)(i =>
+      if (i < n / 2) 0 else if (i % 2 == 0) 32767 else -32767))
+    // stereo: left full-scale, right silent → mono downmix is half-scale
+    val stereo = wav(Array.tabulate(n)(i =>
+      if (i % 2 == 0) 32767 else 0), channels = 2)
+
+    val mm = Seq((1L, halfLoud), (2L, stereo)).toDF("id", "payload")
+      .select(col("id"), lit("audio").as("modality"), col("payload"),
+        struct(org.apache.spark.sql.functions.length(col("payload"))
+            .cast("long").as("byte_len"),
+          lit("test").as("source")).as("meta"))
+    val feats = Multimodal
+      .decodeFeatures(mm, 4, Multimodal.decodeWavWaveform)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    feats(1L).length shouldBe 4
+    feats(1L)(0) shouldBe 0.0 +- 1e-9 // silent half
+    feats(1L)(1) shouldBe 0.0 +- 1e-9
+    feats(1L)(2) shouldBe 1.0 +- 1e-3 // full-scale square wave
+    feats(1L)(3) shouldBe 1.0 +- 1e-3
+    // stereo downmix: (1 + 0)/2 per frame → RMS ≈ 0.5 everywhere
+    forAll(feats(2L).toSeq) { f => f shouldBe 0.5 +- 1e-3 }
+    // matches the direct (non-Spark) decoder call bit-for-bit
+    feats(1L) shouldBe Multimodal.decodeWavWaveform(4)(halfLoud)
+    // non-audio payloads fail loudly, not silently
+    an[Exception] should be thrownBy
+      Multimodal.decodeWavWaveform(4)("not a wav".getBytes("UTF-8"))
+  }
+
   it should "resize payloads by stride resampling, preserving the row shape" in {
     val s = spark
     import s.implicits._

@@ -80,6 +80,71 @@ class OptimizerSpec extends AnyFlatSpec with Matchers with org.scalatest.Inspect
     for ((k, v) <- localLoss) acc2.value(k) shouldBe v +- 1e-9
   }
 
+  "optimizeStateDistributed" should "match the local path on the same input" in {
+    val s = spark
+    import s.implicits._
+    val pRows = toRows(Goldens.denseJointProbabilities)
+    val ws0 = Goldens.initialEmbedding.map(p =>
+      WorkingSet(p.id, p.vec.clone(), Array(0.0, 0.0), Array(1.0, 1.0)))
+
+    val params = superstepParams.copy(iterations = 25)
+    val (localPoints, localLoss) = Optimizer.optimizeLocal(
+      pRows.map(r => r.copy(js = r.js.clone(), ps = r.ps.clone())),
+      ws0.map(w => w.copy(y = w.y.clone(), lastGrad = w.lastGrad.clone(),
+        gains = w.gains.clone())).toArray,
+      params)
+    val localMap = localPoints.map(p => p.id -> p.vec).toMap
+
+    // superstep-equivalent like TsneHelpers.scala:378's loop: same loss
+    // supersteps, same values, positions at 1e-9
+    val acc = new MapAccumulator
+    s.sparkContext.register(acc, "loss-test-statedist")
+    val distPoints = Optimizer.optimizeStateDistributed(
+      s.createDataset(pRows.toSeq), s.createDataset(ws0), params, Some(acc))
+      .collect()
+    distPoints.length shouldBe localPoints.length
+    for (p <- distPoints; d <- 0 until 2) {
+      withClue(s"y(${p.id})($d): ") { p.vec(d) shouldBe localMap(p.id)(d) +- 1e-9 }
+    }
+    acc.value.keySet shouldBe localLoss.keySet
+    for ((k, v) <- localLoss) acc.value(k) shouldBe v +- 1e-9
+
+    // the fully driver-free variant (executor-built tree, zero point
+    // collection anywhere in the superstep) agrees too
+    val acc2 = new MapAccumulator
+    s.sparkContext.register(acc2, "loss-test-statedist-rddtree")
+    val distPoints2 = Optimizer.optimizeStateDistributed(
+      s.createDataset(pRows.toSeq), s.createDataset(ws0),
+      params.copy(distTreeMinPoints = 0), Some(acc2)).collect()
+    for (p <- distPoints2; d <- 0 until 2) {
+      withClue(s"driver-free y(${p.id})($d): ") {
+        p.vec(d) shouldBe localMap(p.id)(d) +- 1e-9
+      }
+    }
+    acc2.value.keySet shouldBe localLoss.keySet
+    for ((k, v) <- localLoss) acc2.value(k) shouldBe v +- 1e-9
+  }
+
+  it should "be selected by optimize() past maxBroadcastStateRows" in {
+    val s = spark
+    import s.implicits._
+    val pRows = toRows(Goldens.denseJointProbabilities)
+    val ws0 = Goldens.initialEmbedding.map(p =>
+      WorkingSet(p.id, p.vec.clone(), Array(0.0, 0.0), Array(1.0, 1.0)))
+    val params = superstepParams.copy(iterations = 3)
+
+    val viaLocal = Optimizer.optimize(
+      s.createDataset(pRows.toSeq), s.createDataset(ws0), params)
+      .collect().map(p => p.id -> p.vec).toMap
+    val viaStateDist = Optimizer.optimize(
+      s.createDataset(pRows.toSeq), s.createDataset(ws0),
+      params.copy(maxLocalPEntries = 0L, maxBroadcastStateRows = 0L))
+      .collect().map(p => p.id -> p.vec).toMap
+
+    viaStateDist.keySet shouldBe viaLocal.keySet
+    for ((id, v) <- viaStateDist; d <- 0 until 2) v(d) shouldBe viaLocal(id)(d) +- 1e-9
+  }
+
   "BhTree.buildRdd" should "agree with the driver-side build" in {
     val s = spark
     val rng = new scala.util.Random(13)
