@@ -51,7 +51,14 @@ object Bench {
             val src = scala.io.Source.fromFile(f)
             val raw = try src.mkString finally src.close()
             val j = org.json4s.jackson.JsonMethods.parse(raw)
-            j \ "queries" match {
+            // the driver wraps the bench's own JSON line under "parsed";
+            // accept both layouts
+            val qn = (j \ "parsed" \ "queries", j \ "queries") match {
+              case (o: JObject, _) => o
+              case (_, o: JObject) => o
+              case _ => JNothing
+            }
+            qn match {
               case JObject(fields) => fields.collect {
                 case (k, JDouble(v)) => k -> v
                 case (k, JInt(v)) => k -> v.toDouble
