@@ -363,6 +363,18 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // duplicate CLUSTERS (connected components over the exact ≥0.7 pair
+    // set) — the transitive-closure step a canonical-doc picker needs;
+    // oracle recomputes components via a recursive reachability CTE, an
+    // entirely independent algorithm (closure join vs label propagation)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      pipeline.Dedup.duplicateClusters(
+        docs.select("doc_id"), pairs.select("i", "j"))
+        .orderBy("id")
+    }),
+
     // SimHash signatures, bit-for-bit vs the SQL recomputation
     "q_dedup_simhash" -> ((s, dir) => {
       pipeline.Dedup.simHashes(s.read.parquet(s"$dir/documents.parquet"))
@@ -828,6 +840,33 @@ object SparkEntry {
       |""".stripMargin +
     s"WHERE c * 1.0 / (sa.n + sb.n - c) >= $theta ORDER BY i, j"
 
+  /** Connected components over the exact ≥θ Jaccard pair graph, by
+    * recursive reachability closure — algorithmically independent of the
+    * Spark side's min-label propagation (closure join vs message rounds),
+    * so agreement checks the component semantics, not the implementation. */
+  private def clusterOracle(theta: Double): String =
+    "WITH RECURSIVE " + shingleSql.stripPrefix("WITH ") +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |""".stripMargin +
+      s"  WHERE c * 1.0 / (sa.n + sb.n - c) >= $theta),\n" +
+      """sym AS (SELECT i AS src, j AS dst FROM pairs
+        |        UNION SELECT j AS src, i AS dst FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT d.doc_id AS id,
+        |       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id ORDER BY id""".stripMargin
+
   private val simhashSql = tokSql +
     """, th AS (
       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
@@ -969,6 +1008,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardOracle(0.5),
 
     "q_dedup_minhash" -> jaccardOracle(0.7),
+
+    "q_dedup_clusters" -> clusterOracle(0.7),
 
     "q_dedup_simhash" ->
       (simhashSql + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id"),

@@ -109,21 +109,24 @@ object TemporalJoins {
       .select(keys.map(col) ++ Seq(
         col(idCol).as("id"), col(tsCol).as("ts"),
         floor(col(tsCol) / bandUs).as("bin")): _*)
+    // both sides share e's lineage, so identically-named key columns would
+    // make the condition an ambiguous self-join reference (Spark "repairs"
+    // it with a trivially-true-predicate warning) — prefix every column
     def side(n: String) = e.select(
-      keys.map(col) ++ Seq(col("id").as(s"${n}_id"), col("ts").as(s"${n}_ts"),
+      keys.map(k => col(k).as(s"${n}_$k")) ++ Seq(
+        col("id").as(s"${n}_id"), col("ts").as(s"${n}_ts"),
         col("bin").as(s"${n}_bin")): _*)
     val a = side("a")
     val b = side("b")
+    val keyEq = keys.map(k => col(s"a_$k") === col(s"b_$k")).reduce(_ && _)
     val inBand = (col("b_ts") > col("a_ts") ||
       (col("b_ts") === col("a_ts") && col("b_id") > col("a_id"))) &&
       col("b_ts") <= col("a_ts") + bandUs
-    val same = a.join(b, keys.map(k => a(k) === b(k)).reduce(_ && _) &&
-      col("a_bin") === col("b_bin") && inBand)
-    val next = a.join(b, keys.map(k => a(k) === b(k)).reduce(_ && _) &&
-      col("b_bin") === col("a_bin") + 1 && inBand)
+    val same = a.join(b, keyEq && col("a_bin") === col("b_bin") && inBand)
+    val next = a.join(b, keyEq && col("b_bin") === col("a_bin") + 1 && inBand)
     def shape(df: DataFrame): DataFrame = df.select(
-      keys.map(a(_)) ++ Seq(col("a_id").as("i"), col("b_id").as("j"),
-        (col("b_ts") - col("a_ts")).as("dt_us")): _*)
+      keys.map(k => col(s"a_$k").as(k)) ++ Seq(col("a_id").as("i"),
+        col("b_id").as("j"), (col("b_ts") - col("a_ts")).as("dt_us")): _*)
     shape(same).union(shape(next))
   }
 }

@@ -203,6 +203,55 @@ object Dedup {
     jaccardOfShingles(sh, theta, candidates = Some(cands))
   }
 
+  /** Duplicate-cluster assignment — the step a real dedup pipeline runs
+    * AFTER any pair generator here (near-dup pairs are edges; keeping one
+    * canonical doc per transitive group needs the connected component):
+    * iterative min-label propagation, the relational form of GraphX's
+    * Pregel connectedComponents. Each round every node takes the minimum
+    * cluster label among itself and its neighbors; converged when no label
+    * changes, i.e. after component-diameter rounds (near-dup clusters are
+    * shallow stars/chains; a 50-round safety bound guards pathological
+    * inputs). Per round: one edges ⋈ labels join (the symmetric edge table
+    * is hash-partitioned once and reused from cache), one min-aggregate,
+    * one left join back — all hash-shuffles on the id key, no driver
+    * state; lineage is cut per round with `localCheckpoint` exactly like
+    * the optimizer superstep loop, so plans stay O(1) across rounds.
+    * Fully deterministic (min is order-independent).
+    *
+    * `nodes`: one id column (every doc — singletons cluster to
+    * themselves). `pairs`: two id columns. Returns `(id, cluster)` with
+    * cluster = min doc id of the component.
+    */
+  def duplicateClusters(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val idCol = nodes.columns.head
+    val (pi, pj) = (pairs.columns(0), pairs.columns(1))
+    val sym = pairs.select(col(pi).as("src"), col(pj).as("dst"))
+      .union(pairs.select(col(pj).as("src"), col(pi).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val msgs = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("cluster").as("nbr_min"))
+      val step = labels.join(msgs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("chg"))
+        .localCheckpoint()
+      changed = step.where(col("chg")).count()
+      labels = step.select("id", "cluster")
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ---------------- SimHash --------------------------------------------
 
   /** 60-bit SimHash signatures over (occurrence-weighted) tokens, fully

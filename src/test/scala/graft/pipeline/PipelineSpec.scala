@@ -92,6 +92,42 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     forAll(lsh.toSeq) { p => p._2 should not be 3L }
   }
 
+  "Dedup.duplicateClusters" should "find connected components incl. multi-round chains" in {
+    val s = spark
+    import s.implicits._
+    // a 5-node chain (label must propagate over 4 rounds), a 2-node pair,
+    // and a singleton — min-label of each component wins
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("i", "j")
+    val got = Dedup.duplicateClusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    // deterministic under different partitioning (min is order-independent)
+    val again = Dedup.duplicateClusters(nodes.repartition(7),
+      pairs.repartition(5)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe got
+  }
+
+  it should "compose with minHashNearDups into canonical groups" in {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => if (i == 5) "EDITED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"w$i").mkString(" ")
+    // 2~1 and 4~1 but 2~4 may or may not pass θ directly — the component
+    // merges them transitively either way
+    val d = docs((1L, base), (2L, nearDup), (3L, unrelated), (4L, other))
+    val pairs = Dedup.minHashNearDups(d, 3, 0.7)
+    val clusters = Dedup.duplicateClusters(
+      d.select("doc_id"), pairs.select("i", "j")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(1L) shouldBe 1L
+    clusters(2L) shouldBe 1L
+    clusters(4L) shouldBe 1L
+    clusters(3L) shouldBe 3L // unrelated doc stays its own singleton
+  }
+
   "Dedup.simHash near-dups" should "equal the all-pairs Hamming filter" in {
     // NOTE an added token flips every signature bit whose majority sum sat
     // at 0/±1, so even a one-word edit can exceed Hamming 3 — the pinned
