@@ -514,6 +514,20 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // stream-static enrichment: events ⋈ broadcast customer dimension,
+    // aggregated per market segment — the zero-shuffle lookup shape; the
+    // streaming form (stream-static join per micro-batch) is pinned
+    // streaming≡batch by EventsStreamingSpec
+    "q_events_enrich" -> ((s, dir) => {
+      val ev = streaming.Events.readEvents(s, dir)
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      streaming.Events.enrichWithDim(ev, cust)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value_r"))
+        .orderBy("c_mktsegment", "event_type")
+    }),
+
     // keyed-state accumulator (flatMapGroupsWithState) in its batch form:
     // one micro-batch holding the whole table, so each user emits exactly
     // its final running profile — SUM/COUNT per user for the oracle. The
@@ -1247,6 +1261,12 @@ object SparkEntry {
         |       ROUND(AVG(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
         |                      AS BIGINT)), 6) AS avg_k_r
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_events_enrich" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 6) AS sum_value_r
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     "q_events_running_totals" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -113,6 +113,20 @@ object Events {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Stream-static enrichment join: each event picks up its static
+    * dimension row — the ingest-side lookup every event pipeline runs
+    * (user → account, doc → license, ...). The dimension is broadcast, so
+    * the event side joins map-locally with ZERO shuffle — at 100 TB of
+    * events against a dimension of any broadcastable size this is the only
+    * acceptable plan. In streaming this is Spark's stream-static join: no
+    * watermark needed (the static side is immutable per micro-batch), no
+    * state store. Inner join by contract — enrichment assumes a resolvable
+    * key; compose a left join upstream if unmatched events must survive. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String = "user_id",
+                    dimKey: String = "c_custkey"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Custom keyed state via `flatMapGroupsWithState`: a running per-user
     * profile (event count + value total) that survives across micro-batches
     * — the primitive for incremental per-entity accumulators that windowed

@@ -169,6 +169,35 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed shouldBe Set((1L, 1L, 0L, 15L * 60 * 1000000))
   }
 
+  "enrichWithDim" should "join a stream to a static broadcast dimension, streaming == batch" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "BRONZE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    // stream-static join: no watermark, no state store — the static side
+    // is re-broadcast per micro-batch
+    val q = Events.enrichWithDim(input.toDF(), dim)
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Events.enrichWithDim(sample.toDF(), dim)
+      .select(col("event_id"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    streamed shouldBe batch
+    // users 1 and 2 resolve; every event carries its segment
+    streamed shouldBe Set((0L, "GOLD"), (1L, "GOLD"), (4L, "GOLD"),
+      (2L, "SILVER"), (3L, "SILVER"))
+  }
+
   "a checkpointed query" should "recover from the checkpoint without duplicating output" in {
     val s = spark
     // file source + file sink + checkpoint: stop the query after the first
