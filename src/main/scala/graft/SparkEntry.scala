@@ -363,6 +363,21 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // per-source quota (a standard curation cap: no single source may
+    // contribute more than k docs — largest-first, deterministic tiebreak).
+    // The row_number + filter shape executes through the GroupedTopKLimit
+    // plan operator, so the cap never sorts whole sources
+    // (PlanShapeSpec pins the rewrite fires here)
+    "q_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // duplicate CLUSTERS (connected components over the exact ≥0.7 pair
     // set) — the transitive-closure step a canonical-doc picker needs;
     // oracle recomputes components via a recursive reachability CTE, an
@@ -1024,6 +1039,14 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.7),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    "q_source_cap" ->
+      """SELECT source, doc_id, n_chars, rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
     "q_dedup_simhash" ->
       (simhashSql + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id"),

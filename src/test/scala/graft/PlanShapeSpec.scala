@@ -70,6 +70,24 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       l.contains("Exchange hashpartitioning(i#"))) shouldBe true
   }
 
+  "q_source_cap" should "execute the per-source quota through the top-k operator" in {
+    val df = SparkEntry.queries("q_source_cap")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the curation cap must never sort whole sources — bounded heaps only
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_events_enrich" should "broadcast the dimension, never shuffle the event side for the join" in {
+    val plan = formattedPlan("q_events_enrich")
+    plan should include("BroadcastHashJoin")
+    // the join must never shuffle either input (the whole point of the
+    // shape) — only the post-join aggregation and the final sort may
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+  }
+
   "q_decontaminate" should "broadcast the benchmark shingle set, never sort-merge" in {
     val df = SparkEntry.queries("q_decontaminate")(spark, dir)
     df.collect()
