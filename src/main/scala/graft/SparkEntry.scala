@@ -363,6 +363,24 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // incremental exact dedup — a "new crawl" batch anti-joined against the
+    // existing corpus on content hash. The batch is fresh docs (doc_id %
+    // 5 = 0) plus a simulated RE-CRAWL (docs with doc_id % 7 = 0 under new
+    // ids): re-crawls whose text lives in the corpus must be dropped,
+    // everything genuinely new must survive — the filter provably does
+    // both at every SF. The corpus side reduces to one slim hash column
+    // before the join.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val recrawl = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val newBatch = docs.where(col("doc_id") % 5 === 0).unionByName(recrawl)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      pipeline.Dedup.exactIncremental(newBatch, corpus)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // per-source quota (a standard curation cap: no single source may
     // contribute more than k docs — largest-first, deterministic tiebreak).
     // The row_number + filter shape executes through the GroupedTopKLimit
@@ -1039,6 +1057,19 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.7),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    // text equality instead of the hash: independent of the hash function,
+    // and identical unless a 60-bit collision exists in the fixture
+    "q_dedup_incremental" ->
+      """WITH newb AS (
+        |  SELECT doc_id, n_chars, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, n_chars, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT text FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT n.doc_id, n.n_chars FROM newb n
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars, rn FROM (

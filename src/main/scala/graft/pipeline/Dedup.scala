@@ -61,6 +61,23 @@ object Dedup {
     hashed.join(canon, "h").select(col("doc_id"), col("canon_id"))
   }
 
+  /** Incremental exact dedup — THE production dedup shape: a batch of new
+    * documents filtered against an existing corpus (keep only docs whose
+    * content hash is unseen). A `left_anti` join on the content hash: when
+    * the corpus hash set fits the broadcast threshold it is a map-local
+    * probe with zero shuffle of the new side; past it Spark plans a
+    * shuffled anti join — either way nothing is ever materialized per
+    * match, and at 100 TB the corpus side is one slim 8-byte-hash column,
+    * not the corpus. (Intra-batch duplicates are kept — first-seen
+    * semantics within a batch is [[exactCanonical]]'s job; compose both
+    * for full ingest dedup.) */
+  def exactIncremental(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(Hashing.hash60(col("text")).as("h")).distinct()
+    newDocs.withColumn("h", Hashing.hash60(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .drop("h")
+  }
+
   // ---------------- exact n-gram Jaccard similarity join ----------------
 
   /** All pairs with Jaccard(shingles) ≥ θ, via the sparse similarity join:

@@ -75,7 +75,12 @@ object Tsne {
       finalMomentum = opt("finalMomentum", "0.8").toDouble,
       theta = opt("theta", "0.25").toDouble,
       metric = metric,
-      seed = opt("randomState", "0").toLong)
+      seed = opt("randomState", "0").toLong,
+      // rebuild extension: the optimizer path dispatch is tunable from the
+      // CLI (force the distributed / state-distributed superstep loops on
+      // a cluster where the defaults would stay driver-local)
+      maxLocalPEntries = opt("maxLocalPEntries", "2000000").toLong,
+      maxBroadcastStateRows = opt("maxBroadcastStateRows", "5000000").toLong)
 
     val knn: Dataset[Neighbor] =
       if (a.contains("inputDistanceMatrix")) {

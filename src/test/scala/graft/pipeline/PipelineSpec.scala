@@ -92,6 +92,20 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     forAll(lsh.toSeq) { p => p._2 should not be 3L }
   }
 
+  "Dedup.exactIncremental" should "drop exactly the docs whose text exists in the corpus" in {
+    val newDocs = docs((10L, "alpha alpha alpha"), (11L, "beta beta beta"),
+      (12L, "alpha alpha alpha"), (13L, "delta delta delta"))
+    val corpus = docs((1L, "beta beta beta"), (2L, "gamma gamma gamma"))
+    val out = Dedup.exactIncremental(newDocs, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 11 is a re-crawl of corpus text → dropped; the intra-batch duplicate
+    // pair (10, 12) both survive — first-seen-within-batch is
+    // exactCanonical's job, by contract
+    out.toSeq shouldBe Seq(10L, 12L, 13L)
+    // schema passes through unchanged (no helper columns leak)
+    Dedup.exactIncremental(newDocs, corpus).columns shouldBe newDocs.columns
+  }
+
   "Dedup.duplicateClusters" should "find connected components incl. multi-round chains" in {
     val s = spark
     import s.implicits._

@@ -142,6 +142,32 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
     recalls("project") shouldBe recalls("partition") +- 1e-9
   }
 
+  it should "run the state-distributed optimizer path end-to-end from the CLI" in {
+    // --maxLocalPEntries 0 --maxBroadcastStateRows 0 forces the
+    // cluster-side superstep loop (the 100x-scale path) through the same
+    // CLI surface; the bruteforce baseline run above pins the same fixture
+    // through the local path, and OptimizerSpec pins 1e-9 agreement
+    val tmp = Files.createTempDirectory("tsne-e2e-statedist").toString
+    val outDir = tmp + "/emb"
+    Tsne.run(Array(
+      "--input", fixturePath("dense_input.csv"),
+      "--output", outDir,
+      "--dimension", "784",
+      "--perplexity", "2",
+      "--neighbors", "9",
+      "--iterations", "15",
+      "--knnMethod", "bruteforce",
+      "--randomState", "42",
+      "--maxLocalPEntries", "0",
+      "--maxBroadcastStateRows", "0",
+      "--loss", tmp + "/loss.txt"), spark)
+    val out = spark.read.schema("id LONG, y0 DOUBLE, y1 DOUBLE").csv(outDir).collect()
+    out.length shouldBe 10
+    // the loss side-channel works through the state-distributed path too
+    val loss = scala.io.Source.fromFile(tmp + "/loss.txt")
+    try loss.mkString should include("10=") finally loss.close()
+  }
+
   it should "dump the execution plan instead of running with --executionPlan" in {
     val planFile = new java.io.File("tsne_executionPlan.json")
     planFile.delete()
