@@ -243,12 +243,28 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     val idCol = nodes.columns.head
     val (pi, pj) = (pairs.columns(0), pairs.columns(1))
-    val sym = pairs.select(col(pi).as("src"), col(pj).as("dst"))
-      .union(pairs.select(col(pj).as("src"), col(pi).as("dst")))
+    // the pair generator may be a whole pipeline (MinHash LSH + exact
+    // verify) whose LOGICAL PLAN alone is expensive: with a persist, every
+    // downstream action still re-analyzes/canonicalizes the giant
+    // expression tree for the cache lookup (measured ~3 s of driver time
+    // per action at bands=64). localCheckpoint cuts the lineage to a
+    // LogicalRDD, so the pipeline is evaluated once and every round plans
+    // against a 2-column leaf.
+    val p0 = pairs.select(col(pi).as("src"), col(pj).as("dst")).localCheckpoint()
+    val sym = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    val allNodes = nodes.select(col(idCol).as("id"))
+    // a node with no edges can never change its label — keep the rounds'
+    // working set to the nodes that actually appear in the pair graph
+    // (near-dup corpora: a small fraction), and union the singletons back
+    // unchanged at the end. One semi/anti join pair once, instead of
+    // dragging every corpus row through every round's join + checkpoint.
+    val connected = allNodes.join(sym.select(col("src").as("id")).distinct(),
+      Seq("id"), "left_semi")
+    var labels = connected.select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -266,7 +282,9 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
-    labels
+    val singletons = allNodes.join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.unionByName(singletons)
   }
 
   // ---------------- SimHash --------------------------------------------
