@@ -189,11 +189,16 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val fam = MinHashFamily(seed, bands * rowsPerBand)
-    // not persisted: the shingle projection is a cheap narrow map from the
-    // docs scan, and an internal persist would leak a cached relation per
-    // call (this function returns a lazy DataFrame, so there is no safe
-    // point to unpersist). Callers looping over corpora can cache `docs`.
-    val sh = shingles(docs, n)
+    // localCheckpoint, not persist: the shingle table is referenced FOUR
+    // times downstream (signatures, sizes, both verify sides), and with a
+    // lazy lineage each referencing action re-plans the shingle expression
+    // tree — measured ~3 s of pure driver planning per action on this
+    // pipeline's plans. The checkpoint evaluates the narrow map once and
+    // every consumer plans against a 2-column leaf; blocks are freed by
+    // the ContextCleaner when the returned frame is dropped, so nothing
+    // leaks per call. (Cost: the call is now eager — the right trade for
+    // a table consumed 4x by construction.)
+    val sh = shingles(docs, n).localCheckpoint()
 
     // typed Aggregator → HashAggregate with map-side partial signatures
     val sigs = sh
