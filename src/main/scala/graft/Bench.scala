@@ -72,11 +72,13 @@ object Bench {
 
     // fixed name order: timings are position-independent and diffable;
     // cache cleared between runs so no query is billed against another's
-    // persisted subtree (several share the kNN lineage); min of 2 runs per
-    // query strips environment noise (this VM shows sporadic 10×
-    // memory-reclaim stalls on an otherwise idle box)
+    // persisted subtree (several share the kNN lineage); min of 3 runs per
+    // query strips environment noise (this VM shows sporadic 10-25×
+    // memory-reclaim stalls on an otherwise idle box — with min-of-2 a
+    // single stalled pair still poisoned a round-5 measurement of a
+    // trivial hash agg to 8.9 s)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
