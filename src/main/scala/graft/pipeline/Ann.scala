@@ -163,6 +163,132 @@ object Ann {
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
 
+  // ---------------- product quantization (PQ) ---------------------------
+
+  /** Product-quantization index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): unit-normalized vectors are
+    * split into `m` subspaces; each subspace gets its own `ksub`-centroid
+    * k-means codebook; a vector is stored as `m` small centroid ids. This
+    * is the MEMORY-bound ANN scale path: a 64-dim float vector (512 B)
+    * becomes 16 codes (≤ 16 B), so the scan that [[pqTopK]] runs touches
+    * 30×+ fewer bytes than exact rescoring — at 100 TB of embeddings the
+    * codes table fits where the vectors cannot. Queries are scored
+    * asymmetrically (ADC): the query stays exact, distances come from a
+    * per-query lookup table of subspace dot products, so each corpus row
+    * costs m table adds, no vector arithmetic. */
+  final case class PqIndex(codebook: Array[Array[Array[Double]]], // [m][ksub][dsub]
+                           codes: DataFrame /* (id, codes Array[Int]) */) {
+    def release(): Unit = codes.unpersist()
+  }
+
+  private def subvec(u: Array[Double], s: Int, dsub: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(u, s * dsub, (s + 1) * dsub)
+
+  /** Train per-subspace codebooks (Lloyd's, like [[ivfBuild]] but per
+    * subspace in one job: the subvector table carries a `sub` key, so one
+    * reduceByKey per iteration trains all m codebooks). Deterministic:
+    * init = the ksub smallest seeded hashes per subspace, assignment ties
+    * break by centroid id. Per-iteration driver traffic is the codebook
+    * (dim × ksub doubles), never the data. */
+  def pqBuild(corpus: Dataset[Point], m: Int, ksub: Int, iters: Int = 5,
+              seed: Long = 42L): PqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.head().vec.length
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    val subRows = corpus.flatMap { p =>
+      val u = unit(p.vec)
+      Iterator.tabulate(m)(s => (s, subvec(u, s, dsub)))
+    }.toDF("sub", "v").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = subRows
+        .select(col("sub"), col("v"), xxhash64(col("sub"), col("v"), lit(seed)).as("h"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sub").orderBy("h")))
+        .where(col("rn") <= ksub)
+        .select(col("sub"), col("rn"), col("v"))
+        .as[(Int, Int, Array[Double])].collect()
+      var codebook = Array.tabulate(m, ksub)((s, c) =>
+        initRows.collectFirst { case (`s`, rn, v) if rn == c + 1 => v }
+          .getOrElse(new Array[Double](dsub)))
+
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(codebook)
+        val next = subRows.as[(Int, Array[Double])].mapPartitions { rows =>
+          val cb = bc.value
+          rows.map { case (s, v) => ((s, nearestCentroid(v, cb(s))), (v, 1L)) }
+        }.rdd.reduceByKey { (a, b) =>
+          val sum = a._1.clone()
+          var d = 0
+          while (d < sum.length) { sum(d) += b._1(d); d += 1 }
+          (sum, a._2 + b._2)
+        }.collect()
+        val updated = codebook.map(_.clone())
+        next.foreach { case ((s, c), (sum, cnt)) =>
+          updated(s)(c) = sum.map(_ / cnt)
+        }
+        bc.destroy()
+        codebook = updated
+        it += 1
+      }
+
+      val bcFinal = spark.sparkContext.broadcast(codebook)
+      val codes = corpus.mapPartitions { rows =>
+        val cb = bcFinal.value
+        rows.map { p =>
+          val u = unit(p.vec)
+          (p.id, Array.tabulate(cb.length)(s => nearestCentroid(subvec(u, s, dsub), cb(s))))
+        }
+      }.toDF("id", "codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      codes.count() // materialize before dropping the subvector cache
+      PqIndex(codebook, codes)
+    } finally subRows.unpersist()
+  }
+
+  /** Approximate cosine top-k by asymmetric distance computation: each
+    * query precomputes its m × ksub dot-product table (driver-side — the
+    * query set is small by the same contract as [[bruteTopK]]'s broadcast),
+    * the codes table is scanned once for all queries, and every (query,
+    * code-row) score is m table lookups. The scan reads codes only — the
+    * original vectors never move. */
+  def pqTopK(index: PqIndex, queries: Dataset[Point], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = index.codebook
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val luts = queries.collect().map { q =>
+      val u = unit(q.vec)
+      (q.id, Array.tabulate(m, ksub) { (s, c) =>
+        val qs = subvec(u, s, dsub)
+        val cs = cb(s)(c)
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) { acc += qs(d) * cs(d); d += 1 }
+        acc
+      })
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val scored = index.codes.as[(Long, Array[Int])].mapPartitions { rows =>
+      val ls = bc.value
+      rows.flatMap { case (j, codeArr) =>
+        ls.iterator.filter(_._1 != j).map { case (i, lut) =>
+          var acc = 0.0
+          var s = 0
+          while (s < codeArr.length) { acc += lut(s)(codeArr(s)); s += 1 }
+          (i, j, acc)
+        }
+      }
+    }.toDF("i", "j", "sim")
+    val ranked = Knn.topKPerPointRanked(
+      scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
+
   /** Signed random-hyperplane signature: bit m = sign(v · r_m). Hyperplanes
     * are a pure function of (seed, table, bit), so signatures are
     * deterministic and partitioning-independent. */

@@ -124,6 +124,40 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     again shouldBe got
   }
 
+  it should "agree with a BFS reference on random graphs (property)" in {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed * 7919)
+      val n = 60
+      val m = 40 + rng.nextInt(40)
+      val nodeIds = (0 until n).map(_.toLong)
+      val edges = Seq.fill(m)((rng.nextLong(n), rng.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      // reference: plain BFS on the driver
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      for (start <- nodeIds if !expected.contains(start)) {
+        val comp = scala.collection.mutable.Set(start)
+        val queue = scala.collection.mutable.Queue(start)
+        while (queue.nonEmpty) {
+          for (nb <- adj.getOrElse(queue.dequeue(), Set.empty) if !comp(nb)) {
+            comp += nb; queue += nb
+          }
+        }
+        val lbl = comp.min
+        comp.foreach(c => expected(c) = lbl)
+      }
+      val got = Dedup.duplicateClusters(
+        nodeIds.toDF("doc_id"), edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=$seed edges=${edges.size}: ") {
+        got shouldBe expected.toMap
+      }
+    }
+  }
+
   it should "compose with minHashNearDups into canonical groups" in {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
@@ -230,6 +264,35 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     val hits = approx.join(exact, Seq("i", "j"), "left_semi").count()
     // on clustered data, probing 2/10 cells recovers nearly all neighbors
     hits.toDouble / exact.count() should be >= 0.9
+  }
+
+  "Ann.pqBuild/pqTopK" should "quantize deterministically and reach useful recall" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 300L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(30))
+    val idx = Ann.pqBuild(corpus, m = 8, ksub = 32, iters = 5, seed = 1L)
+    idx.codebook.length shouldBe 8
+    idx.codebook(0).length shouldBe 32
+    // same seed, same input → identical codebook AND identical codes (like
+    // the IVF pin; across partitionings the centroid means can differ in
+    // final ulps from reduceByKey's partial-sum order)
+    val idx2 = Ann.pqBuild(corpus, m = 8, ksub = 32, iters = 5, seed = 1L)
+    idx.codebook.map(_.map(_.toSeq).toSeq).toSeq shouldBe
+      idx2.codebook.map(_.map(_.toSeq).toSeq).toSeq
+    val c1 = idx.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = idx2.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    c2 shouldBe c1
+    // ADC recall vs exact cosine on isotropic data (the hard case): fine
+    // quantization (2-dim subspaces, 32 centroids) recovers most of top-5
+    val exact = Ann.bruteTopK(corpus, queries, 5).select("i", "j")
+    val approx = Ann.pqTopK(idx, queries, 5)
+    val hits = approx.join(exact, Seq("i", "j"), "left_semi").count()
+    hits.toDouble / exact.count() should be >= 0.6
+    idx.release(); idx2.release()
   }
 
   "tokens" should "not mint empty tokens from leading/trailing whitespace" in {
