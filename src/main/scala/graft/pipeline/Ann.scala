@@ -177,7 +177,7 @@ object Ann {
     * per-query lookup table of subspace dot products, so each corpus row
     * costs m table adds, no vector arithmetic. */
   final case class PqIndex(codebook: Array[Array[Array[Double]]], // [m][ksub][dsub]
-                           codes: DataFrame /* (id, codes Array[Int]) */) {
+                           codes: DataFrame /* (id, codes BINARY — one byte per subspace) */) {
     def release(): Unit = codes.unpersist()
   }
 
@@ -196,6 +196,7 @@ object Ann {
     import spark.implicits._
     val dim = corpus.head().vec.length
     require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(ksub <= 256, s"codes are stored one byte per subspace; ksub=$ksub > 256")
     val dsub = dim / m
     val subRows = corpus.flatMap { p =>
       val u = unit(p.vec)
@@ -235,11 +236,13 @@ object Ann {
       }
 
       val bcFinal = spark.sparkContext.broadcast(codebook)
+      // one BYTE per subspace: the literal 512 B vector → m B code row
       val codes = corpus.mapPartitions { rows =>
         val cb = bcFinal.value
         rows.map { p =>
           val u = unit(p.vec)
-          (p.id, Array.tabulate(cb.length)(s => nearestCentroid(subvec(u, s, dsub), cb(s))))
+          (p.id, Array.tabulate(cb.length)(s =>
+            nearestCentroid(subvec(u, s, dsub), cb(s)).toByte))
         }
       }.toDF("id", "codes")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -273,13 +276,13 @@ object Ann {
       })
     }
     val bc = spark.sparkContext.broadcast(luts)
-    val scored = index.codes.as[(Long, Array[Int])].mapPartitions { rows =>
+    val scored = index.codes.as[(Long, Array[Byte])].mapPartitions { rows =>
       val ls = bc.value
       rows.flatMap { case (j, codeArr) =>
         ls.iterator.filter(_._1 != j).map { case (i, lut) =>
           var acc = 0.0
           var s = 0
-          while (s < codeArr.length) { acc += lut(s)(codeArr(s)); s += 1 }
+          while (s < codeArr.length) { acc += lut(s)(codeArr(s) & 0xFF); s += 1 }
           (i, j, acc)
         }
       }

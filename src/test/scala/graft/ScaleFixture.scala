@@ -135,11 +135,21 @@ object ScaleFixture {
         val (distN, distT) = time(
           li.select(countDistinct(col("l_orderkey"))).as[Long](
             org.apache.spark.sql.Encoders.scalaLong).head())
+        // duplicate clustering over the exact-dup edge set (sf1eq plants a
+        // 2% duplicate layer; sf0.1 has a handful) — the CC rounds at 20×
+        // nodes and 250× edges
+        val (ccN, ccT) = time {
+          val canon = pipeline.Dedup.exactCanonical(docs)
+          val edges = canon.where(col("doc_id") =!= col("canon_id"))
+            .select(col("doc_id").as("i"), col("canon_id").as("j"))
+          pipeline.Dedup.duplicateClusters(docs.select("doc_id"), edges).count()
+        }
 
         println(f"SF1EQ $label%-6s lineitem=${li.count()} docs=${docs.count()} " +
           f"agg=$aggT%.2f($aggN) topk=$topkT%.2f($topkN) joinagg=$joinT%.2f($joinN) " +
           f"dedup=$dedupT%.2f($dedupN) repetition=$repT%.2f($repN) " +
-          f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN)")
+          f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN) " +
+          f"clusters=$ccT%.2f($ccN)")
         li.unpersist(); ord.unpersist(); docs.unpersist()
       }
     } finally spark.stop()

@@ -283,8 +283,10 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     val idx2 = Ann.pqBuild(corpus, m = 8, ksub = 32, iters = 5, seed = 1L)
     idx.codebook.map(_.map(_.toSeq).toSeq).toSeq shouldBe
       idx2.codebook.map(_.map(_.toSeq).toSeq).toSeq
-    val c1 = idx.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    val c2 = idx2.codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c1 = idx.codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val c2 = idx2.codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
     c2 shouldBe c1
     // ADC recall vs exact cosine on isotropic data (the hard case): fine
     // quantization (2-dim subspaces, 32 centroids) recovers most of top-5
