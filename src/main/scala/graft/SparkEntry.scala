@@ -535,6 +535,40 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // SemDeDup: k-means-cell candidates + exact cosine verification. Gate
+    // row like q_ann_lsh: precision is asserted EXACT (every emitted pair
+    // re-passes the true cosine test — the anti-join count must be 0) and
+    // recall >= 0.8 of the brute-force >=θ pair set, which the oracle
+    // recomputes. Honest caveat, measured before picking the knobs: the
+    // fixture embeddings are near-isotropic and their θ=0.45 "dups" sit
+    // ~63° apart, the regime SemDeDup is NOT for — recall here costs
+    // probes⁴/nlist-scale candidate volume (nlist=16/probes=4: recall
+    // 7/7, 14/14, 141/144 across the three SFs at 0.72·N² candidates).
+    // On cluster-structured data the same operator recovers the exact
+    // clustering at sub-half-quadratic cost — PipelineSpec pins that
+    // equality; SCALE.md has the routing rule vs lshNearDupPairs.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val corpus = IO.readEmbeddings(s, dir)
+      val par = s.sessionState.conf.numShufflePartitions
+      val exact = corpus.toDF().repartition(par)
+        .select(col("id").as("i"), col("vec").as("va"))
+        .crossJoin(corpus.toDF().select(col("id").as("j"), col("vec").as("vb")))
+        .where(col("i") < col("j"))
+        .where(graft.tsne.Distances.cosineSimCol(col("va"), col("vb")) >= 0.45)
+        .select("i", "j") // the true pair set: the parity oracle, like q_embed_neardup
+      val found = pipeline.Ann.semanticNearDupPairs(corpus, theta = 0.45,
+        nlist = 16, probes = 4, iters = 5, seed = 42L).select("i", "j")
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val falsePos = found.join(exact, Seq("i", "j"), "left_anti")
+        .agg(count(lit(1)).as("fp"))
+      val hits = found.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      nExact.crossJoin(falsePos).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("fp") === 0).cast("long").as("precision_ok"),
+          (col("hits") >= col("n_exact") * 0.8).cast("long").as("recall_ok"))
+    }),
+
     // ---------------- event-stream operators (batch-verifiable forms of
     // the Structured Streaming module; EventsStreamingSpec drives the same
     // functions through MemoryStream + watermarks) ----------------------
@@ -1307,6 +1341,20 @@ object SparkEntry {
         |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |             / (a.nrm * b.nrm) >= 0.45
         |ORDER BY i, j""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT COUNT(*) AS n_exact,
+        |       CAST(1 AS BIGINT) AS precision_ok,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |             / (a.nrm * b.nrm) >= 0.45""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

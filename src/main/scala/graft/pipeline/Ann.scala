@@ -61,8 +61,14 @@ object Ann {
     out
   }
 
-  def ivfBuild(corpus: Dataset[Point], nlist: Int, iters: Int = 5,
-               seed: Long = 42L): IvfIndex = {
+  /** Spherical k-means centroids: the coarse quantizer shared by the IVF
+    * index and [[semanticNearDupPairs]]. A few Lloyd's iterations, each one
+    * hash-aggregation (assign + partial sums, map-side combined); only the
+    * nlist centroid vectors ever reach the driver. Deterministic: centroids
+    * init from the nlist smallest seeded id-hashes — a uniform sample that
+    * is a pure function of (seed, data). */
+  def kmeansCentroids(corpus: Dataset[Point], nlist: Int, iters: Int = 5,
+                      seed: Long = 42L): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // the Lloyd loop reads the corpus iters+1 times; persist the unit-
@@ -72,8 +78,6 @@ object Ann {
     val unitized = corpus.map(p => Point(p.id, unit(p.vec)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // deterministic random init: the nlist smallest seeded id-hashes — a
-      // uniform sample that is a pure function of (seed, data)
       var centroids: Array[Array[Double]] = unitized.toDF()
         .select(col("vec"), xxhash64(col("id"), lit(seed)).as("h"))
         .orderBy("h").limit(nlist)
@@ -104,20 +108,27 @@ object Ann {
         centroids = updated
         it += 1
       }
-
-      val bc = spark.sparkContext.broadcast(centroids)
-      // the inverted lists ARE the index: persist so probes don't re-scan
-      // and re-assign the corpus on every search (release() when done).
-      // Lists carry the ORIGINAL vectors (probe rescoring normalizes the
-      // query side; cosineSimCol is scale-invariant in its arguments).
-      val assigned = corpus.mapPartitions { rows =>
-        val cs = bc.value
-        rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
-      }.toDF("id", "vec", "cell")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      assigned.count() // materialize before dropping the upstream cache
-      IvfIndex(centroids, assigned)
+      centroids
     } finally unitized.unpersist()
+  }
+
+  def ivfBuild(corpus: Dataset[Point], nlist: Int, iters: Int = 5,
+               seed: Long = 42L): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // the inverted lists ARE the index: persist so probes don't re-scan
+    // and re-assign the corpus on every search (release() when done).
+    // Lists carry the ORIGINAL vectors (probe rescoring normalizes the
+    // query side; cosineSimCol is scale-invariant in its arguments).
+    val assigned = corpus.mapPartitions { rows =>
+      val cs = bc.value
+      rows.map(p => (p.id, p.vec, nearestCentroid(unit(p.vec), cs)))
+    }.toDF("id", "vec", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize the lists while the trainer's cache is warm
+    IvfIndex(centroids, assigned)
   }
 
   private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
@@ -130,6 +141,81 @@ object Ann {
       c += 1
     }
     best
+  }
+
+  /** The `n` nearest centroid ids, ascending by quantizer distance, ties by
+    * centroid id (full determinism). n is small (2-4 probes): a single
+    * selection pass beats building and sorting a distance array. */
+  private def nearestCells(v: Array[Double], cs: Array[Array[Double]],
+                           n: Int): Array[Int] = {
+    val dists = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) { dists(c) = Distances.sqEuclidean(v, cs(c)); c += 1 }
+    val out = new Array[Int](math.min(n, cs.length))
+    val taken = new Array[Boolean](cs.length)
+    var slot = 0
+    while (slot < out.length) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      c = 0
+      while (c < cs.length) {
+        if (!taken(c) && dists(c) < bestD) { bestD = dists(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(slot) = best
+      slot += 1
+    }
+    out
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (exact cosine >= theta,
+    * candidates from shared k-means cells): cluster the corpus with the
+    * same spherical quantizer the IVF index uses, generate candidates only
+    * WITHIN cells, rescore exactly. The cluster-structured scale path for
+    * embedding near-dedup — candidate volume is Σ|cell|² ≈ N²/nlist
+    * instead of N², and unlike hyperplane LSH the cells adapt to the
+    * data's actual density (random hyperplanes waste tables on directions
+    * the corpus never occupies).
+    *
+    * `probes` > 1 closes the cell-boundary hole: each point joins its
+    * `probes` nearest cells for candidate generation (a near-dup pair
+    * split by a Voronoi boundary still meets in the second-choice cell).
+    * Candidates are deduplicated BEFORE the exact rescoring so a pair
+    * sharing several cells is scored once. Precision is exact by
+    * construction (every emitted pair passed the true cosine test);
+    * recall is approximate like every SemDeDup variant — near 1 when
+    * theta is high enough that dup pairs are far tighter than cell
+    * diameters. Returns (i, j, sim), i < j. */
+  def semanticNearDupPairs(corpus: Dataset[Point], theta: Double,
+                           nlist: Int, probes: Int = 2, iters: Int = 5,
+                           seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nProbes = probes
+    val cells = corpus.mapPartitions { rows =>
+      val cs = bc.value
+      rows.flatMap { p =>
+        val u = unit(p.vec)
+        nearestCells(u, cs, nProbes).map(cell => (cell, p.id))
+      }
+    }.toDF("cell", "id")
+    // rename the self-join sides up front: both lineages trace to `cells`,
+    // and distinct renamed keys keep the condition unambiguous (no reliance
+    // on Spark's self-join repair, no trivially-true-predicate warnings)
+    val a = cells.select(col("cell").as("cell_a"), col("id").as("i"))
+    val b = cells.select(col("cell").as("cell_b"), col("id").as("j"))
+    val cands = a.join(b, col("cell_a") === col("cell_b") && col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+    val va = corpus.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val vb = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    cands.join(va, "i").join(vb, "j")
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+      .where(col("sim") >= theta)
   }
 
   /** Approximate cosine top-k via the IVF index: each query probes its

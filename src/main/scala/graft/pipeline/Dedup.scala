@@ -292,6 +292,25 @@ object Dedup {
     labels.unionByName(singletons)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over an embedding
+    * corpus: k-means-cell candidate generation with exact cosine
+    * verification ([[Ann.semanticNearDupPairs]]), connected components
+    * over the verified pair graph ([[duplicateClusters]]), keep the
+    * minimum-id document of each semantic cluster. The embedding-space
+    * counterpart of [[minHashNearDups]]+clusters for text: one corpus
+    * pass to train the quantizer, candidate volume ≈ probes·N²/nlist, CC
+    * rounds bounded by cluster diameter. Returns (id, cluster, keep) for
+    * EVERY corpus row — keep = 1 on cluster representatives (singletons
+    * keep themselves). */
+  def semanticDedup(corpus: org.apache.spark.sql.Dataset[graft.tsne.Point],
+                    theta: Double, nlist: Int, probes: Int = 2,
+                    iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val pairs = Ann.semanticNearDupPairs(corpus, theta, nlist, probes, iters, seed)
+    duplicateClusters(corpus.toDF().select("id"), pairs.select("i", "j"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).cast("long").as("keep"))
+  }
+
   // ---------------- SimHash --------------------------------------------
 
   /** 60-bit SimHash signatures over (occurrence-weighted) tokens, fully

@@ -297,6 +297,45 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     idx.release(); idx2.release()
   }
 
+  "Dedup.semanticDedup" should "match the brute-force semantic clustering" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    // 10 tight true clusters; nlist = 25 OVER-segments them, so true
+    // near-dup pairs straddle k-means cell boundaries — the case the
+    // second probe exists for
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      graft.tsne.Point(i, c.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val corpus = s.createDataset(pts)
+    val theta = 0.99
+    // ground truth: exact all-pairs cosine >= theta, then the same CC
+    val va = corpus.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val vb = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    val exactPairs = va.crossJoin(vb).where(col("i") < col("j"))
+      .where(graft.tsne.Distances.cosineSimCol(col("va"), col("vb")) >= theta)
+      .select("i", "j")
+    exactPairs.count() should be > 0L
+    val truth = Dedup.duplicateClusters(corpus.toDF().select("id"), exactPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.semanticDedup(corpus, theta, nlist = 25, probes = 2,
+      iters = 5, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 300
+    got.map(t => t._1 -> t._2).toMap shouldBe truth
+    // keep flags mark exactly the cluster representatives
+    forAll(got) { case (id, cl, keep) =>
+      keep shouldBe (if (id == cl) 1L else 0L)
+    }
+    // the candidate generation stayed cell-bounded: far fewer scored
+    // pairs than the N(N-1)/2 all-pairs product
+    val cands = Ann.semanticNearDupPairs(corpus, theta = -1.0, nlist = 25,
+      probes = 2, iters = 5, seed = 17L).count()
+    cands.toDouble should be < (300.0 * 299 / 2 * 0.5)
+  }
+
   "tokens" should "not mint empty tokens from leading/trailing whitespace" in {
     val s = spark
     import s.implicits._
