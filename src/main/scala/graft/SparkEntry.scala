@@ -720,6 +720,30 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // token-budget mixture: the mix specified in TOKENS per source, not
+    // rates — the deterministic hash-ordered prefix per stratum whose
+    // running token total fits the budget
+    "q_sample_token_budget" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val projected = docs.select(col("doc_id"), col("source"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      ops.Sampling.tokenBudgetSample(projected, "doc_id", "source",
+        col("n_tokens"),
+        Map("src0" -> 800L, "src1" -> 500L, "src2" -> 10000L), salt = "mix")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic epoch shuffle + fixed-size shard assignment (terasort
+    // global rank — no single-partition window anywhere; OpsSpec pins
+    // partition-count invariance)
+    "q_shard_assignment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      ops.Sharding.assignShards(docs, "doc_id", shardSize = 32L,
+        salt = "epoch0")
+        .orderBy("doc_id")
+    }),
+
     // the operators composed into the actual use-case: quality filter →
     // language filter → exact dedup (keep canonical) → deterministic
     // train-slice sample — one curation pass over the corpus, exactly
@@ -1573,6 +1597,35 @@ object SparkEntry {
          |                  WHEN 'zh' THEN ${thr(0.1)} ELSE -1 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_sample_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#mix'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+        |                         WHEN 'src2' THEN 10000 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shard_assignment" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#epoch0'), 1, 15))::BIGINT,
+        |                    doc_id) - 1 AS rnk
+        |  FROM documents)
+        |SELECT doc_id, CAST(rnk // 32 AS BIGINT) AS shard,
+        |       CAST(rnk % 32 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_curation_e2e" -> (tokSql +
       s""", q AS (

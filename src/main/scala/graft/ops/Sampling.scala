@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.Hashing
@@ -65,5 +66,44 @@ object Sampling {
     df.where(Hashing.hash60(
       concat(coalesce(col(keyCol).cast("string"), lit("null")),
         lit("#" + salt))) < thresholdCol)
+  }
+
+  /** Token-budget mixture sampling: per stratum (source/domain), keep the
+    * deterministic hash-ordered PREFIX of documents whose cumulative token
+    * count fits the stratum's budget — how a training mix is actually
+    * specified ("30B tokens of web, 5B of code"), where per-document rate
+    * sampling can only target expected token mass. Strata without a budget
+    * are dropped, like [[stratifiedHashSample]]'s unlisted strata.
+    *
+    * Semantics: order each stratum by (hash60(key#salt), key) — the same
+    * reproducible-identity order the rate samplers use — and keep rows
+    * while the running token total stays ≤ budget. A strict prefix: the
+    * first over-budget document ends the stratum (no skip-and-refill), so
+    * membership is a pure function of (key set, salt, budgets), exactly
+    * recomputable in SQL, and monotone in the budget (a bigger budget only
+    * appends).
+    *
+    * Shape at scale: one ranged window per stratum — a hash shuffle on the
+    * stratum key, then a sort per stratum partition. The per-stratum sort
+    * is inherent to exact-prefix semantics (a budget is a sequential
+    * constraint); strata are the parallel unit, matching how mixes are
+    * defined. Emits `cum_tokens` so downstream audits need no recompute. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, strataCol: String,
+                        tokenCount: Column, budgets: Map[String, Long],
+                        salt: String = "budget"): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    budgets.values.foreach(b =>
+      require(b >= 0L, s"budget must be non-negative, got $b"))
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val h = Hashing.hash60(
+      concat(coalesce(col(keyCol).cast("string"), lit("null")),
+        lit("#" + salt)))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(h.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokenCount).over(w))
+      .where(col("cum_tokens") <= budgetCol)
   }
 }

@@ -261,6 +261,75 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got("1").toDouble / 10000 shouldBe 0.05 +- 0.01
   }
 
+  it should "keep the exact hash-ordered token prefix per budgeted stratum" in {
+    import s.implicits._
+    val df = s.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"),
+        (col("id") % 7 + 1).as("toks"))
+    val got = Sampling.tokenBudgetSample(df, "id", "g", col("toks"),
+      Map("0" -> 500L, "1" -> 120L), "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // brute-force truth: per stratum, sort by (hash, id), take the prefix
+    val all = df.withColumn("h", graft.pipeline.Hashing.hash60(
+        concat(col("id").cast("string"), lit("#t"))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    def prefix(g: String, budget: Long) = {
+      var cum = 0L
+      all.filter(_._2 == g).sortBy(t => (t._4, t._1)).takeWhile { t =>
+        cum += t._3; cum <= budget
+      }.map(_._1).toSet
+    }
+    got.filter(_._2 == "0").map(_._1).toSet shouldBe prefix("0", 500L)
+    got.filter(_._2 == "1").map(_._1).toSet shouldBe prefix("1", 120L)
+    got.map(_._2).toSet shouldBe Set("0", "1") // no budget, no rows
+    // cum_tokens is the running total in the kept order and fits budget
+    got.filter(_._2 == "0").foreach { t => t._4 should be <= 500L }
+    // monotone: doubling a budget only appends
+    val bigger = Sampling.tokenBudgetSample(df, "id", "g", col("toks"),
+      Map("0" -> 1000L, "1" -> 120L), "t")
+      .collect().map(_.getLong(0)).toSet
+    got.map(_._1).toSet.subsetOf(bigger) shouldBe true
+  }
+
+  behavior of "Sharding"
+
+  it should "assign ranks matching the global salted order, at any partition count" in {
+    import s.implicits._
+    val df = s.range(5000).toDF("id")
+    val got = Sharding.assignShards(df, "id", shardSize = 64L,
+      salt = "e0", partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 5000
+    // brute-force truth: one global sort by (hash, id)
+    val order = df.withColumn("h", graft.pipeline.Hashing.hash60(
+        concat(col("id").cast("string"), lit("#e0"))))
+      .collect().map(r => (r.getLong(1), r.getLong(0))) // (h, id)
+      .sortBy(identity).map(_._2).zipWithIndex
+      .map { case (id, i) => id -> (i / 64L, i % 64L) }.toMap
+    got.foreach { case (id, shard, pos) =>
+      (shard, pos) shouldBe order(id)
+    }
+    // partition-count invariance: the layout is a pure function of the
+    // data + salt, not of the cluster shape
+    val p13 = Sharding.assignShards(df, "id", shardSize = 64L,
+      salt = "e0", partitions = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    p13 shouldBe got.toSet
+    // a different salt is a different permutation
+    val e1 = Sharding.assignShards(df, "id", shardSize = 64L,
+      salt = "e1", partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    e1 should not equal got.toSet
+    // every shard except the last is exactly full
+    val sizes: Map[Long, Int] = got.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val lastShard = sizes.keys.max
+    sizes.foreach { case (shard, n) =>
+      if (shard != lastShard) n shouldBe 64 else n should be <= 64
+    }
+  }
+
   behavior of "argument validation"
 
   it should "reject invalid arguments with clear messages" in {
