@@ -744,6 +744,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // concat-and-chop sequence packing: each doc's slice of the global
+    // token stream (two-phase distributed prefix sum, not a one-task
+    // window), checked against DuckDB's running-total window
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val projected = docs.select(col("doc_id"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      ops.Packing.packSequences(projected, "doc_id", "n_tokens",
+        seqLen = 256L, salt = "pack")
+        .orderBy("doc_id")
+    }),
+
     // the operators composed into the actual use-case: quality filter →
     // language filter → exact dedup (keep canonical) → deterministic
     // train-slice sample — one curation pass over the corpus, exactly
@@ -1626,6 +1638,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(rnk // 32 AS BIGINT) AS shard,
         |       CAST(rnk % 32 AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#pack'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |           ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS strt
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, strt AS start_offset,
+        |       CAST(strt // 256 AS BIGINT) AS seq_first,
+        |       CAST((strt + n_tokens - 1) // 256 AS BIGINT) AS seq_last,
+        |       CAST(strt % 256 AS BIGINT) AS pos_in_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_curation_e2e" -> (tokSql +
       s""", q AS (

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.pipeline.Hashing
+
+/** Sequence packing: lay the corpus out as one deterministic token stream
+  * and cut it every `seqLen` tokens — the concat-and-chop packing used to
+  * build fixed-length training rows, where a document may span a sequence
+  * boundary. The layout is decided per row identity (salted hash order,
+  * like [[Sharding]]), so the packing is reproducible on any engine and
+  * re-salting reshuffles between epochs.
+  *
+  * Each document needs its global token START offset — an exact prefix sum
+  * over the total order. Spelled as `SUM(...) OVER (ORDER BY ...)` with no
+  * partition clause that is a single-task funnel; here it is the classic
+  * two-phase distributed scan: range-partition by the sort key, sum tokens
+  * per partition, prefix those P sums on the driver (P longs — bounded),
+  * then stream each partition once adding its offset. Two jobs, no
+  * shuffle beyond the range exchange, partition-count invariant.
+  */
+object Packing {
+
+  /** Adds `(start_offset, seq_first, seq_last, pos_in_seq)` to `df`:
+    * the document's tokens occupy stream positions
+    * `[start_offset, start_offset + tokens)`, i.e. sequences
+    * `seq_first .. seq_last` of length `seqLen`, entering sequence
+    * `seq_first` at `pos_in_seq`. `tokenCol` must be a non-negative
+    * numeric column; zero-token documents occupy no stream positions and
+    * are dropped (they exist in no training row). `keyCol` must be unique
+    * (total-order tiebreaker). */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+                    seqLen: Long, salt: String = "pack",
+                    partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val h = Hashing.hash60(
+      concat(coalesce(col(keyCol).cast("string"), lit("null")),
+        lit("#" + salt)))
+    val sorted = df
+      .where(col(tokenCol) > 0L)
+      .withColumn("__h", h)
+      .repartitionByRange(p, col("__h"), col(keyCol))
+      .sortWithinPartitions(col("__h"), col(keyCol))
+      .withColumn("__t", col(tokenCol).cast("long"))
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokIdx = sorted.schema.fieldIndex("__t")
+    // phase 1: per-partition token sums — P longs to the driver, nothing else
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        var s = 0L
+        rows.foreach(r => s += r.getLong(tokIdx))
+        Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    // phase 2: one streaming pass per partition with its start offset
+    val schema = sorted.schema.add("__start", LongType, nullable = false)
+    val withStart = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        var running = offsets(pid)
+        rows.map { r =>
+          val start = running
+          running += r.getLong(tokIdx)
+          Row.fromSeq(r.toSeq :+ start)
+        }
+      }, schema)
+    val out = withStart.select(
+      df.columns.map(col) ++ Seq(
+        col("__start").as("start_offset"),
+        (col("__start") / seqLen).cast("long").as("seq_first"),
+        ((col("__start") + col("__t") - 1L) / seqLen).cast("long")
+          .as("seq_last"),
+        (col("__start") % seqLen).as("pos_in_seq")): _*)
+    // `sorted` stays pinned: the returned plan re-reads it (phase 2), and
+    // an eager unpersist here would drop the cache before the caller's
+    // action ever runs. The pin follows the session's cache hygiene —
+    // Verify/Bench clearCache() between queries; long-lived callers do the
+    // same once the packing is consumed.
+    out
+  }
+}

@@ -330,6 +330,41 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  behavior of "Packing"
+
+  it should "tile the salted token stream exactly, at any partition count" in {
+    import s.implicits._
+    val df = s.range(2000)
+      .select(col("id"), (col("id") % 11).as("toks")) // includes zero-token docs
+    val got = Packing.packSequences(df, "id", "toks", seqLen = 100L,
+      salt = "p0", partitions = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // brute-force truth: sort by (hash, id), running prefix sum
+    val order = df.where(col("toks") > 0)
+      .withColumn("h", graft.pipeline.Hashing.hash60(
+        concat(col("id").cast("string"), lit("#p0"))))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val truth = order.map { case (_, id, toks) =>
+      val start = cum; cum += toks
+      id -> (toks, start, start / 100L, (start + toks - 1) / 100L, start % 100L)
+    }.toMap
+    got.length shouldBe truth.size // zero-token docs dropped
+    got.foreach { case (id, toks, start, sf, sl, pos) =>
+      (toks, start, sf, sl, pos) shouldBe truth(id)
+    }
+    // the stream tiles with no gaps: starts are exactly the running sums
+    got.map(t => t._3 + t._2).sorted.lastOption shouldBe Some(cum)
+    // partition-count invariance
+    val p13 = Packing.packSequences(df, "id", "toks", seqLen = 100L,
+      salt = "p0", partitions = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.map(t => t._1 -> t._3).toMap shouldBe p13
+  }
+
   behavior of "argument validation"
 
   it should "reject invalid arguments with clear messages" in {
