@@ -145,11 +145,24 @@ object ScaleFixture {
           pipeline.Dedup.duplicateClusters(docs.select("doc_id"), edges).count()
         }
 
+        // training-output trio on the doc corpus: epoch-shard assignment
+        // (terasort rank) and sequence packing (two-phase prefix sum) —
+        // both all-shuffle-bound, the shapes that would regress if a
+        // single-partition funnel crept in
+        val tokd = docs.select(col("doc_id"),
+          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val (shardN, shardT) = time(
+          ops.Sharding.assignShards(docs.select("doc_id"), "doc_id",
+            shardSize = 4096L, salt = "e0").count())
+        val (packN, packT) = time(
+          ops.Packing.packSequences(tokd, "doc_id", "n_tokens",
+            seqLen = 2048L, salt = "p0").count())
+
         println(f"SF1EQ $label%-6s lineitem=${li.count()} docs=${docs.count()} " +
           f"agg=$aggT%.2f($aggN) topk=$topkT%.2f($topkN) joinagg=$joinT%.2f($joinN) " +
           f"dedup=$dedupT%.2f($dedupN) repetition=$repT%.2f($repN) " +
           f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN) " +
-          f"clusters=$ccT%.2f($ccN)")
+          f"clusters=$ccT%.2f($ccN) shard=$shardT%.2f($shardN) pack=$packT%.2f($packN)")
         li.unpersist(); ord.unpersist(); docs.unpersist()
       }
     } finally spark.stop()
