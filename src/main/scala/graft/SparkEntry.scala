@@ -569,6 +569,20 @@ object SparkEntry {
           (col("hits") >= col("n_exact") * 0.8).cast("long").as("recall_ok"))
     }),
 
+    // prototypicality (SemDeDup/D4 pruning signal): cosine to the cluster
+    // centroid, top-5 most prototypical per label through the bounded-heap
+    // top-k operator — exact, so the oracle recomputes it in full
+    "q_prototypes" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vec"), col("label"))
+      pipeline.Prototypes.topPrototypes(e, "label", "vec_id", "vec", k = 5)
+        .select(col("label"), col("id").as("vec_id"),
+          (round(col("proto_sim"), 6) + 0.0).as("proto_sim_r"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("label", "rn")
+    }),
+
     // ---------------- event-stream operators (batch-verifiable forms of
     // the Structured Streaming module; EventsStreamingSpec drives the same
     // functions through MemoryStream + watermarks) ----------------------
@@ -1391,6 +1405,27 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |             / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+
+    "q_prototypes" ->
+      """WITH x AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |c AS (SELECT label, pos, AVG(v) AS m FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT x.vec_id, x.label,
+        |         SUM(x.v * c.m) AS dot, SUM(x.v * x.v) AS n2e,
+        |         SUM(c.m * c.m) AS n2c
+        |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, dot / (sqrt(n2e) * sqrt(n2c)) AS sim,
+        |         ROW_NUMBER() OVER (PARTITION BY label
+        |           ORDER BY dot / (sqrt(n2e) * sqrt(n2c)) DESC, vec_id) AS rn
+        |  FROM d)
+        |SELECT label, vec_id, ROUND(sim, 6) + 0.0 AS proto_sim_r,
+        |       CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

@@ -135,6 +135,28 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("EqualTo(event_type,view)")
   }
 
+  "q_sample_token_budget" should "run one stratum-partitioned window, never a global one" in {
+    val plan = formattedPlan("q_sample_token_budget")
+    plan should include("Window")
+    // the prefix sum is per source — a hash exchange on the stratum key;
+    // a SinglePartition exchange would be the 100 TB funnel
+    plan should include("hashpartitioning(source")
+    plan should not include "SinglePartition"
+  }
+
+  "q_shard_assignment and q_pack_sequences" should "contain no window and no single-partition exchange" in {
+    for (name <- Seq("q_shard_assignment", "q_pack_sequences")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the global rank/prefix-sum arrives via the terasort two-phase scan
+      // (range partitions + driver offsets), so the consumer-visible plan
+      // must have neither a Window nor any one-task funnel
+      plan should not include "Window"
+      plan should not include "SinglePartition"
+    }
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -336,6 +336,38 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     cands.toDouble should be < (300.0 * 299 / 2 * 0.5)
   }
 
+  "Prototypes.topPrototypes" should "rank by exact cosine to the cluster mean" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 3))
+    val rows = (0L until 120L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(_ + rnd.nextGaussian() * 0.5), (i % 4).toInt)
+    }
+    val df = rows.toDF("id", "vec", "cluster")
+    val got = Prototypes.topPrototypes(df, "cluster", "id", "vec", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    got.length shouldBe 12 // 4 clusters x 3
+    // brute-force truth in plain Scala
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cl, members) =>
+      val dim = members.head._2.length
+      val cent = Array.tabulate(dim)(d => members.map(_._2(d)).sum / members.size)
+      val expect = members.map(m => (m._1, cos(m._2, cent)))
+        .sortBy(t => (-t._2, t._1)).take(3)
+      val gotCl = got.filter(_._1 == cl).sortBy(_._4)
+      gotCl.map(_._2) shouldBe expect.map(_._1)
+      gotCl.zip(expect).foreach { case ((_, _, sim, _), (_, esim)) =>
+        sim shouldBe esim +- 1e-9
+      }
+    }
+  }
+
   "tokens" should "not mint empty tokens from leading/trailing whitespace" in {
     val s = spark
     import s.implicits._
