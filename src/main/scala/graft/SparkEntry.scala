@@ -787,6 +787,29 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // the full training-output path in ONE declarative plan: quality gate
+    // → exact dedup (keep canonical) → per-source token budget → sequence
+    // packing. Every stage deterministic; the oracle replays the whole
+    // chain, so the hash pins the composition, not just the parts. The
+    // emitted row is the complete audit trail (budget position + stream
+    // slice per surviving doc).
+    "q_pipeline_to_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
+      val canon = pipeline.Dedup.exactCanonical(docs)
+      val kept = docs.select(col("doc_id"), col("source"),
+          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(quality, "doc_id").join(canon, "doc_id")
+        .where(col("quality_r") >= 0.7 && col("canon_id") === col("doc_id"))
+        .select("doc_id", "source", "n_tokens")
+      val budgets = (0 until 5).map(i => s"src$i" -> 1000L).toMap
+      val budgeted = ops.Sampling.tokenBudgetSample(kept, "doc_id", "source",
+        col("n_tokens"), budgets, salt = "mix2")
+      ops.Packing.packSequences(budgeted, "doc_id", "n_tokens",
+        seqLen = 128L, salt = "p1")
+        .orderBy("doc_id")
+    }),
+
     // §2.2 vocabulary — CUBE grouping sets (all 2^d subtotal combinations;
     // ROLLUP's hierarchical subset is pinned by q_rollup_lineitem)
     "q_cube_lineitem" -> ((s, dir) => {
@@ -1714,6 +1737,44 @@ object SparkEntry {
          |  AND ('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR), 'null') || '#train'), 1, 15))::BIGINT
          |      < ${math.round(0.5 * (1L << 60).toDouble)}
          |ORDER BY doc_id""".stripMargin),
+
+    "q_pipeline_to_shards" -> (tokSql +
+      s""", q AS (
+         |  SELECT doc_id,
+         |    ROUND($qualityExprSql,
+         |          6) AS quality
+         |  FROM (
+         |    $qualityInnerSql)),
+         |c AS (
+         |  $canonSql),
+         |k AS (
+         |  SELECT t.doc_id, d.source, CAST(len(t.t) AS BIGINT) AS n_tokens
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  JOIN q USING (doc_id) JOIN c USING (doc_id)
+         |  WHERE q.quality >= 0.7 AND c.canon_id = t.doc_id),
+         |b AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+         |      ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#mix2'), 1, 15))::BIGINT,
+         |      doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |f AS (
+         |  SELECT * FROM b
+         |  WHERE cum_tokens <= CASE source
+         |    WHEN 'src0' THEN 1000 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 1000
+         |    WHEN 'src3' THEN 1000 WHEN 'src4' THEN 1000 ELSE -1 END),
+         |p AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY
+         |      ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#p1'), 1, 15))::BIGINT,
+         |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS strt
+         |  FROM f WHERE n_tokens > 0)
+         |SELECT doc_id, source, n_tokens, cum_tokens, strt AS start_offset,
+         |       CAST(strt // 128 AS BIGINT) AS seq_first,
+         |       CAST((strt + n_tokens - 1) // 128 AS BIGINT) AS seq_last,
+         |       CAST(strt % 128 AS BIGINT) AS pos_in_seq
+         |FROM p ORDER BY doc_id""".stripMargin),
 
     "q_cube_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
