@@ -388,6 +388,24 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     intercept[IllegalArgumentException] {
       Bucketing.writeBucketed(df, "bad", "user_id", buckets = -1)
     }.getMessage should include("buckets")
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df, "user_id", "event_id", col("ts"), Map.empty)
+    }.getMessage should include("budget")
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df, "user_id", "event_id", col("ts"),
+        Map("a" -> -1L))
+    }.getMessage should include("budget")
+    intercept[IllegalArgumentException] {
+      Sharding.assignShards(df, "user_id", shardSize = 0L)
+    }.getMessage should include("shardSize")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "user_id", "ts", seqLen = 0L)
+    }.getMessage should include("seqLen")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Prototypes.topPrototypes(
+        Seq((1L, Array(1.0), 0)).toDF("id", "vec", "cluster"),
+        "cluster", "id", "vec", k = 0)
+    }.getMessage should include("k")
   }
 
   behavior of "Sketches"
