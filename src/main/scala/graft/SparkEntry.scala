@@ -307,6 +307,13 @@ object SparkEntry {
     }),
 
     // Gopher-style repetition signals (token/bigram/trigram duplication)
+    // self-trained unigram-LM quality (CCNet's perplexity-filter role):
+    // corpus-relative token frequencies, per-doc mean log-probability
+    "q_unigram_logprob" -> ((s, dir) => {
+      pipeline.TextOps.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       pipeline.TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")
@@ -1135,6 +1142,21 @@ object SparkEntry {
         |       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
         |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
         |FROM sh ORDER BY doc_id, fp""".stripMargin),
+
+    "q_unigram_logprob" -> (tokSql +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |fr AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |tt AS (SELECT SUM(c) AS n FROM fr),
+        |sc AS (
+        |  SELECT tk.doc_id, ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS logp
+        |  FROM tk JOIN fr USING (tok) CROSS JOIN tt),
+        |ag AS (
+        |  SELECT doc_id, COUNT(*) AS n_scored,
+        |         ROUND(AVG(logp), 6) + 0.0 AS mean_logp_r
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ag.n_scored, 0) AS n_scored, ag.mean_logp_r
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     "q_text_repetition" -> (trigramTextSql +
       """, bi AS (

@@ -58,6 +58,38 @@ object TextOps {
           lit(0.0), (a, x) => a + x), size(toks)), 6).as("avg_token_len_r"))
   }
 
+  /** CCNet-style language-model quality signal, self-trained: each token's
+    * probability is its relative frequency in the corpus itself, a
+    * document's score the mean log-probability of its tokens. Documents of
+    * common, fluent vocabulary score high; rare-token gibberish scores
+    * low — the same role CCNet's KenLM perplexity filter plays, with the
+    * unigram LM trained by ONE aggregation over the corpus being scored.
+    *
+    * Shape at 100 TB: one hash aggregation for the vocabulary counts
+    * (map-side partials), a 1-row total, one token⋈frequency equi-join
+    * (hot stopword keys are high-df but the frequency side is one row per
+    * token — fan-out, not skew), one per-doc mean. No driver state beyond
+    * the 1-row total. Returns `(doc_id, n_scored, mean_logp_r)`; docs
+    * with zero tokens score NULL (no vocabulary to judge them by). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum("c").as("n"))
+    val scored = toks.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("n").cast("double")).as("logp"))
+    docs.select("doc_id").join(
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_scored"),
+          (round(avg("logp"), 6) + 0.0).as("mean_logp_r")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("mean_logp_r"))
+  }
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */

@@ -336,6 +336,28 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     cands.toDouble should be < (300.0 * 299 / 2 * 0.5)
   }
 
+  "unigramLogProb" should "score by hand-checkable corpus-relative frequencies" in {
+    val s = spark
+    import s.implicits._
+    // corpus: tokens a×2, b×2 → p(a)=p(b)=0.5
+    val docs = Seq((1L, "a a b"), (2L, "b"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got(1L)._1 shouldBe 3L
+    got(1L)._2.get shouldBe math.rint(math.log(0.5) * 1e6) / 1e6 +- 1e-9
+    got(2L)._1 shouldBe 1L
+    got(2L)._2.get shouldBe math.rint(math.log(0.5) * 1e6) / 1e6 +- 1e-9
+    // zero-token doc: present, unscored
+    got(3L) shouldBe ((0L, None))
+    // rare vocabulary scores strictly lower than common vocabulary
+    val corpus = ((1L to 20L).map(i => (i, "x y z")) :+ (99L, "qq ww ee"))
+      .toDF("doc_id", "text")
+    val scores = TextOps.unigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores(99L) should be < scores(1L)
+  }
+
   "Prototypes.topPrototypes" should "rank by exact cosine to the cluster mean" in {
     val s = spark
     import s.implicits._
