@@ -35,6 +35,10 @@ object Packing {
                     seqLen: Long, salt: String = "pack",
                     partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    Seq("start_offset", "seq_first", "seq_last", "pos_in_seq", "__h", "__t",
+      "__start").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column (reserved by packSequences)"))
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions

@@ -94,6 +94,8 @@ object Sampling {
     require(budgets.nonEmpty, "need at least one stratum budget")
     budgets.values.foreach(b =>
       require(b >= 0L, s"budget must be non-negative, got $b"))
+    require(!df.columns.contains("cum_tokens"),
+      "input already has a cum_tokens column (the operator appends it)")
     val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
       when(col(strataCol) === stratum, lit(b)).otherwise(acc)
     }

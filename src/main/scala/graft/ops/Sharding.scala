@@ -35,6 +35,9 @@ object Sharding {
   def assignShards(df: DataFrame, keyCol: String, shardSize: Long,
                    salt: String = "shard", partitions: Int = 0): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    Seq("shard", "pos", "__h", "__rank").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column (reserved by assignShards)"))
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions

@@ -406,6 +406,18 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         Seq((1L, Array(1.0), 0)).toDF("id", "vec", "cluster"),
         "cluster", "id", "vec", k = 0)
     }.getMessage should include("k")
+    // appended/internal column names are reserved, not silently shadowed
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df.withColumnRenamed("ts", "cum_tokens"),
+        "user_id", "event_id", col("cum_tokens"), Map("a" -> 1L))
+    }.getMessage should include("cum_tokens")
+    intercept[IllegalArgumentException] {
+      Sharding.assignShards(df.withColumnRenamed("ts", "shard"), "user_id", 8L)
+    }.getMessage should include("shard")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(df.withColumnRenamed("ts", "seq_first"),
+        "user_id", "event_id", 8L)
+    }.getMessage should include("seq_first")
   }
 
   behavior of "Sketches"
