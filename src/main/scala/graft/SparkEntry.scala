@@ -415,6 +415,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // what production dedup actually keeps: the BEST-quality member of
+    // each near-dup cluster (not the min-id) — clusters via MinHash + CC,
+    // representative via quality rank through the top-k operator (k=1)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      val clusters = pipeline.Dedup.duplicateClusters(
+        docs.select("doc_id"), pairs.select("i", "j"))
+      val quality = pipeline.TextOps.qualityScore(docs)
+        .select("doc_id", "quality_r")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("quality_r").desc, col("id"))
+      clusters.join(quality, col("id") === col("doc_id"))
+        .select(col("cluster"), col("id"), col("quality_r"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("cluster"), col("id").as("keep_id"), col("quality_r"))
+        .orderBy("cluster")
+    }),
+
     // SimHash signatures, bit-for-bit vs the SQL recomputation
     "q_dedup_simhash" -> ((s, dir) => {
       pipeline.Dedup.simHashes(s.read.parquet(s"$dir/documents.parquet"))
@@ -1025,7 +1044,10 @@ object SparkEntry {
     * recursive reachability closure — algorithmically independent of the
     * Spark side's min-label propagation (closure join vs message rounds),
     * so agreement checks the component semantics, not the implementation. */
-  private def clusterOracle(theta: Double): String =
+  /** MinHash-cluster CTE chain ending in `cl(id, cluster)` — shared by
+    * `q_dedup_clusters` and `q_dedup_keep_best` so the two oracles can't
+    * drift. Brings `toks` into scope too (via the shingle chain). */
+  private def clusterCteSql(theta: Double): String =
     "WITH RECURSIVE " + shingleSql.stripPrefix("WITH ") +
       """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
@@ -1042,11 +1064,15 @@ object SparkEntry {
         |reach(src, dst) AS (
         |  SELECT src, dst FROM sym
         |  UNION
-        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-        |SELECT d.doc_id AS id,
-        |       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster
-        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |GROUP BY d.doc_id ORDER BY id""".stripMargin
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |cl AS (
+        |  SELECT d.doc_id AS id,
+        |         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id)""".stripMargin
+
+  private def clusterOracle(theta: Double): String =
+    clusterCteSql(theta) + "\nSELECT id, cluster FROM cl ORDER BY id"
 
   private val simhashSql = tokSql +
     """, th AS (
@@ -1206,6 +1232,22 @@ object SparkEntry {
     "q_dedup_minhash" -> jaccardOracle(0.7),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    "q_dedup_keep_best" -> (clusterCteSql(0.7) +
+      s""",
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND($qualityExprSql,
+         |          6) AS quality_r
+         |  FROM (
+         |    $qualityInnerSql)),
+         |rk AS (
+         |  SELECT cl.cluster, cl.id, q.quality_r,
+         |         ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |           ORDER BY q.quality_r DESC, cl.id) AS rn
+         |  FROM cl JOIN q ON q.doc_id = cl.id)
+         |SELECT cluster, id AS keep_id, quality_r
+         |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin),
 
     // text equality instead of the hash: independent of the hash function,
     // and identical unless a 60-bit collision exists in the fixture
