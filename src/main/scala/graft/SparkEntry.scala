@@ -314,6 +314,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // conditional bigram upgrade: mean log p(w2|w1), counts trained on
+    // the scored corpus
+    "q_bigram_logprob" -> ((s, dir) => {
+      pipeline.TextOps.bigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       pipeline.TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")
@@ -1181,6 +1188,26 @@ object SparkEntry {
         |         ROUND(AVG(logp), 6) + 0.0 AS mean_logp_r
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(ag.n_scored, 0) AS n_scored, ag.mean_logp_r
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_bigram_logprob" -> (tposSql +
+      """, bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tpos a JOIN tpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |         ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS logp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+        |ag AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         ROUND(AVG(logp), 6) + 0.0 AS mean_logp_r
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+        |       ag.mean_logp_r
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
 

@@ -90,6 +90,42 @@ object TextOps {
         col("mean_logp_r"))
   }
 
+  /** Bigram upgrade of [[unigramLogProb]]: per-doc mean conditional
+    * log-probability `log p(w2|w1) = log(c(w1,w2) / c(w1·))`, with both
+    * counts trained on the corpus being scored — the closest
+    * one-aggregation-family approximation of CCNet's KenLM perplexity
+    * filter. `c(w1·)` counts w1 as a bigram LEFT (doc-final tokens start
+    * no bigram), so probabilities condition on exactly the events the
+    * model saw. Docs with < 2 tokens have no bigrams: `(0, NULL)`.
+    *
+    * Shape: the bigram table is one positional self-join per doc
+    * (adjacent positions — the shingle pattern), then two hash
+    * aggregations and two equi-joins against count tables that are one
+    * row per (bi)gram. Shuffle ∝ total tokens; no pairwise term. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val tp = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val a = tp.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+    val b = tp.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("tok").as("w2"))
+    val bigrams = a.join(b,
+      col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val scored = bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        log(col("c12").cast("double") / col("c1").cast("double")).as("logp"))
+    docs.select("doc_id").join(
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          (round(avg("logp"), 6) + 0.0).as("mean_logp_r")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_logp_r"))
+  }
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */

@@ -358,6 +358,29 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     scores(99L) should be < scores(1L)
   }
 
+  "bigramLogProb" should "score by hand-checkable conditional probabilities" in {
+    val s = spark
+    import s.implicits._
+    // bigram lefts: a appears twice → p(b|a) = p(c|a) = 0.5
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got(1L)._1 shouldBe 1L
+    got(1L)._2.get shouldBe math.rint(math.log(0.5) * 1e6) / 1e6 +- 1e-9
+    got(2L)._2.get shouldBe math.rint(math.log(0.5) * 1e6) / 1e6 +- 1e-9
+    got(3L) shouldBe ((0L, None)) // single token: no bigram to score
+    // a doc of corpus-typical bigrams outranks one pairing the same left
+    // words with rare continuations (all-unique bigrams from all-unique
+    // lefts would score p=1 — the conditional-LM blind spot, which is why
+    // unigramLogProb stays alongside this signal)
+    val corpus = ((1L to 10L).map(i => (i, "x y x y")) :+ (99L, "x q x s"))
+      .toDF("doc_id", "text")
+    val scores = TextOps.bigramLogProb(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scores(99L) should be < scores(1L)
+  }
+
   "Prototypes.topPrototypes" should "rank by exact cosine to the cluster mean" in {
     val s = spark
     import s.implicits._
