@@ -361,6 +361,18 @@ object SparkEntry {
     }),
 
     // exact 3-gram Jaccard similarity join (sparse, no cartesian product)
+    // fuzzy-exact dedup: canonical per NORMALIZED content (case/punct/
+    // whitespace-insensitive); norm_prefix makes the oracle check the
+    // normalizer's string output per doc, not just the grouping
+    "q_dedup_normalized" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val norm = pipeline.TextOps.normalizeText(col("text"))
+      pipeline.Dedup.exactCanonicalBy(docs, norm)
+        .join(docs.select(col("doc_id"),
+          substring(norm, 1, 40).as("norm_prefix")), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) => {
       pipeline.Dedup.jaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), n = 3, theta = 0.5)
@@ -1253,6 +1265,19 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" -> (canonSql + " ORDER BY doc_id"),
+
+    "q_dedup_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |              '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |h AS (SELECT doc_id, norm,
+        |             ('0x' || substr(md5(norm), 1, 15))::BIGINT AS hh
+        |      FROM n),
+        |c AS (SELECT hh, MIN(doc_id) AS canon_id FROM h GROUP BY hh)
+        |SELECT h.doc_id, c.canon_id, substr(h.norm, 1, 40) AS norm_prefix
+        |FROM h JOIN c USING (hh) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracle(0.5),
 

@@ -55,8 +55,15 @@ object Dedup {
 
   /** Exact dedup: canonical id = min doc_id per content hash. One hash
     * aggregation + one broadcast-friendly join back; no N² anywhere. */
-  def exactCanonical(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), Hashing.hash60(col("text")).as("h"))
+  def exactCanonical(docs: DataFrame): DataFrame =
+    exactCanonicalBy(docs, col("text"))
+
+  /** [[exactCanonical]] over an arbitrary content expression — e.g.
+    * `TextOps.normalizeText(col("text"))` for case/punctuation/whitespace-
+    * insensitive "fuzzy-exact" dedup, or a concat of several columns for
+    * composite identity. Same one-hash-aggregation shape. */
+  def exactCanonicalBy(docs: DataFrame, content: org.apache.spark.sql.Column): DataFrame = {
+    val hashed = docs.select(col("doc_id"), Hashing.hash60(content).as("h"))
     val canon = hashed.groupBy("h").agg(min("doc_id").as("canon_id"))
     hashed.join(canon, "h").select(col("doc_id"), col("canon_id"))
   }

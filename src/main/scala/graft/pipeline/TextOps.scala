@@ -35,6 +35,16 @@ object TextOps {
   private def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0, num / den)
 
+  /** Canonical text normalization for fuzzy-exact dedup: lowercase, strip
+    * punctuation to spaces, collapse whitespace runs, trim. Two documents
+    * differing only in case/punctuation/spacing normalize identically —
+    * the cheap preprocessing every dedup stage runs before hashing. Pure
+    * codegen'd expressions, exactly reproducible in SQL. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
   /** BPE-ish pre-tokenization: letter runs, digit runs, single other
     * non-space symbols — the classic byte-pair pre-split regex, kept to a
     * subset whose semantics agree across regex engines. */

@@ -336,6 +336,28 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     cands.toDouble should be < (300.0 * 299 / 2 * 0.5)
   }
 
+  "normalizeText + exactCanonicalBy" should "group case/punct/space variants" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO WORLD."),
+      (4L, "goodbye world"), (5L, "héllo wörld")).toDF("doc_id", "text")
+    val norms = docs.select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    norms(1L) shouldBe "hello world"
+    norms(2L) shouldBe "hello world"
+    norms(3L) shouldBe "hello world"
+    norms(5L) shouldBe "héllo wörld" // unicode letters survive
+    val canon = Dedup.exactCanonicalBy(docs, TextOps.normalizeText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    canon(1L) shouldBe 1L
+    canon(2L) shouldBe 1L
+    canon(3L) shouldBe 1L
+    canon(4L) shouldBe 4L
+    canon(5L) shouldBe 5L
+  }
+
   "unigramLogProb" should "score by hand-checkable corpus-relative frequencies" in {
     val s = spark
     import s.implicits._
