@@ -110,4 +110,28 @@ class ArrayDistancesSpec extends AnyFlatSpec with Matchers with Inspectors with 
     val err = intercept[Exception](s.sql("SELECT graft_dot(vec) FROM vtest").collect())
     err.getMessage should include("graft_dot")
   }
+
+  it should "register the unary text/hash helpers matching the Column API" in {
+    val s = spark
+    import s.implicits._
+    val samples = Seq("Hello, World!", "  a\tB c  ", "héllo wörld", "x")
+    samples.toDF("t").createOrReplaceTempView("ttest")
+    val rows = s.sql(
+      "SELECT t, graft_hash60(t) AS h, graft_normalize(t) AS n FROM ttest")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the SQL spellings must be bit-identical to the Column-API
+    // definitions (and, transitively, to the DuckDB oracle convention)
+    val expected = samples.toDF("t").select(col("t"),
+        graft.pipeline.Hashing.hash60(col("t")).as("h"),
+        graft.pipeline.TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    rows shouldBe expected
+    rows("Hello, World!")._2 shouldBe "hello world"
+    samples.foreach { t =>
+      rows(t)._1 shouldBe graft.pipeline.Hashing.hash60(t)
+    }
+    val err1 = intercept[Exception](
+      s.sql("SELECT graft_normalize(t, t) FROM ttest").collect())
+    err1.getMessage should include("graft_normalize")
+  }
 }
