@@ -79,6 +79,13 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
         Some(v.toLong)
       case Seq(LessThan(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
         Some(v.toLong - 1L)
+      // the argmax-per-group idiom: `rn = 1` ⇔ `rn <= 1` for ranks that
+      // start at 1 (row_number AND rank — rank's top tie group all have
+      // rank 1). `rn = k` for k > 1 is NOT a prefix — abstain.
+      case Seq(EqualTo(r: Attribute, Literal(1, IntegerType))) if r.semanticEquals(rank) =>
+        Some(1L)
+      case Seq(EqualTo(Literal(1, IntegerType), r: Attribute)) if r.semanticEquals(rank) =>
+        Some(1L)
       case _ => None
     }
     bound.collect { case k if k > 0 && k < Int.MaxValue => (k.toInt, residual) }

@@ -135,6 +135,14 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("EqualTo(event_type,view)")
   }
 
+  "q_dedup_keep_best" should "pick the representative through the top-k operator (argmax rewrite)" in {
+    val df = SparkEntry.queries("q_dedup_keep_best")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
   "q_sample_token_budget" should "run one stratum-partitioned window, never a global one" in {
     val plan = formattedPlan("q_sample_token_budget")
     plan should include("Window")

@@ -120,6 +120,40 @@ class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with Spa
     }
   }
 
+  it should "fire on the argmax idiom (rn = 1) but abstain on rn = k for k > 1" in {
+    val s = spark
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val argmax = sampleDf.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    planOf(argmax) should include("GroupedTopKLimit")
+    // literal-first spelling too
+    val argmax2 = sampleDf.withColumn("rn", row_number().over(w))
+      .where(lit(1) === col("rn"))
+    planOf(argmax2) should include("GroupedTopKLimit")
+    // rn = 2 is NOT a rank prefix — must abstain, not silently take top-2
+    val eq2 = sampleDf.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 2)
+    planOf(eq2) should not include "GroupedTopKLimit"
+    // equality with the rewrite disabled
+    val fast = argmax.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ruleName = RewriteRankFilterToTopK.ruleName
+    s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val slow = sampleDf.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      planOf(slow) should not include "GroupedTopKLimit"
+      slow.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet shouldBe fast
+    } finally s.conf.unset("spark.sql.optimizer.excludedRules")
+    // rank() = 1 keeps the whole top tie group, same as rank() <= 1
+    val rankEq = sampleDf.withColumn("rk", rank().over(w)).where(col("rk") === 1)
+    planOf(rankEq) should include("GroupedTopKLimit")
+    val rankLe = sampleDf.withColumn("rk", rank().over(w)).where(col("rk") <= 1)
+    rankEq.collect().map(_.toSeq).toSet shouldBe rankLe.collect().map(_.toSeq).toSet
+  }
+
   it should "not fire on dense_rank() or unpartitioned windows" in {
     val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
     val denseDf = sampleDf.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
