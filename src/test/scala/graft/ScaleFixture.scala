@@ -157,12 +157,17 @@ object ScaleFixture {
         val (packN, packT) = time(
           ops.Packing.packSequences(tokd, "doc_id", "n_tokens",
             seqLen = 2048L, salt = "p0").count())
+        // LM quality scorers: vocabulary/bigram aggs + frequency joins —
+        // token-volume-bound, the 20×-docs growth shape to watch
+        val (uniN, uniT) = time(pipeline.TextOps.unigramLogProb(docs).count())
+        val (biN, biT) = time(pipeline.TextOps.bigramLogProb(docs).count())
 
         println(f"SF1EQ $label%-6s lineitem=${li.count()} docs=${docs.count()} " +
           f"agg=$aggT%.2f($aggN) topk=$topkT%.2f($topkN) joinagg=$joinT%.2f($joinN) " +
           f"dedup=$dedupT%.2f($dedupN) repetition=$repT%.2f($repN) " +
           f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN) " +
-          f"clusters=$ccT%.2f($ccN) shard=$shardT%.2f($shardN) pack=$packT%.2f($packN)")
+          f"clusters=$ccT%.2f($ccN) shard=$shardT%.2f($shardN) pack=$packT%.2f($packN) " +
+          f"unigram=$uniT%.2f($uniN) bigram=$biT%.2f($biN)")
         li.unpersist(); ord.unpersist(); docs.unpersist()
       }
     } finally spark.stop()

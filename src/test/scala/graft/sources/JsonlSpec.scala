@@ -30,6 +30,28 @@ class JsonlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     b shouldBe a
   }
 
+  it should "roundtrip embedded newlines and quotes (the line-format hazard)" in {
+    val s = spark
+    import s.implicits._
+    // JSON escapes \n inside strings, so a doc whose TEXT contains
+    // newlines must still occupy exactly one line on disk and roundtrip
+    // byte-identically — raw line-based formats get this wrong
+    val tricky = Seq(
+      (1L, "line one\nline two\r\nline three", "en", "s", 30L),
+      (2L, "quote \" backslash \\ tab \t", "en", "s", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/tricky"
+    Jsonl.writeDocuments(tricky, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".json"))
+    val physicalLines = files.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().toList).count(_.nonEmpty)
+    physicalLines shouldBe 2 // one line per doc despite embedded newlines
+    val back = Jsonl.readDocuments(s, dir).cache()
+    back.where(col("_corrupt").isNotNull).count() shouldBe 0L
+    back.drop("_corrupt").orderBy("doc_id").collect().map(_.toSeq) shouldBe
+      tricky.orderBy("doc_id").collect().map(_.toSeq)
+  }
+
   it should "quarantine corrupt lines in PERMISSIVE mode and fail fast in strict" in {
     val s = spark
     import s.implicits._
