@@ -135,6 +135,15 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("EqualTo(event_type,view)")
   }
 
+  "q_prototypes" should "broadcast the centroid table and rank through the top-k operator" in {
+    val df = SparkEntry.queries("q_prototypes")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin" // the corpus side never shuffles for the join
+  }
+
   "q_dedup_keep_best" should "pick the representative through the top-k operator (argmax rewrite)" in {
     val df = SparkEntry.queries("q_dedup_keep_best")(spark, dir)
     df.collect()

@@ -334,6 +334,15 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     val cands = Ann.semanticNearDupPairs(corpus, theta = -1.0, nlist = 25,
       probes = 2, iters = 5, seed = 17L).count()
     cands.toDouble should be < (300.0 * 299 / 2 * 0.5)
+    // degenerate knobs stay total: probes > nlist clamps to every cell
+    // (all-pairs candidates — correct, just not sub-quadratic), tiny
+    // corpora with nlist > N train on N centroids
+    val tiny = s.createDataset(pts.take(5))
+    val allPairs = Ann.semanticNearDupPairs(tiny, theta = -1.0, nlist = 3,
+      probes = 8, iters = 2, seed = 17L).count()
+    allPairs shouldBe 10L // C(5,2): every pair survives somewhere
+    Ann.semanticNearDupPairs(tiny, theta = -1.0, nlist = 64,
+      probes = 2, iters = 2, seed = 17L).count() should be > 0L
   }
 
   "normalizeText + exactCanonicalBy" should "group case/punct/space variants" in {
