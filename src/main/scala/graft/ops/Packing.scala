@@ -52,7 +52,11 @@ object Packing {
       .repartitionByRange(p, col("__h"), col(keyCol))
       .sortWithinPartitions(col("__h"), col(keyCol))
       .withColumn("__t", col(tokenCol).cast("long"))
-    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager materialization: phases 1 and 2 both read this, and local
+      // checkpoint blocks are freed by the ContextCleaner once the
+      // returned frame is dropped — no caller clearCache() contract
+      // (a plain persist() here leaked one cached relation per call)
+      .localCheckpoint()
     val tokIdx = sorted.schema.fieldIndex("__t")
     // phase 1: per-partition token sums — P longs to the driver, nothing else
     val partSums = sorted.rdd
@@ -80,11 +84,6 @@ object Packing {
         ((col("__start") + col("__t") - 1L) / seqLen).cast("long")
           .as("seq_last"),
         (col("__start") % seqLen).as("pos_in_seq")): _*)
-    // `sorted` stays pinned: the returned plan re-reads it (phase 2), and
-    // an eager unpersist here would drop the cache before the caller's
-    // action ever runs. The pin follows the session's cache hygiene —
-    // Verify/Bench clearCache() between queries; long-lived callers do the
-    // same once the packing is consumed.
     out
   }
 }

@@ -152,17 +152,9 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
-  "q_sample_token_budget" should "run one stratum-partitioned window, never a global one" in {
-    val plan = formattedPlan("q_sample_token_budget")
-    plan should include("Window")
-    // the prefix sum is per source — a hash exchange on the stratum key;
-    // a SinglePartition exchange would be the 100 TB funnel
-    plan should include("hashpartitioning(source")
-    plan should not include "SinglePartition"
-  }
-
-  "q_shard_assignment and q_pack_sequences" should "contain no window and no single-partition exchange" in {
-    for (name <- Seq("q_shard_assignment", "q_pack_sequences")) {
+  "q_shard_assignment, q_pack_sequences and q_sample_token_budget" should "contain no window and no single-partition exchange" in {
+    for (name <- Seq("q_shard_assignment", "q_pack_sequences",
+                     "q_sample_token_budget")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

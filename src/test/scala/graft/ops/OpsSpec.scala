@@ -293,6 +293,45 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got.map(_._1).toSet.subsetOf(bigger) shouldBe true
   }
 
+  it should "equal the one-task window spelling, at any partition count" in {
+    import s.implicits._
+    // skewed like a real mix: one stratum holds ~80% of the rows — exactly
+    // the regime where the naive PARTITION BY window becomes a single-task
+    // funnel and the two-phase scan must still produce the identical prefix
+    val df = s.range(4000)
+      .select(col("id"),
+        when(col("id") % 10 < 8, lit("web")).otherwise(
+          when(col("id") % 10 === 8, lit("code")).otherwise(lit("math")))
+          .as("g"),
+        (col("id") % 11 + 1).as("toks"))
+    val budgets = Map("web" -> 900L, "code" -> 300L, "math" -> 250L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = rows(Sampling.tokenBudgetSample(df, "id", "g", col("toks"),
+      budgets, "mixw"))
+    // the textbook window form — correct but single-task-per-stratum —
+    // serves as the semantic oracle, cum_tokens included
+    val h = graft.pipeline.Hashing.hash60(
+      concat(col("id").cast("string"), lit("#mixw")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(h.asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (g, b)) =>
+      when(col("g") === g, lit(b)).otherwise(acc)
+    }
+    val windowed = rows(df.withColumn("cum_tokens", sum(col("toks")).over(w))
+      .where(col("cum_tokens") <= budgetCol))
+    got shouldBe windowed
+    // partition-count invariance: the selected set and every cum_tokens
+    // value are a pure function of (data, salt, budgets)
+    for (p <- Seq(1, 3, 17)) {
+      rows(Sampling.tokenBudgetSample(df, "id", "g", col("toks"),
+        budgets, "mixw", partitions = p)) shouldBe got
+    }
+  }
+
   behavior of "Sharding"
 
   it should "assign ranks matching the global salted order, at any partition count" in {
