@@ -294,6 +294,13 @@ object Dedup {
       rounds += 1
     }
     sym.unpersist()
+    // convergence is a CORRECTNESS property, not best-effort: exiting on
+    // the round cap with changes still flowing would silently return split
+    // components for any duplicate chain of diameter > cap
+    require(changed == 0,
+      s"duplicateClusters did not converge after $rounds rounds " +
+        "(a duplicate chain longer than the round cap exists); " +
+        "raise the cap or pre-collapse exact duplicates first")
     val singletons = allNodes.join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
     labels.unionByName(singletons)

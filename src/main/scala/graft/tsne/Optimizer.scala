@@ -444,9 +444,14 @@ object Optimizer {
           .groupBy(col("i"))
           .agg(sort_array(collect_list(
             struct(col("pos"), col("j"), col("pj"), col("yj0"), col("yj1")))).as("ns"))
+        // LEFT join: a point whose affinity row is empty (no edges) still
+        // exists — it feels zero attractive force but full repulsion and
+        // centering. An inner join would silently drop it from the
+        // embedding; the local path keeps it (empty js array).
         val joined = st.toDF()
-          .join(neigh, col("id") === col("i"))
-          .select(col("id"), col("y"), col("lastGrad"), col("gains"), col("ns"))
+          .join(neigh, col("id") === col("i"), "left")
+          .select(col("id"), col("y"), col("lastGrad"), col("gains"),
+            coalesce(col("ns"), typedLit(Array.empty[NeighborRef])).as("ns"))
           .as[StateNeighbors]
 
         // 4. fused forces pass, state carried through

@@ -125,6 +125,25 @@ class OptimizerSpec extends AnyFlatSpec with Matchers with org.scalatest.Inspect
     for ((k, v) <- localLoss) acc2.value(k) shouldBe v +- 1e-9
   }
 
+  it should "keep a point with an empty affinity row in the embedding" in {
+    val s = spark
+    import s.implicits._
+    val pRows = toRows(Goldens.denseJointProbabilities) :+
+      AffinityRow(99L, Array.empty[Long], Array.empty[Double])
+    val ws0 = Goldens.initialEmbedding.map(p =>
+      WorkingSet(p.id, p.vec.clone(), Array(0.0, 0.0), Array(1.0, 1.0))) :+
+      WorkingSet(99L, Array(0.05, -0.05), Array(0.0, 0.0), Array(1.0, 1.0))
+    // an edge-less point produces zero rows in the exploded edge table; the
+    // state⋈neighborhood join must not drop it — it still feels repulsion
+    // and centering, every superstep, and appears in the final output
+    val out = Optimizer.optimizeStateDistributed(
+      s.createDataset(pRows.toSeq), s.createDataset(ws0),
+      superstepParams.copy(iterations = 5), None).collect()
+    out.length shouldBe ws0.length
+    out.map(_.id) should contain(99L)
+    out.filter(_.id == 99L).head.vec.foreach(v => v.isNaN shouldBe false)
+  }
+
   it should "be selected by optimize() past maxBroadcastStateRows" in {
     val s = spark
     import s.implicits._
