@@ -96,23 +96,66 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-digit floats: the one-line artifact must survive the driver's tail
+    // capture (round 5's 9-digit line outgrew it and shipped truncated —
+    // "parsed": null, headline unrecoverable)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // any failure poisons the headline: null (not a negative sentinel, which
     // would still satisfy a naive numeric "total <= 2x baseline" check)
     val total =
       if (results.isEmpty) "0.0"
       else if (results.exists(_._2 < 0)) "null"
-      else results.map(_._2).sum.toString
-    // >2× the prior round at identical methodology = regression; queries
-    // new this round (or failed either round) can't regress
-    val regressions = results.collect {
+      else f"${results.map(_._2).sum}%.3f"
+    // >2× the prior round at identical methodology = regression candidate;
+    // queries new this round (or failed either round) can't regress
+    val flagged = results.collect {
       case (name, now) if now > 0 && prior.getOrElse(name, Double.MaxValue) > 0 &&
-        prior.contains(name) && now > 2 * prior(name) =>
-        f"""{"query":"$name","prior":${prior(name)}%.3f,"now":$now%.3f}"""
+        prior.contains(name) && now > 2 * prior(name) => (name, now)
+    }
+    // self-adjudication: this VM's sporadic memory-reclaim stalls can
+    // poison even a min-of-3 window for a contiguous block of the fixed
+    // run order (round 5 shipped 8 such false flags). Re-measure each
+    // flagged query ONCE after the main loop — outside the stall window
+    // that flagged it — and confirm only flags that reproduce.
+    val confirmed = flagged.flatMap { case (name, _) =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).foreach(_ => ())
+        val again = (System.nanoTime() - t0) / 1e9
+        if (again > 2 * prior(name))
+          Some(f"""{"query":"$name","prior":${prior(name)}%.3f,"again":$again%.3f}""")
+        else None
+      } catch { case _: Throwable =>
+        Some(s"""{"query":"$name","prior":${prior(name)},"again":-1.0}""")
+      }
+    }
+    val regressions = flagged.map { case (name, now) =>
+      f"""{"query":"$name","prior":${prior(name)}%.3f,"now":$now%.3f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      f""""warmup_sec":$warmupSec%.2f,"regressions":$regressions,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      f""""warmup_sec":$warmupSec%.2f,"regressions":$regressions,""" +
+      s""""regressions_confirmed":${confirmed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // compact headline FIRST — even a truncated capture keeps the total —
+    // then the full line (what the driver parses), and the full JSON also
+    // lands in-repo so no round depends on tail-capture size again
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size}}""")
+    println(full)
+    val localName = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val maxN = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(_.getName match { case re(n) => Some(n.toInt); case _ => None })
+        .foldLeft(0)(math.max)
+      s"BENCH_LOCAL_r${maxN + 1}.json"
+    }
+    try {
+      val w = new java.io.PrintWriter(localName, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $localName: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
