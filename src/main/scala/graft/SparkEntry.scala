@@ -286,6 +286,20 @@ object SparkEntry {
         .orderBy("o_custkey", "rk", "o_orderkey")
     }),
 
+    // §2.2 vocabulary — dense_rank-bounded filter through the same
+    // operator (first k DISTINCT order years per customer, gap-free
+    // numbering; unbounded rows per key, bounded distinct values)
+    "q_dense_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_year").desc)
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .withColumn("rk", dense_rank().over(w).cast("long"))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_year").cast("long"), col("rk"))
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    }),
+
     // ---------------- LLM-data-pipeline operators ----------------------
 
     // text surface statistics (tokens, types, BPE-ish count, lengths)
@@ -1631,6 +1645,15 @@ object SparkEntry {
         |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |         RANK() OVER (PARTITION BY o_custkey
         |                      ORDER BY year(o_orderdate) DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "q_dense_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_year, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         DENSE_RANK() OVER (PARTITION BY o_custkey
+        |                            ORDER BY year(o_orderdate) DESC) AS rk
         |  FROM orders)
         |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
 

@@ -38,13 +38,15 @@ import org.apache.spark.sql.types.IntegerType
   * implements. `row_number() <= k` keeps exactly k rows per key;
   * `rank() <= k` keeps every row with fewer than k strict predecessors in
   * the sort order — tie groups survive whole, so a key may emit more than
-  * k rows (exactly like the window function). `dense_rank` is deliberately
-  * NOT offered: its survivor set is "first k distinct sort keys" with
-  * unbounded row count per key, a different (and rarely top-k-shaped)
-  * reduction; such filters keep Spark's window pipeline. */
+  * k rows (exactly like the window function). `dense_rank() <= k` keeps
+  * every row whose sort key is among the key's first k DISTINCT sort
+  * keys — the map-side keeper is bounded in distinct values, not rows
+  * (the row count is the operator's required output, not a leak: a key
+  * whose rows all share one value legitimately emits every one). */
 sealed trait RankFunctionMode
 case object RowNumberMode extends RankFunctionMode
 case object RankMode extends RankFunctionMode
+case object DenseRankMode extends RankFunctionMode
 
 case class GroupedTopKLimit(
     partitionSpec: Seq[Expression],
@@ -61,12 +63,12 @@ case class GroupedTopKLimit(
     copy(child = newChild)
 }
 
-/** Rewrites `Filter(rn <= k, Window(row_number()|rank() as rn, part,
-  * order))` — optionally with extra conjuncts not touching `rn`, which stay
-  * behind as a residual filter — into [[GroupedTopKLimit]]. Conservative:
-  * fires only for a single ranking window expression with a non-empty
-  * partition spec and a literal integer bound; `dense_rank` and every other
-  * window function abstain (see [[RankFunctionMode]]). */
+/** Rewrites `Filter(rn <= k, Window(row_number()|rank()|dense_rank() as
+  * rn, part, order))` — optionally with extra conjuncts not touching `rn`,
+  * which stay behind as a residual filter — into [[GroupedTopKLimit]].
+  * Conservative: fires only for a single ranking window expression with a
+  * non-empty partition spec and a literal integer bound; every other
+  * window function abstains (see [[RankFunctionMode]]). */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
   private def rankBound(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
@@ -113,12 +115,13 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
       case other => other :: Nil
     }
 
-  /** Extractor binding the mode once per match (dense_rank, ntile,
-    * aggregates, … fall through: keep the window). */
+  /** Extractor binding the mode once per match (ntile, aggregates, … fall
+    * through: keep the window). */
   private object RankedBy {
     def unapply(fn: Expression): Option[RankFunctionMode] = fn match {
       case RowNumber() => Some(RowNumberMode)
       case Rank(_) => Some(RankMode)
+      case DenseRank(_) => Some(DenseRankMode)
       case _ => None
     }
   }
@@ -180,15 +183,17 @@ case class GroupedTopKLimitPartialExec(
     val partSpec = partitionSpec
     val ordSpec = orderSpec
     val maxKeys = maxPartialKeys
-    val rankMode = mode == RankMode
+    val keeperMode = mode
 
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
       val ord = new LazilyGeneratedOrdering(ordSpec, childOutput)
-      val newKeeper: () => SurvivorKeeper =
-        if (rankMode) () => new TieKeeper(kk, ord)
-        else () => new HeapKeeper(kk, ord)
+      val newKeeper: () => SurvivorKeeper = keeperMode match {
+        case RankMode => () => new TieKeeper(kk, ord)
+        case DenseRankMode => () => new DenseKeeper(kk, ord)
+        case RowNumberMode => () => new HeapKeeper(kk, ord)
+      }
       val keepers = new java.util.HashMap[UnsafeRow, SurvivorKeeper]()
       def drain(): Iterator[InternalRow] = {
         val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -279,13 +284,44 @@ private[plans] final class TieKeeper(k: Int,
     groups.forEach((_, lst) => lst.forEach(r => f(r)))
 }
 
+/** Per-key survivor set for `dense_rank() <= k`: rows of the k least
+  * DISTINCT order-key values, as a TreeMap of tie groups capped at k
+  * entries. Bounded in distinct values, not rows — a group's row count is
+  * part of the operator's output (every row tied on a surviving value is
+  * emitted), so keeping them is the contract, not a leak. */
+private[plans] final class DenseKeeper(k: Int,
+    ord: java.util.Comparator[InternalRow]) extends SurvivorKeeper {
+  private val groups =
+    new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](ord)
+
+  def add(row: InternalRow, rowProj: UnsafeProjection): Unit = {
+    val last = groups.lastEntry()
+    // short-circuit: k distinct values already kept, all ordered before
+    // this row — it would only create the instantly-evicted (k+1)-th group
+    if (last != null && groups.size() >= k && ord.compare(row, last.getKey) > 0)
+      return
+    val copy = rowProj(row).copy()
+    var lst = groups.get(copy)
+    if (lst == null) {
+      lst = new java.util.ArrayList[UnsafeRow]()
+      groups.put(copy, lst)
+    }
+    lst.add(copy)
+    while (groups.size() > k) groups.remove(groups.lastKey())
+  }
+
+  def foreach(f: UnsafeRow => Unit): Unit =
+    groups.forEach((_, lst) => lst.forEach(r => f(r)))
+}
+
 /** Reduce-side phase: sees every surviving row of a key (the required
   * clustered distribution makes EnsureRequirements insert the hash
   * exchange) in (key, order) sorted order (the required ordering makes it
   * insert Spark's SPILLABLE external SortExec over the post-limit
   * survivors), and streams each key's run, appending the rank — sequential
   * for [[RowNumberMode]], gap-numbered with whole tie groups for
-  * [[RankMode]]. The scan itself holds O(1) rows, so reduce-side memory is
+  * [[RankMode]], gap-free per distinct value for [[DenseRankMode]]. The
+  * scan itself holds O(1) rows, so reduce-side memory is
   * entirely the external sort's, which spills — no on-heap hash grouping
   * of unbounded key cardinality. (Only survivors are ever sorted: the
   * partial phase capped each map partition's contribution per key, so the
@@ -326,6 +362,7 @@ case class GroupedTopKLimitFinalExec(
     val ordSpec = orderSpec
     val rank = rankAttr
     val rankMode = mode == RankMode
+    val denseMode = mode == DenseRankMode
 
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(partSpec, childOutput)
@@ -358,11 +395,14 @@ case class GroupedTopKLimitFinalExec(
               if (rankMode) {
                 if (prev != null && ord.compare(row, prev) != 0)
                   curRank = pos + 1
+              } else if (denseMode) {
+                if (prev != null && ord.compare(row, prev) != 0)
+                  curRank += 1 // gap-free: next distinct value, next rank
               } else curRank = pos + 1
               if (curRank <= kk) {
                 // ranks only grow along the run: once one row is dropped,
                 // every later row of the key is too — stop copying/comparing
-                if (rankMode) prev = row.copy()
+                if (rankMode || denseMode) prev = row.copy()
                 rankRow.setInt(0, curRank)
                 pending = outProj(joined(row, rankRow)).copy()
               } else skipKey = true

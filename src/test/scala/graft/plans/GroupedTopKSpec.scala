@@ -154,11 +154,44 @@ class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with Spa
     rankEq.collect().map(_.toSeq).toSet shouldBe rankLe.collect().map(_.toSeq).toSet
   }
 
-  it should "not fire on dense_rank() or unpartitioned windows" in {
-    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
-    val denseDf = sampleDf.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
-    planOf(denseDf) should not include "GroupedTopKLimit"
+  it should "rewrite dense_rank() with first-k-distinct-values semantics" in {
+    val s = spark
+    import s.implicits._
+    // few distinct scores => every kept VALUE carries many rows; the
+    // survivor set is "rows of the key's first k distinct scores" with
+    // gap-free numbering — unbounded rows per key, bounded distinct values
+    val rnd = new scala.util.Random(29)
+    val tied = (1 to 4000)
+      .map(i => (rnd.nextInt(25).toLong, i.toLong, rnd.nextInt(6).toDouble))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.withColumn("rk", dense_rank().over(w)).where(col("rk") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fastDf = tied.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
+    planOf(fastDf) should include("GroupedTopKLimit")
+    planOf(fastDf) should not include "!GroupedTopKLimit"
+    val fast = run(tied, 3)
+    // dense semantics really differ from rank(): with 6 distinct scores a
+    // key's survivors span exactly 3 values and far more than 3 rows
+    fast.groupBy(_._1).values.map(_.map(_._3).toSet.size).foreach(_ should be <= 3)
+    fast.groupBy(_._1).values.map(_.size).max should be > 3
+    val ruleName = RewriteRankFilterToTopK.ruleName
+    s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val slowDf = tied.withColumn("rk", dense_rank().over(w)).where(col("rk") <= 3)
+      planOf(slowDf) should not include "GroupedTopKLimit"
+      run(tied, 3) shouldBe fast
+      // all-tied keys at k=1 and a k wider than the distinct-value count
+      for (k <- Seq(1, 10)) {
+        val fastK = { s.conf.unset("spark.sql.optimizer.excludedRules"); run(tied, k) }
+        s.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+        run(tied, k) shouldBe fastK
+      }
+    } finally s.conf.unset("spark.sql.optimizer.excludedRules")
+  }
 
+  it should "not fire on unpartitioned windows" in {
     val wGlobal = Window.orderBy(col("score").desc, col("id"))
     val globalDf = sampleDf.withColumn("rn", row_number().over(wGlobal)).where(col("rn") <= 3)
     planOf(globalDf) should not include "GroupedTopKLimit"
