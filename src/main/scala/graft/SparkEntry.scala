@@ -421,6 +421,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental NEAR-dup dedup — the new batch's MinHash band keys probe
+    // the corpus signature store (built in-call here; production persists
+    // it), candidates exact-verified; only cross (corpus, batch) pairs,
+    // corpus text touched only for candidate docs
+    "q_dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val newBatch = docs.where(col("doc_id") % 5 === 0)
+      val corpus = docs.where(col("doc_id") % 5 =!= 0)
+      pipeline.Dedup.minHashIncremental(newBatch, corpus, None, n = 3,
+        theta = 0.7)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jac_r"))
+        .orderBy("i", "j")
+    }),
+
     // per-source quota (a standard curation cap: no single source may
     // contribute more than k docs — largest-first, deterministic tiebreak).
     // The row_number + filter shape executes through the GroupedTopKLimit
@@ -1296,6 +1310,20 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardOracle(0.5),
 
     "q_dedup_minhash" -> jaccardOracle(0.7),
+
+    // the full >= theta pair set restricted to cross (corpus, batch)
+    // pairs — exactly one endpoint in the batch (doc_id % 5 = 0)
+    "q_dedup_incremental_minhash" -> (shingleSql +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jac_r
+        |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+        |  AND ((i % 5 = 0) <> (j % 5 = 0))
+        |ORDER BY i, j""".stripMargin),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
 

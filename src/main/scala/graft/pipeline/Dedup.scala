@@ -206,20 +206,7 @@ object Dedup {
     // leaks per call. (Cost: the call is now eager — the right trade for
     // a table consumed 4x by construction.)
     val sh = shingles(docs, n).localCheckpoint()
-
-    // typed Aggregator → HashAggregate with map-side partial signatures
-    val sigs = sh
-      .groupBy("doc_id")
-      .agg(udaf(new MinHashAggregator(fam),
-        org.apache.spark.sql.Encoders.scalaLong)(col("sh_hash")).as("sig"))
-
-    // band key = (band index, the band's minhash rows) — equality on the
-    // struct is exactly "collides in this band"
-    val bandStructs = array((0 until bands).map(b =>
-      struct((0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1).as(s"h$r")): _*)): _*)
-    val banded = sigs.select(col("doc_id"), posexplode(bandStructs))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val banded = bandKeysOf(sh, fam, bands, rowsPerBand)
 
     val cands = banded.as("a")
       .join(banded.as("b"),
@@ -229,6 +216,75 @@ object Dedup {
       .distinct()
 
     // exact verify on candidates only — same formula as the full join
+    jaccardOfShingles(sh, theta, candidates = Some(cands))
+  }
+
+  /** Banded signature table `(doc_id, band, bkey)` of a shingle table:
+    * typed Aggregator → HashAggregate with map-side partial signatures;
+    * band key = (band index, the band's minhash rows) — struct equality is
+    * exactly "collides in this band". */
+  private def bandKeysOf(sh: DataFrame, fam: MinHashFamily, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val sigs = sh
+      .groupBy("doc_id")
+      .agg(udaf(new MinHashAggregator(fam),
+        org.apache.spark.sql.Encoders.scalaLong)(col("sh_hash")).as("sig"))
+    val bandStructs = array((0 until bands).map(b =>
+      struct((0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1).as(s"h$r")): _*)): _*)
+    sigs.select(col("doc_id"), posexplode(bandStructs))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** The corpus's MinHash band keys as a standalone table — the SIGNATURE
+    * STORE a production ingest pipeline persists between crawls (parquet
+    * keyed by (band, bkey)): ~`bands` small rows per corpus doc, so
+    * probing a new batch never touches corpus text except to exact-verify
+    * the few candidate docs LSH surfaces. Parameters must match the ones
+    * later probes use — the store is only meaningful under the same
+    * (n, bands, rowsPerBand, seed). */
+  def signatureStore(docs: DataFrame, n: Int = 3, bands: Int = 64,
+                     rowsPerBand: Int = 2, seed: Long = 42L): DataFrame =
+    bandKeysOf(shingles(docs, n), MinHashFamily(seed, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Incremental near-duplicate detection — the MinHash twin of
+    * [[exactIncremental]]: find every (corpus doc, new doc) pair with
+    * shingle Jaccard ≥ θ, WITHOUT recomputing anything corpus×corpus.
+    * The new batch's band keys probe the corpus signature store (pass the
+    * persisted table via `corpusStore`; omitted, it is computed from
+    * `corpus` — correct but paying the store build this call); candidates
+    * are exact-verified with [[jaccardOfShingles]], touching corpus TEXT
+    * only for candidate docs (a semi join the parquet reader turns into
+    * an id-pushdown scan). Only cross pairs are emitted — intra-batch
+    * near-dups are [[minHashNearDups]]'s job on the batch alone. Returns
+    * `(i, j, jaccard)` with i < j; ids must be unique across
+    * corpus ∪ batch. Shuffle ∝ batch·bands + candidates — nothing scales
+    * with corpus size but the store probe itself. */
+  def minHashIncremental(newDocs: DataFrame, corpus: DataFrame,
+                         corpusStore: Option[DataFrame] = None,
+                         n: Int = 3, theta: Double = 0.7,
+                         bands: Int = 64, rowsPerBand: Int = 2,
+                         seed: Long = 42L): DataFrame = {
+    val fam = MinHashFamily(seed, bands * rowsPerBand)
+    val newSh = shingles(newDocs, n).localCheckpoint()
+    val newBands = bandKeysOf(newSh, fam, bands, rowsPerBand)
+    val store = corpusStore.getOrElse(
+      signatureStore(corpus, n, bands, rowsPerBand, seed))
+    // store side × batch side: every candidate is a cross pair by
+    // construction (no corpus×corpus, no batch×batch)
+    val cands0 = store.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("cid"), col("b.doc_id").as("nid"))
+      .distinct()
+    val candCorpus = corpus.join(
+      cands0.select(col("cid").as("doc_id")).distinct(), Seq("doc_id"),
+      "left_semi")
+    val sh = newSh.unionByName(shingles(candCorpus, n))
+    val cands = cands0.select(least(col("cid"), col("nid")).as("i"),
+      greatest(col("cid"), col("nid")).as("j")).distinct()
     jaccardOfShingles(sh, theta, candidates = Some(cands))
   }
 

@@ -92,6 +92,36 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     forAll(lsh.toSeq) { p => p._2 should not be 3L }
   }
 
+  "Dedup.minHashIncremental" should "equal the full-corpus pair set restricted to cross pairs" in {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (50 to 90).map(i => s"q$i").mkString(" ")
+    val otherDup = (50 to 90).map(i => if (i == 70) "EDIT" else s"q$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"w$i").mkString(" ")
+    // corpus: 1..3; batch: 10..13. Cross near-dups (1,10) (1,11 identical),
+    // (2,12); batch-internal near-dup (10,11) must NOT appear; corpus-
+    // internal pair (none here) must not either
+    val corpus = docs((1L, base), (2L, other), (3L, unrelated))
+    val batch = docs((10L, nearDup), (11L, base), (12L, otherDup),
+      (13L, "nothing in common at all"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(Dedup.minHashIncremental(batch, corpus, None, 3, 0.7))
+    // truth: the full-corpus near-dup pair set, restricted to cross pairs
+    val all = pairs(Dedup.minHashNearDups(corpus.unionByName(batch), 3, 0.7))
+    val cross = all.filter(p => (p._1 < 10L) != (p._2 < 10L))
+    inc shouldBe cross
+    inc should contain((1L, 10L))
+    inc should contain((1L, 11L))
+    inc should contain((2L, 12L))
+    // the batch-internal (10,11) pair exists in the full set but not here
+    all should contain((10L, 11L))
+    // a PRE-BUILT signature store (what production persists) gives the
+    // same answer as computing it from the corpus in-call
+    val store = Dedup.signatureStore(corpus).localCheckpoint()
+    pairs(Dedup.minHashIncremental(batch, corpus, Some(store), 3, 0.7)) shouldBe inc
+  }
+
   "Dedup.exactIncremental" should "drop exactly the docs whose text exists in the corpus" in {
     val newDocs = docs((10L, "alpha alpha alpha"), (11L, "beta beta beta"),
       (12L, "alpha alpha alpha"), (13L, "delta delta delta"))
