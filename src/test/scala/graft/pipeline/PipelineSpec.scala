@@ -594,6 +594,61 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
       Multimodal.decodeImageGrayscale(15)(solid)
   }
 
+  it should "decode multi-frame GIFs through the frame-sampling seam" in {
+    val s = spark
+    import s.implicits._
+    // a 5-frame animated GIF, frame f solid gray level f*50: the sampled
+    // frames must decode to DIFFERENT per-frame grids in animation order
+    def gif(frames: Seq[Int], w: Int = 6, h: Int = 6): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { level =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, (level << 16) | (level << 8) | level)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+    val animated = gif(Seq(0, 50, 100, 150, 200))
+    val still = gif(Seq(120))
+    val mm = Seq((1L, animated), (2L, still)).toDF("id", "payload")
+      .select(col("id"), lit("video").as("modality"), col("payload"),
+        struct(org.apache.spark.sql.functions.length(col("payload"))
+            .cast("long").as("byte_len"),
+          lit("test").as("source")).as("meta"))
+    // 3 sampled frames × 2×2 grid = 12 features
+    val feats = Multimodal
+      .decodeFeatures(mm, 12, Multimodal.decodeGifFrames(3))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    feats(1L).length shouldBe 12
+    // stride over 5 frames with n=3 probes frames 0, 1, 3 → distinct,
+    // increasing gray levels; within a frame all 4 cells equal
+    val perFrame = feats(1L).grouped(4).toSeq
+    perFrame.foreach(g => g.toSet.size shouldBe 1)
+    perFrame.map(_.head) shouldBe sorted
+    perFrame.map(_.head).toSet.size shouldBe 3
+    // a single-frame GIF strides onto frame 0 three times
+    feats(2L).grouped(4).map(_.head).toSet.size shouldBe 1
+    // frames-through-Spark ≡ the direct decoder call, bit-for-bit
+    feats(1L) shouldBe Multimodal.decodeGifFrames(3)(12)(animated)
+    feats(2L) shouldBe Multimodal.decodeGifFrames(3)(12)(still)
+    // malformed payloads and bad dims fail loudly
+    an[Exception] should be thrownBy
+      Multimodal.decodeGifFrames(3)(12)("not a gif".getBytes("UTF-8"))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifFrames(3)(10)(animated) // 10/3 not integral
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.decodeGifFrames(4)(12)(animated) // 3 per frame: not square
+  }
+
   it should "decode real WAVs through the same seam (javax.sound codec)" in {
     val s = spark
     import s.implicits._
