@@ -883,6 +883,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the same composed training-output path in the SKEWED regime the
+    // two-phase budget scan exists for: sources collapsed so one stratum
+    // ("web", ~80% of the corpus) dominates the mix — the distribution
+    // where the naive per-stratum window would funnel most of the corpus
+    // through one task. Same chain, different stratum shape; the oracle
+    // replays it with the dominant-source mapping inline.
+    "q_pipeline_to_shards_skewed" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
+      val canon = pipeline.Dedup.exactCanonical(docs)
+      val kept = docs.select(col("doc_id"),
+          when(col("source") =!= "src4", lit("web")).otherwise(col("source"))
+            .as("source"),
+          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(quality, "doc_id").join(canon, "doc_id")
+        .where(col("quality_r") >= 0.7 && col("canon_id") === col("doc_id"))
+        .select("doc_id", "source", "n_tokens")
+      val budgeted = ops.Sampling.tokenBudgetSample(kept, "doc_id", "source",
+        col("n_tokens"), Map("web" -> 3200L, "src4" -> 800L), salt = "mix3")
+      ops.Packing.packSequences(budgeted, "doc_id", "n_tokens",
+        seqLen = 128L, salt = "p2")
+        .orderBy("doc_id")
+    }),
+
     // §2.2 vocabulary — CUBE grouping sets (all 2^d subtotal combinations;
     // ROLLUP's hierarchical subset is pinned by q_rollup_lineitem)
     "q_cube_lineitem" -> ((s, dir) => {
@@ -1934,6 +1958,45 @@ object SparkEntry {
          |  SELECT doc_id, source, n_tokens, cum_tokens,
          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY
          |      ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#p1'), 1, 15))::BIGINT,
+         |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS strt
+         |  FROM f WHERE n_tokens > 0)
+         |SELECT doc_id, source, n_tokens, cum_tokens, strt AS start_offset,
+         |       CAST(strt // 128 AS BIGINT) AS seq_first,
+         |       CAST((strt + n_tokens - 1) // 128 AS BIGINT) AS seq_last,
+         |       CAST(strt % 128 AS BIGINT) AS pos_in_seq
+         |FROM p ORDER BY doc_id""".stripMargin),
+
+    "q_pipeline_to_shards_skewed" -> (tokSql +
+      s""", q AS (
+         |  SELECT doc_id,
+         |    ROUND($qualityExprSql,
+         |          6) AS quality
+         |  FROM (
+         |    $qualityInnerSql)),
+         |c AS (
+         |  $canonSql),
+         |k AS (
+         |  SELECT t.doc_id,
+         |         CASE WHEN d.source <> 'src4' THEN 'web' ELSE d.source END AS source,
+         |         CAST(len(t.t) AS BIGINT) AS n_tokens
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  JOIN q USING (doc_id) JOIN c USING (doc_id)
+         |  WHERE q.quality >= 0.7 AND c.canon_id = t.doc_id),
+         |b AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY
+         |      ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#mix3'), 1, 15))::BIGINT,
+         |      doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM k),
+         |f AS (
+         |  SELECT * FROM b
+         |  WHERE cum_tokens <= CASE source
+         |    WHEN 'web' THEN 3200 WHEN 'src4' THEN 800 ELSE -1 END),
+         |p AS (
+         |  SELECT doc_id, source, n_tokens, cum_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY
+         |      ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#p2'), 1, 15))::BIGINT,
          |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |      AS BIGINT) AS strt
          |  FROM f WHERE n_tokens > 0)
