@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — restrict the dump
+    // (e.g. the sf1eq pass runs only the queries whose tables the native
+    // fixture generates). No 3rd arg = every query, the driver contract.
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b) => (a, b, None)
+      case Array(a, b, names) => (a, b, Some(names.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +22,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // delete any previous round's output FIRST: a query that now fails
       // before its overwrite-write starts would otherwise leave stale
       // results in place, and the driver's compare would hash last round's

@@ -161,13 +161,23 @@ object ScaleFixture {
         // token-volume-bound, the 20×-docs growth shape to watch
         val (uniN, uniT) = time(pipeline.TextOps.unigramLogProb(docs).count())
         val (biN, biT) = time(pipeline.TextOps.bigramLogProb(docs).count())
+        // token-budget sampling under a REAL mix skew: sources collapsed so
+        // one stratum holds ~80% of the corpus, budgets sized to keep most
+        // of it (worst-case scan). The two-phase per-stratum prefix must
+        // scale with partitions, not stratum size — before round 6 this was
+        // a single task sorting the dominant stratum.
+        val skewed = tokd.withColumn("source",
+          when(col("doc_id") % 64 < 52, lit("web")).otherwise(lit("rest")))
+        val (budN, budT) = time(ops.Sampling.tokenBudgetSample(skewed,
+          "doc_id", "source", col("n_tokens"),
+          Map("web" -> (1L << 40), "rest" -> (1L << 40)), salt = "b0").count())
 
         println(f"SF1EQ $label%-6s lineitem=${li.count()} docs=${docs.count()} " +
           f"agg=$aggT%.2f($aggN) topk=$topkT%.2f($topkN) joinagg=$joinT%.2f($joinN) " +
           f"dedup=$dedupT%.2f($dedupN) repetition=$repT%.2f($repN) " +
           f"decontam=$decT%.2f($decN) distinct_ok=$distT%.2f($distN) " +
           f"clusters=$ccT%.2f($ccN) shard=$shardT%.2f($shardN) pack=$packT%.2f($packN) " +
-          f"unigram=$uniT%.2f($uniN) bigram=$biT%.2f($biN)")
+          f"unigram=$uniT%.2f($uniN) bigram=$biT%.2f($biN) budget_skew=$budT%.2f($budN)")
         li.unpersist(); ord.unpersist(); docs.unpersist()
       }
     } finally spark.stop()

@@ -1,0 +1,27 @@
+#!/bin/bash
+# sf1eq oracle pass (VERDICT r5 next-round #4): run the document/lineitem/
+# orders-surface queries against the native ScaleFixture corpus
+# (target/sf1eq, 6M lineitem / 1.5M orders / 100k docs) and hash-compare
+# each against its DuckDB oracle — the CORRECTNESS flow at 10x the driver's
+# sf0.1, hunting scale-dependent bugs (overflow, rounding, partition
+# effects).
+#
+# Exclusions (documented, justified):
+#   - embeddings/events/customer/nation/part queries: those tables are not
+#     part of the sf1eq fixture (document-table surface only, per VERDICT).
+#   - kNN/t-SNE queries (q_knn_*, q_tsne_*, q_affinity_*, q_gradient_*,
+#     q_joint_distribution, q_center_embedding, q_coo_roundtrip): inputs are
+#     fixed-size synthetic COO matrices, independent of sf — sf0.1 oracles
+#     already cover them at their full size.
+#   - q_simhash_pairs: its oracle is an O(N^2) pair join (5e9 pairs at 100k
+#     docs) — infeasible in DuckDB; the linear signature half is covered by
+#     q_dedup_simhash, which IS in the pass.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES=q_agg_lineitem,q_skew_distinct,q_salted_agg,q_sketch_distinct,q_sketch_quantiles,q_cube_lineitem,q_rollup_lineitem,q_topk_orders,q_rank_topk,q_dense_rank_topk,q_window_family,q_pivot_orders,q_text_stats,q_text_quality,q_lang_id,q_unigram_logprob,q_bigram_logprob,q_text_repetition,q_decontaminate,q_doc_fingerprint,q_text_redact,q_dedup_exact,q_dedup_normalized,q_dedup_jaccard,q_dedup_minhash,q_dedup_incremental,q_dedup_incremental_minhash,q_source_cap,q_dedup_clusters,q_dedup_keep_best,q_dedup_simhash,q_multimodal_features,q_sketch_topk_tokens,q_sample_uniform,q_sample_stratified,q_sample_token_budget,q_shard_assignment,q_pack_sequences,q_curation_e2e,q_pipeline_to_shards,q_pipeline_to_shards_skewed,q_set_ops
+
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
+  "runMain graft.Verify target/sf1eq target/verify_sf1eq $QUERIES"
+python3 tools/compare_oracle.py target/sf1eq target/verify_sf1eq \
+  | tee /tmp/sf1eq_compare.txt
