@@ -42,8 +42,12 @@ object ScaleFixture {
           case 0 => "A"; case 1 => "R"; case _ => "N"
         }
         val status = if (flag == "N") "O" else "F"
+        // l_quantity is DOUBLE and l_linenumber INT to match the driver
+        // testdata schema exactly — a long quantity column made the r6
+        // sf1eq oracle pass hash-mismatch on repr (long 38213305 vs
+        // decimal 38213305.0) in every lineitem SUM query
         (ok + 1, 1L + rng.nextInt(200000), 1L + rng.nextInt(10000),
-          (l + 1).toLong, qty.toLong, price, flag, status)
+          l + 1, qty.toDouble, price, flag, status)
       }
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")

@@ -12,7 +12,10 @@ oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 con = duckdb.connect()
 for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(f)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # driver testdata is single-file parquet; Spark-written tables (e.g. the
+    # sf1eq ScaleFixture corpus) are directories of part files
+    pat = os.path.join(f, "*.parquet") if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{pat}')")
 
 import datetime, decimal
 def norm(v):
