@@ -103,36 +103,141 @@ object Sampling {
     require(budgets.nonEmpty, "need at least one stratum budget")
     budgets.values.foreach(b =>
       require(b >= 0L, s"budget must be non-negative, got $b"))
-    Seq("cum_tokens", "__h", "__t").foreach(c =>
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
+      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    // unlisted strata are dropped up front (cheaper AND removes NULL
+    // strata before the range exchange); the filter cannot change any
+    // listed stratum's prefix because the scan is per stratum
+    val cum = stratumPrefixCum(df.where(budgetCol >= 0L), keyCol, strataCol,
+      tokenCount, sortByScore = None, "cum_tokens", salt, partitions)
+    cum.where(col("cum_tokens") <= budgetCol)
+  }
+
+  /** Temperature mixture sampling (α = 0.5): per-stratum document targets
+    * ∝ √count, the standard flattening that upweights small sources
+    * relative to proportional sampling (multilingual / multi-domain
+    * training mixes; α = 0.5 is the common published setting, e.g.
+    * multilingual BERT's exponent-smoothed sampling). Selects, per
+    * stratum, the deterministic hash-ordered prefix of
+    * `totalDocs · √cᵢ / Σⱼ√cⱼ` documents.
+    *
+    * The target arithmetic is ENGINE-EXACT by construction: weights are
+    * `floor(sqrt(count))` — IEEE-754 sqrt is correctly rounded, so for any
+    * realistic count (< 2⁵²) this is the integer square root, identical in
+    * the JVM and any SQL engine — and targets use integer
+    * `totalDocs · wᵢ / W` division (BigInt on the driver, so no overflow
+    * at any budget). No float crosses an engine boundary.
+    *
+    * Driver traffic: one count per stratum (bounded by |strata|), then the
+    * same two-phase distributed prefix scan as [[tokenBudgetSample]] — no
+    * single-task window, parallelism scales with partitions. Emits
+    * `stratum_rank` (1-based position in the stratum's hash order). */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+                        totalDocs: Long, salt: String = "temp",
+                        partitions: Int = 0): DataFrame = {
+    require(totalDocs >= 0L, s"totalDocs must be non-negative, got $totalDocs")
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    if (counts.isEmpty) return df.withColumn("stratum_rank", lit(0L)).limit(0)
+    val weights = counts.map { case (g, c) =>
+      (g, math.floor(math.sqrt(c.toDouble)).toLong)
+    }
+    val totalW = weights.map(_._2).sum
+    val targets: Array[(Any, Long)] = weights.map { case (g, w) =>
+      val t = if (totalW == 0L) 0L
+              else (BigInt(totalDocs) * BigInt(w) / BigInt(totalW)).toLong
+      (g, t)
+    }
+    val targetCol = targets.foldLeft(lit(-1L)) { case (acc, (stratum, t)) =>
+      when(col(strataCol) <=> lit(stratum), lit(t)).otherwise(acc)
+    }
+    val cum = stratumPrefixCum(df, keyCol, strataCol, lit(1L),
+      sortByScore = None, "stratum_rank", salt, partitions)
+    cum.where(col("stratum_rank") <= targetCol)
+  }
+
+  /** Per-stratum top-fraction selection by a score — the quantile quality
+    * gate ("keep the best 20% of each source by quality"): per stratum,
+    * keep the `keepNum/keepDen` fraction of documents with the highest
+    * score, ties broken by the deterministic hash order. The cutoff count
+    * is `ceil(cᵢ · keepNum / keepDen)` in INTEGER arithmetic — the
+    * fraction is a rational, not a float, so the kept set is exactly
+    * recomputable in SQL at any scale (a float percentile threshold
+    * equality would diverge across engines at ties).
+    *
+    * Shape at scale: the textbook spelling is `PERCENT_RANK() OVER
+    * (PARTITION BY stratum ORDER BY score DESC)` — a single-task sort of
+    * the dominant stratum. This is the same two-phase distributed prefix
+    * scan as [[tokenBudgetSample]], ordered by (score DESC, hash, key):
+    * range-partition, per-partition counts, driver prefix of P × |strata|
+    * longs, streaming rank emit, then the cutoff filter is a pure map.
+    * Emits `stratum_rank` (1 = best-scoring row of its stratum). */
+  def topFractionPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                            score: Column, keepNum: Long, keepDen: Long,
+                            salt: String = "topfrac",
+                            partitions: Int = 0): DataFrame = {
+    require(keepDen > 0L, s"keepDen must be positive, got $keepDen")
+    require(keepNum >= 0L, s"keepNum must be non-negative, got $keepNum")
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    if (counts.isEmpty) return df.withColumn("stratum_rank", lit(0L)).limit(0)
+    val cutoffs: Array[(Any, Long)] = counts.map { case (g, c) =>
+      // ceil(c · num / den) in exact integer arithmetic
+      (g, ((BigInt(c) * BigInt(keepNum) + BigInt(keepDen) - 1)
+        / BigInt(keepDen)).toLong)
+    }
+    val cutoffCol = cutoffs.foldLeft(lit(-1L)) { case (acc, (stratum, t)) =>
+      when(col(strataCol) <=> lit(stratum), lit(t)).otherwise(acc)
+    }
+    val cum = stratumPrefixCum(df, keyCol, strataCol, lit(1L),
+      sortByScore = Some(score), "stratum_rank", salt, partitions)
+    cum.where(col("stratum_rank") <= cutoffCol)
+  }
+
+  /** Shared two-phase distributed per-stratum prefix scan (the scale-safe
+    * replacement for `agg OVER (PARTITION BY stratum ORDER BY …)`):
+    * range-partition by (stratum, [score DESC,] hash, key) so each stratum
+    * spans contiguous partitions sized by data volume, sum `weight` per
+    * (partition, stratum), prefix those sums on the driver
+    * (P × |strata| longs — bounded), then stream each partition once
+    * emitting the running total as `cumName`. Parallelism scales with
+    * partitions, not strata — a stratum holding 80% of the corpus is
+    * scanned by 80% of the partitions, not one task. */
+  private def stratumPrefixCum(df: DataFrame, keyCol: String,
+                               strataCol: String, weight: Column,
+                               sortByScore: Option[Column], cumName: String,
+                               salt: String, partitions: Int): DataFrame = {
+    Seq(cumName, "__h", "__w", "__s").foreach(c =>
       require(!df.columns.contains(c),
-        s"input already has a '$c' column (reserved by tokenBudgetSample)"))
+        s"input already has a '$c' column (reserved by the prefix scan)"))
     val spark = df.sparkSession
     val p =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (stratum, b)) =>
-      when(col(strataCol) === stratum, lit(b)).otherwise(acc)
-    }
     val h = Hashing.hash60(
       concat(coalesce(col(keyCol).cast("string"), lit("null")),
         lit("#" + salt)))
-    // unlisted strata are dropped up front (cheaper AND removes NULL
-    // strata before the range exchange); the filter cannot change any
-    // listed stratum's prefix because the scan is per stratum
-    val sorted = df
-      .where(budgetCol >= 0L)
-      .withColumn("__h", h)
-      .withColumn("__t", coalesce(tokenCount.cast("long"), lit(0L)))
-      .repartitionByRange(p, col(strataCol), col("__h"), col(keyCol))
-      .sortWithinPartitions(col(strataCol), col("__h"), col(keyCol))
+    // helper columns are appended LAST (withColumn appends), so phase 2
+    // can rebuild rows with a cheap dropRight
+    val helpers = sortByScore.toSeq.map(s => ("__s", s)) ++
+      Seq(("__h", h), ("__w", coalesce(weight.cast("long"), lit(0L))))
+    val withHelpers = helpers.foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val sortCols = sortByScore.map(_ => col("__s").desc).toSeq ++
+      Seq(col("__h"), col(keyCol))
+    val sorted = withHelpers
+      .repartitionByRange(p, (col(strataCol) +: sortCols): _*)
+      .sortWithinPartitions((col(strataCol) +: sortCols): _*)
       // eager materialization: phase 1 and phase 2 both read this; local
       // checkpoint blocks are freed by the ContextCleaner when the
       // returned frame is dropped (no caller unpersist contract)
       .localCheckpoint()
-    val tokIdx = sorted.schema.fieldIndex("__t")
+    val wIdx = sorted.schema.fieldIndex("__w")
     val strIdx = sorted.schema.fieldIndex(strataCol)
-    // phase 1: per-(partition, stratum) token sums — P × |strata| longs to
-    // the driver, nothing else. Range partitioning makes each stratum a
+    // phase 1: per-(partition, stratum) weight sums — P × |strata| longs
+    // to the driver, nothing else. Range partitioning makes each stratum a
     // contiguous partition run, but per-stratum keying needs no such
     // assumption: the driver prefix below is correct for any placement
     // because partition order ≡ sort order under repartitionByRange.
@@ -141,11 +246,11 @@ object Sampling {
         val sums = scala.collection.mutable.LinkedHashMap.empty[AnyRef, Long]
         rows.foreach { r =>
           val g = r.get(strIdx).asInstanceOf[AnyRef]
-          sums.update(g, sums.getOrElse(g, 0L) + r.getLong(tokIdx))
+          sums.update(g, sums.getOrElse(g, 0L) + r.getLong(wIdx))
         }
         Iterator((pid, sums.toArray))
       }.collect()
-    // driver prefix: offsets(pid)(stratum) = that stratum's tokens in all
+    // driver prefix: offsets(pid)(stratum) = that stratum's weight in all
     // earlier partitions
     val running = scala.collection.mutable.HashMap.empty[AnyRef, Long]
     val offsets: Map[Int, Map[AnyRef, Long]] =
@@ -157,12 +262,12 @@ object Sampling {
         }.toMap
         (pid, before)
       }.toMap
-    // phase 2: one streaming pass per partition, seeded with its offsets.
-    // __h/__t are the last two columns (withColumn appends), dropped here.
+    // phase 2: one streaming pass per partition, seeded with its offsets
+    val nHelpers = helpers.size
     val outSchema = StructType(
-      sorted.schema.filterNot(f => f.name == "__h" || f.name == "__t"))
-      .add("cum_tokens", LongType, nullable = false)
-    val withCum = spark.createDataFrame(
+      sorted.schema.dropRight(nHelpers))
+      .add(cumName, LongType, nullable = false)
+    spark.createDataFrame(
       sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
         val cum = scala.collection.mutable.HashMap.empty[AnyRef, Long]
         offsets.getOrElse(pid, Map.empty).foreach { case (g, o) =>
@@ -170,11 +275,10 @@ object Sampling {
         }
         rows.map { r =>
           val g = r.get(strIdx).asInstanceOf[AnyRef]
-          val c = cum.getOrElse(g, 0L) + r.getLong(tokIdx)
+          val c = cum.getOrElse(g, 0L) + r.getLong(wIdx)
           cum.update(g, c)
-          Row.fromSeq(r.toSeq.dropRight(2) :+ c)
+          Row.fromSeq(r.toSeq.dropRight(nHelpers) :+ c)
         }
       }, outSchema)
-    withCum.where(col("cum_tokens") <= budgetCol)
   }
 }

@@ -332,6 +332,74 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  it should "hit √count-proportional temperature targets exactly" in {
+    import s.implicits._
+    // three sources with counts 6400 / 1600 / 400: √-weights 80/40/20,
+    // so a 700-doc budget splits 400/200/100 by exact integer division
+    val df = s.range(8400)
+      .select(col("id"),
+        when(col("id") < 6400, lit("web"))
+          .otherwise(when(col("id") < 8000, lit("code"))
+            .otherwise(lit("math"))).as("g"))
+    val got = Sampling.temperatureSample(df, "id", "g", totalDocs = 700L,
+      salt = "tmp")
+    val byG = got.groupBy("g").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    byG shouldBe Map("web" -> 400L, "code" -> 200L, "math" -> 100L)
+    // the selected rows are the per-stratum hash-order prefix — equal to
+    // the window spelling (same machinery as tokenBudgetSample, weight 1)
+    val h = graft.pipeline.Hashing.hash60(
+      concat(col("id").cast("string"), lit("#tmp")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(h.asc, col("id").asc)
+    val targets = Map("web" -> 400L, "code" -> 200L, "math" -> 100L)
+    val tCol = targets.foldLeft(lit(-1L)) { case (acc, (g, t)) =>
+      when(col("g") === g, lit(t)).otherwise(acc)
+    }
+    val windowed = df.withColumn("stratum_rank", row_number().over(w))
+      .where(col("stratum_rank") <= tCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+      .toSet
+    got.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet shouldBe windowed
+  }
+
+  it should "keep the exact per-stratum top fraction with hash tie-break" in {
+    import s.implicits._
+    // scores with heavy ties (id % 5) force the deterministic hash
+    // tie-break; fraction 3/10 → ceil cutoffs per stratum
+    val df = s.range(2000)
+      .select(col("id"), (col("id") % 4).cast("string").as("g"),
+        (col("id") % 5).as("score"))
+    val got = Sampling.topFractionPerStratum(df, "id", "g", col("score"),
+      keepNum = 3L, keepDen = 10L, salt = "tf")
+    val h = graft.pipeline.Hashing.hash60(
+      concat(col("id").cast("string"), lit("#tf")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, h.asc, col("id").asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val windowed = df
+      .withColumn("stratum_rank", row_number().over(w))
+      .withColumn("c", count(lit(1)).over(cw))
+      .where(col("stratum_rank") <= ceil(col("c") * 3 / 10))
+      .select("id", "g", "score", "stratum_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3).toLong)).toSet
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet
+    gotRows shouldBe windowed
+    // each stratum keeps exactly ceil(500 · 3/10) = 150 rows
+    gotRows.groupBy(_._2).view.mapValues(_.size).toMap shouldBe
+      Map("0" -> 150, "1" -> 150, "2" -> 150, "3" -> 150)
+    // partition-count invariance
+    for (p <- Seq(1, 7)) {
+      Sampling.topFractionPerStratum(df, "id", "g", col("score"),
+        3L, 10L, "tf", partitions = p)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet shouldBe gotRows
+    }
+  }
+
   behavior of "Sharding"
 
   it should "assign ranks matching the global salted order, at any partition count" in {
