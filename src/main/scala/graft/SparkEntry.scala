@@ -821,6 +821,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature mixture sampling (α = 0.5): per-source doc targets
+    // ∝ √count — engine-exact by construction (floor(sqrt) integer
+    // weights, integer target division), so the oracle re-derives the
+    // targets from COUNT(*) and must agree bit-for-bit
+    "q_sample_temperature" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      ops.Sampling.temperatureSample(docs.select("doc_id", "source"),
+        "doc_id", "source", totalDocs = 400L, salt = "temp0")
+        .select("doc_id", "source", "stratum_rank").orderBy("doc_id")
+    }),
+
+    // per-source top-fraction quality gate ("keep the best 20% of each
+    // source"): rational fraction (1/5), integer ceil cutoffs, hash
+    // tie-break — the scale-safe replacement for a PERCENT_RANK window.
+    // n_chars stands in for the quality score so the ordering is
+    // integer-exact across engines (ties are broken by the hash order,
+    // which the oracle replays)
+    "q_quality_topfrac" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      ops.Sampling.topFractionPerStratum(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id", "source", col("n_chars"), keepNum = 1L, keepDen = 5L,
+        salt = "qf0")
+        .select("doc_id", "source", "n_chars", "stratum_rank")
+        .orderBy("doc_id")
+    }),
+
+    // fixed-size training chunks with stride overlap (64-token windows
+    // every 48): pure generator expressions, fan-out ∝ tokens/stride —
+    // the upstream neighbor of sequence packing
+    "q_doc_chunks" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.chunkDocuments(docs, maxTokens = 64, stride = 48)
+        .orderBy("doc_id", "chunk_index")
+    }),
+
     // deterministic epoch shuffle + fixed-size shard assignment (terasort
     // global rank — no single-partition window anywhere; OpsSpec pins
     // partition-count invariance)
@@ -1876,6 +1912,53 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |                         WHEN 'src2' THEN 10000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    // targets re-derived in SQL: FLOOR(SQRT(count)) is the integer sqrt
+    // for any realistic count (IEEE sqrt is correctly rounded), and `//`
+    // is integer floor division — no float crosses the engine boundary
+    "q_sample_temperature" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#temp0'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |w AS (SELECT source,
+        |             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT source,
+        |             CAST(CAST(400 AS HUGEINT) * w // (SELECT SUM(w) FROM w)
+        |                  AS BIGINT) AS target
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY h, doc_id) AS rn
+        |      FROM h)
+        |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS stratum_rank
+        |FROM r JOIN t USING (source)
+        |WHERE r.rn <= t.target ORDER BY r.doc_id""".stripMargin,
+
+    "q_quality_topfrac" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#qf0'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, h, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY source) AS c
+        |      FROM h)
+        |SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS stratum_rank
+        |FROM r WHERE rn <= (c * 1 + 5 - 1) // 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" -> (tokSql +
+      """, st AS (
+        |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS s
+        |  FROM toks WHERE len(t) > 0)
+        |SELECT doc_id,
+        |       CAST(s // 48 AS BIGINT) AS chunk_index,
+        |       array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text,
+        |       CAST(LEAST(64, len(t) - s) AS BIGINT) AS chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_index""".stripMargin),
 
     "q_shard_assignment" ->
       """WITH r AS (

@@ -293,4 +293,40 @@ object TextOps {
     sh.select(col("doc_id"), min(col("sh_hash")).over(win).as("fp"))
       .distinct()
   }
+
+  /** Split documents into fixed-size training chunks with stride overlap —
+    * the "context-length packing's upstream neighbor": a pre-training
+    * pipeline cuts each long document into `maxTokens`-token windows every
+    * `stride` tokens (stride < maxTokens ⇒ overlapping windows, the
+    * standard way to keep context at chunk boundaries; stride = maxTokens
+    * ⇒ a disjoint tiling). Emits one row per (doc, window):
+    * `(doc_id, chunk_index, chunk_text, chunk_tokens)`, chunk_index
+    * 0-based in document order; the final window is short rather than
+    * padded. Documents with zero tokens produce no chunks.
+    *
+    * All pure Column expressions: tokenize once, `sequence` over window
+    * starts, `posexplode`, `slice` + `array_join` — no UDF, no shuffle;
+    * fan-out ∝ tokens/stride, and the expression stays inside whole-stage
+    * codegen. Exactly reproducible in SQL (`generate_series` +
+    * `list_slice`). */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, stride: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(stride > 0, s"stride must be positive, got $stride")
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_index", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_index").cast("long").as("chunk_index"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens),
+          size(col("__toks")) - col("__start")).cast("long")
+          .as("chunk_tokens"))
+  }
 }
