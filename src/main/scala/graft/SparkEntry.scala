@@ -821,6 +821,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EXACT per-source quantiles (nearest-rank, integer arithmetic) — the
+    // exact counterpart of q_sketch_quantiles, through the two-phase
+    // prefix scan + a broadcast target join instead of a one-task sort
+    "q_exact_quantiles" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      ops.Sketches.exactQuantilesPerStratum(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars",
+        Map("p50" -> ((50L, 100L)), "p90" -> ((90L, 100L)),
+          "p99" -> ((99L, 100L))),
+        salt = "eq0")
+        .orderBy("source", "quantile")
+    }),
+
     // temperature mixture sampling (α = 0.5): per-source doc targets
     // ∝ √count — engine-exact by construction (floor(sqrt) integer
     // weights, integer target division), so the oracle re-derives the
@@ -1912,6 +1926,22 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |                         WHEN 'src2' THEN 10000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_exact_quantiles" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#eq0'), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_chars, h, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY source) AS c
+        |      FROM h),
+        |q(quantile, num, den) AS (
+        |  VALUES ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100))
+        |SELECT source, quantile, n_chars
+        |FROM r JOIN q ON rn = GREATEST((c * num + den - 1) // den, 1)
+        |ORDER BY source, quantile""".stripMargin,
 
     // targets re-derived in SQL: FLOOR(SQRT(count)) is the integer sqrt
     // for any realistic count (IEEE sqrt is correctly rounded), and `//`

@@ -204,10 +204,11 @@ object Sampling {
     * emitting the running total as `cumName`. Parallelism scales with
     * partitions, not strata — a stratum holding 80% of the corpus is
     * scanned by 80% of the partitions, not one task. */
-  private def stratumPrefixCum(df: DataFrame, keyCol: String,
-                               strataCol: String, weight: Column,
-                               sortByScore: Option[Column], cumName: String,
-                               salt: String, partitions: Int): DataFrame = {
+  private[ops] def stratumPrefixCum(df: DataFrame, keyCol: String,
+                                    strataCol: String, weight: Column,
+                                    sortByScore: Option[Column], cumName: String,
+                                    salt: String, partitions: Int,
+                                    scoreAscending: Boolean = false): DataFrame = {
     Seq(cumName, "__h", "__w", "__s").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column (reserved by the prefix scan)"))
@@ -225,7 +226,8 @@ object Sampling {
     val withHelpers = helpers.foldLeft(df) { case (d, (n, c)) =>
       d.withColumn(n, c)
     }
-    val sortCols = sortByScore.map(_ => col("__s").desc).toSeq ++
+    val sortCols = sortByScore.map(_ =>
+      if (scoreAscending) col("__s").asc else col("__s").desc).toSeq ++
       Seq(col("__h"), col(keyCol))
     val sorted = withHelpers
       .repartitionByRange(p, (col(strataCol) +: sortCols): _*)

@@ -92,4 +92,61 @@ object Sketches {
           lit(qs(i)) <= col(s"__hi_$i") + rankTol).cast("long"))
         .reduce(_ * _).as("ok"))
   }
+
+  /** EXACT per-stratum quantiles at scale — the exact counterpart of
+    * [[quantilesWithinRankError]]'s sketch, for when the cutoff feeds a
+    * correctness-bearing decision (quality thresholds, shard boundaries)
+    * rather than monitoring. For each stratum and each quantile
+    * `name -> (num, den)`, returns the value at ascending rank
+    * `max(1, ceil(count · num / den))` — the classic "nearest-rank"
+    * definition in exact INTEGER arithmetic (quantiles are rationals, not
+    * floats, so the picked rank is engine-exact; ties in the value are
+    * broken by the deterministic hash order, so the picked ROW is too).
+    * Rows with a NULL value are excluded (they have no rank).
+    *
+    * Shape: the textbook `PERCENT_RANK()`/`NTILE()` spelling sorts each
+    * stratum in one task; this is the shared two-phase distributed prefix
+    * scan ([[Sampling.tokenBudgetSample]]) ordered by (value, hash, key),
+    * plus one broadcast join against the |strata| × |quantiles| target
+    * table. Driver traffic: one count per stratum. Output:
+    * `(strataCol, quantile, valueCol)`. */
+  def exactQuantilesPerStratum(df: DataFrame, keyCol: String,
+                               strataCol: String, valueCol: String,
+                               quantiles: Map[String, (Long, Long)],
+                               salt: String = "quant",
+                               partitions: Int = 0): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, (num, den)) =>
+      require(den > 0 && num >= 0 && num <= den,
+        s"quantile $n must be a fraction in [0, 1], got $num/$den")
+    }
+    val spark = df.sparkSession
+    val nonNull = df.where(col(valueCol).isNotNull)
+    val counts = nonNull.groupBy(col(strataCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val targets: Seq[org.apache.spark.sql.Row] = counts.toSeq.flatMap {
+      case (g, c) =>
+        quantiles.toSeq.map { case (qn, (num, den)) =>
+          val rank = ((BigInt(c) * BigInt(num) + BigInt(den) - 1)
+            / BigInt(den)).toLong max 1L
+          org.apache.spark.sql.Row(g, qn, rank)
+        }
+    }
+    val tSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__t",
+        df.schema(strataCol).dataType),
+      org.apache.spark.sql.types.StructField("quantile",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__target",
+        org.apache.spark.sql.types.LongType)))
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets, 1), tSchema)
+    val ranked = Sampling.stratumPrefixCum(nonNull, keyCol, strataCol,
+      lit(1L), sortByScore = Some(col(valueCol)), "__rank", salt, partitions,
+      scoreAscending = true)
+    ranked.join(broadcast(tdf),
+        ranked(strataCol) <=> tdf("__t") &&
+          ranked("__rank") === tdf("__target"))
+      .select(col(strataCol), col("quantile"), col(valueCol))
+  }
 }

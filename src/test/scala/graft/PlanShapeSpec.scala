@@ -152,9 +152,25 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
-  "q_shard_assignment, q_pack_sequences and q_sample_token_budget" should "contain no window and no single-partition exchange" in {
+  "q_doc_chunks" should "stay a generate-over-scan with no shuffle" in {
+    val df = SparkEntry.queries("q_doc_chunks")(spark, dir)
+    df.collect()
+    // drop the final presentation orderBy (its range exchange is the
+    // caller's choice, not the operator's): the chunking itself must be
+    // scan → project → generate — zero exchanges, fan-out in place
+    val op = graft.pipeline.TextOps.chunkDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"), 64, 48)
+    op.collect()
+    val plan = op.queryExecution.executedPlan.toString
+    plan should include("Generate")
+    plan should not include "Exchange"
+    plan should not include "Window"
+  }
+
+  "q_shard_assignment, q_pack_sequences, q_sample_token_budget, q_sample_temperature, q_quality_topfrac and q_exact_quantiles" should "contain no window and no single-partition exchange" in {
     for (name <- Seq("q_shard_assignment", "q_pack_sequences",
-                     "q_sample_token_budget")) {
+                     "q_sample_token_budget", "q_sample_temperature",
+                     "q_quality_topfrac", "q_exact_quantiles")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

@@ -400,6 +400,43 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  it should "pick exact nearest-rank quantiles per stratum" in {
+    import s.implicits._
+    // stratum "a": values 1..100 → p50 = 50, p90 = 90, p01 = 1;
+    // stratum "b": values 10,20,30 → p50 = ceil(1.5) = rank 2 = 20
+    val df = ((1 to 100).map(i => (i.toLong, "a", i.toLong)) ++
+      Seq((101L, "b", 10L), (102L, "b", 20L), (103L, "b", 30L)))
+      .toDF("id", "g", "v")
+    val got = Sketches.exactQuantilesPerStratum(df, "id", "g", "v",
+      Map("p50" -> ((1L, 2L)), "p90" -> ((9L, 10L)), "p01" -> ((1L, 100L))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    got shouldBe Set(("a", "p50", 50L), ("a", "p90", 90L), ("a", "p01", 1L),
+      ("b", "p50", 20L), ("b", "p90", 30L), ("b", "p01", 10L))
+    // value ties are resolved by the deterministic hash order — equal to
+    // the window spelling, at any partition count
+    val tied = s.range(1000)
+      .select(col("id"), (col("id") % 2).cast("string").as("g"),
+        (col("id") % 7).as("v"))
+    val h = graft.pipeline.Hashing.hash60(
+      concat(col("id").cast("string"), lit("#quant")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("v").asc, h.asc, col("id").asc)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val windowed = tied
+      .withColumn("rn", row_number().over(w))
+      .withColumn("c", count(lit(1)).over(cw))
+      .where(col("rn") === greatest(ceil(col("c") * 3 / 4), lit(1)))
+      .select(col("g"), col("v"))
+      .collect().map(r => (r.getString(0), "p75", r.getLong(1))).toSet
+    for (p <- Seq(0, 1, 7)) {
+      Sketches.exactQuantilesPerStratum(tied, "id", "g", "v",
+        Map("p75" -> ((3L, 4L))), partitions = p)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet shouldBe windowed
+    }
+  }
+
   behavior of "Sharding"
 
   it should "assign ranks matching the global salted order, at any partition count" in {
