@@ -821,6 +821,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // hashing-trick TF-IDF featurization (long format): the text→vector
+    // bridge into the ANN/semantic operators — token buckets via hash60
+    // mod dim, smoothed idf, every weight recomputed exactly in SQL
+    "q_tfidf" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.tfidfBuckets(docs, dim = 64)
+        .select(col("doc_id"), col("bucket"),
+          round(col("w"), 6).as("w_r"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // EXACT per-source quantiles (nearest-rank, integer arithmetic) — the
     // exact counterpart of q_sketch_quantiles, through the two-phase
     // prefix scan + a broadcast target join instead of a one-task sort
@@ -1926,6 +1937,20 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |                         WHEN 'src2' THEN 10000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" -> (tokSql +
+      """, tw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tk AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM tw),
+        |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT bucket, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.bucket,
+        |       ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS w_r
+        |FROM tf JOIN df USING (bucket) CROSS JOIN n
+        |ORDER BY doc_id, bucket""".stripMargin),
 
     "q_exact_quantiles" ->
       """WITH h AS (

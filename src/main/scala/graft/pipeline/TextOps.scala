@@ -294,6 +294,65 @@ object TextOps {
       .distinct()
   }
 
+  /** Hashing-trick TF-IDF featurization — the text→vector bridge that makes
+    * the embedding-space operators ([[Ann]], [[Dedup.semanticDedup]],
+    * [[graft.pipeline.Prototypes]]) self-contained from raw text, with no
+    * external model: token → `hash60(token) mod dim` bucket, per-document
+    * term frequency, smoothed idf `ln((N+1)/(df+1)) + 1` (the classic
+    * sklearn smoothing — never zero, so hapax buckets still contribute).
+    * Long format `(doc_id, bucket, w)`: two hash aggregations + one
+    * bucket-keyed join — shuffle ∝ distinct (doc, bucket) pairs, nothing
+    * quadratic, and every value is exactly recomputable in SQL. N (corpus
+    * size) is one driver scalar.
+    *
+    * [[tfidfVectors]] assembles the dense `Array[Double]` form (optionally
+    * L2-normalized — cosine becomes a dot product) for the ANN operators;
+    * the scatter is per-group Scala (the same `groupByKey.mapGroups`
+    * assembly as the reference's `readInput`, SURVEY §2 O2). */
+  def tfidfBuckets(docs: DataFrame, dim: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val n = docs.count()
+    val tk = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(graft.pipeline.Hashing.hash60(col("__tok")), lit(dim.toLong))
+          .as("bucket"))
+    val tf = tk.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tk.distinct().groupBy(col("bucket"))
+      .agg(count(lit(1)).as("df"))
+    tf.join(df, "bucket")
+      .select(col(idCol), col("bucket"),
+        (col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+          .as("w"))
+  }
+
+  /** Dense-vector assembly of [[tfidfBuckets]] (see there). Returns
+    * `(id, vec)` rows typed as [[graft.tsne.Point]] so the result plugs
+    * straight into the kNN/ANN operators. Documents with zero tokens are
+    * absent (they have no buckets — no vector). */
+  def tfidfVectors(docs: DataFrame, dim: Int, l2Normalize: Boolean = true,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): org.apache.spark.sql.Dataset[graft.tsne.Point] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tfidfBuckets(docs, dim, textCol, idCol)
+      .select(col(idCol).as("id"), col("bucket"), col("w"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (id, rows) =>
+        val vec = new Array[Double](dim)
+        rows.foreach { case (_, b, w) => vec(b.toInt) += w }
+        if (l2Normalize) {
+          val nrm = math.sqrt(vec.map(x => x * x).sum)
+          if (nrm > 0) { var i = 0; while (i < dim) { vec(i) /= nrm; i += 1 } }
+        }
+        graft.tsne.Point(id, vec)
+      }
+  }
+
   /** Split documents into fixed-size training chunks with stride overlap —
     * the "context-length packing's upstream neighbor": a pre-training
     * pipeline cuts each long document into `maxTokens`-token windows every

@@ -299,6 +299,37 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     out(3L) shouldBe "en" // all scores 0 → first in list order
   }
 
+  "TextOps.tfidf" should "assemble vectors that scatter the long format and bridge text into cosine space" in {
+    val s = spark
+    import s.implicits._
+    val a = "spark scala engine " * 5 + "query plan"
+    val aNear = "spark scala engine " * 5 + "query planner"
+    val far = "unrelated words entirely different topic zebra"
+    val d = docs((1L, a), (2L, aNear), (3L, far))
+    val dim = 32
+    // the dense form is exactly the per-doc scatter of the long form
+    val long = TextOps.tfidfBuckets(d, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = TextOps.tfidfVectors(d, dim, l2Normalize = false)
+      .collect().map(p => p.id -> p.vec).toMap
+    for ((id, b, w) <- long)
+      vecs(id)(b.toInt) shouldBe w +- 1e-12
+    long.groupBy(_._1).foreach { case (id, rows) =>
+      vecs(id).count(_ != 0.0) shouldBe rows.map(_._2).distinct.size
+    }
+    // L2-normalized cosine separates near-dup text from unrelated text —
+    // the bridge the semantic dedup path needs
+    val nv = TextOps.tfidfVectors(d, dim).collect().map(p => p.id -> p.vec).toMap
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (u, v) => u * v }.sum
+    dot(nv(1L), nv(2L)) should be > 0.9
+    dot(nv(1L), nv(3L)) should be < 0.5
+    // empty docs have no vector; invalid dim fails loudly
+    TextOps.tfidfVectors(docs((9L, "  ")), dim).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.tfidfBuckets(d, 0)
+  }
+
   "TextOps.chunkDocuments" should "tile with stride overlap and a short tail" in {
     // 10 tokens, maxTokens=4, stride=3 → starts 0,3,6,9; the last window
     // is 1 token (short, not padded)
