@@ -642,6 +642,37 @@ object SparkEntry {
           (col("hits") >= col("n_exact") * 0.8).cast("long").as("recall_ok"))
     }),
 
+    // semantic dedup END-TO-END FROM TEXT: tfidf vectors → k-means-cell
+    // candidates → exact cosine verify — no external embedding model
+    // anywhere in the chain. Same gate structure as q_semantic_dedup; the
+    // oracle recomputes n_exact from ITS OWN tf-idf via a sparse bucket
+    // join (θ = 0.95 sits in a measured 0.003-wide cosine gap, so float
+    // association order can't flip a pair across engines). doc_id < 600
+    // bounds the N² parity side at every sf
+    "q_semantic_dedup_text" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 600)
+      val corpus = pipeline.TextOps.tfidfVectors(docs, dim = 64)
+      val par = s.sessionState.conf.numShufflePartitions
+      val exact = corpus.toDF().repartition(par)
+        .select(col("id").as("i"), col("vec").as("va"))
+        .crossJoin(corpus.toDF().select(col("id").as("j"), col("vec").as("vb")))
+        .where(col("i") < col("j"))
+        .where(graft.tsne.Distances.cosineSimCol(col("va"), col("vb")) >= 0.95)
+        .select("i", "j")
+      val found = pipeline.Ann.semanticNearDupPairs(corpus, theta = 0.95,
+        nlist = 16, probes = 4, iters = 5, seed = 42L).select("i", "j")
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val falsePos = found.join(exact, Seq("i", "j"), "left_anti")
+        .agg(count(lit(1)).as("fp"))
+      val hits = found.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      nExact.crossJoin(falsePos).crossJoin(hits)
+        .select(col("n_exact"),
+          (col("fp") === 0).cast("long").as("precision_ok"),
+          (col("hits") >= col("n_exact") * 0.8).cast("long").as("recall_ok"))
+    }),
+
     // prototypicality (SemDeDup/D4 pruning signal): cosine to the cluster
     // centroid, top-5 most prototypical per label through the bounded-heap
     // top-k operator — exact, so the oracle recomputes it in full
@@ -1671,6 +1702,36 @@ object SparkEntry {
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
         |             / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+
+    // n_exact recomputed from DuckDB's own tf-idf (unrounded weights,
+    // sparse bucket join — never N²·dim): the same smoothed-idf arithmetic
+    // as the Spark side, so the count must agree exactly at the measured
+    // threshold gap
+    "q_semantic_dedup_text" -> (tokSql.replace("FROM documents)",
+      "FROM documents WHERE doc_id < 600)") +
+      """, tw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |tk AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM tw),
+        |tf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT bucket, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 600),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.bucket,
+        |         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS w
+        |  FROM tf JOIN df USING (bucket) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM wt GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, SUM(a.w * b.w) AS dot
+        |  FROM wt a JOIN wt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_exact,
+        |       CAST(1 AS BIGINT) AS precision_ok,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM dots JOIN nrm na ON na.doc_id = dots.i
+        |          JOIN nrm nb ON nb.doc_id = dots.j
+        |WHERE dots.dot / (na.nrm * nb.nrm) >= 0.95""".stripMargin),
 
     "q_prototypes" ->
       """WITH x AS (
