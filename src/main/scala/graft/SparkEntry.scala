@@ -852,6 +852,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // skew-safe salted equi-join: the hot-key join spelled by hand
+    // (deterministic salt from o_orderkey, small side replicated 8×) —
+    // must equal the plain join row-for-row, so the oracle just joins
+    "q_salted_join" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      ops.Skew.saltedJoin(ord, cust, Seq("o_custkey"), col("o_orderkey"),
+        factor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price_r"))
+        .orderBy("c_mktsegment")
+    }),
+
     // hashing-trick TF-IDF featurization (long format): the text→vector
     // bridge into the ANN/semantic operators — token buckets via hash60
     // mod dim, smoothed idf, every weight recomputed exactly in SQL
@@ -1998,6 +2013,12 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |                         WHEN 'src2' THEN 10000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price_r
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_tfidf" -> (tokSql +
       """, tw AS (SELECT doc_id, unnest(t) AS w FROM toks),

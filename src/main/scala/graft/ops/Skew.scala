@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-safe aggregation shapes. At 100 TB a handful of hot keys (one
@@ -69,5 +69,41 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(s"__p_${sumCols.head}").as(s"sum_${sumCols.head}"),
         sumCols.tail.map(c => sum(s"__p_$c").as(s"sum_$c")): _*)
+  }
+
+  /** Skew-safe equi-join by key salting — for when one join key is so hot
+    * that a single reducer drowns (every web-crawl corpus has a
+    * `source = "common_crawl"`; every orders table has its whale
+    * customer). The big side's rows of a hot key are spread across
+    * `factor` sub-keys by a deterministic salt drawn from `saltFrom` (any
+    * column that varies WITHIN a key — a row id, a timestamp); the small
+    * side is replicated `factor`× (explode over the salt range — small ×
+    * factor rows, bounded because the small side is small by contract);
+    * then one plain equi-join on (keys, salt). Result ≡ the unsalted
+    * join, row for row: every big row meets every matching small row in
+    * exactly one salt bucket. Deterministic — no `rand()`, so re-runs,
+    * retried tasks, and the SQL oracle all see the same salt.
+    *
+    * This is the manual spelling of what AQE's skew-join split does at
+    * runtime; it exists for the cases AQE can't touch: a skewed BROADCAST
+    * candidate forced to shuffle by memory limits, pre-AQE engines, or a
+    * key so hot a single post-split partition still spills. Broadcast the
+    * small side instead whenever it fits — salting only beats broadcast
+    * when the replicated small side must shuffle anyway. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFrom: Column, factor: Int,
+                 salt: String = "skewjoin"): DataFrame = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    require(keys.nonEmpty, "need at least one join key")
+    (big.columns ++ small.columns).find(_ == "__salt").foreach(_ =>
+      throw new IllegalArgumentException(
+        "input already has a '__salt' column (reserved by saltedJoin)"))
+    val bigS = big.withColumn("__salt",
+      pmod(graft.pipeline.Hashing.hash60(
+        concat(coalesce(saltFrom.cast("string"), lit("null")),
+          lit("#" + salt))), lit(factor.toLong)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
   }
 }

@@ -437,6 +437,30 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  it should "equal the plain join row-for-row under heavy key skew" in {
+    import s.implicits._
+    // 90% of big-side rows share one hot key; small side has duplicate
+    // keys too (multiplicity must survive the salt exactly)
+    val big = s.range(5000)
+      .select(col("id"),
+        when(col("id") % 10 < 9, lit(1L)).otherwise(col("id") % 7).as("k"),
+        (col("id") * 3).as("payload"))
+    val small = Seq((1L, "hot"), (1L, "hot2"), (2L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val salted = Skew.saltedJoin(big, small, Seq("k"), col("id"), factor = 8)
+      .select("k", "id", "payload", "name")
+    val plain = big.join(small, "k").select("k", "id", "payload", "name")
+    rows(salted) shouldBe rows(plain)
+    // deterministic: same result again; reserved column rejected loudly
+    rows(Skew.saltedJoin(big, small, Seq("k"), col("id"), 8)
+      .select("k", "id", "payload", "name")) shouldBe rows(plain)
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(big.withColumn("__salt", lit(1)), small, Seq("k"),
+        col("id"), 8)
+  }
+
   behavior of "Sharding"
 
   it should "assign ranks matching the global salted order, at any partition count" in {
