@@ -94,6 +94,27 @@ object ScaleFixture {
       (id, text, lang, s"src${id % 64}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // customer + nation: the join-family dimension tables, schema-matched
+    // to testdata, so q_semi_anti / q_outer_join / q_join_agg /
+    // q_bucketed_join / q_salted_join run in the sf1eq oracle pass.
+    // ~10% of custkeys referenced by orders have NO customer row (orders
+    // draw 1..150k; customers cover 1..135k) so outer/anti joins have
+    // real unmatched rows at scale, mirroring the driver fixture's shape.
+    val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    spark.range(1, nCust * 9 / 10 + 1, 1, 32).map { ck =>
+      val rng = new java.util.Random(0xC057L ^ (ck * 0x9E3779B97F4A7C15L))
+      (ck, f"Customer#$ck%09d", rng.nextInt(25).toLong,
+        math.rint((rng.nextDouble() * 11000.0 - 1000.0) * 100) / 100,
+        segs(rng.nextInt(segs.length)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    spark.range(0, 25, 1, 1).map { nk =>
+      (nk, s"NATION_$nk", nk % 5)
+    }.toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
   }
 
   def main(args: Array[String]): Unit = {
