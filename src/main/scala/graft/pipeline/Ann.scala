@@ -382,6 +382,96 @@ object Ann {
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
 
+  // ---------------- IVF-PQ composition ----------------------------------
+
+  /** IVF-PQ index (the FAISS `IndexIVFPQ` shape, non-residual variant):
+    * coarse k-means cells bound WHICH rows a query scans, PQ codes bound
+    * the BYTES each scanned row costs — the two orthogonal scale levers of
+    * [[IvfIndex]] and [[PqIndex]] composed. `coded` is
+    * `(id, cell, codes)`: m bytes + one int per corpus vector; a cluster
+    * deployment writes it `partitionBy(cell)` so probe sets prune
+    * partitions at the source and the per-query scan touches
+    * ~`nprobe/nlist` of an already-32×-smaller table. Codes quantize the
+    * unit vector itself (not the cell residual) — same LUT arithmetic as
+    * [[pqTopK]], one shared codebook, at a modest recall cost vs
+    * residual coding, documented rather than hidden. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+                              codebook: Array[Array[Array[Double]]],
+                              coded: DataFrame /* (id, cell, codes) */) {
+    def release(): Unit = coded.unpersist()
+  }
+
+  /** Train both quantizers over the same corpus (coarse cells via
+    * [[kmeansCentroids]], subspace codebooks via [[pqBuild]]) and emit the
+    * coded table. Driver traffic per iteration: centroids + codebooks
+    * only. */
+  def ivfPqBuild(corpus: Dataset[Point], nlist: Int, m: Int, ksub: Int,
+                 iters: Int = 5, seed: Long = 42L): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, nlist, iters, seed)
+    val pq = pqBuild(corpus, m, ksub, iters, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cells = corpus.map { p =>
+      (p.id, nearestCentroid(unit(p.vec), bc.value))
+    }.toDF("id", "cell")
+    val coded = pq.codes.join(cells, "id")
+      .select(col("id"), col("cell"), col("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    coded.count() // materialize before releasing the codes-only cache
+    pq.release()
+    IvfPqIndex(centroids, pq.codebook, coded)
+  }
+
+  /** Approximate cosine top-k over the coded table: each query probes its
+    * `nprobe` nearest cells (driver-side — the query set is small by the
+    * [[bruteTopK]] broadcast contract) and ADC-scores ONLY rows whose cell
+    * is probed; everything else is skipped before any arithmetic. Cost per
+    * query ≈ (nprobe/nlist) · N rows × m table adds. */
+  def ivfPqTopK(index: IvfPqIndex, queries: Dataset[Point], k: Int,
+                nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = index.codebook
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val cents = index.centroids
+    val luts = queries.collect().map { q =>
+      val u = unit(q.vec)
+      val cells = cents.indices
+        .map(c => (c, graft.tsne.Distances.sqEuclidean(u, cents(c))))
+        .sortBy { case (c, d) => (d, c) }
+        .take(nprobe).map(_._1).toSet
+      (q.id, cells, Array.tabulate(m, ksub) { (s, c) =>
+        val qs = subvec(u, s, dsub)
+        val cs = cb(s)(c)
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) { acc += qs(d) * cs(d); d += 1 }
+        acc
+      })
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val scored = index.coded
+      .as[(Long, Int, Array[Byte])].mapPartitions { rows =>
+        val ls = bc.value
+        rows.flatMap { case (j, cell, codeArr) =>
+          ls.iterator
+            .filter { case (i, cells, _) => i != j && cells.contains(cell) }
+            .map { case (i, _, lut) =>
+              var acc = 0.0
+              var s = 0
+              while (s < codeArr.length) { acc += lut(s)(codeArr(s) & 0xFF); s += 1 }
+              (i, j, acc)
+            }
+        }
+      }.toDF("i", "j", "sim")
+    val ranked = Knn.topKPerPointRanked(
+      scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
+
   /** Signed random-hyperplane signature: bit m = sign(v · r_m). Hyperplanes
     * are a pure function of (seed, table, bit), so signatures are
     * deterministic and partitioning-independent. */

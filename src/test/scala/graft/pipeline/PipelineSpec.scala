@@ -432,6 +432,55 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     idx.release(); idx2.release()
   }
 
+  "Ann.ivfPqBuild/ivfPqTopK" should "compose both quantizers and only scan probed cells" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // isotropic corpus, like the PQ spec: tightly-clustered unit vectors
+    // share one PQ code, so ADC cannot rank WITHIN a cluster and composed
+    // recall is undefined there — the honest regime for the composition is
+    // the one PQ itself can rank (the routing guide sends clustered-data
+    // queries to ivfTopK, which rescores exact vectors)
+    val pts = (0L until 300L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(30))
+    val idx = Ann.ivfPqBuild(corpus, nlist = 10, m = 8, ksub = 32,
+      iters = 5, seed = 1L)
+    // the coded table is (id, cell, codes): m bytes + a cell per vector
+    idx.coded.columns.toSeq shouldBe Seq("id", "cell", "codes")
+    idx.coded.count() shouldBe 300L
+    idx.coded.collect().foreach(r => r.getAs[Array[Byte]](2).length shouldBe 8)
+    // deterministic: same seed → identical coded table
+    val idx2 = Ann.ivfPqBuild(corpus, nlist = 10, m = 8, ksub = 32,
+      iters = 5, seed = 1L)
+    idx2.coded.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getAs[Array[Byte]](2).toSeq)).toSet shouldBe
+      idx.coded.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    // composed recall: 6/10 probes on isotropic data — pays BOTH
+    // quantizers' losses, so the floor sits under pqTopK's 0.6
+    val exact = Ann.bruteTopK(corpus, queries, 5).select("i", "j")
+    val approx = Ann.ivfPqTopK(idx, queries, 5, nprobe = 6)
+    val hits = approx.join(exact, Seq("i", "j"), "left_semi").count()
+    hits.toDouble / exact.count() should be >= 0.5
+    // every returned neighbor lies in a cell the query probed — the scan
+    // really is bounded by the probe set, not just reranked afterwards
+    val cellOf = idx.coded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = idx.centroids
+    val probed = queries.collect().map { q =>
+      val u = q.vec.clone()
+      val n = math.sqrt(u.map(x => x * x).sum); u.indices.foreach(i => u(i) /= n)
+      q.id -> cents.indices.map(c =>
+        (c, graft.tsne.Distances.sqEuclidean(u, cents(c))))
+        .sortBy { case (c, d) => (d, c) }.take(6).map(_._1).toSet
+    }.toMap
+    approx.collect().foreach { r =>
+      probed(r.getLong(0)) should contain(cellOf(r.getLong(1)))
+    }
+    idx.release(); idx2.release()
+  }
+
   "Dedup.semanticDedup" should "match the brute-force semantic clustering" in {
     val s = spark
     import s.implicits._
