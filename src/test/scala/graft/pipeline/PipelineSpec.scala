@@ -748,6 +748,41 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
       Multimodal.decodeImageGrayscale(15)(solid)
   }
 
+  it should "decode JPEGs through the same seam (lossy codec, same decoder)" in {
+    val s = spark
+    import s.implicits._
+    // ImageIO dispatches on the payload's magic bytes, so the SAME decoder
+    // covers JPEG — the dominant web-crawl image format. JPEG is lossy:
+    // pin structure (solid stays near-solid, gradient stays monotone) and
+    // Spark-seam ≡ direct-call bit-for-bit, not exact pixel values
+    def jpeg(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pixel(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val solid = jpeg(8, 8)((_, _) => (120 << 16) | (120 << 8) | 120)
+    val gradient = jpeg(32, 8)((x, _) => { val v = x * 255 / 31; (v << 16) | (v << 8) | v })
+    val mm = Seq((1L, solid), (2L, gradient)).toDF("id", "payload")
+      .select(col("id"), lit("image").as("modality"), col("payload"),
+        struct(org.apache.spark.sql.functions.length(col("payload"))
+            .cast("long").as("byte_len"),
+          lit("test").as("source")).as("meta"))
+    val feats = Multimodal
+      .decodeFeatures(mm, 16, Multimodal.decodeImageGrayscale)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // solid mid-gray survives JPEG within compression tolerance
+    forAll(feats(1L).toSeq) { f => f shouldBe (120.0 / 255.0) +- 0.05 }
+    // gradient direction survives: leftmost column < rightmost column
+    val g = feats(2L)
+    for (row <- 0 until 4) g(row * 4) should be < g(row * 4 + 3)
+    // Spark seam ≡ direct decoder call, bit for bit (determinism of the
+    // decode itself, independent of the lossy encode)
+    g shouldBe Multimodal.decodeImageGrayscale(16)(gradient)
+  }
+
   it should "decode multi-frame GIFs through the frame-sampling seam" in {
     val s = spark
     import s.implicits._
