@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Events scan. The fixture's `ts` is parquet TIMESTAMP(NANOS), which
-    * Spark rejects outright — read it as a long (legacy conf) and convert
-    * to a microsecond timestamp with *integer* division (a double division
-    * at 1.7e18 nanos is past the 53-bit mantissa and corrupts low digits;
-    * `div` keeps it exact and truncates exactly like DuckDB's nanos→micros
-    * read, so both engines see identical timestamps).
+  /** Events scan, adaptive to the generator's `ts` physical type — the
+    * fixture has shipped it BOTH ways across rounds: parquet
+    * TIMESTAMP(NANOS) (which Spark rejects outright) and plain
+    * timestamp[us] (which Spark reads natively). Read with the legacy
+    * nanos→long escape hatch enabled — a no-op for a micros column — then
+    * convert only if the escape hatch actually fired (`ts` surfaced as
+    * LongType). The nanos conversion uses *integer* division (a double
+    * division at 1.7e18 nanos is past the 53-bit mantissa and corrupts low
+    * digits; `div` keeps it exact and truncates exactly like DuckDB's
+    * nanos→micros read, so both engines see identical timestamps).
     *
     * `nanosAsLong` is a session-wide SQL conf with no per-read option, so
     * it is set only for the duration of the `spark.read` call (which is
@@ -41,7 +45,11 @@ object Events {
     val raw =
       try spark.read.parquet(s"$sfDir/events.parquet")
       finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a native timestamp column
+    }
   }
 
   /** Tumbling-window stats per event type: count + sum(value). In
