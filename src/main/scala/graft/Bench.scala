@@ -40,34 +40,48 @@ object Bench {
     // the regression gate below: same harness methodology round over round,
     // so a >2× per-query jump is a real plan/code regression, not noise.
     val prior: Map[String, Double] = {
-      val re = "BENCH_r(\\d+)\\.json".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, f)); case _ => None
-        })
-        .sortBy(-_._1).headOption.map { case (_, f) =>
-          try {
-            import org.json4s._
-            val src = scala.io.Source.fromFile(f)
-            val raw = try src.mkString finally src.close()
-            val j = org.json4s.jackson.JsonMethods.parse(raw)
-            // the driver wraps the bench's own JSON line under "parsed";
-            // accept both layouts
-            val qn = (j \ "parsed" \ "queries", j \ "queries") match {
-              case (o: JObject, _) => o
-              case (_, o: JObject) => o
-              case _ => JNothing
-            }
-            qn match {
-              case JObject(fields) => fields.collect {
-                case (k, JDouble(v)) => k -> v
-                case (k, JInt(v)) => k -> v.toDouble
-                case (k, JDecimal(v)) => k -> v.toDouble
-              }.toMap
-              case _ => Map.empty[String, Double]
-            }
-          } catch { case _: Throwable => Map.empty[String, Double] }
-        }.getOrElse(Map.empty)
+      // the driver's BENCH_r{N}.json is a tail capture that may carry only a
+      // raw "tail" string (r6/r7 did — the prior map came back empty and the
+      // regression gate was inert all round). Our own BENCH_LOCAL_r{N}.json
+      // is always the full JSON line, so at any given N prefer it; fall back
+      // to the driver copy only when no local artifact exists for that N.
+      val reDriver = "BENCH_r(\\d+)\\.json".r
+      val reLocal = "BENCH_LOCAL_r(\\d+)\\.json".r
+      def parseQueries(f: java.io.File): Map[String, Double] =
+        try {
+          import org.json4s._
+          val src = scala.io.Source.fromFile(f)
+          val raw = try src.mkString finally src.close()
+          val j = org.json4s.jackson.JsonMethods.parse(raw)
+          // the driver wraps the bench's own JSON line under "parsed";
+          // accept both layouts
+          val qn = (j \ "parsed" \ "queries", j \ "queries") match {
+            case (o: JObject, _) => o
+            case (_, o: JObject) => o
+            case _ => JNothing
+          }
+          qn match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+      val byRound = files.flatMap(f => f.getName match {
+        case reLocal(n) => Some((n.toInt, true, f))
+        case reDriver(n) => Some((n.toInt, false, f))
+        case _ => None
+      })
+      // newest round first; within a round, local before driver; first file
+      // that yields a non-empty query map wins (a parseable-but-empty tail
+      // capture must not shadow an older round's real numbers)
+      byRound.sortBy { case (n, isLocal, _) => (-n, !isLocal) }
+        .iterator.map { case (_, _, f) => parseQueries(f) }
+        .find(_.nonEmpty).getOrElse(Map.empty)
     }
 
     // fixed name order: timings are position-independent and diffable;

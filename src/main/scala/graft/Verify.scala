@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -40,7 +41,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a broken query must NOT vanish from the scoreboard: leave a
+        // _FAILED marker where its parquet would be (the driver's read of
+        // the dir then errors → CORRECTNESS records err != null instead of
+        // omitting the row) and collect the message for _errors.json
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        dest.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+          s"$name\n$msg\n")
       }
       // queries may persist shared subtrees (e.g. q_tsne_quality's ranked
       // kNN); release them so one query's cache never outlives its run —
@@ -62,6 +72,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failure sidecar (always written, empty object when all green): the
+    // one-glance answer to "did every query at least RUN" for this dump
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // exit 0 even on per-query failures: the driver must still run the
+    // compare for the queries that DID dump (a non-zero exit could zero
+    // the whole round); the markers + sidecar carry the failure signal
     spark.stop()
   }
 }

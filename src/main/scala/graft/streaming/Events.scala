@@ -45,10 +45,39 @@ object Events {
     val raw =
       try spark.read.parquet(s"$sfDir/events.parquet")
       finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    normalizeTs(raw)
+  }
+
+  /** Normalize the `ts` column to [[org.apache.spark.sql.types.TimestampType]]
+    * whatever physical flavor the fixture shipped (it has now flipped three
+    * times across rounds):
+    *
+    *  - `LongType` — the nanosAsLong escape hatch fired on a
+    *    TIMESTAMP(NANOS) column; convert with *integer* division (a double
+    *    division at 1.7e18 nanos is past the 53-bit mantissa and corrupts
+    *    low digits; `div` truncates exactly like DuckDB's nanos→micros read).
+    *  - `TimestampNTZType` — parquet timestamp[us] with
+    *    isAdjustedToUTC=false, which Spark 4 reads as NTZ by default
+    *    (`inferTimestampNTZ` on). Cast to TimestampType: under the project's
+    *    pinned UTC session timezone this reinterprets the naive wall-clock
+    *    micros as UTC micros — bit-identical to what DuckDB reads from the
+    *    same naive column, so oracle hashes stay comparable.
+    *  - `TimestampType` — already the event-time type every downstream
+    *    watermark/window/interval operator requires; pass through.
+    *
+    * Any other type fails loudly: a silent passthrough is how rounds 6 AND 7
+    * each lost a batch of event queries one fixture-flip late. Shared by
+    * `readEvents` and the file-stream specs so the two paths cannot drift. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a native timestamp column
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts surfaced as unsupported type $other — extend Events.normalizeTs")
     }
   }
 

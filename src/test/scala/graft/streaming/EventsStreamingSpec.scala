@@ -105,11 +105,9 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       stageDir.resolve("events.parquet"))
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val rawStream = s.readStream.schema(schema).parquet(stageDir.toString)
-    val streamIn = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => rawStream
-    }
+    // shared normalization: the same seam readEvents uses, so the streaming
+    // path can never drift from the batch path on a fixture flip
+    val streamIn = Events.normalizeTs(rawStream)
     val q = Events.windowedStats(Events.withEventWatermark(streamIn), "1 day")
       .writeStream.format("memory").queryName("file_win_out")
       .outputMode("complete").start()
@@ -265,12 +263,67 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         e.getMessage should include("PARQUET_TYPE_ILLEGAL")
         None
     }
-    rawTs.foreach(_ shouldBe org.apache.spark.sql.types.TimestampType)
+    // either native timestamp flavor is fine raw (LTZ, or NTZ for the naive
+    // encoding) — what must NOT happen is a silent BIGINT read
+    rawTs.foreach(t => Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType) should contain(t))
     // a caller's own pre-set value is restored, not clobbered to unset
     s.conf.set(key, "true")
     Events.readEvents(s, "/root/testdata/sf0.001").count() should be > 0L
     s.conf.get(key) shouldBe "true"
     s.conf.unset(key)
+  }
+
+  "readEvents" should "yield TimestampType ts for every physical encoding the fixture has shipped" in {
+    // the fixture's ts has flipped THREE times across rounds — TIMESTAMP(NANOS),
+    // timestamp[us] adjusted-to-UTC, and timestamp[us] naive (→ TIMESTAMP_NTZ).
+    // Pin the contract for all three so a future flip breaks HERE, not one
+    // round late in four downstream queries. All three fixtures carry the
+    // same instants, so normalized micros must agree exactly.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val base = java.time.Instant.parse("2024-03-01T12:34:56.789012Z")
+    val instants = (0 until 5).map(i => base.plusSeconds(i * 3600L))
+
+    def stage(write: java.nio.file.Path => Unit): String = {
+      val dir = java.nio.file.Files.createTempDirectory("events-enc")
+      write(dir.resolve("events.parquet"))
+      dir.toString
+    }
+    // (1) nanos-as-long flavor: the escape hatch surfaces ts as LongType
+    val nanosDir = stage { p =>
+      instants.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, t.getEpochSecond * 1000000000L + t.getNano, i.toLong) }
+        .toDF("event_id", "ts", "user_id").write.parquet(p.toString)
+    }
+    // (2) instant flavor: adjusted-to-UTC micros → TimestampType natively
+    val ltzDir = stage { p =>
+      instants.zipWithIndex
+        .map { case (t, i) => (i.toLong, Timestamp.from(t), i.toLong) }
+        .toDF("event_id", "ts", "user_id").write.parquet(p.toString)
+    }
+    // (3) naive flavor: isAdjustedToUTC=false → TimestampNTZType (the
+    // current driver fixture; confirmed via parquet footer inspection)
+    val ntzDir = stage { p =>
+      instants.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC), i.toLong) }
+        .toDF("event_id", "ts", "user_id").write.parquet(p.toString)
+    }
+    s.read.parquet(s"$ntzDir/events.parquet").schema("ts").dataType shouldBe TimestampNTZType
+
+    val micros = Seq(nanosDir, ltzDir, ntzDir).map { dir =>
+      val df = Events.readEvents(s, dir)
+      df.schema("ts").dataType shouldBe TimestampType
+      df.orderBy("event_id").select(unix_micros(col("ts")))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    micros(0) shouldBe micros(1)
+    micros(1) shouldBe micros(2)
+    micros(0).head shouldBe base.getEpochSecond * 1000000L + base.getNano / 1000L
   }
 
   "TextOps curation operators" should "run unchanged on a stream (pure-Column contract)" in {
