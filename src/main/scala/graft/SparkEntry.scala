@@ -978,11 +978,13 @@ object SparkEntry {
     // recomputable by the oracle
     "q_curation_e2e" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
-      val lang = pipeline.TextOps.langId(docs).select("doc_id", "pred_lang")
       val canon = pipeline.Dedup.exactCanonical(docs)
-      val kept = docs.select("doc_id")
-        .join(quality, "doc_id").join(lang, "doc_id").join(canon, "doc_id")
+      // quality + language gates inline (pure column expressions) — the
+      // only genuine shuffle in the gate chain is the dedup groupBy
+      val kept = docs.select(col("doc_id"),
+          pipeline.TextOps.qualityExpr.as("quality_r"),
+          pipeline.TextOps.predLangExpr.as("pred_lang"))
+        .join(canon, "doc_id")
         .where(col("quality_r") >= 0.7 && col("pred_lang") === "en" &&
           col("canon_id") === col("doc_id"))
       ops.Sampling.hashSample(kept, "doc_id", 0.5, "train")
@@ -997,11 +999,14 @@ object SparkEntry {
     // slice per surviving doc).
     "q_pipeline_to_shards" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
       val canon = pipeline.Dedup.exactCanonical(docs)
+      // quality gate inline in the same projection as the token count — the
+      // score is a pure column expression, so joining a separate
+      // qualityScore pass would be a needless self-join shuffle
       val kept = docs.select(col("doc_id"), col("source"),
-          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(quality, "doc_id").join(canon, "doc_id")
+          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          pipeline.TextOps.qualityExpr.as("quality_r"))
+        .join(canon, "doc_id")
         .where(col("quality_r") >= 0.7 && col("canon_id") === col("doc_id"))
         .select("doc_id", "source", "n_tokens")
       val budgets = (0 until 5).map(i => s"src$i" -> 1000L).toMap
@@ -1020,13 +1025,13 @@ object SparkEntry {
     // replays it with the dominant-source mapping inline.
     "q_pipeline_to_shards_skewed" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val quality = pipeline.TextOps.qualityScore(docs).select("doc_id", "quality_r")
       val canon = pipeline.Dedup.exactCanonical(docs)
       val kept = docs.select(col("doc_id"),
           when(col("source") =!= "src4", lit("web")).otherwise(col("source"))
             .as("source"),
-          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-        .join(quality, "doc_id").join(canon, "doc_id")
+          size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          pipeline.TextOps.qualityExpr.as("quality_r"))
+        .join(canon, "doc_id")
         .where(col("quality_r") >= 0.7 && col("canon_id") === col("doc_id"))
         .select("doc_id", "source", "n_tokens")
       val budgeted = ops.Sampling.tokenBudgetSample(kept, "doc_id", "source",

@@ -40,16 +40,20 @@ object Packing {
       require(!df.columns.contains(c),
         s"input already has a '$c' column (reserved by packSequences)"))
     val spark = df.sparkSession
-    val p =
-      if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val h = Hashing.hash60(
       concat(coalesce(col(keyCol).cast("string"), lit("null")),
         lit("#" + salt)))
-    val sorted = df
+    val filtered = df
       .where(col(tokenCol) > 0L)
       .withColumn("__h", h)
-      .repartitionByRange(p, col("__h"), col(keyCol))
+    // no explicit partition count unless the caller pins one: an
+    // unnumbered range exchange lets AQE size partitions by bytes, and the
+    // two-phase scan is partition-count invariant (any count yields the
+    // same offsets; range placement preserves the global order)
+    val ranged =
+      if (partitions > 0) filtered.repartitionByRange(partitions, col("__h"), col(keyCol))
+      else filtered.repartitionByRange(col("__h"), col(keyCol))
+    val sorted = ranged
       .sortWithinPartitions(col("__h"), col(keyCol))
       .withColumn("__t", col(tokenCol).cast("long"))
       // eager materialization: phases 1 and 2 both read this, and local

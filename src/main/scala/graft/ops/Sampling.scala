@@ -213,9 +213,6 @@ object Sampling {
       require(!df.columns.contains(c),
         s"input already has a '$c' column (reserved by the prefix scan)"))
     val spark = df.sparkSession
-    val p =
-      if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val h = Hashing.hash60(
       concat(coalesce(col(keyCol).cast("string"), lit("null")),
         lit("#" + salt)))
@@ -229,8 +226,16 @@ object Sampling {
     val sortCols = sortByScore.map(_ =>
       if (scoreAscending) col("__s").asc else col("__s").desc).toSeq ++
       Seq(col("__h"), col(keyCol))
-    val sorted = withHelpers
-      .repartitionByRange(p, (col(strataCol) +: sortCols): _*)
+    // no explicit partition count unless the caller pins one: an
+    // unnumbered range exchange lets AQE size partitions by bytes (small
+    // input → few tasks; 100 TB → advisory-sized splits). Legal because
+    // the scan is partition-count INVARIANT by construction — the driver
+    // prefix works for any count, and range placement keeps sort order.
+    val ranged =
+      if (partitions > 0)
+        withHelpers.repartitionByRange(partitions, (col(strataCol) +: sortCols): _*)
+      else withHelpers.repartitionByRange((col(strataCol) +: sortCols): _*)
+    val sorted = ranged
       .sortWithinPartitions((col(strataCol) +: sortCols): _*)
       // eager materialization: phase 1 and phase 2 both read this; local
       // checkpoint blocks are freed by the ContextCleaner when the

@@ -39,15 +39,17 @@ object Sharding {
       require(!df.columns.contains(c),
         s"input already has a '$c' column (reserved by assignShards)"))
     val spark = df.sparkSession
-    val p =
-      if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
     val h = Hashing.hash60(
       concat(coalesce(col(keyCol).cast("string"), lit("null")),
         lit("#" + salt)))
-    val sorted = df.withColumn("__h", h)
-      .repartitionByRange(p, col("__h"), col(keyCol))
-      .sortWithinPartitions(col("__h"), col(keyCol))
+    // no explicit partition count unless the caller pins one: AQE sizes an
+    // unnumbered range exchange by bytes, and the assignment is
+    // partition-count invariant (rank depends only on the total order)
+    val withH = df.withColumn("__h", h)
+    val ranged =
+      if (partitions > 0) withH.repartitionByRange(partitions, col("__h"), col(keyCol))
+      else withH.repartitionByRange(col("__h"), col(keyCol))
+    val sorted = ranged.sortWithinPartitions(col("__h"), col(keyCol))
     val schema = sorted.schema.add("__rank", LongType, nullable = false)
     val indexed = spark.createDataFrame(
       sorted.rdd.zipWithIndex().map { case (row, idx) =>

@@ -148,31 +148,45 @@ object TextOps {
     * corpus curation: stopword density (fluency proxy), type/token ratio
     * (repetition proxy), alpha-character ratio (boilerplate/markup proxy),
     * mean token length (gibberish proxy). Composite in [0, 1]. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      round(stopRatioExpr, 6).as("stop_ratio_r"),
+      round(typeRatioExpr, 6).as("type_ratio_r"),
+      round(alphaRatioExpr, 6).as("alpha_ratio_r"),
+      qualityExpr.as("quality_r"))
+
+  private def stopRatioExpr: Column = {
     val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val stopRatio = safeDiv(hitCount(toks, stopwords), nTok)
-    val typeRatio = safeDiv(size(array_distinct(toks)), nTok)
-    // letter COUNT via replace-length, not regexp_extract_all: the latter
-    // materializes an array entry per matched character — allocation-heavy
-    // on long documents for a number the length difference gives directly
-    val alphaRatio = safeDiv(
-      length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")),
-      length(col("text")).cast("double"))
-    val meanLen = safeDiv(length(col("text")).cast("double"), nTok)
+    safeDiv(hitCount(toks, stopwords), size(toks).cast("double"))
+  }
+  private def typeRatioExpr: Column = {
+    val toks = tokens(col("text"))
+    safeDiv(size(array_distinct(toks)), size(toks).cast("double"))
+  }
+  // letter COUNT via replace-length, not regexp_extract_all: the latter
+  // materializes an array entry per matched character — allocation-heavy
+  // on long documents for a number the length difference gives directly
+  private def alphaRatioExpr: Column = safeDiv(
+    length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")),
+    length(col("text")).cast("double"))
+
+  /** The composite quality score of [[qualityScore]] as a bare `Column`
+    * over a `text` column, for pipelines that already project per-doc
+    * columns: computing the gate inline in the same projection avoids a
+    * self-join against a separate `qualityScore` pass. Same expression,
+    * same rounding — the two spellings are value-identical. */
+  def qualityExpr: Column = {
+    val meanLen = safeDiv(length(col("text")).cast("double"),
+      size(tokens(col("text"))).cast("double"))
     // weights: fluent docs have some stopwords (target ~10%+), healthy
     // type variety, mostly letters, and 3–10 char mean tokens
     val score =
-      least(stopRatio * 5.0, lit(1.0)) * 0.3 +
-        least(typeRatio * 2.0, lit(1.0)) * 0.3 +
-        alphaRatio * 0.2 +
+      least(stopRatioExpr * 5.0, lit(1.0)) * 0.3 +
+        least(typeRatioExpr * 2.0, lit(1.0)) * 0.3 +
+        alphaRatioExpr * 0.2 +
         when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0) * 0.2
-    docs.select(
-      col("doc_id"),
-      round(stopRatio, 6).as("stop_ratio_r"),
-      round(typeRatio, 6).as("type_ratio_r"),
-      round(alphaRatio, 6).as("alpha_ratio_r"),
-      round(score, 6).as("quality_r"))
+    round(score, 6)
   }
 
   /** Marker-word sets for the n-gram/function-word language-ID heuristic.
@@ -185,24 +199,33 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq.empty) // scored by CJK character presence instead
 
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id") +: langScoreExprs.map { case (l, s) => s.as(s"score_$l") }
+        :+ predLangExpr.as("pred_lang"): _*)
+
+  private def langScoreExprs: Seq[(String, Column)] = {
     val toks = tokens(col("text"))
-    val scores = langMarkers.map { case (lang, words) =>
+    langMarkers.map { case (lang, words) =>
       val s =
         if (lang == "zh")
           size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
         else hitCount(toks, words)
       lang -> s.cast("long")
     }
-    // argmax with first-wins tie-break, as a pure CASE chain
-    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+  }
+
+  /** [[langId]]'s predicted language as a bare `Column` over a `text`
+    * column — argmax with first-wins tie-break, as a pure CASE chain. Lets
+    * pipelines gate on language inline instead of self-joining a separate
+    * langId pass. */
+  def predLangExpr: Column = {
+    val scores = langScoreExprs
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, s)) =>
         (when(s > bestScore, s).otherwise(bestScore),
           when(s > bestScore, lit(lang)).otherwise(bestLang))
-    }
-    docs.select(
-      col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }
-        :+ best._2.as("pred_lang"): _*)
+    }._2
   }
 
   /** PII redaction for corpus publication: emails → `[EMAIL]`, runs of 6+
