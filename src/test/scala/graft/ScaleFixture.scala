@@ -115,6 +115,28 @@ object ScaleFixture {
       (nk, s"NATION_$nk", nk % 5)
     }.toDF("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    // events: 1M rows / 15k users over one month (10× sf0.1 in rows AND
+    // user cardinality), mirroring the driver fixture's shape — event_id
+    // walks forward in time with jitter, 5 event types, 2-decimal values,
+    // {"k": int} props. ts is java.time.LocalDateTime so the parquet
+    // encoding is timestamp[us] isAdjustedToUTC=false (TIMESTAMP_NTZ) —
+    // the SAME naive flavor the driver fixture ships, so the sf1eq pass
+    // exercises Events.normalizeTs exactly as the driver does.
+    val nEvents = 1000000L
+    val eventTypes = Array("view", "click", "error", "purchase", "signup")
+    val stepUs = 30L * 86400L * 1000000L / nEvents
+    spark.range(0, nEvents, 1, 32).map { id =>
+      val rng = new java.util.Random(0xE7E27L ^ (id * 0x9E3779B97F4A7C15L))
+      val us = id * stepUs + (rng.nextDouble() * 4e6).toLong
+      val ts = java.time.LocalDateTime.ofEpochSecond(
+        1704067200L + us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      (id, ts, rng.nextInt(15000).toLong, eventTypes(rng.nextInt(5)),
+        math.rint(rng.nextDouble() * 2000) / 100.0,
+        s"""{"k": ${rng.nextInt(100)}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

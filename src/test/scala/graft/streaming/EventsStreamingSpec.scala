@@ -122,6 +122,49 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed should not be empty
   }
 
+  "sessionStats and clickViewIntervalJoin over a file stream" should
+      "match batch on the shipped fixture encoding" in {
+    // the temporal operators the TIMESTAMP_NTZ flip broke in r7, driven
+    // through a REAL file source on the driver's own parquet: the NTZ→LTZ
+    // normalization must precede the watermark or analysis fails with
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val stageDir = java.nio.file.Files.createTempDirectory("events-temporal")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def stream() = Events.withEventWatermark(
+      Events.normalizeTs(s.readStream.schema(schema).parquet(stageDir.toString)),
+      "1 hour")
+    val batchEv = Events.readEvents(s, dir)
+
+    val q1 = Events.sessionStats(stream(), "30 minutes")
+      .writeStream.format("memory").queryName("file_sess_out")
+      .outputMode("complete").start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+    val streamedSess = s.table("file_sess_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batchSess = Events.sessionStats(batchEv, "30 minutes").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    streamedSess shouldBe batchSess
+    streamedSess should not be empty
+
+    val q2 = Events.clickViewIntervalJoin(stream(), "30 minutes")
+      .writeStream.format("memory").queryName("file_ivj_out")
+      .outputMode("append").start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val streamedIvj = s.table("file_ivj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchIvj = Events.clickViewIntervalJoin(batchEv, "30 minutes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    streamedIvj shouldBe batchIvj
+    streamedIvj should not be empty
+  }
+
   "userRunningTotals" should "carry keyed state across micro-batches" in {
     val s = spark
     import s.implicits._
