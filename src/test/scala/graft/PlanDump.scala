@@ -2,23 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off: dump executed plans for named queries (plan auditing). 
-  * `sbt 'Test/runMain graft.PlanDump q_decontaminate q_text_repetition'` */
+/** Plan inspection tool: print the formatted physical plan of named
+  * SparkEntry queries (post-execution, so AQE's final plan is shown).
+  * `sbt 'Test/runMain graft.PlanDump /root/testdata/sf0.001 q_name...'` */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    val dir = args.head
     val spark = SparkSession.builder().appName("plan-dump").master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try args.foreach { q =>
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+    try args.tail.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       println(s"===== $q =====")
-      println(df.queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Join") || l.contains("Exchange") ||
-          l.contains("Aggregate") || l.contains("Scan") || l.contains("Window"))
-        .mkString("\n"))
+      println(df.queryExecution.executedPlan.toString)
     } finally spark.stop()
   }
 }

@@ -135,6 +135,34 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("EqualTo(event_type,view)")
   }
 
+  "q_events_sessions" should "run session windows as keyed incremental merges, no global funnel" in {
+    val df = SparkEntry.queries("q_events_sessions")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark's native session-window shape: map-side partial aggregation,
+    // ONE hash exchange keyed by user, MergingSessions per key — never a
+    // global sort/window over all events
+    plan should include("MergingSessions")
+    plan should include("partial_count")
+    plan should include("hashpartitioning(user_id")
+    plan should not include "CartesianProduct"
+  }
+
+  "q_interval_join" should "plan as an equi-join on user with the time band residual" in {
+    val df = SparkEntry.queries("q_interval_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the time bound must ride an equi-join on user_id as a residual
+    // condition — a nested-loop/cartesian shape here would be quadratic in
+    // events per user at scale
+    plan should include("HashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // both event-type filters reach the parquet scans
+    plan should include("EqualTo(event_type,click)")
+    plan should include("EqualTo(event_type,view)")
+  }
+
   "q_prototypes" should "broadcast the centroid table and rank through the top-k operator" in {
     val df = SparkEntry.queries("q_prototypes")(spark, dir)
     df.collect()
