@@ -394,6 +394,20 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // edit-distance similarity join (Ed-Join: positional q-gram prefix
+    // index, no all-pairs) on a 64-char key prefix — the oracle IS the
+    // all-pairs levenshtein, so the lossless-filter claim is hash-checked.
+    // q=8 (not the text-book 4): the fixture's word-salad text has a ~1k
+    // 4-gram vocabulary, so short grams are all hot and prune nothing;
+    // 8-grams are ~12k-distinct and cut the candidate set 3x (measured)
+    "q_fuzzy_join" -> ((s, dir) => {
+      val keyed = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), substring(col("text"), 1, 64).as("key"))
+      pipeline.FuzzyJoin.editDistanceJoin(keyed, "doc_id", "key",
+        maxDist = 4, q = 8)
+        .orderBy("i", "j")
+    }),
+
     // MinHash+LSH near-dedup, exact-verified — must recover the exact ≥θ
     // pair set (the oracle recomputes it by brute sparse join)
     "q_dedup_minhash" -> ((s, dir) => {
@@ -491,6 +505,21 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => {
       pipeline.Dedup.simHashNearDups(
         s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+
+    // span-level exact-substring dedup: pairs sharing a verbatim ≥40-char
+    // run, via winnowing anchors (index ~2/(k+1) of offsets) + exact
+    // L-gram verify on candidate docs only — the oracle brute-forces every
+    // offset, so the anchor guarantee (no missed span) is hash-checked
+    // gramWidth=32 (k=9): on repetitive web-ish text short grams are hot
+    // (a 16-char gram recurs across hundreds of docs and the window-min
+    // picks globally-small hashes), which made ~every doc a candidate;
+    // 32-char anchors cut the candidate pair set from 250k to 322 vs 259
+    // true pairs at sf0.1 (measured) at the price of a 2/(k+1)≈20% index
+    "q_substring_dedup" -> ((s, dir) => {
+      pipeline.Dedup.sharedSpanPairs(
+        s.read.parquet(s"$dir/documents.parquet"), minLen = 40, gramWidth = 32)
         .orderBy("i", "j")
     }),
 
@@ -1466,6 +1495,30 @@ object SparkEntry {
         |FROM h JOIN c USING (hh) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracle(0.5),
+
+    // the oracle brute-forces what the Spark side finds via the lossless
+    // q-gram prefix index — identical pair sets or the hash flips
+    "q_fuzzy_join" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 64) AS key FROM documents)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |       levenshtein(a.key, b.key) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.key) - length(b.key)) <= 4
+        |  AND levenshtein(a.key, b.key) <= 4
+        |ORDER BY i, j""".stripMargin,
+
+    // every offset brute-forced — any span the winnowing anchors missed
+    // would flip this hash
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE length(text) >= 40),
+        |g AS (SELECT DISTINCT doc_id, substr(text, pos + 1, 40) AS gram
+        |      FROM (SELECT doc_id, text,
+        |                   unnest(range(0, length(text) - 40 + 1)) AS pos
+        |            FROM d))
+        |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_minhash" -> jaccardOracle(0.7),
 

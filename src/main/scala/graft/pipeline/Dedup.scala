@@ -498,4 +498,115 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  // ---------------- shared verbatim spans ------------------------------
+
+  /** Span-level exact-substring dedup — pairs of docs sharing a VERBATIM
+    * character run of at least `minLen` chars, the boilerplate/mirror/
+    * quotation signal that token-set similarity (Jaccard, MinHash) is
+    * blind to: two docs sharing one long quoted paragraph inside
+    * otherwise-unrelated text score near-zero Jaccard but must be flagged
+    * by a span-level pass (the exact-substring stage of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — theirs
+    * via a corpus suffix array; here as a two-phase anchor/verify
+    * dataflow, the shape that distributes).
+    *
+    * Phase 1 — anchors (winnowing, Schleimer et al. 2003): hash every
+    * `gramWidth`-char window, slide a window of `k = minLen - gramWidth
+    *  + 1` consecutive hashes, keep each window's minimum. Any shared run
+    * of `gramWidth + k - 1 = minLen` chars contains k consecutive shared
+    * hash positions, i.e. one full hash window inside the run on BOTH
+    * sides — same content, same minimum, selected by both: every
+    * qualifying pair shares an anchor (lossless; hash collisions only ADD
+    * candidates). The index carries ~2/(k+1) of positions, not all of
+    * them — the 100 TB lever vs indexing every offset.
+    *
+    * `gramWidth` trades index density against candidate precision, and on
+    * repetitive corpora precision wins decisively: 16-char grams recur
+    * across hundreds of documents (and window-min selection is biased
+    * toward globally small hash values, so exactly those recurring grams
+    * become anchors), which at sf0.1 made ~every document a candidate;
+    * 32-char anchors (k=9, ~20% index) cut the candidate pair set from
+    * 250k to 322 against 259 true pairs. Widen the gram before shrinking
+    * the window when candidates blow up.
+    *
+    * Phase 2 — exact relational verify, candidate DOCS only: semi-join
+    * the corpus to the candidate id set, explode those docs' distinct
+    * `minLen`-grams (actual strings, no hashes — collision-free), equi-
+    * join and count per pair. Only documents that collided on an anchor
+    * ever pay the full per-offset explosion.
+    *
+    * Returns `(i, j, n_shared)` — `n_shared` = number of distinct shared
+    * `minLen`-grams (an alignment-free overlap measure; `>= 1` IS the
+    * shared-span predicate, larger means a longer or repeated run). A
+    * pair found by phase 2 shares a true span, so its membership in the
+    * anchor candidate set is implied — no final re-filter is needed. */
+  def sharedSpanPairs(docs: DataFrame, minLen: Int = 40,
+                      gramWidth: Int = 32): DataFrame = {
+    require(gramWidth >= 1 && minLen > gramWidth,
+      s"need minLen > gramWidth >= 1, got minLen=$minLen gramWidth=$gramWidth")
+    val k = minLen - gramWidth + 1
+
+    // spread the slim (id, text) projection over the full parallelism
+    // BEFORE the per-offset md5 work — the CPU hot spot; a small-file scan
+    // would otherwise run it on one core.
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val txt = docs.select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull && length(col("text")) >= gramWidth)
+      .repartition(parallelism)
+    // the whole winnowing selection runs INSIDE one codegen'd projection,
+    // array-at-a-time per document: hash every offset, slide the k-window
+    // minimum, dedupe — then explode only the ~2/(k+1) selected anchors.
+    // No exploded-offsets shuffle, no Window node, no per-group sort, and
+    // the per-doc array_distinct replaces a corpus-wide DISTINCT exchange.
+    val hArr = transform(sequence(lit(0), length(col("text")) - gramWidth),
+      i => Hashing.hash60(col("text").substr(i + 1, lit(gramWidth))))
+    val fpArr = {
+      val h = col("__h")
+      // guard: sequence(0, x) with x < 0 is DESCENDING (same trap as
+      // shingles). Docs with < k hash windows are shorter than minLen and
+      // can never carry a qualifying span — no anchors for them.
+      array_distinct(transform(
+        when(size(h) >= k, sequence(lit(0), size(h) - lit(k)))
+          .otherwise(array().cast("array<int>")),
+        p => array_min(slice(h, p + 1, lit(k)))))
+    }
+    // localCheckpoint: the anchor table sits under both sides of the
+    // candidate self-join; cutting the lineage guarantees the hash
+    // pipeline is evaluated once (exchange reuse is AQE-dependent), and
+    // the checkpoint is 2 longs × ~2/(k+1) of the corpus offsets — small
+    val anchors = txt.select(col("doc_id"), hArr.as("__h"))
+      .select(col("doc_id"), explode(fpArr).as("fp"))
+      .localCheckpoint()
+
+    // localCheckpoint, not lineage: the candidate list feeds candIds twice
+    // and sits under BOTH sides of the verify self-join — with a lazy plan
+    // the whole hash→window→join anchor pipeline would be re-evaluated ~4×
+    // (the same consumed-many-times seam as minHashNearDups' shingle table)
+    val cands = anchors.as("a")
+      .join(anchors.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+      .localCheckpoint()
+
+    val candIds = cands.select(col("i").as("doc_id"))
+      .unionByName(cands.select(col("j").as("doc_id")))
+      .distinct()
+    val cdocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .where(length(col("text")) >= minLen)
+      .repartition(parallelism) // same explode-spread as the anchor side
+    val gIdxs = sequence(lit(0), length(col("text")) - minLen)
+    // per-doc array_distinct again — the exploded output is already
+    // (doc, gram)-distinct, so no corpus-wide DISTINCT exchange
+    val grams = cdocs.select(col("doc_id"),
+      explode(array_distinct(
+        transform(gIdxs, i => col("text").substr(i + 1, lit(minLen)))))
+        .as("gram"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -210,6 +210,20 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "q_fuzzy_join" should "rank the gram prefix through the top-k operator with no long-path cross product" in {
+    val df = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the q*d+1 prefix selection is a row_number <= k idiom — it must run
+    // through the bounded-heap operator, never a full per-doc gram sort
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+    // the candidate generator is an equi-join on gram; all-pairs shapes are
+    // allowed only on the short-key dense side, which is a broadcast NLJ of
+    // an (empty here) tiny set — never a CartesianProduct
+    plan should not include "CartesianProduct"
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
