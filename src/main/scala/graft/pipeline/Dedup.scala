@@ -32,8 +32,15 @@ object Dedup {
     // materialize the token array into its own projection first: a lambda
     // that references the raw split(...) expression re-evaluates the regex
     // split on every element_at inside the transform (3n× per shingle) —
-    // an attribute reference reads the array once
-    val tokenized = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    // an attribute reference reads the array once.
+    // repartition first: the tokenize+hash explode is the CPU hot spot of
+    // every shingle consumer, and a small-file scan would run it all on
+    // one core; shuffling the slim 1× doc projection is strictly cheaper
+    // than the ~tokens× wider exchanges downstream aggregations do anyway
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val tokenized = docs.select(col("doc_id"), col("text"))
+      .repartition(parallelism)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
     val t = col("t")
     // guard: sequence(0, x) with x < 0 generates a *descending* sequence
     val idxs = when(size(t) >= n, sequence(lit(0), size(t) - n))
