@@ -492,19 +492,24 @@ object Ann {
   def lshNearDupPairs(corpus: Dataset[Point], theta: Double,
                       tables: Int = 64, bits: Int = 4, dim: Int = 64,
                       seed: Long = 42L): DataFrame = {
+    // vectors ride THROUGH the bucket join and pairs are rescored inline,
+    // so the dedup shuffle sees only the ≥θ survivors — the same plan move
+    // that won 40% on semanticDedup (SCALE.md): the bare-id variant
+    // (candidate distinct + two vector-fetch joins) re-shuffles the raw
+    // collision volume twice, and with low-θ/short-signature tunings the
+    // collision volume (~tables·N²/2^bits rows) dwarfs the survivor set.
+    // Cost: signatures shuffle vec alongside (tables× vector duplication)
+    // — collision volume ≫ tables·N makes that the right side of the trade.
     val sigs = signatureTable(corpus, tables, bits, dim, seed)
-    val cands = sigs.as("a")
+      .join(corpus.toDF().select(col("id"), col("vec")), "id")
+    sigs.as("a")
       .join(sigs.as("b"),
         col("a.t") === col("b.t") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    val va = corpus.toDF().select(col("id").as("i"), col("vec").as("va"))
-    val vb = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
-    cands.join(va, "i").join(vb, "j")
-      .select(col("i"), col("j"),
-        Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        Distances.cosineSimCol(col("a.vec"), col("b.vec")).as("sim"))
       .where(col("sim") >= theta)
+      .dropDuplicates("i", "j")
   }
 
   /** (id, table, signature) rows for a dataset — the shared LSH hashing
