@@ -1220,6 +1220,82 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("rev"))
         .orderBy("n_name")
+    }),
+
+    // corpus indexing — phrase (3-gram) inverted index with df-band
+    // pruning: one posting row per (gram, doc) carrying the gram's corpus
+    // df, per-doc tf, and sorted 0-based start offsets. The oracle
+    // rebuilds the grams via the position self-join and must agree on
+    // every posting, count, and position list byte-for-byte.
+    "q_inverted_index" -> ((s, dir) => {
+      pipeline.Index.phraseIndex(
+        s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, minDf = 2, maxDf = 25)
+        .orderBy("gram", "doc_id")
+    }),
+
+    // pipeline observability — one-pass filter funnel over the curation
+    // gates in their production order (nonempty → quality → language →
+    // exact-dedup canonical): per-stage entered/kept/dropped rows
+    // unpivoted from a SINGLE aggregate, so the audit never costs a
+    // second corpus pass
+    "q_filter_funnel" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val canon = pipeline.Dedup.exactCanonical(docs)
+      pipeline.Audit.filterFunnel(docs.join(canon, "doc_id"), Seq(
+        "nonempty" -> (size(pipeline.TextOps.tokens(col("text"))) > 0),
+        "quality_ge_07" -> (pipeline.TextOps.qualityExpr >= 0.7),
+        "lang_en" -> (pipeline.TextOps.predLangExpr === "en"),
+        "dedup_canonical" -> (col("canon_id") === col("doc_id"))))
+        .orderBy("stage_idx")
+    }),
+
+    // corpus datacard per source × lang: the shape numbers a training-mix
+    // decision needs, in one hash aggregate (exact median via percentile
+    // inside the aggregate, not a per-group sort)
+    "q_datacard" -> ((s, dir) => {
+      pipeline.Audit.datacard(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("avg_quality_r"), col("median_chars_r"), col("max_chars"))
+        .orderBy("source", "lang")
+    }),
+
+    // similarity search, sketch path: JL ±1 random-projection shortlist +
+    // exact rescore — the index-free third ANN family next to LSH (hash
+    // buckets) and IVF (learned cells). Recall floor vs exact top-k, same
+    // self-checking contract as q_ann_lsh; deterministic in (seed, data).
+    // Floor 0.6 like q_ann_ivfpq: the fixture embeddings are isotropic —
+    // the adversarial regime for any fixed-size sketch shortlist (measured
+    // 0.96 recall at sf0.01, 0.73 at sf0.1); the clustered-corpus contract
+    // (fixed shortlist, recall ≥ 0.9 as N grows) is pinned in AnnRpSpec
+    "q_ann_rp" -> ((s, dir) => {
+      val k = 10
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(col("id") < 100)
+      val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
+      val approx = pipeline.Ann.rpTopK(corpus, queries, k,
+        m = 32, shortlist = 256, dim = embeddingDim, seed = 42L)
+      val hits = approx.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      queries.toDF().agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
+    }),
+
+    // first-touch attribution: the FIRST event per (user, event_type) —
+    // a k=1 grouped top-k, executed through the bounded-heap Catalyst
+    // operator instead of a full per-group sort
+    "q_first_touch" -> ((s, dir) => {
+      val ev = streaming.Events.readEvents(s, dir)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 6).as("value_r"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -2322,6 +2398,97 @@ object SparkEntry {
         |       COALESCE(l_linestatus, 'ALL') AS ls,
         |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty_r
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_inverted_index" -> (tposSql +
+      """, g AS (
+        |  SELECT a.doc_id, a.pos - 1 AS pos,
+        |         a.w || ' ' || b.w || ' ' || c.w AS gram
+        |  FROM tpos a
+        |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |perdoc AS (
+        |  SELECT gram, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS pos_csv
+        |  FROM g GROUP BY 1, 2),
+        |dfs AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+        |        FROM perdoc GROUP BY 1)
+        |SELECT p.gram, d.df, p.doc_id, p.tf, p.pos_csv
+        |FROM perdoc p JOIN dfs d USING (gram)
+        |WHERE d.df BETWEEN 2 AND 25
+        |ORDER BY p.gram, p.doc_id""".stripMargin),
+
+    "q_filter_funnel" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, $qualityExprSql AS quality
+         |  FROM (
+         |  $qualityInnerSql)),
+         |lang AS (
+         |  SELECT doc_id, $langCaseSql AS pred_lang
+         |  FROM (
+         |  $langScoresSql)),
+         |canon AS ($canonSql),
+         |cum AS (
+         |  SELECT t.doc_id,
+         |    COALESCE(len(t.t) > 0, FALSE) AS c0,
+         |    COALESCE(len(t.t) > 0, FALSE)
+         |      AND COALESCE(q.quality >= 0.7, FALSE) AS c1,
+         |    COALESCE(len(t.t) > 0, FALSE)
+         |      AND COALESCE(q.quality >= 0.7, FALSE)
+         |      AND COALESCE(l.pred_lang = 'en', FALSE) AS c2,
+         |    COALESCE(len(t.t) > 0, FALSE)
+         |      AND COALESCE(q.quality >= 0.7, FALSE)
+         |      AND COALESCE(l.pred_lang = 'en', FALSE)
+         |      AND COALESCE(c.canon_id = t.doc_id, FALSE) AS c3
+         |  FROM toks t
+         |  JOIN qual q USING (doc_id)
+         |  JOIN lang l USING (doc_id)
+         |  JOIN canon c USING (doc_id)),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+         |    CAST(SUM(CASE WHEN c0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+         |    CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         |    CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         |    CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS k3
+         |  FROM cum)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'nonempty' AS stage,
+         |         n_in AS entered, k0 AS kept, n_in - k0 AS dropped FROM agg
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), 'quality_ge_07', k0, k1, k0 - k1 FROM agg
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'lang_en', k1, k2, k1 - k2 FROM agg
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'dedup_canonical', k2, k3, k2 - k3 FROM agg)
+         |ORDER BY stage_idx""".stripMargin),
+
+    "q_datacard" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql, 6) AS quality
+         |  FROM (
+         |  $qualityInnerSql))
+         |SELECT d.source, d.lang,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(t.t)) AS BIGINT) AS n_tokens,
+         |  ROUND(AVG(q.quality), 6) AS avg_quality_r,
+         |  ROUND(median(d.n_chars), 4) AS median_chars_r,
+         |  CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
+         |FROM documents d
+         |JOIN toks t USING (doc_id)
+         |JOIN qual q USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_ann_rp" ->
+      """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q_first_touch" ->
+      """SELECT user_id, event_type, event_id,
+        |       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |       ROUND(value, 6) AS value_r
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -577,4 +577,71 @@ object Ann {
       scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss projection matrix (d × m) —
+    * delegated to [[graft.expressions.RpSigns]], the same derivation the
+    * native sketch expression compiles into its loop, so the spec-level
+    * matrix and the executed one cannot drift. */
+  private[pipeline] def rpSigns(dim: Int, m: Int, seed: Long): Array[Array[Double]] = {
+    val flat = graft.expressions.RpSigns.matrix(dim, m, seed)
+    Array.tabulate(dim, m)((i, j) => flat(i * m + j))
+  }
+
+  /** Random-projection (JL) top-k: shortlist in an m-dim ±1 sketch space,
+    * then exact-rescore only the shortlist — the third ANN family next to
+    * LSH (hash buckets) and IVF (learned cells). Unlike both, it needs no
+    * index build and no data-dependent state: the projection is a stateless
+    * codegen expression (m dot products unrolled into one projection — the
+    * whole sketch pass is map-side, column-pruned to the vector), which is
+    * what you want for one-shot queries against a corpus you'll never see
+    * again.
+    *
+    * Scale: sketch cost O(N·d·m) map-local; shortlist is the same
+    * broadcast-queries × corpus stream as [[bruteTopK]] but comparing
+    * m-dim sketches (m ≪ d), and only |Q|·shortlist pairs — not |Q|·N —
+    * ever touch a full-width vector again. The exact rescore restores
+    * precision: output quality is recall-bounded only by whether a true
+    * neighbor fell out of the shortlist, tuned by `shortlist`/`m`.
+    *
+    * Recall regime (measured, same story as `Knn.projectKnn`): on
+    * CLUSTERED corpora — the regime real embedding tables live in — a
+    * fixed shortlist holds its recall as N grows (`AnnRpSpec` pins ≥ 0.9
+    * at 2× points, shortlist unchanged); on ISOTROPIC data the k-th-vs-
+    * rest similarity gap shrinks with N and a fixed shortlist decays
+    * (measured on the fixture: 0.96 at N=500 → 0.73 at N=2,000 with
+    * m=32/shortlist=256), so either grow `shortlist` with N or route
+    * structure-free corpora to [[lshTopK]]/[[ivfTopK]]. */
+  def rpTopK(corpus: Dataset[Point], queries: Dataset[Point], k: Int,
+             m: Int = 32, shortlist: Int = 256, dim: Int = 64,
+             seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    // native fused-loop sketch expression: an unrolled ±vec(i) sum-chain
+    // formulation blows past janino's 64 KB method limit at dim·m ≈ 2k
+    // terms and silently drops the stage out of codegen — the compact
+    // generated loop stays inside whole-stage codegen at any (dim, m)
+    import org.apache.spark.sql.{graftglue => glue}
+    def sketch(ds: Dataset[Point], idName: String) = {
+      val proj = glue.column(graft.expressions.RandomProjectSketch(
+        glue.expression(col("vec")), dim, m, seed))
+      ds.toDF().select(col("id").as(idName), col("vec"), proj.as("sk"))
+    }
+    val spark = corpus.sparkSession
+    val c = sketch(corpus, "j")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val q = sketch(queries, "i").select(col("i"), col("sk").as("qsk"))
+    val candPairs = broadcast(q).crossJoin(c.select(col("j"), col("sk")))
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        (-Distances.cosineSimCol(col("qsk"), col("sk"))).as("dist"))
+    val short = Knn.topKPerPointRanked(candPairs, shortlist).select("i", "j")
+    // exact rescore on the shortlist only
+    val qv = queries.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val cv = corpus.toDF().select(col("id").as("j"), col("vec").as("vb"))
+    val scored = short.join(broadcast(qv), "i").join(cv, "j")
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+    val ranked = Knn.topKPerPointRanked(
+      scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
 }

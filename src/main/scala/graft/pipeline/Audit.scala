@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pipeline observability operators: the audit artifacts a production
+  * curation run publishes alongside its output — where documents were lost
+  * (filter funnel) and what the surviving corpus looks like (datacard).
+  *
+  * Rebuild extension (no counterpart in the reference — tsne-flink has no
+  * data-curation surface); at 100 TB these are the FIRST queries a data
+  * team runs after every pipeline change, and they must not cost a second
+  * pass over the corpus.
+  *
+  * Scale design: both operators are single-aggregation plans. The funnel
+  * evaluates every gate as a codegen'd boolean column and sums the
+  * cumulative conjunctions in ONE map-side-combined pass — adding a stage
+  * adds one `sum(cast(bool))`, never a job; the per-stage rows come from
+  * unpivoting the single aggregate row with `stack`, so driver traffic is
+  * one row regardless of corpus size. The datacard is one hash aggregate
+  * keyed by the (low-cardinality) profile columns; the exact median rides
+  * the same aggregate via `percentile` rather than a per-group sort.
+  */
+object Audit {
+
+  /** Survival audit of an ordered gate chain. Stage i reports how many
+    * rows entered it (= survivors of stages 0..i-1), how many it kept,
+    * and how many it dropped. Gates compose with AND in declaration
+    * order — the same short-circuit a sequential `.where` chain applies,
+    * so `kept` of the last stage equals the pipeline's output count.
+    *
+    * A NULL gate value (e.g. a ratio over zero tokens) counts as a drop:
+    * a document a gate cannot score must not silently pass the funnel.
+    *
+    * Output: `stage_idx, stage, entered, kept, dropped` — one row per
+    * stage, computed in a single aggregation over `df`.
+    */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cumulative = stages
+      .scanLeft(lit(true)) { case (acc, (_, gate)) =>
+        acc && coalesce(gate, lit(false))
+      }
+      .tail
+    val aggs = count(lit(1)).cast("long").as("n_in") +:
+      cumulative.zipWithIndex.map { case (c, i) =>
+        coalesce(sum(c.cast("long")), lit(0L)).as(s"k$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
+      val entered = if (i == 0) "n_in" else s"k${i - 1}"
+      s"$i, '${name.replace("'", "''")}', $entered, k$i"
+    }.mkString(", ")
+    one
+      .selectExpr(s"stack(${stages.size}, $stackArgs)" +
+        " as (stage_idx, stage, entered, kept)")
+      .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
+        col("entered"), col("kept"),
+        (col("entered") - col("kept")).as("dropped"))
+  }
+
+  /** Corpus datacard: per profile-key group (e.g. source × lang), the
+    * shape numbers a training-mix decision needs — document and token
+    * volume, mean quality, and the exact median document length.
+    * One hash aggregate; group count is the key product, not the corpus.
+    */
+  def datacard(docs: DataFrame,
+               keys: Seq[String] = Seq("source", "lang")): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        // average the per-doc ROUNDED quality: the two engines' unrounded
+        // scores carry a ~1e-7 bias (below the per-doc round-6 grid that
+        // q_text_quality pins, but enough to flip a 50-doc group average
+        // at the same grid); averaging the grid values is deterministic
+        round(avg(round(TextOps.qualityExpr, 6)), 6).as("avg_quality_r"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars_r"),
+        max(col("n_chars")).as("max_chars"))
+  }
+}

@@ -224,6 +224,30 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  "q_first_touch" should "execute the k=1 selection through the top-k operator" in {
+    val df = SparkEntry.queries("q_first_touch")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // first-event-per-key must never sort whole (user, type) groups
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_inverted_index" should "prune the documents scan and partial-aggregate the postings" in {
+    val plan = formattedPlan("q_inverted_index")
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    // (gram, doc) postings partial-aggregate map-side before their shuffle
+    plan.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  "q_datacard" should "be one hash aggregate over a pruned scan" in {
+    val plan = formattedPlan("q_datacard")
+    // n_chars rides the scan; doc text feeds tokens+quality; no join anywhere
+    plan should include("ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>")
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

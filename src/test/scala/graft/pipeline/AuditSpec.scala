@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** Funnel telescoping, NULL-gate semantics, and datacard aggregates vs
+  * by-hand numbers. */
+class AuditSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  "filterFunnel" should "telescope entered/kept across stages" in {
+    val s = spark
+    import s.implicits._
+    // x: passes g1 iff x >= 2; passes g2 iff x % 2 == 0
+    val df = Seq(1, 2, 3, 4, 5, 6).toDF("x")
+    val out = Audit.filterFunnel(df, Seq(
+      "ge2" -> (col("x") >= 2),
+      "even" -> (col("x") % 2 === 0)))
+      .orderBy("stage_idx").collect()
+    out.map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))) shouldBe
+      Seq(("ge2", 6L, 5L, 1L), ("even", 5L, 3L, 2L))
+    // the last stage's kept equals the sequential where-chain count
+    df.where(col("x") >= 2).where(col("x") % 2 === 0).count() shouldBe 3L
+  }
+
+  it should "count a NULL gate value as a drop, not a pass" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(1), None, Some(3)).toDF("x")
+    val out = Audit.filterFunnel(df, Seq("notnull_gt0" -> (col("x") > 0)))
+      .collect()
+    out.head.getLong(2) shouldBe 3L // entered
+    out.head.getLong(3) shouldBe 2L // kept: the NULL row must not pass
+  }
+
+  it should "be a single-aggregation plan (no per-stage jobs)" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val funnel = Audit.filterFunnel(df, Seq(
+      "a" -> (col("x") > 0), "b" -> (col("x") > 1), "c" -> (col("x") > 2)))
+    funnel.collect()
+    // exactly ONE logical aggregation, however many stages are declared
+    // (the physical plan doubles nodes under AQE's initial/final dump, so
+    // the pin is on the optimized logical plan)
+    funnel.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } should have size 1
+  }
+
+  "datacard" should "match by-hand group stats (even-count median interpolates)" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "en", "web", 11L),
+      (2L, "the dog ran", "en", "web", 13L),
+      (3L, "und der hund", "de", "web", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Audit.datacard(docs).orderBy("lang").collect()
+    val en = rows.find(_.getAs[String]("lang") == "en").get
+    en.getAs[Long]("n_docs") shouldBe 2L
+    en.getAs[Long]("n_tokens") shouldBe 6L
+    // even count: median interpolates between 11 and 13
+    en.getAs[Double]("median_chars_r") shouldBe 12.0
+    en.getAs[Long]("max_chars") shouldBe 13L
+    val de = rows.find(_.getAs[String]("lang") == "de").get
+    de.getAs[Long]("n_docs") shouldBe 1L
+    de.getAs[Double]("median_chars_r") shouldBe 12.0
+  }
+}
