@@ -1283,6 +1283,21 @@ object SparkEntry {
           (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
     }),
 
+    // duration-capped sessionization: sessions close on a 24 h inactivity
+    // gap OR at 48 h since their first event — the cap resets at each
+    // split, which makes the rule sequential (no window function can
+    // express it; the oracle needs a recursive CTE). Runs through the
+    // shared batch/streaming fold; on this fixture the cap splits 1,214
+    // gap-only sessions into 2,074, so both rules are hash-exercised
+    "q_sessions_capped" -> ((s, dir) => {
+      streaming.Events.cappedSessions(streaming.Events.readEvents(s, dir))
+        .toDF()
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value_r"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // first-touch attribution: the FIRST event per (user, event_type) —
     // a k=1 grouped top-k, executed through the bounded-heap Catalyst
     // operator instead of a full per-group sort
@@ -2481,6 +2496,32 @@ object SparkEntry {
     "q_ann_rp" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // sequential split rule → recursive CTE: the walk carries each event's
+    // current session start; all users advance in lockstep on rn, so the
+    // recursion depth is max events/user, not total events
+    "q_sessions_capped" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, rn, ts_us, value, ts_us AS sess_start
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.ts_us, e.value,
+        |         CASE WHEN e.ts_us - w.ts_us > 86400000000
+        |                OR e.ts_us - w.sess_start > 172800000000
+        |              THEN e.ts_us ELSE w.sess_start END
+        |  FROM ev e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, sess_start AS session_start_us,
+        |       MAX(ts_us) AS session_end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 6) AS sum_value_r
+        |FROM walk GROUP BY 1, 2
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q_first_touch" ->
       """SELECT user_id, event_type, event_id,

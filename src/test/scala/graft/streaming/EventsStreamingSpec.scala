@@ -396,6 +396,70 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed.size shouldBe 3
   }
 
+  // capped-sessions fixture: user 1 splits on the 30-min GAP, user 2 on
+  // the 60-min CAP (events every 20 min, never a gap) — both rules and
+  // the cap-base reset are exercised. Minutes double as values so the
+  // per-session sums pin WHICH events landed in each session.
+  private def cev(id: Long, user: Long, minute: Int): Ev =
+    Ev(id, ts(minute), user, "view", minute.toDouble, "{}")
+  private val cappedSample = Seq(
+    cev(0, 1L, 0), cev(1, 1L, 10), cev(2, 1L, 20),  // session (0,20)
+    cev(3, 1L, 100), cev(4, 1L, 110),               // gap 80 → (100,110)
+    cev(10, 2L, 0), cev(11, 2L, 20), cev(12, 2L, 40), cev(13, 2L, 60),
+    cev(14, 2L, 80), cev(15, 2L, 100), cev(16, 2L, 120), cev(17, 2L, 140))
+  private val gapUs = 30L * 60 * 1000000
+  private val capUs = 60L * 60 * 1000000
+  private val expectedSessions = Set(
+    // user 2: 80-0 > cap → split; new base 80, 140-80 = cap (not >) → holds
+    (1L, 0L, 20L, 3L, 30.0), (1L, 100L, 110L, 2L, 210.0),
+    (2L, 0L, 60L, 4L, 120.0), (2L, 80L, 140L, 4L, 440.0))
+  private def asMinutes(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1) / 60000000, r.getLong(2) / 60000000,
+      r.getLong(3), r.getDouble(4))
+
+  "cappedSessions" should "split on gap AND on max duration with a resetting cap base" in {
+    val s = spark
+    import s.implicits._
+    val epoch0 = ts(0).getTime * 1000
+    val got = Events.cappedSessions(cappedSample.toDF(), gapUs, capUs)
+      .toDF()
+      .withColumn("session_start_us", col("session_start_us") - epoch0)
+      .withColumn("session_end_us", col("session_end_us") - epoch0)
+      .collect().map(asMinutes).toSet
+    got shouldBe expectedSessions
+  }
+
+  it should "emit the same sessions when streaming, trailing state flushed by event-time timeout" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    val q = Events.cappedSessionsStream(
+      Events.withEventWatermark(input.toDF(), "10 minutes"), gapUs, capUs)
+      .writeStream.format("memory").queryName("capped_out")
+      .outputMode("append").start()
+    try {
+      // mid-session batch boundaries: state must carry open sessions over
+      input.addData(cappedSample.filter(e => e.ts.getTime <= ts(40).getTime): _*)
+      q.processAllAvailable()
+      input.addData(cappedSample.filter(e => e.ts.getTime > ts(40).getTime): _*)
+      q.processAllAvailable()
+      // watermark mover: a far-future event on a sentinel user pushes the
+      // watermark past every open session's gap timeout → final flush
+      input.addData(cev(99, 9L, 100000))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val epoch0 = ts(0).getTime * 1000
+    val streamed = s.table("capped_out")
+      .where(col("user_id") < 9L)
+      .withColumn("session_start_us", col("session_start_us") - epoch0)
+      .withColumn("session_end_us", col("session_end_us") - epoch0)
+      .collect().map(asMinutes).toSet
+    streamed shouldBe expectedSessions
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
