@@ -1283,6 +1283,31 @@ object SparkEntry {
           (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
     }),
 
+    // decontamination through the prebuilt phrase index: which corpus
+    // documents (doc_id ≥ 20) contain any 3-gram of the "benchmark" set
+    // (doc_id < 20) — the probe side is broadcast, the index is never
+    // reshuffled, and the same materialized index serves any number of
+    // probe sets (vs q_decontaminate's per-benchmark join)
+    "q_index_probe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idx = pipeline.Index.phraseIndex(docs.where(col("doc_id") >= 20),
+        n = 3, minDf = 1, maxDf = Long.MaxValue)
+      val probes = pipeline.Index.phraseIndex(docs.where(col("doc_id") < 20),
+        n = 3, minDf = 1, maxDf = Long.MaxValue).select("gram")
+      pipeline.Index.probe(idx, probes)
+        .select("gram", "doc_id", "tf")
+        .orderBy("gram", "doc_id")
+    }),
+
+    // per-event trailing 1 h window per user (RANGE frame over event time,
+    // not ROWS): the rate-limiting / burst-detection shape; equal-ts peers
+    // share the frame per ANSI RANGE semantics on both engines
+    "q_events_rolling" -> ((s, dir) => {
+      streaming.Events.rollingUserStats(
+        streaming.Events.readEvents(s, dir), windowUs = 3600000000L)
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // duration-capped sessionization: sessions close on a 24 h inactivity
     // gap OR at 48 h since their first event — the cap resets at each
     // split, which makes the rule sequential (no window function can
@@ -2479,13 +2504,15 @@ object SparkEntry {
 
     "q_datacard" -> (tokSql +
       s""", qual AS (
-         |  SELECT doc_id, ROUND($qualityExprSql, 6) AS quality
+         |  SELECT doc_id,
+         |    CAST(FLOOR(ROUND($qualityExprSql, 6) * 1e6 + 0.5) AS BIGINT) AS mq
          |  FROM (
          |  $qualityInnerSql))
          |SELECT d.source, d.lang,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(len(t.t)) AS BIGINT) AS n_tokens,
-         |  ROUND(AVG(q.quality), 6) AS avg_quality_r,
+         |  ROUND(CAST(SUM(q.mq) AS DOUBLE) / COUNT(q.mq) / 1e6, 6)
+         |    AS avg_quality_r,
          |  ROUND(median(d.n_chars), 4) AS median_chars_r,
          |  CAST(MAX(d.n_chars) AS BIGINT) AS max_chars
          |FROM documents d
@@ -2496,6 +2523,30 @@ object SparkEntry {
     "q_ann_rp" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q_index_probe" -> (tposSql +
+      """, g AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+        |  FROM tpos a
+        |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+        |corp AS (
+        |  SELECT gram, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM g WHERE doc_id >= 20 GROUP BY 1, 2)
+        |SELECT c.gram, c.doc_id, c.tf
+        |FROM corp c JOIN bench b USING (gram)
+        |ORDER BY c.gram, c.doc_id""".stripMargin),
+
+    "q_events_rolling" ->
+      """SELECT event_id, user_id,
+        |       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+        |       ROUND(SUM(value) OVER w, 6) AS sum_window_r
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     // sequential split rule → recursive CTE: the walk carries each event's
     // current session start; all users advance in lockstep on rn, so the

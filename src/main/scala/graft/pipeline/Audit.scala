@@ -67,16 +67,23 @@ object Audit {
   def datacard(docs: DataFrame,
                keys: Seq[String] = Seq("source", "lang")): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    // the group mean must be ORDER-independent to hash-match any other
+    // engine: per-doc quality lands on the round-6 grid both engines agree
+    // on (q_text_quality pins it), is scaled to exact integer micro-units
+    // (floor(x·1e6 + 0.5) — an explicit floor because double→long CAST
+    // truncates in Spark but rounds in DuckDB), summed as a long (exact,
+    // any order), and divided once at the end. A float avg() flips the
+    // 6th decimal when a group's mean sits near the grid boundary —
+    // measured once in 97 groups at sf0.01 and once in 192 at sf1eq.
+    val microQuality =
+      floor(round(TextOps.qualityExpr, 6) * 1e6 + 0.5).cast("long")
     docs
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(toks).cast("long")).as("n_tokens"),
-        // average the per-doc ROUNDED quality: the two engines' unrounded
-        // scores carry a ~1e-7 bias (below the per-doc round-6 grid that
-        // q_text_quality pins, but enough to flip a 50-doc group average
-        // at the same grid); averaging the grid values is deterministic
-        round(avg(round(TextOps.qualityExpr, 6)), 6).as("avg_quality_r"),
+        round(sum(microQuality).cast("double") /
+          count(microQuality) / 1e6, 6).as("avg_quality_r"),
         round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars_r"),
         max(col("n_chars")).as("max_chars"))
   }

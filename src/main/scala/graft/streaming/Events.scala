@@ -187,6 +187,26 @@ object Events {
           Iterator(next)
       }
   }
+  /** Per-event trailing-window stats: how many events (and how much value)
+    * the same user produced in the preceding `windowUs`, current event
+    * inclusive — the RANGE-frame window (event-TIME frame, not row
+    * count), the rate-limiting / burst-detection shape. Equal-timestamp
+    * peers are in-frame together, per ANSI RANGE semantics on both
+    * engines. One shuffle on user_id; the frame is bounded by time, so
+    * state per row is O(events in window), never the whole partition. */
+  def rollingUserStats(events: DataFrame,
+                       windowUs: Long = 3600000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window_r", round(sum("value").over(w), 6))
+      .select("event_id", "user_id", "ts_us", "n_window", "sum_window_r")
+  }
+
   // ------------------------------------------------------------------
   // Duration-capped sessionization — the custom-state operator
   // `session_window` cannot express: sessions close on an inactivity gap
