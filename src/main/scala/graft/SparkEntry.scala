@@ -1336,6 +1336,93 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"),
           round(col("value"), 6).as("value_r"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // fixed-COUNT per-stratum sample: exactly min(k, |stratum|) rows per
+    // source in reproducible hash order — the deterministic reservoir
+    // replacement; the rank executes through the bounded-heap top-k
+    // operator, so a web-sized stratum costs O(k) memory, never a sort
+    "q_sample_fixed_k" -> ((s, dir) => {
+      ops.Sampling.fixedKPerStratum(
+        s.read.parquet(s"$dir/documents.parquet"),
+        keyCol = "doc_id", strataCol = "source", k = 5, salt = "fk0")
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    }),
+
+    // snapshot diff (CDC): one full-outer key join classifies a re-crawl
+    // against the served corpus into insert/update/delete rows — the
+    // incremental primitive that keeps downstream work ∝ |changes|. The
+    // two snapshots derive from the fixture by SQL-replicable rules so
+    // the oracle can rebuild both sides exactly
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val oldSnap = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newSnap = docs.where(col("doc_id") % 17 =!= 3)
+      ops.Snapshot.diff(oldSnap, newSnap, "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
+        .select("doc_id", "change", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // changeset apply (the other half of the CDC loop): snapshot + its
+    // own diff must reproduce the new corpus EXACTLY — the oracle is just
+    // the new corpus, so the round-trip identity is the hash check; the
+    // anti-join's change side is broadcast, the snapshot never shuffles
+    "q_apply_changes" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val oldSnap = docs.where(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newSnap = docs.where(col("doc_id") % 17 =!= 3)
+      val changes = ops.Snapshot.diff(oldSnap, newSnap, "doc_id",
+        Seq("text", "lang", "source", "n_chars"))
+      ops.Snapshot.applyChanges(oldSnap, changes, "doc_id")
+        .select("doc_id", "text", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // collocation mining: PMI over adjacent token pairs with a min-count
+    // floor — the multi-word-expression / vocabulary signal; top pairs by
+    // (rounded) PMI with full tie-breaks so the cut is deterministic
+    "q_pmi_bigrams" -> ((s, dir) => {
+      pipeline.TextOps.pmiCollocations(
+        s.read.parquet(s"$dir/documents.parquet"), minCount = 5L)
+        .orderBy(col("pmi_r").desc, col("w1"), col("w2"))
+        .limit(100)
+    }),
+
+    // cohort retention: users keyed by first-ever event day, counted per
+    // day-offset — shuffle ∝ active user-days after the (user, day)
+    // dedup, never ∝ raw events
+    "q_retention" -> ((s, dir) => {
+      streaming.Events.retentionCohorts(streaming.Events.readEvents(s, dir))
+        .orderBy("cohort_day", "offset_days")
+    }),
+
+    // behavioral path mining: each user-day's event types in event-time
+    // order collapse to a path string, identical paths counted corpus-wide
+    // — per-group lists bounded by one user's one day, sorted in-task
+    "q_session_paths" -> ((s, dir) => {
+      streaming.Events.dailyPaths(streaming.Events.readEvents(s, dir))
+        .orderBy(col("n_user_days").desc, col("path"))
+        .limit(50)
+    }),
+
+    // decontamination behind a Bloom prefilter: the corpus probes the
+    // benchmark-gram Bloom bits map-locally (codegen'd bit ops, no join,
+    // no shuffle) and only ~0.2% false positives + true hits reach the
+    // exact verify join — the scale path when the blocklist outgrows a
+    // broadcast hash table; the answer (and oracle) is exactly
+    // q_decontaminate's
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.decontaminateBloom(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0))
+        .orderBy("doc_id")
     })
   )
 
@@ -2581,6 +2668,97 @@ object SparkEntry {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY ts, event_id) = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_sample_fixed_k" ->
+      """SELECT source, doc_id, sample_rank FROM (
+        |  SELECT source, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |           ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null')
+        |                               || '#fk0'), 1, 15))::BIGINT,
+        |           doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v1' ELSE text END AS text,
+        |         lang, source, n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |new AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |d AS (
+        |  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |              WHEN n.doc_id IS NULL THEN 'delete'
+        |              WHEN n.text IS DISTINCT FROM o.text
+        |                OR n.lang IS DISTINCT FROM o.lang
+        |                OR n.source IS DISTINCT FROM o.source
+        |                OR n.n_chars IS DISTINCT FROM o.n_chars THEN 'update'
+        |         END AS change,
+        |         COALESCE(n.n_chars, o.n_chars) AS n_chars
+        |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change, n_chars FROM d
+        |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    // the round-trip identity IS the check: snapshot + diff(snapshot, new)
+    // must equal new, so the oracle is simply the new corpus — fully
+    // independent of both operators under test
+    "q_apply_changes" ->
+      """SELECT doc_id, text, n_chars FROM documents
+        |WHERE doc_id % 17 <> 3 ORDER BY doc_id""".stripMargin,
+
+    "q_pmi_bigrams" -> (tposSql +
+      """, bg AS (
+        |  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM tpos a JOIN tpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY w1),
+        |m2 AS (SELECT w2, SUM(c12) AS c2 FROM bg GROUP BY w2),
+        |n AS (SELECT SUM(c12) AS n FROM bg)
+        |SELECT w1, w2, c12,
+        |       ROUND(ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+        |                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi_r
+        |FROM bg JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+        |WHERE c12 >= 5
+        |ORDER BY pmi_r DESC, w1, w2 LIMIT 100""".stripMargin),
+
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(datediff('day', cohort_day, day) AS BIGINT) AS offset_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM ud JOIN coh USING (user_id)
+        |GROUP BY coh.cohort_day, datediff('day', cohort_day, day)
+        |ORDER BY cohort_day, offset_days""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH p AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id, day)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+        |FROM p GROUP BY path
+        |ORDER BY n_user_days DESC, path LIMIT 50""".stripMargin,
+
+    // identical to q_decontaminate by design: the Bloom stage is a pure
+    // prefilter, so any difference is a false NEGATIVE — the bug class
+    // this oracle exists to catch
+    "q_decontaminate_bloom" -> (trigramTextSql +
+      """, bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0),
+        |ov AS (SELECT doc_id, COUNT(*) AS n
+        |       FROM corp JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_contaminated,
+        |       CAST(CASE WHEN COALESCE(ov.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin)
   )
 }

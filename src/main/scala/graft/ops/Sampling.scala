@@ -68,6 +68,34 @@ object Sampling {
         lit("#" + salt))) < thresholdCol)
   }
 
+  /** Fixed-COUNT per-stratum sample: exactly `min(k, |stratum|)` rows per
+    * stratum — the deterministic replacement for per-group reservoir
+    * sampling ("5 eval docs per source", "k probes per language"), where
+    * the rate samplers can only target an expected count. Rows rank by
+    * (hash60(key#salt), key) within their stratum — the same reproducible
+    * identity order the rate samplers use, so membership is a pure
+    * function of (key set, salt, k), stable under repartitioning, and
+    * adding rows to a stratum only displaces, never reshuffles, the
+    * selection order.
+    *
+    * Shape at scale: the rank is a `row_number` window that the
+    * GroupedTopKLimit rewrite executes as bounded two-phase heaps (≤ k
+    * rows of state per stratum per task) around one hash exchange — a
+    * whole stratum is never sorted, so a web-dominated mix with one giant
+    * stratum costs O(k) memory, not O(|stratum| log |stratum|). */
+  def fixedKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                       k: Int, salt: String = "fixedk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = Hashing.hash60(
+      concat(coalesce(col(keyCol).cast("string"), lit("null")),
+        lit("#" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("sample_rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Token-budget mixture sampling: per stratum (source/domain), keep the
     * deterministic hash-ordered PREFIX of documents whose cumulative token
     * count fits the stratum's budget — how a training mix is actually

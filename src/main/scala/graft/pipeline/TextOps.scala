@@ -136,6 +136,43 @@ object TextOps {
         col("mean_logp_r"))
   }
 
+  /** Collocation mining: pointwise mutual information over adjacent token
+    * pairs — `pmi(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b)))` with all counts
+    * taken over the corpus's bigram events (N = total bigrams, `c(a,·)` =
+    * a as bigram left, `c(·,b)` = b as bigram right), so every
+    * probability conditions on exactly the observed event space — the
+    * vocabulary-construction / multi-word-expression signal a tokenizer
+    * pipeline mines before training. Pairs below `minCount` are dropped
+    * first (PMI is noise-dominated at low counts — a hapax pair scores
+    * maximal PMI by construction).
+    *
+    * Shape: one bigram aggregation (shuffle ∝ tokens), then the two
+    * marginal tables are re-aggregated FROM the (a,b) count table —
+    * |distinct bigrams| rows, not another pass over the corpus — and
+    * joined back; N is a one-row broadcast. `pmi_r` is rounded for
+    * engine-exact comparison; ties broken by (w1, w2). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val tp = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val a = tp.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+    val b = tp.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("tok").as("w2"))
+    val c12 = a.join(b,
+      col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist()
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("n"))
+    c12.where(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6)
+          .as("pmi_r"))
+  }
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */
@@ -297,6 +334,34 @@ object TextOps {
     val corpusShingles = Dedup.shingles(corpus, n)
     val benchShingles = Dedup.shingles(benchmark, n).select("sh_hash").distinct()
     val overlap = corpusShingles.join(broadcast(benchShingles), "sh_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select("doc_id").join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** [[decontaminate]] with a Bloom prefilter — the scale path for when
+    * the benchmark/blocklist n-gram set outgrows a comfortable broadcast
+    * HASH join (a billion grams ≈ 30 GB hashed vs ≈ 2 GB of Bloom bits at
+    * 16 bits/key). The corpus side probes the bits map-locally (pure
+    * codegen'd bit ops riding the plan — no join node, no shuffle) and
+    * only the ~0.2% false positives plus true hits reach the exact verify
+    * join, so even a shuffled verify would move almost nothing. Results
+    * are EXACTLY [[decontaminate]]'s — the Bloom can only over-admit, and
+    * the verify join re-checks every survivor against the exact set.
+    *
+    * The gram-hash collect is driver-bounded by the probe set (a
+    * benchmark suite), same contract as [[decontaminate]]'s broadcast. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                         bitsPerKey: Int = 16, k: Int = 4): DataFrame = {
+    val benchShingles = Dedup.shingles(benchmark, n).select("sh_hash").distinct()
+    val hashes = benchShingles.collect().map(_.getLong(0))
+    val bits = Bloom.build(hashes, bitsPerKey, k)
+    val candidates = Dedup.shingles(corpus, n)
+      .where(Bloom.mightContain(bits, col("sh_hash")))
+    val overlap = candidates.join(broadcast(benchShingles), "sh_hash")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     corpus.select("doc_id").join(overlap, Seq("doc_id"), "left")
       .select(

@@ -207,6 +207,56 @@ object Events {
       .select("event_id", "user_id", "ts_us", "n_window", "sum_window_r")
   }
 
+  /** Cohort retention: users bucketed by their FIRST-ever event day
+    * (the cohort), then counted on each later day they were active,
+    * keyed by day offset from their cohort — the retention-curve input
+    * every growth/engagement dashboard draws. Day labels are formatted
+    * strings so the output schema is engine-neutral.
+    *
+    * Shape: one distinct on (user, day) — shuffle ∝ active user-days,
+    * not events — a min-aggregate per user over that SAME reduced table
+    * (not a second pass over raw events), one equi-join on user_id, one
+    * final hash aggregate. `n_users` needs no DISTINCT: (user, day) is
+    * unique after the dedup and a user has exactly one cohort day, so
+    * each user lands in each (cohort, offset) cell at most once. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    val cohorts = userDays.groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    userDays.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day"))
+        .cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days"), col("n_users"))
+  }
+
+  /** Behavioral path mining: each user-day's events in event-time order
+    * collapse to a `type>type>...` path string, then identical paths are
+    * counted across the corpus — the "what do users actually do"
+    * sequence-frequency view (funnel discovery, bot-pattern spotting).
+    * Ties on ts break by event_id, so the path is deterministic.
+    *
+    * Shape: one shuffle on (user, day); the per-group event list is
+    * bounded by a single user's single day — the natural sessionization
+    * bound — sorted in-task by `array_sort` (struct order = field order:
+    * ts micros first), never a global sort. The path table then hash-
+    * aggregates; shuffle ∝ distinct paths. */
+  def dailyPaths(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id", "day")
+      .agg(collect_list("e").as("es"))
+      .select(concat_ws(">",
+        expr("transform(array_sort(es), x -> x.event_type)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_user_days"))
+
   // ------------------------------------------------------------------
   // Duration-capped sessionization — the custom-state operator
   // `session_window` cannot express: sessions close on an inactivity gap
