@@ -248,6 +248,64 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "q_sample_fixed_k" should "rank strata through the top-k operator, never a per-stratum sort" in {
+    val df = SparkEntry.queries("q_sample_fixed_k")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_apply_changes" should "broadcast the changeset anti-join, never shuffle the snapshot" in {
+    val df = SparkEntry.queries("q_apply_changes")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the survivors anti-join must be a broadcast hash join (the 100 TB
+    // snapshot side stays in place; only the small changeset ships)
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    plan should not include "SortMergeJoin LeftAnti"
+  }
+
+  "q_decontaminate_bloom" should "probe the Bloom bits map-side and verify via broadcast" in {
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the prefilter is pure bit arithmetic in a Filter over the corpus
+    // grams — no join node, no shuffle; only survivors reach the exact
+    // verify join, which broadcasts the benchmark set
+    plan should include("getbit")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  "q_snapshot_diff and q_retention and q_session_paths" should "never plan a cartesian product or a one-task funnel" in {
+    for (name <- Seq("q_snapshot_diff", "q_retention", "q_session_paths")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      withClue(name) {
+        plan.linesIterator.count(_.contains(
+          "Exchange SinglePartition")) shouldBe 0
+      }
+    }
+  }
+
+  "q_pmi_bigrams" should "keep the corpus pass cartesian-free (the only funnels are one-row totals)" in {
+    val df = SparkEntry.queries("q_pmi_bigrams")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the global bigram total N is a partial-then-final aggregate: its
+    // SinglePartition exchange moves one partial row per task, and the
+    // one-row result rides a broadcast NLJ back onto the pair table —
+    // both bounded by partition count, not data. Nothing else may funnel.
+    plan.linesIterator.count(_.contains("Exchange SinglePartition")) should be <= 2
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
