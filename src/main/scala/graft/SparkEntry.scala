@@ -1377,8 +1377,11 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 10 === 0,
           concat(col("text"), lit(" v1"))).otherwise(col("text")))
       val newSnap = docs.where(col("doc_id") % 17 =!= 3)
+      // the changeset feeds BOTH apply branches (anti-join keys + the
+      // insert/update union side) — persist so the full-outer diff join
+      // runs once, not once per consumer
       val changes = ops.Snapshot.diff(oldSnap, newSnap, "doc_id",
-        Seq("text", "lang", "source", "n_chars"))
+        Seq("text", "lang", "source", "n_chars")).persist()
       ops.Snapshot.applyChanges(oldSnap, changes, "doc_id")
         .select("doc_id", "text", "n_chars")
         .orderBy("doc_id")
@@ -1423,6 +1426,23 @@ object SparkEntry {
         docs.where(col("doc_id") % 37 =!= 0),
         docs.where(col("doc_id") % 37 === 0))
         .orderBy("doc_id")
+    }),
+
+    // source-onboarding column profile: rows / NULLs / exact distinct per
+    // column in ONE aggregation statement (multi-distinct via Expand —
+    // one corpus pass), unpivoted from a single aggregate row
+    "q_profile_docs" -> ((s, dir) => {
+      pipeline.Audit.profile(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name")
+    }),
+
+    // datacard length panel: fixed-width histogram with edge-bin clamping
+    // (every non-NULL row is accounted for) in integer-exact bin math
+    "q_histogram_chars" -> ((s, dir) => {
+      pipeline.Audit.histogram(s.read.parquet(s"$dir/documents.parquet"),
+        "n_chars", nBins = 32, lo = 0L, hi = 640L)
+        .orderBy("bin")
     })
   )
 
@@ -2759,6 +2779,22 @@ object SparkEntry {
         |       CAST(CASE WHEN COALESCE(ov.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
         |         AS contaminated
         |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
-        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin)
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
+
+    "q_profile_docs" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "q_histogram_chars" ->
+      """SELECT CAST(floor(LEAST(GREATEST(n_chars, 0), 639) * 32 / 640)
+        |            AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

@@ -59,6 +59,58 @@ object Audit {
         (col("entered") - col("kept")).as("dropped"))
   }
 
+  /** Column-level profile — the first query run against an unfamiliar
+    * source before it enters the pipeline: per column, row count, NULL
+    * count and exact distinct count, in long format `(column_name,
+    * n_rows, n_nulls, n_distinct)`.
+    *
+    * Shape: ONE aggregation statement; Spark plans the multi-column
+    * DISTINCT via Expand (one corpus pass, rows duplicated ×|cols|+1
+    * before the partial aggregate — the standard multi-distinct shape).
+    * Exact distinct is the *onboarding* contract (small-to-mid sources,
+    * and it must hash-match any other engine); for corpus-scale
+    * monitoring where ±2% is fine, [[graft.ops.Sketches]]' HLL path is
+    * the one-pass-no-Expand alternative. The per-stage rows come from
+    * `stack`-unpivoting the single aggregate row, so driver traffic is
+    * one row regardless of input size. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"unknown columns: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"_nulls_$c"),
+        countDistinct(col(c)).as(s"_dist_$c"))
+    }
+    val stackArgs = cols.map { c =>
+      s"'${c.replace("'", "''")}', n_rows, `_nulls_$c`, `_dist_$c`"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs)" +
+        " as (column_name, n_rows, n_nulls, n_distinct)")
+  }
+
+  /** Fixed-width histogram over an integral column — the length/size
+    * distribution panel of a datacard. Values clamp into `[lo, hi)`
+    * (under/overflow lands in the edge bins — a histogram must account
+    * for every non-NULL row, not silently drop outliers); NULLs are
+    * excluded. Bin index arithmetic is (exactly-representable) integer
+    * products under one IEEE division, identical on any engine — no
+    * float-edge ambiguity to drift across the oracle boundary. One
+    * map-side-combined hash aggregate; ≤ `nBins` rows out. */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                lo: Long, hi: Long): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val v = col(valueCol).cast("long")
+    val vc = least(greatest(v, lit(lo)), lit(hi - 1L))
+    val bin = floor((vc - lit(lo)) * lit(nBins.toLong) / lit(hi - lo))
+      .cast("long")
+    df.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Corpus datacard: per profile-key group (e.g. source × lang), the
     * shape numbers a training-mix decision needs — document and token
     * volume, mean quality, and the exact median document length.

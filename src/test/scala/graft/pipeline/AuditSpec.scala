@@ -70,4 +70,44 @@ class AuditSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     de.getAs[Long]("n_docs") shouldBe 1L
     de.getAs[Double]("median_chars_r") shouldBe 12.0
   }
+
+  "profile" should "count rows, NULLs and exact distincts per column" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("b"))
+    ).toDF("id", "tag")
+    val got = Audit.profile(df, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    got("id") shouldBe ((4L, 1L, 2L))  // NULL not counted as distinct
+    got("tag") shouldBe ((4L, 1L, 2L))
+  }
+
+  it should "stay one aggregation statement and reject unknown columns" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a")).toDF("id", "tag")
+    // one Aggregate family (Spark splits multi-distinct via Expand — the
+    // point is one STATEMENT/one scan, not per-column jobs)
+    Audit.profile(df, Seq("id", "tag")).queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    } should have size 1
+    an[IllegalArgumentException] should be thrownBy
+      Audit.profile(df, Seq("nope"))
+  }
+
+  "histogram" should "bin with edge clamping and drop NULLs" in {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some(-5L), Some(0L), Some(9L), Some(10L), Some(25L),
+      Some(99L), Some(100L), Some(777L), None).toDF("v")
+    // 10 bins over [0, 100): width 10; -5 clamps into bin 0, 100 and 777
+    // clamp into bin 9
+    val got = Audit.histogram(df, "v", nBins = 10, lo = 0L, hi = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L)
+    got.values.sum shouldBe 8L // every non-NULL row accounted for
+  }
 }
