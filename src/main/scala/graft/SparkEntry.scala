@@ -1443,8 +1443,73 @@ object SparkEntry {
       pipeline.Audit.histogram(s.read.parquet(s"$dir/documents.parquet"),
         "n_chars", nBins = 32, lo = 0L, hi = 640L)
         .orderBy("bin")
+    }),
+
+    // ordered funnel conversion: first view → first click strictly after
+    // it → first purchase strictly after that, per user, in ONE pass over
+    // the event table (sorted-group fold; the N-pass conditional-min
+    // alternative scans it `steps` times). Long format: one row per
+    // achieved step, times as epoch micros (tz-proof hash compare)
+    "q_funnel" -> ((s, dir) => {
+      streaming.Events.funnel(streaming.Events.readEvents(s, dir),
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id", "step")
+    }),
+
+    // gap-filled daily value series: sparse per-(user, day) totals
+    // densified onto each user's [first, last]-day spine, missing days
+    // forward-filled from the last observed total — sparse events → a
+    // regular time-series feature table
+    "q_gap_fill" -> ((s, dir) => {
+      streaming.Events.gapFillDaily(streaming.Events.readEvents(s, dir))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("v_fill"), 6).as("v_fill_r"), col("observed"))
+        .orderBy("user_id", "day")
+    }),
+
+    // skip-gram context pairs (window 3): generated map-side in one
+    // codegen'd projection — no positional self-join — so the only
+    // shuffle is the final pair-count aggregation
+    "q_skipgram" -> ((s, dir) => {
+      pipeline.TextOps.skipgramCounts(
+        s.read.parquet(s"$dir/documents.parquet"), window = 3, minCount = 5L)
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+    }),
+
+    // deterministic disjoint train/val/test split: a pure map-side hash
+    // projection — reproducible under repartitioning, stable under
+    // appends, exactly partitions the key space
+    "q_split_assign" -> ((s, dir) => {
+      ops.Sampling.assignSplit(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", splitFractions)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // exact per-source top tokens: corpus token counts ranked within each
+    // source through the GroupedTopKLimit bounded heaps — a whole
+    // source's vocabulary is never sorted
+    "q_top_tokens_source" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          explode(pipeline.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("source", "w")
+        .agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy("source").orderBy(col("c").desc, col("w"))
+      c.withColumn("rn", row_number().over(win).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("source"), col("w"), col("c"), col("rn"))
+        .orderBy("source", "rn")
     })
   )
+
+  /** Split fractions shared between `q_split_assign` and its oracle: the
+    * oracle SQL interpolates the SAME driver-computed integer thresholds
+    * (`Sampling.cumThresholds`), so cumulative-double rounding cannot
+    * disagree across the engine boundary. */
+  private val splitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** Shared DuckDB CTEs for the text pipeline: whitespace tokens, hashed
     * distinct 3-gram shingles (md5-60bit, identical to Hashing.hash60). */
@@ -2795,6 +2860,91 @@ object SparkEntry {
         |            AS BIGINT) AS bin,
         |       CAST(COUNT(*) AS BIGINT) AS n_rows
         |FROM documents WHERE n_chars IS NOT NULL
-        |GROUP BY 1 ORDER BY bin""".stripMargin
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // sequential semantics pinned by the CTE chain: each step's MIN(ts)
+    // is constrained strictly after the previous step's achieved time
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id, CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+        |       CAST(epoch_us(t) AS BIGINT) AS t_us FROM s1
+        |UNION ALL
+        |SELECT user_id, CAST(2 AS INTEGER), 'click',
+        |       CAST(epoch_us(t) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT user_id, CAST(3 AS INTEGER), 'purchase',
+        |       CAST(epoch_us(t) AS BIGINT) FROM s3
+        |ORDER BY user_id, step""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+        |         SUM(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+        |      FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d
+        |    ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       ROUND(LAST_VALUE(v IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY day
+        |                     ROWS UNBOUNDED PRECEDING), 6) AS v_fill_r,
+        |       v IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    // the oracle generates the same pair set by positional self-join —
+    // an independent algorithm from the map-side generator under test
+    "q_skipgram" -> (tposSql +
+      """SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM tpos a JOIN tpos b
+        |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |ORDER BY c DESC, w1, w2""".stripMargin),
+
+    "q_split_assign" -> {
+      val thr = ops.Sampling.cumThresholds(splitFractions.map(_._2))
+      s"""SELECT doc_id,
+         |       CASE WHEN h < ${thr(0)} THEN 'train'
+         |            WHEN h < ${thr(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |             ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+         |                                          'null') || '#split'),
+         |                             1, 15))::BIGINT AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_top_tokens_source" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'),
+        |                     x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tw AS (SELECT source, unnest(t) AS w FROM toks),
+        |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM tw GROUP BY 1, 2)
+        |SELECT source, w, c, rn FROM (
+        |  SELECT source, w, c,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, w) AS rn
+        |  FROM c)
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
   )
 }

@@ -68,6 +68,47 @@ object Sampling {
         lit("#" + salt))) < thresholdCol)
   }
 
+  /** Cumulative integer thresholds over 2^60 hash space for an ordered
+    * list of split fractions. Computed ONCE driver-side in a fixed
+    * association order — the oracle SQL interpolates these exact longs, so
+    * float-to-int conversion can never disagree across the engine
+    * boundary (0.8 + 0.1 is not the double closest to 0.9; recomputing
+    * the cumulative sum per engine would put boundary keys in different
+    * splits). */
+  def cumThresholds(fractions: Seq[Double]): Seq[Long] = {
+    require(fractions.nonEmpty, "need at least one fraction")
+    fractions.foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0, 1], got $f"))
+    val total = fractions.sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    fractions.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(math.min(c, 1.0) * (1L << 60).toDouble))
+  }
+
+  /** Deterministic disjoint dataset split (train/val/test): every row gets
+    * a `split` label from the position of hash60(key#salt) among the
+    * cumulative fraction thresholds. A pure map-side projection — no
+    * shuffle, no sort, no sampling state — so the assignment is
+    * reproducible under repartitioning, stable under appends (an existing
+    * key never changes split), and exactly partitions the key space: the
+    * last threshold is 2^60 and hash60 < 2^60 always, so no row is
+    * unlabeled and no row lands in two splits. */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    val thr = cumThresholds(fractions.map(_._2))
+    require(thr.last == (1L << 60),
+      "fractions must cover the hash space (sum to 1)")
+    val h = Hashing.hash60(
+      concat(coalesce(col(keyCol).cast("string"), lit("null")),
+        lit("#" + salt)))
+    val splitCol = fractions.map(_._1).zip(thr)
+      .foldRight(lit(null).cast("string")) { case ((name, t), acc) =>
+        when(h < lit(t), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", splitCol)
+  }
+
   /** Fixed-COUNT per-stratum sample: exactly `min(k, |stratum|)` rows per
     * stratum — the deterministic replacement for per-group reservoir
     * sampling ("5 eval docs per source", "k probes per language"), where

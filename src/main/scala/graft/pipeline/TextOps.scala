@@ -173,6 +173,36 @@ object TextOps {
           .as("pmi_r"))
   }
 
+  /** Skip-gram co-occurrence counts: directed token pairs `(t[i], t[j])`
+    * for `i < j <= i + window` — the word2vec-style context-pair statistic
+    * that generalizes [[pmiCollocations]]'s adjacency (window = 1) to a
+    * context window.
+    *
+    * Shape: unlike the PMI operator's positional self-join, the pair set
+    * here is generated MAP-SIDE in one codegen'd projection (nested
+    * `transform` over index `sequence`s, flattened and exploded) — fan-out
+    * is ∝ tokens·window with no join and no shuffle of per-token rows; the
+    * only exchange is the final (w1, w2) count aggregation, which
+    * map-side-combines to ∝ distinct pairs. At corpus scale that is the
+    * difference between shuffling every token position twice and shuffling
+    * the (much smaller, Zipf-concentrated) pair vocabulary once. */
+  def skipgramCounts(docs: DataFrame, window: Int = 3,
+                     minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    docs.select(tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(t) - 2),
+           |  i -> transform(sequence(i + 1, least(i + $window, size(t) - 1)),
+           |    j -> struct(element_at(t, i + 1) AS w1,
+           |                element_at(t, j + 1) AS w2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+  }
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */

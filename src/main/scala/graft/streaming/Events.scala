@@ -257,6 +257,79 @@ object Events {
       .groupBy("path")
       .agg(count(lit(1)).as("n_user_days"))
 
+  /** Ordered funnel analysis: for each user, the FIRST completion time of
+    * each step, where step k must occur strictly after step k-1's achieved
+    * time (the sequential-conversion semantics — a purchase before the
+    * click does not count). Emits one row per achieved step in long
+    * format: `(user_id, step, step_name, t_us)` — general in the number
+    * of steps, no N-wide nullable schema.
+    *
+    * Shape: ONE shuffle on `user_id`; per-user ts order comes from
+    * `flatMapSortedGroups` — the shuffle's own spillable sort, so a hot
+    * user with millions of events never has to fit in heap, and the fold
+    * is a single forward pass (ascending ts means "first event of step k
+    * after t_{k-1}" is simply the next match). The N-pass alternative —
+    * one conditional-min aggregate + re-join per step — scans the event
+    * table `steps` times; this scans it once. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) { (user, rows) =>
+        val achieved = Array.fill[Long](stepArr.length)(Long.MinValue)
+        var i = 0
+        var prevT = Long.MinValue
+        rows.foreach { case (_, tsUs, _, tpe) =>
+          if (i < stepArr.length && tpe == stepArr(i) &&
+              (i == 0 || tsUs > prevT)) {
+            achieved(i) = tsUs
+            prevT = tsUs
+            i += 1
+          }
+        }
+        (0 until i).iterator.map(k =>
+          FunnelStep(user, k + 1, stepArr(k), achieved(k)))
+      }
+      .toDF()
+  }
+
+  /** Forward-filled daily value series per user: per-(user, day) event
+    * value totals, densified onto each user's full [first-day, last-day]
+    * date spine, with missing days carrying the last observed total — the
+    * standard gap-fill that turns sparse event streams into regular
+    * time-series features.
+    *
+    * Shape: every stage is keyed by user — the daily aggregate, the
+    * per-user bounds, the spine explode (fan-out ∝ days, map-side), the
+    * spine⋈daily join and the forward-fill window all hash on `user_id`
+    * (or its superset `(user_id, day)`), so no stage is a global sort and
+    * the window partition is bounded by one user's day span. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(sum("value").as("v"))
+      .persist()
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_fill"),
+        col("v").isNotNull.as("observed"))
+  }
+
   // ------------------------------------------------------------------
   // Duration-capped sessionization — the custom-state operator
   // `session_window` cannot express: sessions close on an inactivity gap
@@ -365,6 +438,9 @@ final case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
 
 /** Open-session state of [[Events.cappedSessions]] (micros since epoch). */
 final case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+final case class FunnelStep(user_id: Long, step: Int, step_name: String,
+                            t_us: Long)
 
 /** Emitted session of [[Events.cappedSessions]]. */
 final case class CappedSession(user_id: Long, session_start_us: Long,

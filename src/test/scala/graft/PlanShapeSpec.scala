@@ -306,6 +306,50 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("BroadcastNestedLoopJoin")
   }
 
+  "q_split_assign" should "be a pure map-side projection — no exchange at all" in {
+    val df = SparkEntry.queries("q_split_assign")(spark, dir)
+    // drop the output orderBy (display-only) to inspect the assignment body
+    val core = ops.Sampling.assignSplit(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    core.queryExecution.executedPlan.toString should not include "Exchange"
+    df.collect() // and the full query still runs
+  }
+
+  "q_skipgram" should "generate pairs map-side — one aggregation exchange, no join" in {
+    val df = SparkEntry.queries("q_skipgram")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "join"
+    // every hash exchange is the (w1, w2) pair-count aggregation's — the
+    // pair GENERATION shuffles nothing (AQE's toString prints the initial
+    // and final plan, so assert on the key, not the count)
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => l should include("w1"))
+    plan should include("Exchange hashpartitioning")
+  }
+
+  "q_top_tokens_source" should "rank through the GroupedTopKLimit bounded heaps" in {
+    val df = SparkEntry.queries("q_top_tokens_source")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_funnel and q_gap_fill" should "never plan a cartesian product or a one-task funnel" in {
+    for (name <- Seq("q_funnel", "q_gap_fill")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(name) {
+        plan should not include "CartesianProduct"
+        plan.linesIterator.count(_.contains(
+          "Exchange SinglePartition")) shouldBe 0
+      }
+    }
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -236,6 +236,41 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Sampling.hashSample(df, "id", 0.5, "t").count() shouldBe got
   }
 
+  it should "assign every row to exactly one split at the target fractions" in {
+    val df = s.range(20000).toDF("id")
+    val splits = Sampling.assignSplit(df, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive + disjoint: counts sum to the corpus
+    splits.values.sum shouldBe 20000L
+    splits.keySet shouldBe Set("train", "val", "test")
+    splits("train").toDouble / 20000 shouldBe 0.8 +- 0.01
+    splits("val").toDouble / 20000 shouldBe 0.1 +- 0.01
+    splits("test").toDouble / 20000 shouldBe 0.1 +- 0.01
+  }
+
+  it should "keep split assignments stable under repartitioning and appends" in {
+    val df = s.range(2000).toDF("id")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val base = asMap(Sampling.assignSplit(df, "id", fr).select("id", "split"))
+    val reparted = asMap(Sampling.assignSplit(df.repartition(13), "id", fr)
+      .select("id", "split"))
+    reparted shouldBe base
+    // appending rows never moves an existing key's split
+    val grown = asMap(Sampling.assignSplit(
+      s.range(4000).toDF("id"), "id", fr).select("id", "split"))
+    base.foreach { case (k, v) => grown(k) shouldBe v }
+  }
+
+  it should "reject fractions that do not sum to 1" in {
+    val df = s.range(10).toDF("id")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+  }
+
   it should "give independent samples under different salts" in {
     val df = s.range(20000).toDF("id")
     val a = Sampling.hashSample(df, "id", 0.1, "holdout")

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.functions._
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
@@ -43,5 +44,61 @@ class PmiSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val pairs = TextOps.pmiCollocations(docs, minCount = 2L)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     pairs shouldBe Set(("x", "y"), ("y", "x"))
+  }
+
+  behavior of "TextOps.skipgramCounts"
+
+  it should "emit every directed pair within the window, clipped at doc ends" in {
+    import s.implicits._
+    // tokens: a b c d  with window 2 →
+    //   ab, ac, bc, bd, cd  (never ad — distance 3)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextOps.skipgramCounts(docs, window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe Map(
+      ("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L)
+  }
+
+  it should "reduce to bigram adjacency at window 1 and skip 1-token docs" in {
+    import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.skipgramCounts(docs, window = 1, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe Map(("a", "b") -> 1L, ("b", "a") -> 1L)
+  }
+
+  it should "match the positional-self-join spelling on a random corpus" in {
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("u", "v", "w", "x", "y", "z")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+      .toDF("doc_id", "text").persist()
+    val tp = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+    val expect = tp.as("a").join(tp.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 3)
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = TextOps.skipgramCounts(docs, window = 3, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    got shouldBe expect
+    docs.unpersist()
+  }
+
+  it should "plan the pair generation without a join node" in {
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.skipgramCounts(docs, window = 3, minCount = 1L)
+      .queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "join"
   }
 }

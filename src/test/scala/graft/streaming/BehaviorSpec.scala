@@ -64,4 +64,109 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Events.dailyPaths(events).collect()
       .map(_.getString(0)) shouldBe Array("a>b")
   }
+
+  behavior of "Events.funnel"
+
+  private def us(t: Timestamp): Long = t.getTime * 1000L
+
+  it should "require steps strictly in order — an early purchase does not count" in {
+    val events = ev(Seq(
+      // user 1 completes in order
+      (1L, 1L, ts(1, 1), "view"), (2L, 1L, ts(1, 2), "click"),
+      (3L, 1L, ts(1, 3), "purchase"),
+      // user 2: purchase BEFORE the click — only view+click achieved
+      (4L, 2L, ts(1, 1), "view"), (5L, 2L, ts(1, 2), "purchase"),
+      (6L, 2L, ts(1, 3), "click"),
+      // user 3: never views — enters no step even though click+purchase exist
+      (7L, 3L, ts(1, 1), "click"), (8L, 3L, ts(1, 2), "purchase")))
+    val got = Events.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id", "step")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    got shouldBe Array(
+      (1L, 1, "view", us(ts(1, 1))), (1L, 2, "click", us(ts(1, 2))),
+      (1L, 3, "purchase", us(ts(1, 3))),
+      (2L, 1, "view", us(ts(1, 1))), (2L, 2, "click", us(ts(1, 3))))
+  }
+
+  it should "take the FIRST qualifying event per step and exclude equal timestamps" in {
+    val events = ev(Seq(
+      // two views: first one wins
+      (1L, 1L, ts(1, 1), "view"), (2L, 1L, ts(1, 5), "view"),
+      // click at EXACTLY the view's ts is not strictly after → the 2nd counts
+      (3L, 1L, ts(1, 1), "click"), (4L, 1L, ts(1, 4), "click")))
+    val got = Events.funnel(events, Seq("view", "click"))
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(3)))
+    got shouldBe Array((1, us(ts(1, 1))), (2, us(ts(1, 4))))
+  }
+
+  it should "match the N-pass conditional-min spelling on a random fixture" in {
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Array("view", "click", "purchase", "other")
+    val events = (1L to 600L).map(i =>
+      (i, rnd.nextInt(25).toLong + 1L,
+        new Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        types(rnd.nextInt(types.length))))
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .persist()
+    // reference: step k = min ts of its type strictly after step k-1
+    val s1 = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = events.join(s1, "user_id")
+      .where(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = events.join(s2, "user_id")
+      .where(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val expect =
+      s1.select(col("user_id"), lit(1).as("step"), unix_micros(col("t1")).as("t_us"))
+        .union(s2.select(col("user_id"), lit(2), unix_micros(col("t2"))))
+        .union(s3.select(col("user_id"), lit(3), unix_micros(col("t3"))))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = Events.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    got shouldBe expect
+    events.unpersist()
+  }
+
+  behavior of "Events.gapFillDaily"
+
+  private def evv(rows: Seq[(Long, Long, Timestamp, String, Double)]) = {
+    import s.implicits._
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+  }
+
+  it should "densify each user's day span and forward-fill missing days" in {
+    val events = evv(Seq(
+      // user 1: day 1 (two events), day 4 — days 2,3 filled from day 1
+      (1L, 1L, ts(1, 1), "view", 2.0), (2L, 1L, ts(1, 9), "view", 3.0),
+      (3L, 1L, ts(4, 2), "view", 10.0),
+      // user 2: single day — spine is that one day
+      (4L, 2L, ts(2, 5), "view", 7.0)))
+    val got = Events.gapFillDaily(events)
+      .orderBy("user_id", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getBoolean(3)))
+    got shouldBe Array(
+      (1L, "2024-03-01", 5.0, true),
+      (1L, "2024-03-02", 5.0, false),
+      (1L, "2024-03-03", 5.0, false),
+      (1L, "2024-03-04", 10.0, true),
+      (2L, "2024-03-02", 7.0, true))
+  }
+
+  it should "never fill across users" in {
+    val events = evv(Seq(
+      (1L, 1L, ts(1), "view", 1.0), (2L, 1L, ts(3), "view", 2.0),
+      (3L, 2L, ts(2), "view", 9.0), (4L, 2L, ts(4), "view", 8.0)))
+    val byUser = Events.gapFillDaily(events).collect()
+      .groupBy(_.getLong(0))
+    // user 2's filled day-3 value comes from ITS day-2 value, not user 1's
+    val u2 = byUser(2L).map(r => r.getDate(1).toString -> r.getDouble(2)).toMap
+    u2 shouldBe Map("2024-03-02" -> 9.0, "2024-03-03" -> 9.0,
+      "2024-03-04" -> 8.0)
+    byUser(1L).length shouldBe 3
+  }
 }
