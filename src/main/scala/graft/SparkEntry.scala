@@ -1487,6 +1487,94 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the TPC-H Q3 shape — segment-filtered customers ⋈ open orders ⋈
+    // late-shipping lineitems, revenue top-10: the canonical "filter
+    // early, join on keys, aggregate, bounded top-k" OLAP plan. Both
+    // join keys hash-partition; the segment and date filters reach the
+    // scans; the top-10 is a TakeOrdered, never a global sort
+    "q_tpch_q3" -> ((s, dir) => {
+      val cutoff = "1997-01-01"
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue_r"))
+        .orderBy(col("revenue_r").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // the TPC-H Q5 shape — six-table star join with region/nation
+    // broadcast and a local-supplier equi-constraint, revenue per nation:
+    // the dimension tables ride the driver as broadcasts, the two fact
+    // joins hash-partition on their keys
+    "q_tpch_q5" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= "1997-01-01" &&
+          col("o_orderdate") < "1998-01-01")
+        .select("o_orderkey", "o_custkey")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_name") === "ASIA")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue_r"))
+        .orderBy(col("revenue_r").desc, col("n_name"))
+    }),
+
+    // reciprocal-rank fusion of two retrieval rankings (sqeuclidean and
+    // cosine kNN over the probe set): score = Σ 1/(60 + rank), absent
+    // lists contribute 0. Both input rankings execute through the
+    // GroupedTopKLimit bounded heaps; the fusion is a (i, j) full outer
+    // join of two ≤20-row-per-probe lists. Every arithmetic step is an
+    // IEEE double op in a fixed association order, so the score — and the
+    // fused ranking — is bit-identical cross-engine
+    "q_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val pts = IO.readEmbeddings(s, dir)
+      def ranked(metric: String) =
+        Knn.topKPerPointRanked(
+          Knn.bruteForcePairs(pts, metric).where(col("i") < 20), 20)
+      val se = ranked("sqeuclidean").select(col("i"), col("j"),
+        col("rn").as("rn_se"))
+      val cs = ranked("cosine").select(col("i").as("ci"), col("j").as("cj"),
+        col("rn").as("rn_cs"))
+      val fusedScore =
+        coalesce(lit(1.0) / (lit(60.0) + col("rn_se")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rn_cs")), lit(0.0))
+      val fused = se.join(cs,
+          col("i") === col("ci") && col("j") === col("cj"), "full_outer")
+        .select(coalesce(col("i"), col("ci")).as("i"),
+          coalesce(col("j"), col("cj")).as("j"),
+          fusedScore.as("score"))
+      val w = Window.partitionBy("i").orderBy(col("score").desc, col("j"))
+      fused.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 10)
+        .select(col("i"), col("j"), col("rn"), round(col("score"), 9).as("score_r"))
+        .orderBy("i", "rn")
+    }),
+
     // exact per-source top tokens: corpus token counts ranked within each
     // source through the GroupedTopKLimit bounded heaps — a whole
     // source's vocabulary is never sorted
@@ -2930,6 +3018,70 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue_r
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1997-01-01' AND l_shipdate > '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_r DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue_r
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue_r DESC, n_name""".stripMargin,
+
+    // every arithmetic step (1/(60+r), one add) is an IEEE double op in
+    // the same association order as the Spark side, so the fused score
+    // and ordering are bit-identical — no tolerance needed
+    "q_rrf_fusion" ->
+      """WITH de AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))^2)) AS dist
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |se AS (
+        |  SELECT i, j, rn FROM (
+        |    SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+        |    FROM de) WHERE rn <= 20),
+        |dc AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         1.0 - list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (sqrt(list_sum(list_transform(a.embedding,
+        |                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(b.embedding,
+        |                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS dist
+        |  FROM embeddings a CROSS JOIN embeddings b
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |cs AS (
+        |  SELECT i, j, rn FROM (
+        |    SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY dist, j) AS rn
+        |    FROM dc) WHERE rn <= 20),
+        |f AS (
+        |  SELECT COALESCE(se.i, cs.i) AS i, COALESCE(se.j, cs.j) AS j,
+        |         COALESCE(1.0 / (60 + se.rn), 0) +
+        |         COALESCE(1.0 / (60 + cs.rn), 0) AS score
+        |  FROM se FULL OUTER JOIN cs ON se.i = cs.i AND se.j = cs.j)
+        |SELECT i, j, rn, ROUND(score, 9) AS score_r FROM (
+        |  SELECT i, j, score,
+        |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY score DESC, j) AS rn
+        |  FROM f)
+        |WHERE rn <= 10 ORDER BY i, rn""".stripMargin,
 
     "q_top_tokens_source" ->
       """WITH toks AS (

@@ -350,6 +350,32 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "q_tpch_q3" should "push both date filters to the scans and take a bounded top-10" in {
+    val plan = formattedPlan("q_tpch_q3")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+    // each fact scan carries its pushed date predicate
+    plan should include("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,")
+    plan should include("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate,")
+    plan should include("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+  }
+
+  "q_tpch_q5" should "broadcast the dimension tables and never plan a cartesian product" in {
+    val df = SparkEntry.queries("q_tpch_q5")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  "q_rrf_fusion" should "rank both input lists through the GroupedTopKLimit heaps" in {
+    val df = SparkEntry.queries("q_rrf_fusion")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
