@@ -1487,6 +1487,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-language winsorized quality: clamp to the exact nearest-rank
+    // [p05, p95] per lang — cutoffs are ACTUAL data values from the
+    // two-phase prefix scan, broadcast back; the clamp is map-side
+    "q_quality_winsor" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          pipeline.TextOps.qualityExpr.as("q"))
+      ops.Normalize.winsorizePerStratum(base, "doc_id", "lang", "q",
+        loQ = (1L, 20L), hiQ = (19L, 20L), salt = "wins")
+        .select(col("doc_id"), col("lang"), col("q").as("q_r"),
+          col("q_winsor").as("q_winsor_r"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source min-max scaling to [0, 1]: extrema via one hash
+    // aggregate broadcast back; the scale is two exact long subtractions
+    // and ONE IEEE division — bit-identical cross-engine
+    "q_minmax_scale" -> ((s, dir) => {
+      ops.Normalize.minMaxScalePerStratum(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"),
+        "source", "n_chars")
+        .select(col("doc_id"), col("source"),
+          round(col("n_chars_scaled"), 9).as("scaled_r"))
+        .orderBy("doc_id")
+    }),
+
+    // equi-depth (equal-count) histogram over document lengths: bucket =
+    // exact global rank · nBuckets div N via the terasort-style prefix
+    // scan — never a one-task window; boundaries are actual data values
+    "q_equidepth_hist" -> ((s, dir) => {
+      ops.Analytics.equiDepthHistogram(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "n_chars"),
+        "doc_id", "n_chars", nBuckets = 16, salt = "eqd")
+        .orderBy("bucket")
+    }),
+
+    // per-source OLS trend of token count vs char count from the five
+    // integer moment sums — one hash aggregate, shuffle ∝ sources; the
+    // slope/intercept are each a single IEEE division of exact longs
+    "q_ols_trend" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("n_chars"),
+          size(pipeline.TextOps.tokens(col("text"))).as("n_tokens"))
+      ops.Analytics.olsTrendPerGroup(base, "source", "n_chars", "n_tokens")
+        .orderBy("source")
+    }),
+
     // the TPC-H Q3 shape — segment-filtered customers ⋈ open orders ⋈
     // late-shipping lineitems, revenue top-10: the canonical "filter
     // early, join on keys, aggregate, bounded top-k" OLAP plan. Both
@@ -3018,6 +3067,93 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // cutoffs re-derived by the same nearest-rank rule over the same
+    // (value, hash, key) order the prefix scan uses
+    "q_quality_winsor" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     tk -> len(tk) > 0) AS t
+         |  FROM documents),
+         |qd AS (
+         |  SELECT doc_id, lang, ROUND($qualityExprSql, 6) AS q
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      len(list_filter(t, tk -> tk IN ('the','a','an','of','and','or','in','to','is')))
+         |        * 1.0 / len(t) AS stop_ratio,
+         |      len(list_distinct(t)) * 1.0 / len(t) AS type_ratio,
+         |      (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+         |        * 1.0 / length(text) AS alpha_ratio,
+         |      length(text) * 1.0 / len(t) AS mean_len
+         |    FROM toks)),
+         |hh AS (
+         |  SELECT doc_id, lang, q,
+         |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#wins'), 1, 15))::BIGINT AS h
+         |  FROM qd WHERE q IS NOT NULL),
+         |r AS (
+         |  SELECT lang, q,
+         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, h, doc_id) AS rn,
+         |         COUNT(*) OVER (PARTITION BY lang) AS c
+         |  FROM hh),
+         |cuts AS (
+         |  SELECT lang,
+         |         MAX(CASE WHEN rn = GREATEST((c * 1 + 19) // 20, 1) THEN q END) AS lo,
+         |         MAX(CASE WHEN rn = GREATEST((c * 19 + 19) // 20, 1) THEN q END) AS hi
+         |  FROM r GROUP BY lang)
+         |SELECT qd.doc_id, qd.lang, qd.q AS q_r,
+         |       LEAST(GREATEST(qd.q, cuts.lo), cuts.hi) AS q_winsor_r
+         |FROM qd LEFT JOIN cuts USING (lang)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_minmax_scale" ->
+      """WITH s AS (
+        |  SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, d.source,
+        |       CASE WHEN d.n_chars IS NULL THEN NULL
+        |            WHEN mx = mn THEN 0.0
+        |            ELSE ROUND((d.n_chars - mn) / (mx - mn), 9) END AS scaled_r
+        |FROM documents d LEFT JOIN s ON d.source = s.source
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_equidepth_hist" ->
+      """WITH hh AS (
+        |  SELECT doc_id, n_chars,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#eqd'), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, h, doc_id) AS rn,
+        |         COUNT(*) OVER () AS c
+        |  FROM hh)
+        |SELECT ((rn - 1) * 16) // c AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_ols_trend" ->
+      """WITH b AS (
+        |  SELECT source, n_chars AS x,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                         tk -> len(tk) > 0)) AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM b GROUP BY source)
+        |SELECT source, n,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+        |       END AS slope_r,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |            ELSE ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |                       / CAST(n * sxx - sx * sx AS DOUBLE), 9)
+        |       END AS intercept_r
+        |FROM a ORDER BY source""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-stratum score normalization — the feature-conditioning step between
+  * raw quality signals and threshold-based curation (a length cutoff that
+  * is right for English is wrong for Chinese; normalizing per language
+  * makes one downstream threshold meaningful everywhere).
+  *
+  * Both operators are engine-exact by construction: the winsorize cutoffs
+  * are ACTUAL data values picked by exact nearest-rank (never an
+  * interpolated float), and the min-max scale is two IEEE subtractions and
+  * one division on identical operands — so oracle comparison needs no
+  * tolerance beyond output rounding.
+  */
+object Normalize {
+
+  /** Winsorize `valueCol` within each stratum: clamp to the exact
+    * nearest-rank [`loQ`, `hiQ`] quantile values (fractions as rationals,
+    * e.g. (1, 20) = p05). Cutoffs come from
+    * [[Sketches.exactQuantilesPerStratum]] — the two-phase distributed
+    * prefix scan — and ride back as a BROADCAST of 2 rows per stratum, so
+    * the clamp itself is map-side; no stratum is ever sorted in one task.
+    * NULL values stay NULL (they are excluded from ranking and must not
+    * clamp to the low cutoff); strata absent from the cutoff table (all
+    * NULL) pass through unchanged. */
+  def winsorizePerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                          valueCol: String, loQ: (Long, Long),
+                          hiQ: (Long, Long),
+                          salt: String = "wins"): DataFrame = {
+    val cuts = Sketches.exactQuantilesPerStratum(df, keyCol, strataCol,
+      valueCol, Map("lo" -> loQ, "hi" -> hiQ), salt)
+    val wide = cuts.groupBy(col(strataCol))
+      .agg(max(when(col("quantile") === "lo", col(valueCol))).as("__lo"),
+        max(when(col("quantile") === "hi", col(valueCol))).as("__hi"))
+    df.join(broadcast(wide), Seq(strataCol), "left")
+      .withColumn(s"${valueCol}_winsor",
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Min-max scale `valueCol` to [0, 1] within each stratum:
+    * `(v - min) / (max - min)`, with a degenerate stratum (min = max)
+    * mapping to 0.0. Per-stratum extrema are one hash aggregate broadcast
+    * back — the scale itself is map-side. NULL values stay NULL. */
+  def minMaxScalePerStratum(df: DataFrame, strataCol: String,
+                            valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(strataCol))
+      .agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
+    df.join(broadcast(stats), Seq(strataCol), "left")
+      .withColumn(s"${valueCol}_scaled",
+        when(col(valueCol).isNull, lit(null))
+          .when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col(valueCol) - col("__mn")) /
+            (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
+}

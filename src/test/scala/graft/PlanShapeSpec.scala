@@ -350,6 +350,27 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "q_quality_winsor and q_minmax_scale" should "broadcast the per-stratum stats back — no stratum-wide sort or shuffled join" in {
+    for (name <- Seq("q_quality_winsor", "q_minmax_scale")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(name) {
+        plan should include("BroadcastHashJoin")
+        plan should not include "SortMergeJoin"
+        plan should not include "Window"
+      }
+    }
+  }
+
+  "q_equidepth_hist" should "use the two-phase prefix scan — no one-task window" in {
+    val df = SparkEntry.queries("q_equidepth_hist")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan.linesIterator.count(_.contains("Exchange SinglePartition")) shouldBe 0
+  }
+
   "q_tpch_q3" should "push both date filters to the scans and take a bounded top-10" in {
     val plan = formattedPlan("q_tpch_q3")
     plan should include("TakeOrderedAndProject")

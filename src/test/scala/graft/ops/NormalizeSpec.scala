@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+/** Winsorization, min-max scaling, the equi-depth histogram and grouped
+  * OLS trends against hand-computed fixtures. */
+class NormalizeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private lazy val s = spark
+
+  behavior of "Normalize.winsorizePerStratum"
+
+  it should "clamp to the exact nearest-rank cutoffs per stratum" in {
+    import s.implicits._
+    // stratum a: values 1..10 → p20 cutoff = ceil(10·1/5)=rank 2 → 2,
+    //            p80 cutoff = ceil(10·4/5)=rank 8 → 8
+    val df = (1 to 10).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("id", "g", "v")
+    val got = Normalize.winsorizePerStratum(df, "id", "g", "v",
+      loQ = (1L, 5L), hiQ = (4L, 5L))
+      .orderBy("id")
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    got.map(_._1) shouldBe (1 to 10).map(_.toDouble)
+    got.map(_._2) shouldBe Seq(2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 8.0)
+  }
+
+  it should "keep NULL values NULL and isolate strata" in {
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", Some(1.0)), (2L, "a", Some(100.0)), (3L, "a", None),
+      (4L, "b", Some(-50.0)), (5L, "b", Some(50.0)))
+      .toDF("id", "g", "v")
+    val got = Normalize.winsorizePerStratum(df, "id", "g", "v",
+      loQ = (1L, 2L), hiQ = (1L, 1L))
+      .orderBy("id")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    // a: lo = rank ceil(2·1/2)=1 → 1.0, hi = rank 2 → 100.0
+    // b: lo = rank 1 → -50.0, hi = rank 2 → 50.0 — never a's cutoffs
+    got shouldBe Seq(Some(1.0), Some(100.0), None, Some(-50.0), Some(50.0))
+  }
+
+  behavior of "Normalize.minMaxScalePerStratum"
+
+  it should "scale to [0,1] per stratum with degenerate strata at 0" in {
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 7L), (5L, "b", 7L))
+      .toDF("id", "g", "v")
+    val got = Normalize.minMaxScalePerStratum(df, "g", "v")
+      .orderBy("id")
+      .collect().map(_.getDouble(3))
+    got shouldBe Seq(0.0, 0.5, 1.0, 0.0, 0.0)
+  }
+
+  behavior of "Analytics.equiDepthHistogram"
+
+  it should "give equal-count buckets (±1) with true boundaries" in {
+    import s.implicits._
+    val df = (1 to 103).map(i => (i.toLong, (104 - i).toLong))
+      .toDF("id", "v")
+    val got = Analytics.equiDepthHistogram(df, "id", "v", nBuckets = 4)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.map(_._1) shouldBe Seq(0L, 1L, 2L, 3L)
+    // 103 rows over 4 buckets: sizes 26/26/26/25 by the rank·nB div N rule
+    got.map(_._2).sum shouldBe 103L
+    got.map(_._2).max - got.map(_._2).min should be <= 1L
+    // buckets tile the value range in order without overlap
+    got.sliding(2).foreach { case Array(a, b) => a._4 should be < b._3 }
+    got.head._3 shouldBe 1L
+    got.last._4 shouldBe 103L
+  }
+
+  it should "be invariant to input partitioning" in {
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
+    def run(parts: Int) =
+      Analytics.equiDepthHistogram(
+        rows.toDF("id", "v").repartition(parts), "id", "v", 8)
+        .orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    run(1) shouldBe run(17)
+  }
+
+  behavior of "Analytics.olsTrendPerGroup"
+
+  it should "recover an exact linear relation and NULL out zero variance" in {
+    import s.implicits._
+    // group a: y = 3x + 2 exactly; group b: constant x → undefined slope
+    val df = (Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"))
+      .map { case (x, g) => (g, x, 3 * x + 2) } ++
+      Seq(("b", 5L, 1L), ("b", 5L, 9L)))
+      .toDF("g", "x", "y")
+    val got = Analytics.olsTrendPerGroup(df, "g", "x", "y")
+      .orderBy("g").collect()
+    got(0).getLong(1) shouldBe 4L
+    got(0).getDouble(2) shouldBe 3.0
+    got(0).getDouble(3) shouldBe 2.0
+    got(1).isNullAt(2) shouldBe true
+    got(1).isNullAt(3) shouldBe true
+  }
+
+  it should "match a double-precision reference fit on noisy data" in {
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val pts = (1 to 300).map { _ =>
+      val x = rnd.nextInt(500).toLong
+      (x, 2 * x + rnd.nextInt(100).toLong)
+    }
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Analytics.olsTrendPerGroup(df, "g", "x", "y").collect().head
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r.getDouble(2) shouldBe slope +- 1e-6
+  }
+}
