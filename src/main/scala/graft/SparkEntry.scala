@@ -1536,6 +1536,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // per-document unigram entropy (lexical diversity): two hash aggs
+    // keyed by doc with map-side combine — never the O(distinct·len)
+    // per-doc array spelling
+    "q_token_entropy" -> ((s, dir) => {
+      pipeline.TextOps.tokenEntropy(
+        s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")
+    }),
+
+    // time-weighted average value per user (each value holds until the
+    // next event): one user-keyed shuffle, the lead() window bounded by
+    // one user's events
+    "q_twa" -> ((s, dir) => {
+      streaming.Events.timeWeightedAvg(streaming.Events.readEvents(s, dir))
+        .orderBy("user_id")
+    }),
+
     // the TPC-H Q3 shape — segment-filtered customers ⋈ open orders ⋈
     // late-shipping lineitems, revenue top-10: the canonical "filter
     // early, join on keys, aggregate, bounded top-k" OLAP plan. Both
@@ -3154,6 +3171,33 @@ object SparkEntry {
         |                       / CAST(n * sxx - sx * sx AS DOUBLE), 9)
         |       END AS intercept_r
         |FROM a ORDER BY source""".stripMargin,
+
+    "q_token_entropy" -> (tokSql +
+      """, tw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tw GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |             SUM(c * ln(c)) AS sclc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |       ROUND(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6)
+        |         AS entropy_r
+        |FROM e ORDER BY doc_id""".stripMargin),
+
+    "q_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, value,
+        |         LEAD(ts_us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) - ts_us AS dt_us
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, SUM(value * dt_us) AS svdt,
+        |         CAST(SUM(dt_us) AS BIGINT) AS span_us
+        |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
+        |FROM a ORDER BY user_id""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,

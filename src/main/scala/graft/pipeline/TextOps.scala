@@ -203,6 +203,30 @@ object TextOps {
       .where(col("c") >= minCount)
   }
 
+  /** Per-document unigram (token) entropy in nats:
+    * `H = ln(n) − (Σ c·ln c) / n` over the document's token counts — the
+    * lexical-diversity quality signal (near-zero = the repeated-token spam
+    * the Gopher repetition filters also target, high = diverse text).
+    * Token-less documents have no distribution and emit no row.
+    *
+    * Shape: token counts and the entropy reduction are two hash
+    * aggregations keyed by doc (map-side partial combine; shuffle ∝
+    * distinct (doc, token), then ∝ docs). Deliberately NOT the per-doc
+    * `transform(array_distinct(t), …)` map-side spelling — that is
+    * O(distinct·len) per document, quadratic on exactly the long
+    * repetitive documents this signal exists to catch. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("sclc"))
+      .select(col("doc_id"),
+        round(log(col("n").cast("double")) - col("sclc") / col("n"), 6)
+          .as("entropy_r"))
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */

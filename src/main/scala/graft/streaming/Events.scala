@@ -282,21 +282,88 @@ object Events {
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("ts_us"), col("event_id")) { (user, rows) =>
-        val achieved = Array.fill[Long](stepArr.length)(Long.MinValue)
-        var i = 0
-        var prevT = Long.MinValue
-        rows.foreach { case (_, tsUs, _, tpe) =>
-          if (i < stepArr.length && tpe == stepArr(i) &&
-              (i == 0 || tsUs > prevT)) {
-            achieved(i) = tsUs
-            prevT = tsUs
-            i += 1
-          }
-        }
-        (0 until i).iterator.map(k =>
-          FunnelStep(user, k + 1, stepArr(k), achieved(k)))
+        foldFunnel(user, FunnelProgress(0, Long.MinValue), stepArr,
+          rows.map(r => (r._2, r._4)))._1.iterator
       }
       .toDF()
+  }
+
+  /** Shared funnel fold over ts-ascending (tsUs, type) rows: advance the
+    * step cursor on the first event of the awaited step strictly after
+    * the previous step's time, emitting a [[FunnelStep]] per advance.
+    * Shared verbatim by the batch and streaming paths so the two cannot
+    * drift. */
+  private[streaming] def foldFunnel(
+      user: Long, start: FunnelProgress, stepArr: Array[String],
+      rows: Iterator[(Long, String)]): (Vector[FunnelStep], FunnelProgress) = {
+    var st = start
+    var out = Vector.empty[FunnelStep]
+    rows.foreach { case (tsUs, tpe) =>
+      if (st.step < stepArr.length && tpe == stepArr(st.step) &&
+          (st.step == 0 || tsUs > st.prevT)) {
+        out :+= FunnelStep(user, st.step + 1, stepArr(st.step), tsUs)
+        st = FunnelProgress(st.step + 1, tsUs)
+      }
+    }
+    (out, st)
+  }
+
+  /** Streaming funnel: keyed per-user progress state (step cursor + last
+    * achieved time — two fields, the smallest possible state), newly
+    * achieved steps emitted in Append mode as they happen. Rows are
+    * sorted by ts within each micro-batch slice; cross-batch order per
+    * key must be non-decreasing up to the watermark — the same
+    * assumption [[cappedSessionsStream]] makes. No timeout: there is
+    * nothing to flush (achievements emit immediately) and completed
+    * state is two fields per user. */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelStep] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toArray
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[FunnelProgress]) =>
+          val st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+          val (out, next) = foldFunnel(user, st, stepArr,
+            rows.toVector.sortBy(r => (r._2, r._3)).iterator
+              .map(r => (r._2, r._4)))
+          state.update(next)
+          out.iterator
+      }
+  }
+
+  /** Time-weighted average of `value` per user: each event's value holds
+    * until the next event, so the average weighs values by their holding
+    * duration — the sampled-sensor/price semantics where a plain mean
+    * over-counts bursts. The last event has no holding interval and drops
+    * out; single-event users report no row. Emits the held-value TWA and
+    * the total observed span in micros.
+    *
+    * Shape: one shuffle on `user_id`; the lead() window partition is
+    * bounded by one user's events. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("dt_us", lead("ts_us", 1).over(w) - col("ts_us"))
+      .where(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("value") * col("dt_us")).as("svdt"),
+        sum("dt_us").as("span_us"))
+      .select(col("user_id"),
+        round(col("svdt") / col("span_us"), 6).as("twa_r"),
+        col("span_us"))
   }
 
   /** Forward-filled daily value series per user: per-(user, day) event
@@ -441,6 +508,8 @@ final case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
 
 final case class FunnelStep(user_id: Long, step: Int, step_name: String,
                             t_us: Long)
+
+final case class FunnelProgress(step: Int, prevT: Long)
 
 /** Emitted session of [[Events.cappedSessions]]. */
 final case class CappedSession(user_id: Long, session_start_us: Long,

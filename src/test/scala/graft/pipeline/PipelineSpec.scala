@@ -284,6 +284,21 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     st.getAs[Double]("avg_token_len_r") shouldBe 1.75 +- 1e-9
   }
 
+  "TextOps.tokenEntropy" should "match hand-computed entropy and skip token-less docs" in {
+    val out = TextOps.tokenEntropy(docs(
+      (1L, "a a a a"),        // one type → H = 0
+      (2L, "a b c d"),        // uniform over 4 → H = ln 4
+      (3L, "a a b"),          // H = ln 3 − (2 ln 2)/3
+      (4L, "")))              // no tokens → no row
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe 0.0
+    out(2L) shouldBe r6(math.log(4))
+    out(3L) shouldBe r6(math.log(3) - 2 * math.log(2) / 3)
+    out.contains(4L) shouldBe false
+  }
+
   it should "split BPE-ish runs on symbol boundaries" in {
     val st = TextOps.textStats(docs((1L, "ab12,cd!"))).collect().head
     st.getAs[Long]("n_bpeish") shouldBe 5L // ab | 12 | , | cd | !

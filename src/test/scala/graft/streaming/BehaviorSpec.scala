@@ -130,6 +130,24 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     events.unpersist()
   }
 
+  behavior of "Events.timeWeightedAvg"
+
+  it should "weigh each value by its holding duration" in {
+    // v=2 held 10 min, v=4 held 20 min → twa = (2·10 + 4·20)/30 = 10/3
+    val events = evv(Seq(
+      (1L, 1L, ts(1, 0), "view", 2.0),
+      (2L, 1L, Timestamp.valueOf("2024-03-01 00:10:00"), "view", 4.0),
+      (3L, 1L, Timestamp.valueOf("2024-03-01 00:30:00"), "view", 9.9),
+      // single-event user: no holding interval, no row
+      (4L, 2L, ts(2), "view", 5.0)))
+    val got = Events.timeWeightedAvg(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    got.keySet shouldBe Set(1L)
+    got(1L)._1 shouldBe BigDecimal(10.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(1L)._2 shouldBe 30L * 60 * 1000000
+  }
+
   behavior of "Events.gapFillDaily"
 
   private def evv(rows: Seq[(Long, Long, Timestamp, String, Double)]) = {

@@ -460,6 +460,47 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed shouldBe expectedSessions
   }
 
+  "funnelStream" should "equal the batch funnel across micro-batch boundaries" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // user 1 completes view→click→purchase split across two batches with
+    // the click arriving out-of-order WITHIN its batch; user 2's purchase
+    // precedes its click and must not count
+    val funnelSample = Seq(
+      Ev(0L, ts(5), 1L, "view", 1.0, "{}"),
+      Ev(1L, ts(30), 2L, "view", 1.0, "{}"),
+      Ev(2L, ts(35), 2L, "purchase", 1.0, "{}"),
+      Ev(3L, ts(40), 2L, "click", 1.0, "{}"),
+      // batch 2 (user 1): purchase enqueued before the earlier click —
+      // the batch-slice sort must reorder them
+      Ev(4L, ts(90), 1L, "purchase", 1.0, "{}"),
+      Ev(5L, ts(60), 1L, "click", 1.0, "{}"))
+
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[Ev]
+    val q = Events.funnelStream(input.toDF(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      input.addData(funnelSample.take(4): _*)
+      q.processAllAvailable()
+      input.addData(funnelSample.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))
+    val streamed = s.table("funnel_out").collect().map(key).toSet
+    val batch = Events.funnel(funnelSample.toDF(), steps)
+      .collect().map(key).toSet
+    streamed shouldBe batch
+    // and the semantics: user 1 completes all 3, user 2 stops after click
+    streamed.count(_._1 == 1L) shouldBe 3
+    streamed.count(_._1 == 2L) shouldBe 2
+  }
+
   "propsStats" should "extract the k property" in {
     val s = spark
     import s.implicits._
