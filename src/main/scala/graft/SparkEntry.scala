@@ -1553,6 +1553,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // market-basket pair mining over user-day baskets: co-presence counts
+    // + exact-arithmetic lift (integer products, one IEEE division) —
+    // pairs generated map-side per basket, marginals re-aggregated from
+    // the basket table, never a second events pass
+    "q_basket_pairs" -> ((s, dir) => {
+      streaming.Events.basketPairs(
+        streaming.Events.readEvents(s, dir), minSupport = 2L)
+        .orderBy("a", "b")
+    }),
+
+    // trailing-7-day distinct active users per day (the WAU curve):
+    // map-side fan-out of the deduped user-day table onto the report
+    // days it covers — never a per-day window join over raw events
+    "q_rolling_active" -> ((s, dir) => {
+      streaming.Events.rollingActiveUsers(
+        streaming.Events.readEvents(s, dir), windowDays = 7)
+        .select(date_format(col("report_day"), "yyyy-MM-dd").as("report_day"),
+          col("active_users"))
+        .orderBy("report_day")
+    }),
+
     // the TPC-H Q3 shape — segment-filtered customers ⋈ open orders ⋈
     // late-shipping lineitems, revenue top-10: the canonical "filter
     // early, join on keys, aggregate, bounded top-k" OLAP plan. Both
@@ -3198,6 +3219,48 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // the oracle mines pairs by positional self-join over the distinct
+    // (user, day, type) table — an independent algorithm from the
+    // per-basket map-side generator under test
+    "q_basket_pairs" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day,
+        |         event_type
+        |  FROM events),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |       FROM (SELECT DISTINCT user_id, day FROM ut)),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT x.event_type AS a, y.event_type AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.day = y.day
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, c12, ma.c AS c1, mb.c AS c2, n_baskets,
+        |       ROUND(CAST(n_baskets * c12 AS DOUBLE)
+        |             / CAST(ma.c * mb.c AS DOUBLE), 6) AS lift_r
+        |FROM p JOIN m ma ON p.a = ma.event_type
+        |       JOIN m mb ON p.b = mb.event_type
+        |       CROSS JOIN nb
+        |WHERE c12 >= 2 ORDER BY a, b""".stripMargin,
+
+    // the oracle counts by band join over a generated day spine — the
+    // window-join spelling of the fan-out construction under test
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud))
+        |SELECT strftime(d, '%Y-%m-%d') AS report_day,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM spine JOIN ud
+        |  ON ud.day BETWEEN d - INTERVAL 6 DAY AND d
+        |GROUP BY d ORDER BY report_day""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,

@@ -29,12 +29,16 @@ object Normalize {
                           valueCol: String, loQ: (Long, Long),
                           hiQ: (Long, Long),
                           salt: String = "wins"): DataFrame = {
-    val cuts = Sketches.exactQuantilesPerStratum(df, keyCol, strataCol,
+    // the input feeds THREE scans (stratum counts, the ranked pass, the
+    // clamp join's left side) — persist so an expensive derived valueCol
+    // (e.g. a tokenizing quality score) is computed once, not three times
+    val cached = df.persist()
+    val cuts = Sketches.exactQuantilesPerStratum(cached, keyCol, strataCol,
       valueCol, Map("lo" -> loQ, "hi" -> hiQ), salt)
     val wide = cuts.groupBy(col(strataCol))
       .agg(max(when(col("quantile") === "lo", col(valueCol))).as("__lo"),
         max(when(col("quantile") === "hi", col(valueCol))).as("__hi"))
-    df.join(broadcast(wide), Seq(strataCol), "left")
+    cached.join(broadcast(wide), Seq(strataCol), "left")
       .withColumn(s"${valueCol}_winsor",
         when(col(valueCol).isNull, lit(null))
           .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))

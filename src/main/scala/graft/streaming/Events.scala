@@ -397,6 +397,79 @@ object Events {
         col("v").isNotNull.as("observed"))
   }
 
+  /** Market-basket pair mining over user-day baskets: each (user, day)'s
+    * DISTINCT event types form a basket; co-present pairs (a < b) are
+    * counted and scored with lift = N·c12 / (c1·c2) — the set-based
+    * companion to PMI's sequence adjacency (association rules: "users who
+    * error also purchase?"). Lift is exact cross-engine: integer products
+    * in numerator and denominator, ONE IEEE division.
+    *
+    * Shape: baskets are one (user, day) aggregation; the pair set is
+    * generated MAP-SIDE per basket (nested `transform` over the sorted
+    * distinct items — bounded by the event-type vocabulary, not events);
+    * marginals and the basket total re-aggregate from the basket table,
+    * not a second pass over events. The persist covers the three
+    * consumers (pairs, marginals, total). */
+  def basketPairs(events: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val baskets = events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(sort_array(collect_set("event_type")).as("items"))
+      .persist()
+    val pairs = baskets
+      // guard: Spark's sequence(0, -1) is DESCENDING, so a 1-item basket
+      // must not reach the generator (it has no pairs anyway)
+      .where(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(items) - 2),
+          |  i -> transform(sequence(i + 1, size(items) - 1),
+          |    j -> struct(element_at(items, i + 1) AS a,
+          |                element_at(items, j + 1) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minSupport)
+    val marginals = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("c"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(marginals.select(col("item").as("a"), col("c").as("c1")), "a")
+      .join(marginals.select(col("item").as("b"), col("c").as("c2")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("c12"), col("c1"), col("c2"),
+        col("n_baskets"),
+        round((col("n_baskets") * col("c12")).cast("double")
+          / (col("c1") * col("c2")).cast("double"), 6).as("lift_r"))
+  }
+
+  /** Rolling active users: for each day, the count of distinct users
+    * active in the trailing `windowDays` window — the DAU/WAU metric.
+    * Instead of a per-day window join, each (user, day) CONTRIBUTES
+    * map-side to the `windowDays` report days it covers (fan-out ×
+    * windowDays over the deduped user-day table, not raw events), then a
+    * distinct-count per report day. Report days past the corpus's last
+    * active day are cut by a 1-row broadcast bound. */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    val maxDay = userDays.agg(max("day").as("max_day"))
+    userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          date_add(col("day"), windowDays - 1))).as("report_day"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("report_day") <= col("max_day"))
+      .groupBy("report_day")
+      .agg(countDistinct("user_id").as("active_users"))
+  }
+
   // ------------------------------------------------------------------
   // Duration-capped sessionization — the custom-state operator
   // `session_window` cannot express: sessions close on an inactivity gap

@@ -65,6 +65,55 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .map(_.getString(0)) shouldBe Array("a>b")
   }
 
+  behavior of "Events.basketPairs"
+
+  it should "count co-present pairs per user-day basket with exact lift" in {
+    val events = ev(Seq(
+      // user 1 day 1: {click, view} (duplicate view collapses)
+      (1L, 1L, ts(1, 1), "view"), (2L, 1L, ts(1, 2), "click"),
+      (3L, 1L, ts(1, 3), "view"),
+      // user 1 day 2: {view} — no pair, but counts in marginals/total
+      (4L, 1L, ts(2, 1), "view"),
+      // user 2 day 1: {click, error, view}
+      (5L, 2L, ts(1, 4), "click"), (6L, 2L, ts(1, 5), "view"),
+      (7L, 2L, ts(1, 6), "error")))
+    val got = Events.basketPairs(events, minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // 3 baskets; marginals view=3, click=2, error=1
+    got(("click", "view")) shouldBe ((2L, 2L, 3L, 3L, 1.0))
+    got(("click", "error")) shouldBe ((1L, 2L, 1L, 3L, 1.5))
+    got(("error", "view")) shouldBe ((1L, 1L, 3L, 3L, 1.0))
+    got.size shouldBe 3
+  }
+
+  it should "enforce the support floor" in {
+    val events = ev(Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(1, 1), "b"),
+      (3L, 2L, ts(1), "a"), (4L, 2L, ts(1, 1), "b"),
+      (5L, 3L, ts(1), "a"), (6L, 3L, ts(1, 1), "c")))
+    val got = Events.basketPairs(events, minSupport = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got shouldBe Array(("a", "b"))
+  }
+
+  behavior of "Events.rollingActiveUsers"
+
+  it should "count trailing-window distinct users and cut past the last active day" in {
+    val events = ev(Seq(
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(3), "view"),
+      (3L, 1L, ts(3, 5), "click"), // same user-day: dedup before fan-out
+      (4L, 2L, ts(2), "view")))
+    val got = Events.rollingActiveUsers(events, windowDays = 2)
+      .orderBy("report_day")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1))
+    got shouldBe Array(
+      "2024-03-01" -> 1L, // u1
+      "2024-03-02" -> 2L, // u1 (from day 1) + u2
+      "2024-03-03" -> 2L) // u1 + u2 (from day 2); day 4 cut at max day
+  }
+
   behavior of "Events.funnel"
 
   private def us(t: Timestamp): Long = t.getTime * 1000L
