@@ -1553,6 +1553,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // z-order layout key over (n_chars, doc_id): fixed-width buckets from
+    // a broadcast 1-row extrema aggregate, then the mask-and-shift Morton
+    // spread — all integer bit math, map-side, exactly recomputable by
+    // the oracle. Range-partitioning this key is the OPTIMIZE ZORDER
+    // layout whose per-file stats prune scans on BOTH columns
+    "q_zorder_key" -> ((s, dir) => {
+      ops.Layout.withZorderKey(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "n_chars"),
+        "n_chars", "doc_id", bits = 16)
+        .select("doc_id", "zkey")
+        .orderBy("doc_id")
+    }),
+
     // market-basket pair mining over user-day baskets: co-presence counts
     // + exact-arithmetic lift (integer products, one IEEE division) —
     // pairs generated map-side per basket, marginals re-aggregated from
@@ -3219,6 +3233,34 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // the same bucket + mask-and-shift ladder in DuckDB integer bit ops —
+    // any drift in the key math breaks the hash
+    "q_zorder_key" ->
+      """WITH ext AS (
+        |  SELECT MIN(n_chars) AS mn1, MAX(n_chars) AS mx1,
+        |         MIN(doc_id) AS mn2, MAX(doc_id) AS mx2
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN mx1 = mn1 THEN 0
+        |              ELSE ((n_chars - mn1) * 65536) // (mx1 - mn1 + 1)
+        |         END AS b1,
+        |         CASE WHEN mx2 = mn2 THEN 0
+        |              ELSE ((doc_id - mn2) * 65536) // (mx2 - mn2 + 1)
+        |         END AS b2
+        |  FROM documents CROSS JOIN ext),
+        |s1 AS (SELECT doc_id, b1 & 65535 AS x, b2 & 65535 AS y FROM b),
+        |s2 AS (SELECT doc_id, (x | (x << 8)) & 16711935 AS x,
+        |              (y | (y << 8)) & 16711935 AS y FROM s1),
+        |s3 AS (SELECT doc_id, (x | (x << 4)) & 252645135 AS x,
+        |              (y | (y << 4)) & 252645135 AS y FROM s2),
+        |s4 AS (SELECT doc_id, (x | (x << 2)) & 858993459 AS x,
+        |              (y | (y << 2)) & 858993459 AS y FROM s3),
+        |s5 AS (SELECT doc_id, (x | (x << 1)) & 1431655765 AS x,
+        |              (y | (y << 1)) & 1431655765 AS y FROM s4)
+        |SELECT doc_id, CAST((x << 1) | y AS BIGINT) AS zkey
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     // the oracle mines pairs by positional self-join over the distinct
     // (user, day, type) table — an independent algorithm from the
