@@ -1567,6 +1567,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // mixed-language detection: language-ID per non-overlapping 32-token
+    // chunk, per-doc distinct-language count + deterministic majority —
+    // generator fan-out + two doc-keyed hash aggs, no window
+    "q_lang_mix" -> ((s, dir) => {
+      pipeline.TextOps.langMix(
+        s.read.parquet(s"$dir/documents.parquet"), chunkTokens = 32)
+        .orderBy("doc_id")
+    }),
+
+    // recurrence cadence: exact nearest-rank quantiles of same-type
+    // inter-event gaps per type — integer micros end-to-end, the lag()
+    // window bounded by one user's one-type stream
+    "q_interarrival" -> ((s, dir) => {
+      streaming.Events.interarrivalQuantiles(
+        streaming.Events.readEvents(s, dir),
+        Map("p50" -> ((50L, 100L)), "p90" -> ((90L, 100L)),
+          "p99" -> ((99L, 100L))))
+        .orderBy("event_type", "quantile")
+    }),
+
     // market-basket pair mining over user-day baskets: co-presence counts
     // + exact-arithmetic lift (integer products, one IEEE division) —
     // pairs generated map-side per basket, marginals re-aggregated from
@@ -3233,6 +3253,64 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // chunk token lists sliced straight from the token CTE (chunk_text is
+    // the space-joined slice, so re-tokenizing is identity); the majority
+    // vote re-derived by ROW_NUMBER with the same (count, lang) ordering
+    "q_lang_mix" -> (tokSql +
+      s""", st AS (
+         |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 32)) AS s
+         |  FROM toks WHERE len(t) > 0),
+         |ch AS (
+         |  SELECT doc_id, list_slice(t, s + 1, s + 32) AS ct,
+         |         array_to_string(list_slice(t, s + 1, s + 32), ' ') AS ctext
+         |  FROM st),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ct, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS score_en,
+         |    CAST(len(list_filter(ct, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+         |    CAST(len(list_filter(ct, x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS score_es,
+         |    CAST(len(list_filter(ct, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS score_fr,
+         |    CAST(len(regexp_extract_all(ctext, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS score_zh
+         |  FROM ch),
+         |cl AS (SELECT doc_id, $langCaseSql AS lang FROM sc),
+         |cc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM cl GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks,
+         |         CAST(COUNT(*) AS BIGINT) AS n_langs
+         |  FROM cc GROUP BY doc_id),
+         |mj AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |           ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                              ORDER BY c DESC, lang DESC) AS rn
+         |    FROM cc) WHERE rn = 1)
+         |SELECT agg.doc_id, n_chunks, n_langs, mj.lang AS majority_lang
+         |FROM agg JOIN mj USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_id, event_type,
+        |         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |h AS (
+        |  SELECT event_id, event_type, gap_us,
+        |         ('0x' || substr(md5(COALESCE(CAST(event_id AS VARCHAR), 'null') || '#gap'), 1, 15))::BIGINT AS h
+        |  FROM g WHERE gap_us IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, gap_us,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY gap_us, h, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS c
+        |  FROM h),
+        |q(quantile, num, den) AS (
+        |  VALUES ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100))
+        |SELECT event_type, quantile, gap_us
+        |FROM r JOIN q ON rn = GREATEST((c * num + den - 1) // den, 1)
+        |ORDER BY event_type, quantile""".stripMargin,
 
     // the same bucket + mask-and-shift ladder in DuckDB integer bit ops —
     // any drift in the key math breaks the hash

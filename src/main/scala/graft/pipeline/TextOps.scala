@@ -295,12 +295,14 @@ object TextOps {
       col("doc_id") +: langScoreExprs.map { case (l, s) => s.as(s"score_$l") }
         :+ predLangExpr.as("pred_lang"): _*)
 
-  private def langScoreExprs: Seq[(String, Column)] = {
-    val toks = tokens(col("text"))
+  private def langScoreExprs: Seq[(String, Column)] = langScoreExprsOn(col("text"))
+
+  private def langScoreExprsOn(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
     langMarkers.map { case (lang, words) =>
       val s =
         if (lang == "zh")
-          size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+          size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
         else hitCount(toks, words)
       lang -> s.cast("long")
     }
@@ -310,14 +312,42 @@ object TextOps {
     * column — argmax with first-wins tie-break, as a pure CASE chain. Lets
     * pipelines gate on language inline instead of self-joining a separate
     * langId pass. */
-  def predLangExpr: Column = {
-    val scores = langScoreExprs
+  def predLangExpr: Column = predLangExprOn(col("text"))
+
+  /** [[predLangExpr]] over an arbitrary text column (e.g. a chunk). */
+  def predLangExprOn(text: Column): Column = {
+    val scores = langScoreExprsOn(text)
     scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, s)) =>
         (when(s > bestScore, s).otherwise(bestScore),
           when(s > bestScore, lit(lang)).otherwise(bestLang))
     }._2
   }
+
+  /** Mixed-language detection: language-ID each NON-OVERLAPPING
+    * `chunkTokens`-token chunk of a document, then per doc report the
+    * chunk count, the number of distinct chunk languages, and the
+    * majority language (count ties break toward the higher language
+    * code, so the vote is deterministic) — the signal that
+    * catches boilerplate-wrapped translations and code-switched spam
+    * that whole-document language-ID averages away.
+    *
+    * Shape: the chunker's generator fan-out (∝ tokens/stride, map-side)
+    * followed by two doc-keyed hash aggregations; the majority vote runs
+    * through a max_by on (count, lang) — no window, no self-join. */
+  def langMix(docs: DataFrame, chunkTokens: Int = 32): DataFrame =
+    chunkDocuments(docs, maxTokens = chunkTokens, stride = chunkTokens)
+      .select(col("doc_id"),
+        predLangExprOn(col("chunk_text")).as("chunk_lang"))
+      .groupBy("doc_id", "chunk_lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        // majority language; count ties break toward the HIGHER language
+        // code (max of the (count, lang) struct) — deterministic
+        max(struct(col("c"), col("chunk_lang"))).getField("chunk_lang")
+          .as("majority_lang"))
 
   /** PII redaction for corpus publication: emails → `[EMAIL]`, runs of 6+
     * digits (phone/account/card shapes) → `[NUM]`. Pure codegen'd

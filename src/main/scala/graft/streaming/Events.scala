@@ -397,6 +397,31 @@ object Events {
         col("v").isNotNull.as("observed"))
   }
 
+  /** Exact inter-arrival-gap quantiles per event type: the gap between a
+    * user's consecutive events OF THE SAME TYPE (recurrence cadence —
+    * "how often does a purchase repeat"), reduced to nearest-rank
+    * quantile VALUES per type through the two-phase prefix scan. Gaps
+    * are integer micros end-to-end, so the quantiles are exact
+    * cross-engine.
+    *
+    * Shape: the lag() window partitions on (user, event_type) — bounded
+    * by one user's one-type stream; the quantile machinery is
+    * [[graft.ops.Sketches.exactQuantilesPerStratum]] (range partitions +
+    * driver prefix, never a stratum-wide sort in one task). */
+  def interarrivalQuantiles(events: DataFrame,
+                            quantiles: Map[String, (Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .where(col("gap_us").isNotNull)
+    graft.ops.Sketches.exactQuantilesPerStratum(gaps, "event_id",
+      "event_type", "gap_us", quantiles, salt = "gap")
+  }
+
   /** Market-basket pair mining over user-day baskets: each (user, day)'s
     * DISTINCT event types form a basket; co-present pairs (a < b) are
     * counted and scored with lift = N·c12 / (c1·c2) — the set-based

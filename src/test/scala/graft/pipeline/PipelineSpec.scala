@@ -284,6 +284,32 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     st.getAs[Double]("avg_token_len_r") shouldBe 1.75 +- 1e-9
   }
 
+  "TextOps.langMix" should "detect code-switched documents chunk-wise" in {
+    val en = Seq.fill(8)("the cat of and is").mkString(" ")   // 40 en tokens
+    val de = Seq.fill(8)("der hund und die ist").mkString(" ") // 40 de tokens
+    val out = TextOps.langMix(docs(
+      (1L, en),             // 2 chunks, all en
+      (2L, en + " " + de),  // ~3 chunks: en, en/de boundary, de
+      (3L, de)), chunkTokens = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2L, 1L, "en"))
+    out(3L) shouldBe ((2L, 1L, "de"))
+    out(2L)._2 shouldBe 2L // both languages seen among its chunks
+  }
+
+  it should "break majority ties toward the higher language code" in {
+    // exactly one 32-token en chunk + one 32-token de chunk → 1:1 tie;
+    // the (count, lang) struct max picks the higher code: 'en' > 'de'
+    val en = (Seq.fill(6)("the cat of and is") :+ "x y").mkString(" ")
+    val de = (Seq.fill(6)("der hund und die ist") :+ "q r").mkString(" ")
+    val out = TextOps.langMix(docs((1L, en + " " + de)), chunkTokens = 32)
+      .collect().head
+    out.getLong(1) shouldBe 2L // two chunks
+    out.getLong(2) shouldBe 2L // two languages
+    out.getString(3) shouldBe "en"
+  }
+
   "TextOps.tokenEntropy" should "match hand-computed entropy and skip token-less docs" in {
     val out = TextOps.tokenEntropy(docs(
       (1L, "a a a a"),        // one type → H = 0

@@ -65,6 +65,30 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .map(_.getString(0)) shouldBe Array("a>b")
   }
 
+  behavior of "Events.interarrivalQuantiles"
+
+  it should "take exact nearest-rank gap values per type, same-type gaps only" in {
+    // user 1 'view' at minutes 0, 10, 40 → gaps 10, 30 min; the 'click'
+    // between them must NOT split the view gap
+    val events = ev(Seq(
+      (1L, 1L, ts(1, 0), "view"),
+      (2L, 1L, Timestamp.valueOf("2024-03-01 00:10:00"), "view"),
+      (3L, 1L, Timestamp.valueOf("2024-03-01 00:20:00"), "click"),
+      (4L, 1L, Timestamp.valueOf("2024-03-01 00:40:00"), "view"),
+      // user 2 'view' gap of 5 min
+      (5L, 2L, ts(1, 1), "view"),
+      (6L, 2L, Timestamp.valueOf("2024-03-01 01:05:00"), "view")))
+    val got = Events.interarrivalQuantiles(events,
+      Map("p50" -> ((50L, 100L)), "p100" -> ((100L, 100L))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val min = 60L * 1000000
+    // view gaps sorted: 5, 10, 30 → p50 = rank ceil(3/2)=2 → 10 min
+    got(("view", "p50")) shouldBe 10 * min
+    got(("view", "p100")) shouldBe 30 * min
+    got.contains(("click", "p50")) shouldBe false // a single event has no gap
+  }
+
   behavior of "Events.basketPairs"
 
   it should "count co-present pairs per user-day basket with exact lift" in {
