@@ -1567,6 +1567,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sketch-rollup pattern: per-day HLL sketches merged to weekly
+    // estimates WITHOUT re-touching rows (what a pipeline persists +
+    // unions for any ad-hoc range); ok = merged estimate within 5% of
+    // the exact recomputation, covering build + merge + estimate
+    "q_hll_rollup" -> ((s, dir) => {
+      ops.Sketches.hllWeeklyRollup(
+        streaming.Events.readEvents(s, dir), "user_id", tol = 0.05)
+        .orderBy("week")
+    }),
+
+    // anti-entropy table checksum: hash-bucketed row counts + XOR of
+    // content hashes — order/partitioning-invariant, divergence between
+    // copies localizes to the differing buckets
+    "q_table_checksum" -> ((s, dir) => {
+      pipeline.Audit.tableChecksum(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+        Seq("doc_id", "text", "lang", "source", "n_chars"), nBuckets = 64)
+        .orderBy("bucket")
+    }),
+
     // mixed-language detection: language-ID per non-overlapping 32-token
     // chunk, per-doc distinct-language count + deterministic majority —
     // generator fan-out + two doc-keyed hash aggs, no window
@@ -3253,6 +3273,26 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_hll_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // the full checksum recomputed from scratch: key-hash bucketing and
+    // the content hash over the same ''-joined column serialization
+    "q_table_checksum" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null')), 1, 15))::BIGINT % 64 AS bucket,
+        |         ('0x' || substr(md5(
+        |            COALESCE(CAST(doc_id AS VARCHAR), '') || COALESCE(text, '') ||
+        |            COALESCE(lang, '') || COALESCE(source, '') ||
+        |            COALESCE(CAST(n_chars AS VARCHAR), '')), 1, 15))::BIGINT AS ch
+        |  FROM documents)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       bit_xor(ch) AS content_xor
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // chunk token lists sliced straight from the token CTE (chunk_text is
     // the space-joined slice, so re-tokenizing is identity); the majority

@@ -31,6 +31,35 @@ object Sketches {
           greatest(col("n_exact") * (3 * rsd), lit(1.0)))
           .cast("long").as("ok"))
 
+  /** Pre-aggregated distinct-count rollup — the 100 TB sketch pattern:
+    * per-day DataSketches HLL sketches (`hll_sketch_agg`) are built ONCE,
+    * then coarser windows (here weeks) merge the daily sketches with
+    * `hll_union_agg` WITHOUT re-touching rows — the daily sketch table is
+    * what a production pipeline persists, and any rollup (week, month,
+    * arbitrary ad-hoc range) is a cheap union over kilobyte blobs instead
+    * of a re-scan of the raw events. Emits one row per week:
+    * `(week, n_exact, ok)` with ok = 1 iff the merged estimate is within
+    * `tol` of the exact recomputation — so the machine check covers the
+    * sketch build, the merge, AND the estimate. */
+  def hllWeeklyRollup(events: DataFrame, keyCol: String,
+                      tol: Double = 0.05): DataFrame = {
+    val base = events.select(
+      expr("CAST(date_trunc('week', ts) AS DATE)").as("week"),
+      to_date(col("ts")).as("day"), col(keyCol).as("__k"))
+    val daily = base.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(__k)").as("sk"))
+    val weeklyEst = daily.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"))
+    val weeklyExact = base.groupBy("week")
+      .agg(countDistinct("__k").as("n_exact"))
+    weeklyExact.join(weeklyEst, "week")
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("n_exact"),
+        (abs(col("__est") - col("n_exact")) <=
+          greatest(col("n_exact") * tol, lit(1.0)))
+          .cast("long").as("ok"))
+  }
+
   /** Count-min sketch vs exact heavy-hitter counts: emits one row
     * `(n, ok)` with ok = 1 iff every top-`topN` item's sketch estimate
     * respects the CMS guarantee — never below the true count, and at most

@@ -139,4 +139,28 @@ object Audit {
         round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars_r"),
         max(col("n_chars")).as("max_chars"))
   }
+
+  /** Bucketed table checksum — the anti-entropy primitive: rows bucket by
+    * `hash60(key) mod nBuckets`, each bucket reports its row count and
+    * the XOR of its rows' content hashes (`hash60` over the
+    * ''-joined column values, NULLs as a sentinel). XOR is
+    * order-independent and overflow-free, so the checksum is invariant to
+    * partitioning and row order; two table copies diverge ⇔ some bucket
+    * row differs, and WHICH buckets differ localizes the repair scan to
+    * 1/nBuckets of the data per probe — the pt-table-checksum /
+    * merkle-exchange shape for replicated corpus copies. One hash
+    * aggregate with map-side combine; shuffle ∝ nBuckets. */
+  def tableChecksum(df: DataFrame, keyCol: String, contentCols: Seq[String],
+                    nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(contentCols.nonEmpty, "need at least one content column")
+    val content = concat_ws("",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    df.withColumn("__content_h", Hashing.hash60(content))
+      .groupBy(pmod(Hashing.hash60(
+          coalesce(col(keyCol).cast("string"), lit("null"))),
+          lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__content_h)").as("content_xor"))
+  }
 }

@@ -110,4 +110,47 @@ class AuditSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got shouldBe Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 3L)
     got.values.sum shouldBe 8L // every non-NULL row accounted for
   }
+
+  "Audit.tableChecksum" should "localize a single-row change to exactly one bucket" in {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 200L).map(i => (i, s"text-$i", i % 7))
+      .toDF("doc_id", "text", "v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Audit.tableChecksum(df, "doc_id", Seq("doc_id", "text", "v"), 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val a = sums(base)
+    // identical copy, different partitioning → identical checksums
+    sums(base.repartition(7)) shouldBe a
+    // mutate one row's content → same counts, exactly ONE bucket xor flips
+    val mutated = base.withColumn("text",
+      when(col("doc_id") === 57L, lit("tampered")).otherwise(col("text")))
+    val b = sums(mutated)
+    b.keySet shouldBe a.keySet
+    a.map(_._2._1).sum shouldBe 200L
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    diff.size shouldBe 1
+    // and the differing bucket differs in xor, not count
+    a(diff.head)._1 shouldBe b(diff.head)._1
+    // a DELETED row flips a count, not just a hash
+    val dropped = sums(base.where(col("doc_id") =!= 57L))
+    dropped(diff.head)._1 shouldBe a(diff.head)._1 - 1
+  }
+
+  "Sketches.hllWeeklyRollup" should "merge daily sketches to in-tolerance weekly estimates" in {
+    val s = spark
+    import s.implicits._
+    // 3 weeks of events: user u active on day d
+    val rows = for (d <- 0 until 21; u <- 0 until (50 + d)) yield
+      (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"), u.toLong)
+    val events = rows.toDF("ts", "user_id")
+    val got = graft.ops.Sketches.hllWeeklyRollup(events, "user_id", tol = 0.05)
+      .orderBy("week")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 3 // Jan 1 2024 is a Monday: days 1-21 = 3 ISO weeks
+    got.foreach { case (_, nExact, ok) => ok shouldBe 1L }
+    // weekly distinct = max users of any day in that week (nested actives)
+    got.head._2 shouldBe 56L // days 0..6 → 50+6 = 56 distinct users
+  }
 }
