@@ -1567,6 +1567,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental view maintenance: the per-(source, lang) datacard
+    // aggregate refreshed from a CDC changeset — inserts, deletes AND
+    // group-moving updates — without rescanning the corpus; the oracle
+    // recomputes the aggregate directly over the new corpus, so the hash
+    // check IS the incremental ≡ full-recompute identity
+    "q_incremental_agg" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val oldC = docs.where(col("doc_id") % 17 =!= 3)
+      val newC = docs.where(col("doc_id") % 19 =!= 5)
+        .withColumn("lang",
+          when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang")))
+      val base = oldC.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("s"))
+      val changes = ops.Snapshot.diffWithOld(oldC, newC, "doc_id",
+        Seq("text", "lang", "source", "n_chars")).persist()
+      ops.Snapshot.incrementalCountSum(base, changes,
+        Seq("source", "lang"), "n_chars")
+        .orderBy("source", "lang")
+    }),
+
     // sketch-rollup pattern: per-day HLL sketches merged to weekly
     // estimates WITHOUT re-touching rows (what a pipeline persists +
     // unions for any ad-hoc range); ok = merged estimate within 5% of
@@ -3273,6 +3293,16 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    // the direct aggregate over the (deterministically re-derived) new
+    // corpus — fully independent of the diff and delta machinery
+    "q_incremental_agg" ->
+      """SELECT source,
+        |       CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(n_chars) AS BIGINT) AS s
+        |FROM documents WHERE doc_id % 19 <> 5
+        |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     "q_hll_rollup" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

@@ -83,4 +83,55 @@ class SnapshotSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Snapshot.applyChanges(old, narrow, "id")
   }
+
+  behavior of "Snapshot.incrementalCountSum"
+
+  private def corpus(rows: Seq[(Long, String, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "g", "v")
+  }
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("s"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  it should "match a full recompute across inserts, deletes and group moves" in {
+    val old = corpus(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 5L)))
+    val neu = corpus(Seq(
+      (1L, "a", 10L),            // unchanged
+      (2L, "b", 21L),            // MOVES a→b (and value changes)
+      (4L, "c", 5L),             // unchanged
+      (5L, "d", 7L)))            // insert into a NEW group; id 3 deleted
+    val changes = Snapshot.diffWithOld(old, neu, "id", Seq("g", "v"))
+    val got = asMap(Snapshot.incrementalCountSum(
+      aggOf(old), changes, Seq("g"), "v"))
+    got shouldBe asMap(aggOf(neu))
+    // and the emptied group is genuinely gone, the new one present
+    got.contains("d") shouldBe true
+    got("a") shouldBe ((1L, 10L))
+  }
+
+  it should "equal the direct aggregate on random change mixes" in {
+    val rnd = new scala.util.Random(17)
+    val old = corpus((1L to 300L).map(i =>
+      (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong)))
+    // new corpus: drop ~20%, mutate ~30% (half of those move groups),
+    // add 60 fresh rows
+    val neu = corpus(((1L to 300L).flatMap { i =>
+      val r = rnd.nextInt(10)
+      if (r < 2) None
+      else if (r < 5) Some((i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+      else Some((i, s"g${(i % 6)}", (i * 7 % 100)))
+    } ++ (301L to 360L).map(i =>
+      (i, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))))
+    val changes = Snapshot.diffWithOld(old, neu, "id", Seq("g", "v"))
+    val got = asMap(Snapshot.incrementalCountSum(
+      aggOf(old), changes, Seq("g"), "v"))
+    got shouldBe asMap(aggOf(neu))
+  }
 }
