@@ -1567,6 +1567,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // funnel stall analysis: exact nearest-rank quantiles of each step
+    // transition's conversion latency (integer micros end-to-end)
+    "q_conversion_latency" -> ((s, dir) => {
+      streaming.Events.conversionLatencyQuantiles(
+        streaming.Events.readEvents(s, dir),
+        Seq("view", "click", "purchase"),
+        Map("p50" -> ((50L, 100L)), "p90" -> ((90L, 100L))))
+        .orderBy("transition", "quantile")
+    }),
+
     // incremental view maintenance: the per-(source, lang) datacard
     // aggregate refreshed from a CDC changeset — inserts, deletes AND
     // group-moving updates — without rescanning the corpus; the oracle
@@ -3293,6 +3303,42 @@ object SparkEntry {
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
         |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
+
+    "q_conversion_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |l AS (
+        |  SELECT s1.user_id, 'view>click' AS transition,
+        |         epoch_us(s2.t) - epoch_us(s1.t) AS lat_us
+        |  FROM s1 JOIN s2 USING (user_id)
+        |  UNION ALL
+        |  SELECT s2.user_id, 'click>purchase',
+        |         epoch_us(s3.t) - epoch_us(s2.t)
+        |  FROM s2 JOIN s3 USING (user_id)),
+        |h AS (
+        |  SELECT transition, lat_us,
+        |         ('0x' || substr(md5(COALESCE(CAST(user_id AS VARCHAR), 'null') || '#conv'), 1, 15))::BIGINT AS hh,
+        |         user_id
+        |  FROM l),
+        |r AS (
+        |  SELECT transition, lat_us,
+        |         ROW_NUMBER() OVER (PARTITION BY transition
+        |                            ORDER BY lat_us, hh, user_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY transition) AS c
+        |  FROM h),
+        |q(quantile, num, den) AS (VALUES ('p50', 50, 100), ('p90', 90, 100))
+        |SELECT transition, quantile, lat_us
+        |FROM r JOIN q ON rn = GREATEST((c * num + den - 1) // den, 1)
+        |ORDER BY transition, quantile""".stripMargin,
 
     // the direct aggregate over the (deterministically re-derived) new
     // corpus — fully independent of the diff and delta machinery

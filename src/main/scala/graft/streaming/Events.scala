@@ -288,6 +288,33 @@ object Events {
       .toDF()
   }
 
+  /** Funnel transition-latency quantiles: for each adjacent step pair of
+    * [[funnel]]'s output (view→click, click→purchase, …), the exact
+    * nearest-rank quantiles of how long converting users took — the
+    * "where does the funnel stall" metric. Latencies are integer micros;
+    * quantile values are actual data points via the two-phase prefix
+    * scan, so the whole statistic is exact cross-engine.
+    *
+    * Shape: the funnel output (∝ users·steps, already small) self-joins
+    * on (user, step+1) to form transitions, then the quantile machinery
+    * runs per transition stratum. The funnel result is persisted across
+    * its two consumers. */
+  def conversionLatencyQuantiles(events: DataFrame, steps: Seq[String],
+                                 quantiles: Map[String, (Long, Long)]): DataFrame = {
+    require(steps.size >= 2, "need at least two steps for a transition")
+    val f = funnel(events, steps).persist()
+    val nxt = f.select(col("user_id").as("__u2"),
+      (col("step") - 1).as("__prev_step"),
+      col("step_name").as("__next_name"), col("t_us").as("__t2_us"))
+    val lat = f.join(nxt,
+        col("user_id") === col("__u2") && col("step") === col("__prev_step"))
+      .select(
+        concat_ws(">", col("step_name"), col("__next_name")).as("transition"),
+        col("user_id"), (col("__t2_us") - col("t_us")).as("lat_us"))
+    graft.ops.Sketches.exactQuantilesPerStratum(lat, "user_id",
+      "transition", "lat_us", quantiles, salt = "conv")
+  }
+
   /** Shared funnel fold over ts-ascending (tsUs, type) rows: advance the
     * step cursor on the first event of the awaited step strictly after
     * the previous step's time, emitting a [[FunnelStep]] per advance.

@@ -89,6 +89,27 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got.contains(("click", "p50")) shouldBe false // a single event has no gap
   }
 
+  behavior of "Events.conversionLatencyQuantiles"
+
+  it should "report exact per-transition latency quantiles" in {
+    // user 1: view→click 10 min, click→purchase 20 min
+    // user 2: view→click 30 min, never purchases
+    val events = ev(Seq(
+      (1L, 1L, ts(1, 0), "view"),
+      (2L, 1L, Timestamp.valueOf("2024-03-01 00:10:00"), "click"),
+      (3L, 1L, Timestamp.valueOf("2024-03-01 00:30:00"), "purchase"),
+      (4L, 2L, ts(2, 0), "view"),
+      (5L, 2L, Timestamp.valueOf("2024-03-02 00:30:00"), "click")))
+    val got = Events.conversionLatencyQuantiles(events,
+      Seq("view", "click", "purchase"), Map("p100" -> ((100L, 100L))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val min = 60L * 1000000
+    got(("view>click", "p100")) shouldBe 30 * min    // max of {10, 30}
+    got(("click>purchase", "p100")) shouldBe 20 * min // only user 1
+    got.size shouldBe 2
+  }
+
   behavior of "Events.basketPairs"
 
   it should "count co-present pairs per user-day basket with exact lift" in {
