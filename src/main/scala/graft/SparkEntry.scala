@@ -1567,6 +1567,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // n-gram novelty vs corpus: per batch doc, the fraction of its
+    // distinct shingles unseen anywhere in the corpus — data valuation;
+    // a hash-partitioned left-semi join, never an all-pairs form
+    "q_novelty" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.Dedup.noveltyVsCorpus(
+        docs.where(col("doc_id") % 11 === 0),
+        docs.where(col("doc_id") % 11 =!= 0))
+        .orderBy("doc_id")
+    }),
+
+    // LEFT OUTER interval join: unmatched clicks survive with NULL view
+    // columns — the orphan-conversion rows an attribution pipeline must
+    // surface, not drop
+    "q_interval_join_outer" -> ((s, dir) => {
+      streaming.Events.clickViewIntervalJoinOuter(
+        streaming.Events.readEvents(s, dir), "30 minutes")
+        .orderBy("click_id", "view_id")
+    }),
+
     // funnel stall analysis: exact nearest-rank quantiles of each step
     // transition's conversion latency (integer micros end-to-end)
     "q_conversion_latency" -> ((s, dir) => {
@@ -2585,6 +2605,32 @@ object SparkEntry {
         | AND c.event_type = 'click' AND v.event_type = 'view'
         | AND v.ts_us BETWEEN c.ts_us - 1800000000 AND c.ts_us
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // the same join LEFT OUTER: clicks with no in-window view keep a row
+    "q_interval_join_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |         event_type
+        |  FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |       c.ts_us - v.ts_us AS gap_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts_us BETWEEN c.ts_us - 1800000000 AND c.ts_us
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    "q_novelty" -> (shingleSql +
+      """, b AS (SELECT doc_id, h FROM sh WHERE doc_id % 11 = 0),
+        |c AS (SELECT DISTINCT h FROM sh WHERE doc_id % 11 <> 0),
+        |t AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+        |         CAST(SUM(CASE WHEN h IN (SELECT h FROM c)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, n_sh, n_seen,
+        |       ROUND(CAST(n_sh - n_seen AS DOUBLE) / n_sh, 6) AS novelty_r
+        |FROM t ORDER BY doc_id""".stripMargin),
 
     "q_skew_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders

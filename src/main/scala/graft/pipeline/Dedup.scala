@@ -54,6 +54,33 @@ object Dedup {
     else exploded.select("doc_id", "sh_hash").distinct()
   }
 
+  /** N-gram novelty of a candidate batch against a reference corpus: per
+    * batch document, the fraction of its distinct shingles NOT present
+    * anywhere in the corpus — the data-valuation / crawl-prioritization
+    * signal ("is this new text or re-crawl paraphrase"), the additive
+    * complement of the dedup family (dedup asks "is this a copy of ONE
+    * doc"; novelty asks "how much of this exists ANYWHERE").
+    *
+    * Shape: two shingle tables joined by hash — a left-semi equi-join
+    * co-partitioned on `sh_hash` (never an all-pairs form), then two
+    * doc-keyed counts. The ratio is two integer operands under one IEEE
+    * division, exact cross-engine. Batch shingles are persisted across
+    * their two consumers. Documents shorter than `n` tokens have no
+    * shingles and emit no row. */
+  def noveltyVsCorpus(batch: DataFrame, corpus: DataFrame,
+                      n: Int = 3): DataFrame = {
+    val b = shingles(batch, n).persist()
+    val corpusSh = shingles(corpus, n).select("sh_hash").distinct()
+    val seen = b.join(corpusSh, Seq("sh_hash"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    b.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round((col("n_sh") - coalesce(col("n_seen"), lit(0L))).cast("double")
+          / col("n_sh"), 6).as("novelty_r"))
+  }
+
   /** Distinct-shingle count per doc (the |A| term of Jaccard). */
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -150,6 +150,32 @@ object Events {
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER time-interval join: like [[clickViewIntervalJoin]] but
+    * every click emits — clicks with no view in the lookback window carry
+    * NULL view columns (the "orphan conversion" rows an attribution
+    * pipeline must surface, not drop). In streaming this is Spark's
+    * outer stream-stream join: the interval condition bounds state on
+    * BOTH sides, and an unmatched click emits once the watermark passes
+    * its join window — so outer results are delayed by the watermark,
+    * the documented Spark semantics. */
+  def clickViewIntervalJoinOuter(events: DataFrame,
+                                 lookback: String = "30 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    clicks.join(views,
+        col("user_id") === col("v_user_id") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+          col("view_ts") <= col("click_ts"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
+
   /** Stream-static enrichment join: each event picks up its static
     * dimension row — the ingest-side lookup every event pipeline runs
     * (user → account, doc → license, ...). The dimension is broadcast, so

@@ -165,6 +165,43 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamedIvj should not be empty
   }
 
+  "clickViewIntervalJoinOuter" should "emit unmatched clicks once the watermark passes their window" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val evs = Seq(
+      Ev(0L, ts(5), 1L, "view", 1.0, "{}"),
+      Ev(1L, ts(20), 1L, "click", 1.0, "{}"),   // matched to view 0
+      Ev(2L, ts(100), 2L, "click", 1.0, "{}"))  // no view in 30 min window
+
+    val input = MemoryStream[Ev]
+    val q = Events.clickViewIntervalJoinOuter(
+      Events.withEventWatermark(input.toDF(), "10 minutes"), "30 minutes")
+      .writeStream.format("memory").queryName("ivj_outer_out")
+      .outputMode("append").start()
+    try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      // watermark mover: a far-future sentinel flushes the unmatched click
+      input.addData(Ev(99L, ts(100000), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    val streamed = s.table("ivj_outer_out")
+      .where(col("user_id") < 9L).collect().map(key).toSet
+    val batch = Events.clickViewIntervalJoinOuter(evs.toDF(), "30 minutes")
+      .collect().map(key).toSet
+    streamed shouldBe batch
+    // and the orphan click really is present with NULL view columns
+    streamed should contain((2L, 2L, None, None))
+    streamed.size shouldBe 2
+  }
+
   "userRunningTotals" should "carry keyed state across micro-batches" in {
     val s = spark
     import s.implicits._
