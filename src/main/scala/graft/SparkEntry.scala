@@ -1567,6 +1567,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplicate-family size distribution: how big are the near-dup
+    // clusters — the datacard stat that distinguishes "pairwise noise"
+    // from "one boilerplate family swallowing the corpus"; composes the
+    // CC operator with two bounded aggregations
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      pipeline.Dedup.duplicateClusters(
+        docs.select("doc_id"), pairs.select("i", "j"))
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    }),
+
     // n-gram novelty vs corpus: per batch doc, the fraction of its
     // distinct shingles unseen anywhere in the corpus — data valuation;
     // a hash-partitioned left-semi join, never an all-pairs form
@@ -2104,6 +2118,13 @@ object SparkEntry {
         |ORDER BY i, j""".stripMargin),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    // same recursive-CTE truth, reduced to the family-size histogram
+    "q_dup_cluster_sizes" -> (clusterCteSql(0.7) +
+      """, cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+        |         FROM cl GROUP BY cluster)
+        |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |FROM cs GROUP BY sz ORDER BY sz""".stripMargin),
 
     "q_dedup_keep_best" -> (clusterCteSql(0.7) +
       s""",
