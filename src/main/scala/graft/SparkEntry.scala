@@ -253,8 +253,11 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
+          // decimal-grid sums: order-independent and oracle-exact even
+          // for the sf1-scale groups where a float sum's accumulated
+          // error crosses round() boundaries (see ops.ExactNum)
+          round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty"),
+          round(ops.ExactNum.gridSum(col("l_extendedprice"), 2), 2).as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -780,7 +783,8 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"))
       streaming.Events.enrichWithDim(ev, cust)
         .groupBy("c_mktsegment", "event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value_r"))
+        .agg(count(lit(1)).as("n"),
+          round(ops.ExactNum.gridSum(col("value")), 6).as("sum_value_r"))
         .orderBy("c_mktsegment", "event_type")
     }),
 
@@ -839,11 +843,12 @@ object SparkEntry {
     // salted two-phase sum — same result as the plain grouped sum, hot keys
     // spread over 16 reducers in phase 1
     "q_salted_agg" -> ((s, dir) => {
-      ops.Skew.saltedSum(s.read.parquet(s"$dir/lineitem.parquet"),
+      ops.Skew.saltedSum(s.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("l_quantity", ops.ExactNum.dec(col("l_quantity"), 2)),
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
         saltFrom = "l_orderkey", salts = 16)
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("sum_l_quantity"), 4).as("sum_qty_r"))
+          round(col("sum_l_quantity").cast("double"), 4).as("sum_qty_r"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -914,7 +919,7 @@ object SparkEntry {
         factor = 8)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("sum_price_r"))
+          round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("sum_price_r"))
         .orderBy("c_mktsegment")
     }),
 
@@ -1075,7 +1080,7 @@ object SparkEntry {
     "q_cube_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty_r"))
+        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty_r"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty_r"))
@@ -1086,7 +1091,7 @@ object SparkEntry {
     "q_rollup_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty_r"))
+        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty_r"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty_r"))
@@ -1120,7 +1125,7 @@ object SparkEntry {
     "q_outer_join" -> ((s, dir) => {
       val perCust = s.read.parquet(s"$dir/orders.parquet")
         .groupBy(col("o_custkey"))
-        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .agg(round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
         .where(col("o_custkey") % 3 === 0)
       val customer = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey"))
@@ -1155,8 +1160,9 @@ object SparkEntry {
           dense_rank().over(w.orderBy(col("o_orderpriority"), col("o_orderkey")))
             .cast("long").as("prio_rank"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(sum("o_totalprice").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          round(sum(ops.ExactNum.dec(col("o_totalprice"), 2)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 2)
             .as("run_rev"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -1205,7 +1211,7 @@ object SparkEntry {
       ops.Bucketing.bucketedJoin(s, tOrders, tCustomer, "o_custkey")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("rev"))
+          round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
         .orderBy("c_nationkey")
     }),
 
@@ -1218,7 +1224,7 @@ object SparkEntry {
         .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("rev"))
+        .agg(count(lit(1)).as("n_orders"), round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
         .orderBy("n_name")
     }),
 
@@ -1712,7 +1718,9 @@ object SparkEntry {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(round(sum(ops.ExactNum.dec(col("l_extendedprice"), 2) *
+            (lit(1).cast("decimal(3,2)") - ops.ExactNum.dec(col("l_discount"), 2)))
+            .cast("double"), 2)
           .as("revenue_r"))
         .orderBy(col("revenue_r").desc, col("l_orderkey"))
         .limit(10)
@@ -1743,7 +1751,9 @@ object SparkEntry {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .agg(round(sum(ops.ExactNum.dec(col("l_extendedprice"), 2) *
+            (lit(1).cast("decimal(3,2)") - ops.ExactNum.dec(col("l_discount"), 2)))
+            .cast("double"), 2)
           .as("revenue_r"))
         .orderBy(col("revenue_r").desc, col("n_name"))
     }),
@@ -2444,7 +2454,8 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
         |         AS window_start_s,
-        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value_r
+        |       event_type, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
 
@@ -2463,7 +2474,8 @@ object SparkEntry {
         |                                ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged)
         |SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, user_id,
-        |       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value_r
+        |       COUNT(*) AS n_events,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
         |FROM islands GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
 
@@ -2475,7 +2487,7 @@ object SparkEntry {
 
     "q_events_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
-        |       ROUND(SUM(value), 6) AS sum_value_r
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
@@ -2486,8 +2498,8 @@ object SparkEntry {
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 4) AS sum_qty,
-        |       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -2525,7 +2537,7 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_join_agg" ->
-      """SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS rev
+      """SELECT n_name, COUNT(*) AS n_orders, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -2533,13 +2545,13 @@ object SparkEntry {
 
     "q_bucketed_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,
-        |       ROUND(SUM(o_totalprice), 2) AS rev
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_outer_join" ->
       """WITH perCust AS (
-        |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+        |  SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
         |  FROM orders GROUP BY o_custkey HAVING o_custkey % 3 = 0),
         |cust AS (
         |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0)
@@ -2566,8 +2578,9 @@ object SparkEntry {
         |  DENSE_RANK() OVER (PARTITION BY o_custkey
         |                     ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
         |  NTILE(4) OVER w AS quartile,
-        |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_rev
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |          OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_rev
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -2659,7 +2672,7 @@ object SparkEntry {
 
     "q_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -2714,7 +2727,7 @@ object SparkEntry {
 
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |       ROUND(SUM(o_totalprice), 2) AS sum_price_r
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price_r
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -2927,14 +2940,14 @@ object SparkEntry {
     "q_cube_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
-        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |       COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
-        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty_r
+        |       COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
@@ -3040,7 +3053,7 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
-        |       ROUND(SUM(value) OVER w, 6) AS sum_window_r
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_window_r
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -3215,7 +3228,7 @@ object SparkEntry {
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
-        |         SUM(value) AS v
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
         |      FROM daily GROUP BY 1),
@@ -3365,10 +3378,11 @@ object SparkEntry {
         |                           ORDER BY ts_us, event_id) - ts_us AS dt_us
         |  FROM e),
         |a AS (
-        |  SELECT user_id, SUM(value * dt_us) AS svdt,
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt_us) AS DOUBLE) AS svdt,
         |         CAST(SUM(dt_us) AS BIGINT) AS span_us
         |  FROM d WHERE dt_us IS NOT NULL GROUP BY user_id)
-        |SELECT user_id, ROUND(svdt / span_us, 6) AS twa_r, span_us
+        |SELECT user_id, ROUND(svdt / CAST(span_us AS DOUBLE), 6) AS twa_r, span_us
         |FROM a ORDER BY user_id""".stripMargin,
 
     "q_conversion_latency" ->
@@ -3424,14 +3438,15 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
 
     // the full checksum recomputed from scratch: key-hash bucketing and
-    // the content hash over the same ''-joined column serialization
+    // the content hash over the same chr(1)-separated / chr(2)-NULL-sentinel
+    // column serialization (delimited so boundary shifts can't collide)
     "q_table_checksum" ->
       """WITH h AS (
         |  SELECT ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null')), 1, 15))::BIGINT % 64 AS bucket,
         |         ('0x' || substr(md5(
-        |            COALESCE(CAST(doc_id AS VARCHAR), '') || COALESCE(text, '') ||
-        |            COALESCE(lang, '') || COALESCE(source, '') ||
-        |            COALESCE(CAST(n_chars AS VARCHAR), '')), 1, 15))::BIGINT AS ch
+        |            COALESCE(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) || COALESCE(text, chr(2)) || chr(1) ||
+        |            COALESCE(lang, chr(2)) || chr(1) || COALESCE(source, chr(2)) || chr(1) ||
+        |            COALESCE(CAST(n_chars AS VARCHAR), chr(2))), 1, 15))::BIGINT AS ch
         |  FROM documents)
         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       bit_xor(ch) AS content_xor
@@ -3568,7 +3583,8 @@ object SparkEntry {
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue_r
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue_r
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -3579,7 +3595,8 @@ object SparkEntry {
 
     "q_tpch_q5" ->
       """SELECT n_name,
-        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue_r
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue_r
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

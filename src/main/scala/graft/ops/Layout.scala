@@ -26,21 +26,33 @@ object Layout {
 
   /** Fixed-width bucket id in [0, 2^bits) for `v` over the closed range
     * [mn, mx]: `(v - mn) * 2^bits div (mx - mn + 1)` — pure integer
-    * math, exact on both engines. Degenerate range (mn = mx) maps to
-    * bucket 0. Skewed columns get skewed buckets — that costs pruning
-    * power, not correctness; feed a rank instead of the raw value when
-    * skew matters. */
-  def fixedWidthBucket(v: Column, mn: Column, mx: Column, bits: Int): Column =
-    when(mx === mn, lit(0L)).otherwise(
-      intDiv((v - mn) * lit(1L << bits), mx - mn + lit(1L)))
+    * math (`div` is true integral division, never Spark's DOUBLE
+    * `Column./`), exact on both engines. Degenerate range (mn = mx) maps
+    * to bucket 0.
+    *
+    * Supported range: `mx - mn < 2^(62-bits)` (2^46 at the default
+    * bits=16), so the long multiply `(v - mn) * 2^bits` cannot overflow;
+    * a wider range raises a runtime error from inside the plan instead
+    * of silently wrapping to off-by-one buckets. Skewed or wider-range
+    * columns: feed a rank instead of the raw value — that also fixes the
+    * pruning-power loss from skewed buckets. */
+  def fixedWidthBucket(v: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val maxRange = (1L << (62 - bits)) - 1L
+    when(mx - mn > lit(maxRange),
+      raise_error(concat(
+        lit(s"fixedWidthBucket: column range exceeds 2^${62 - bits} - 1 " +
+          s"at bits=$bits (range="),
+        (mx - mn).cast("string"),
+        lit("); rank-transform the column first"))).cast("long"))
+      .otherwise(when(mx === mn, lit(0L)).otherwise(
+        intDiv((v - mn) * lit(1L << bits), mx - mn + lit(1L))))
+  }
 
-  /** Exact non-negative integer division as Columns. `Column./` is always
-    * DOUBLE division in Spark, so divide the remainder-subtracted
-    * numerator instead: (a − a mod d) / d is an exactly-representable
-    * quotient (both operands and the integral result < 2^53), so the one
-    * double division is exact and the cast back to long is lossless. */
+  /** Exact integer division as Columns — Spark's `div` operator
+    * (IntegralDivide) rather than `Column./`, which is always DOUBLE
+    * division and loses exactness past 2^53. */
   private def intDiv(a: Column, d: Column): Column =
-    ((a - (a % d)) / d).cast("long")
+    call_function("div", a, d)
 
   /** Spread the low `bits` bits of a long so consecutive bits land two
     * apart (Morton spread), via the classic mask-and-shift ladder —

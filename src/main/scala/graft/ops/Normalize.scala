@@ -30,9 +30,14 @@ object Normalize {
                           hiQ: (Long, Long),
                           salt: String = "wins"): DataFrame = {
     // the input feeds THREE scans (stratum counts, the ranked pass, the
-    // clamp join's left side) — persist so an expensive derived valueCol
-    // (e.g. a tokenizing quality score) is computed once, not three times
-    val cached = df.persist()
+    // clamp join's left side) — materialize so an expensive derived
+    // valueCol (e.g. a tokenizing quality score) is computed once, not
+    // three times. localCheckpoint, not persist: the returned plan is
+    // lazy so this function has no post-action hook to unpersist, and
+    // CacheManager-pinned blocks would accumulate across a long session;
+    // checkpoint blocks are freed by the ContextCleaner once the RDD is
+    // unreachable.
+    val cached = df.localCheckpoint()
     val cuts = Sketches.exactQuantilesPerStratum(cached, keyCol, strataCol,
       valueCol, Map("lo" -> loQ, "hi" -> hiQ), salt)
     val wide = cuts.groupBy(col(strataCol))

@@ -81,8 +81,13 @@ object Sampling {
       require(f >= 0.0 && f <= 1.0, s"fraction must be in [0, 1], got $f"))
     val total = fractions.sum
     require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
-    fractions.scanLeft(0.0)(_ + _).tail
+    val raw = fractions.scanLeft(0.0)(_ + _).tail
       .map(c => math.round(math.min(c, 1.0) * (1L << 60).toDouble))
+    // The float cumulative sum can land a hair under 1.0 (e.g. 0.7+0.2+0.1
+    // = 0.9999999999999999); once the sum-to-1 tolerance check above has
+    // passed, the final threshold MUST be exactly 2^60 or assignSplit
+    // leaves a sliver of the hash space unlabeled.
+    raw.init :+ (1L << 60)
   }
 
   /** Deterministic disjoint dataset split (train/val/test): every row gets

@@ -143,7 +143,7 @@ object Audit {
   /** Bucketed table checksum — the anti-entropy primitive: rows bucket by
     * `hash60(key) mod nBuckets`, each bucket reports its row count and
     * the XOR of its rows' content hashes (`hash60` over the
-    * ''-joined column values, NULLs as a sentinel). XOR is
+    * ''-joined column values, NULL as the distinct '' sentinel, so NULL vs empty-string and column-boundary shifts cannot collide). XOR is
     * order-independent and overflow-free, so the checksum is invariant to
     * partitioning and row order; two table copies diverge ⇔ some bucket
     * row differs, and WHICH buckets differ localizes the repair scan to
@@ -154,8 +154,8 @@ object Audit {
                     nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(contentCols.nonEmpty, "need at least one content column")
-    val content = concat_ws("",
-      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val content = concat_ws("",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
     df.withColumn("__content_h", Hashing.hash60(content))
       .groupBy(pmod(Hashing.hash60(
           coalesce(col(keyCol).cast("string"), lit("null"))),

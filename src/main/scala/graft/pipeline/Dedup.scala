@@ -64,12 +64,12 @@ object Dedup {
     * Shape: two shingle tables joined by hash — a left-semi equi-join
     * co-partitioned on `sh_hash` (never an all-pairs form), then two
     * doc-keyed counts. The ratio is two integer operands under one IEEE
-    * division, exact cross-engine. Batch shingles are persisted across
+    * division, exact cross-engine. Batch shingles are materialized (localCheckpoint) across
     * their two consumers. Documents shorter than `n` tokens have no
     * shingles and emit no row. */
   def noveltyVsCorpus(batch: DataFrame, corpus: DataFrame,
                       n: Int = 3): DataFrame = {
-    val b = shingles(batch, n).persist()
+    val b = shingles(batch, n).localCheckpoint()
     val corpusSh = shingles(corpus, n).select("sh_hash").distinct()
     val seen = b.join(corpusSh, Seq("sh_hash"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))

@@ -160,7 +160,7 @@ object TextOps {
     val c12 = a.join(b,
       col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist()
+      .localCheckpoint()
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
     val n = c12.agg(sum("c12").as("n"))

@@ -86,7 +86,8 @@ object Events {
   def windowedStats(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
     events
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.ExactNum.gridSum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -96,7 +97,8 @@ object Events {
   def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value_r"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.ops.ExactNum.gridSum(col("value")), 6).as("sum_value_r"))
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value_r"))
 
@@ -229,7 +231,9 @@ object Events {
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_window_r", round(sum("value").over(w), 6))
+      .withColumn("sum_window_r",
+        round(sum(graft.ops.ExactNum.dec(col("value"))).over(w)
+          .cast("double"), 6))
       .select("event_id", "user_id", "ts_us", "n_window", "sum_window_r")
   }
 
@@ -246,10 +250,12 @@ object Events {
     * unique after the dedup and a user has exactly one cohort day, so
     * each user lands in each (cohort, offset) cell at most once. */
   def retentionCohorts(events: DataFrame): DataFrame = {
+    // localCheckpoint, not persist: no post-action unpersist hook exists
+    // for a returned lazy plan; checkpoint blocks are GC-released.
     val userDays = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val cohorts = userDays.groupBy("user_id")
       .agg(min("day").as("cohort_day"))
     userDays.join(cohorts, "user_id")
@@ -323,12 +329,12 @@ object Events {
     *
     * Shape: the funnel output (∝ users·steps, already small) self-joins
     * on (user, step+1) to form transitions, then the quantile machinery
-    * runs per transition stratum. The funnel result is persisted across
+    * runs per transition stratum. The funnel result is materialized (localCheckpoint) across
     * its two consumers. */
   def conversionLatencyQuantiles(events: DataFrame, steps: Seq[String],
                                  quantiles: Map[String, (Long, Long)]): DataFrame = {
     require(steps.size >= 2, "need at least two steps for a transition")
-    val f = funnel(events, steps).persist()
+    val f = funnel(events, steps).localCheckpoint()
     val nxt = f.select(col("user_id").as("__u2"),
       (col("step") - 1).as("__prev_step"),
       col("step_name").as("__next_name"), col("t_us").as("__t2_us"))
@@ -412,10 +418,16 @@ object Events {
       .withColumn("dt_us", lead("ts_us", 1).over(w) - col("ts_us"))
       .where(col("dt_us").isNotNull)
       .groupBy("user_id")
-      .agg(sum(col("value") * col("dt_us")).as("svdt"),
+      // value·dt on the decimal grid: each product is exact, the sum is
+      // associative, so svdt is one canonical number under any
+      // partitioning; the single IEEE division below is then
+      // deterministic cross-engine
+      .agg(sum(graft.ops.ExactNum.dec(col("value")) * col("dt_us"))
+          .as("svdt"),
         sum("dt_us").as("span_us"))
       .select(col("user_id"),
-        round(col("svdt") / col("span_us"), 6).as("twa_r"),
+        round(col("svdt").cast("double") / col("span_us").cast("double"), 6)
+          .as("twa_r"),
         col("span_us"))
   }
 
@@ -435,8 +447,8 @@ object Events {
     val daily = events
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
       .groupBy("user_id", "day")
-      .agg(sum("value").as("v"))
-      .persist()
+      .agg(graft.ops.ExactNum.gridSum(col("value")).as("v"))
+      .localCheckpoint()
     val spine = daily.groupBy("user_id")
       .agg(min("day").as("lo"), max("day").as("hi"))
       .select(col("user_id"),
@@ -494,7 +506,7 @@ object Events {
         col("event_type"))
       .groupBy("user_id", "day")
       .agg(sort_array(collect_set("event_type")).as("items"))
-      .persist()
+      .localCheckpoint()
     val pairs = baskets
       // guard: Spark's sequence(0, -1) is DESCENDING, so a 1-item basket
       // must not reach the generator (it has no pairs anyway)
@@ -536,7 +548,7 @@ object Events {
     val userDays = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .persist()
+      .localCheckpoint()
     val maxDay = userDays.agg(max("day").as("max_day"))
     userDays
       .select(col("user_id"),
