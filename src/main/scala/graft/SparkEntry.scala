@@ -611,10 +611,14 @@ object SparkEntry {
 
     // similarity search, composed scale path: IVF-PQ — cells bound WHICH
     // rows a query scans (nprobe/nlist of the corpus), codes bound the
-    // BYTES per row (m per vector); non-residual variant. Measured
-    // recall@10 vs exact: 0.799 sf0.001 / 0.776 sf0.01 (nlist=16,
-    // nprobe=10, m=32, ksub=64 — vs 0.83-0.85 PQ-alone and 0.886
-    // IVF-alone: the composition pays both quantizers' losses); floor 0.6
+    // BYTES per row (m per vector); residual variant (codes quantize
+    // u − centroid[cell], FAISS IndexIVFPQ default). Measured ADC-only
+    // recall@10 vs exact: 0.760 sf0.001 / 0.769 sf0.01 / 0.692 sf0.1
+    // (nlist=16, nprobe=10, m=32, ksub=64) — on THIS fixture residual ≈
+    // parity with the non-residual codes it replaced (0.799/0.776/—):
+    // 16 coarse cells over near-isotropic 64-dim data explain little
+    // energy, so residuals aren't materially tighter; the documented win
+    // is the refine path below. Floor 0.6.
     "q_ann_ivfpq" -> ((s, dir) => {
       val k = 10
       val corpus = IO.readEmbeddings(s, dir)
@@ -629,6 +633,30 @@ object SparkEntry {
         .crossJoin(hits)
         .select(col("n_queries"),
           (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
+    }),
+
+    // IVF-PQ + exact refinement (FAISS IndexRefineFlat shape): ADC builds
+    // a 4k shortlist from codes alone, then ONLY shortlist rows' original
+    // vectors are fetched (two slim id equi-joins) and rescored with
+    // exact cosine — the recall lever a bigger code budget can't buy.
+    // Measured recall@10 vs exact: 0.892 sf0.001 / 0.886 sf0.01 /
+    // 0.877 sf0.1 (saturated at the probe ceiling by refine=4; ADC-only
+    // is 0.69-0.77 on the same index). Floor 0.75.
+    "q_ann_ivfpq_refine" -> ((s, dir) => {
+      val k = 10
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(col("id") < 100)
+      val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
+      val idx = pipeline.Ann.ivfPqBuild(corpus, nlist = 16, m = 32,
+        ksub = 64, iters = 5, seed = 42L)
+      val approx = pipeline.Ann.ivfPqRefineTopK(idx, corpus, queries, k,
+        nprobe = 10, refine = 4)
+      val hits = approx.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      queries.toDF().agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("hits") >= col("n_queries") * k * 0.75).cast("long").as("recall_ok"))
     }),
 
     // multimodal plumbing: binary payloads + stub decode + frame samples
@@ -2232,6 +2260,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
     "q_ann_ivfpq" ->
+      """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    "q_ann_ivfpq_refine" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 

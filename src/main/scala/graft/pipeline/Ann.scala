@@ -284,13 +284,24 @@ object Ann {
               seed: Long = 42L): PqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.head().vec.length
+    pqTrainEncode(corpus.map(p => Point(p.id, unit(p.vec))), m, ksub, iters, seed)
+  }
+
+  /** [[pqBuild]]'s training + encoding core over PRE-TRANSFORMED vectors
+    * (the caller decides the geometry: unit vectors for plain PQ,
+    * cell residuals for [[ivfPqBuild]] — residuals must NOT be
+    * re-normalized, which is why the normalization lives in the
+    * wrapper). */
+  private[pipeline] def pqTrainEncode(vecs: Dataset[Point], m: Int, ksub: Int,
+                                      iters: Int, seed: Long): PqIndex = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dim = vecs.head().vec.length
     require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     require(ksub <= 256, s"codes are stored one byte per subspace; ksub=$ksub > 256")
     val dsub = dim / m
-    val subRows = corpus.flatMap { p =>
-      val u = unit(p.vec)
-      Iterator.tabulate(m)(s => (s, subvec(u, s, dsub)))
+    val subRows = vecs.flatMap { p =>
+      Iterator.tabulate(m)(s => (s, subvec(p.vec, s, dsub)))
     }.toDF("sub", "v").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val initRows = subRows
@@ -327,12 +338,11 @@ object Ann {
 
       val bcFinal = spark.sparkContext.broadcast(codebook)
       // one BYTE per subspace: the literal 512 B vector → m B code row
-      val codes = corpus.mapPartitions { rows =>
+      val codes = vecs.mapPartitions { rows =>
         val cb = bcFinal.value
         rows.map { p =>
-          val u = unit(p.vec)
           (p.id, Array.tabulate(cb.length)(s =>
-            nearestCentroid(subvec(u, s, dsub), cb(s)).toByte))
+            nearestCentroid(subvec(p.vec, s, dsub), cb(s)).toByte))
         }
       }.toDF("id", "codes")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -341,35 +351,70 @@ object Ann {
     } finally subRows.unpersist()
   }
 
-  /** Approximate cosine top-k by asymmetric distance computation: each
-    * query precomputes its m × ksub dot-product table (driver-side — the
-    * query set is small by the same contract as [[bruteTopK]]'s broadcast),
-    * the codes table is scanned once for all queries, and every (query,
-    * code-row) score is m table lookups. The scan reads codes only — the
-    * original vectors never move. */
-  def pqTopK(index: PqIndex, queries: Dataset[Point], k: Int): DataFrame = {
+  /** The ADC lookup table for one query against one codebook: per
+    * subspace s, `lut(s)(c) = q_sub_s · codebook(s)(c)`, so any code row
+    * scores in m byte-indexed adds. */
+  private def buildLut(u: Array[Double], cb: Array[Array[Array[Double]]],
+                       dsub: Int): Array[Array[Double]] =
+    Array.tabulate(cb.length, cb(0).length) { (s, c) =>
+      val qs = subvec(u, s, dsub)
+      val cs = cb(s)(c)
+      var acc = 0.0
+      var d = 0
+      while (d < dsub) { acc += qs(d) * cs(d); d += 1 }
+      acc
+    }
+
+  /** Unit-normalized query blocks for the distributed ADC scan: one array
+    * per partition (glom), so a cartesian against the codes table yields
+    * one (block × codes-partition) task per pair, and the block's LUTs
+    * are built once per task. */
+  private def queryBlocks(queries: Dataset[Point], queryParts: Int)
+      : org.apache.spark.rdd.RDD[Array[(Long, Array[Double])]] = {
+    require(queryParts >= 1, s"queryParts must be >= 1, got $queryParts")
     val spark = queries.sparkSession
     import spark.implicits._
-    val cb = index.codebook
-    val m = cb.length
-    val ksub = cb(0).length
-    val dsub = cb(0)(0).length
-    val luts = queries.collect().map { q =>
-      val u = unit(q.vec)
-      (q.id, Array.tabulate(m, ksub) { (s, c) =>
-        val qs = subvec(u, s, dsub)
-        val cs = cb(s)(c)
-        var acc = 0.0
-        var d = 0
-        while (d < dsub) { acc += qs(d) * cs(d); d += 1 }
-        acc
-      })
-    }
-    val bc = spark.sparkContext.broadcast(luts)
-    val scored = index.codes.as[(Long, Array[Byte])].mapPartitions { rows =>
-      val ls = bc.value
-      rows.flatMap { case (j, codeArr) =>
-        ls.iterator.filter(_._1 != j).map { case (i, lut) =>
+    val r = queries.map(p => (p.id, unit(p.vec))).rdd
+    val sized =
+      if (r.getNumPartitions == queryParts) r
+      else if (r.getNumPartitions > queryParts) r.coalesce(queryParts)
+      else r.repartition(queryParts)
+    sized.glom()
+  }
+
+  /** Approximate cosine top-k by asymmetric distance computation,
+    * distributed on BOTH sides: the only broadcast is the codebook
+    * (m·ksub·dsub doubles — small and query-independent). Each task
+    * receives one query block × one codes partition, builds the block's
+    * m × ksub LUTs once executor-side, and streams the codes partition
+    * through them — m byte-indexed lookups per (query, row). The query
+    * set never passes through the driver, so a 100k-query batch costs
+    * the driver nothing. (The earlier design collect()ed the queries and
+    * built every LUT driver-side — ~12 GB through the driver funnel at
+    * that batch size; `AnnSpec` drives a 10k-query batch through this
+    * path.) The scan reads codes only — original vectors never move.
+    *
+    * `queryParts` is the block height: per-task LUT memory is
+    * (|Q| / queryParts) · m · ksub · 8 B and the codes table is scanned
+    * queryParts times. The default 1 holds batches up to ~10⁵ queries at
+    * the contract's m=32, ksub=64 (16 KB per query); raise it when the
+    * LUT block would outgrow task memory. */
+  def pqTopK(index: PqIndex, queries: Dataset[Point], k: Int,
+             queryParts: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dsub = index.codebook(0)(0).length
+    val cbBc = spark.sparkContext.broadcast(index.codebook)
+    val qBlocks = queryBlocks(queries, queryParts)
+    val codesRdd = index.codes.as[(Long, Array[Byte])].rdd
+    val scored = qBlocks.cartesian(codesRdd).mapPartitions { pairs =>
+      // the glom'd block is the SAME array object on every pair of this
+      // task, so the LUTs are built once, lazily on the first row
+      var luts: Array[(Long, Array[Array[Double]])] = null
+      pairs.flatMap { case (qArr, (j, codeArr)) =>
+        if (luts == null)
+          luts = qArr.map { case (i, u) => (i, buildLut(u, cbBc.value, dsub)) }
+        luts.iterator.filter(_._1 != j).map { case (i, lut) =>
           var acc = 0.0
           var s = 0
           while (s < codeArr.length) { acc += lut(s)(codeArr(s) & 0xFF); s += 1 }
@@ -384,7 +429,7 @@ object Ann {
 
   // ---------------- IVF-PQ composition ----------------------------------
 
-  /** IVF-PQ index (the FAISS `IndexIVFPQ` shape, non-residual variant):
+  /** IVF-PQ index (the FAISS `IndexIVFPQ` shape, residual variant):
     * coarse k-means cells bound WHICH rows a query scans, PQ codes bound
     * the BYTES each scanned row costs — the two orthogonal scale levers of
     * [[IvfIndex]] and [[PqIndex]] composed. `coded` is
@@ -392,83 +437,136 @@ object Ann {
     * deployment writes it `partitionBy(cell)` so probe sets prune
     * partitions at the source and the per-query scan touches
     * ~`nprobe/nlist` of an already-32×-smaller table. Codes quantize the
-    * unit vector itself (not the cell residual) — same LUT arithmetic as
-    * [[pqTopK]], one shared codebook, at a modest recall cost vs
-    * residual coding, documented rather than hidden. */
+    * RESIDUAL `u − centroid[cell]` (FAISS's default): residuals are a far
+    * tighter distribution than the unit sphere — the cell explains most
+    * of the vector's energy — so the same m × ksub code budget spends its
+    * levels on a smaller support, which is where most of IVF-PQ's recall
+    * at a fixed code size comes from. Scoring folds the decomposition
+    * `q·x̂ = q·centroid[cell] + q·residual-code` into the same m lookups
+    * plus one per-cell constant ([[ivfPqTopK]]). */
   final case class IvfPqIndex(centroids: Array[Array[Double]],
                               codebook: Array[Array[Array[Double]]],
                               coded: DataFrame /* (id, cell, codes) */) {
     def release(): Unit = coded.unpersist()
   }
 
-  /** Train both quantizers over the same corpus (coarse cells via
-    * [[kmeansCentroids]], subspace codebooks via [[pqBuild]]) and emit the
-    * coded table. Driver traffic per iteration: centroids + codebooks
-    * only. */
+  /** Train both quantizers (coarse cells via [[kmeansCentroids]], then
+    * subspace codebooks over the cell RESIDUALS via [[pqTrainEncode]])
+    * and emit the coded table. Driver traffic per iteration: centroids +
+    * codebooks only. */
   def ivfPqBuild(corpus: Dataset[Point], nlist: Int, m: Int, ksub: Int,
                  iters: Int = 5, seed: Long = 42L): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = kmeansCentroids(corpus, nlist, iters, seed)
-    val pq = pqBuild(corpus, m, ksub, iters, seed)
     val bc = spark.sparkContext.broadcast(centroids)
-    val cells = corpus.map { p =>
-      (p.id, nearestCentroid(unit(p.vec), bc.value))
-    }.toDF("id", "cell")
-    val coded = pq.codes.join(cells, "id")
-      .select(col("id"), col("cell"), col("codes"))
+    val resid = corpus.map { p =>
+      val u = unit(p.vec)
+      val cell = nearestCentroid(u, bc.value)
+      val c = bc.value(cell)
+      val r = new Array[Double](u.length)
+      var d = 0
+      while (d < u.length) { r(d) = u(d) - c(d); d += 1 }
+      (p.id, cell, r)
+    }.toDF("id", "cell", "r")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    coded.count() // materialize before releasing the codes-only cache
-    pq.release()
-    IvfPqIndex(centroids, pq.codebook, coded)
+    try {
+      val pq = pqTrainEncode(
+        resid.select(col("id"), col("r").as("vec")).as[Point],
+        m, ksub, iters, seed)
+      val coded = pq.codes.join(resid.select("id", "cell"), "id")
+        .select(col("id"), col("cell"), col("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.count() // materialize before releasing the codes-only cache
+      pq.release()
+      IvfPqIndex(centroids, pq.codebook, coded)
+    } finally resid.unpersist()
   }
 
   /** Approximate cosine top-k over the coded table: each query probes its
-    * `nprobe` nearest cells (driver-side — the query set is small by the
-    * [[bruteTopK]] broadcast contract) and ADC-scores ONLY rows whose cell
-    * is probed; everything else is skipped before any arithmetic. Cost per
-    * query ≈ (nprobe/nlist) · N rows × m table adds. */
+    * `nprobe` nearest cells and ADC-scores ONLY rows whose cell is
+    * probed; everything else is skipped before any arithmetic. Cost per
+    * query ≈ (nprobe/nlist) · N rows × m table adds. Fully distributed
+    * like [[pqTopK]] (same `queryParts` blocking): probe sets, base
+    * terms and LUTs are all computed executor-side per task; the driver
+    * only ships the centroids + codebook broadcasts. */
   def ivfPqTopK(index: IvfPqIndex, queries: Dataset[Point], k: Int,
-                nprobe: Int): DataFrame = {
+                nprobe: Int, queryParts: Int = 1): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cb = index.codebook
-    val m = cb.length
-    val ksub = cb(0).length
-    val dsub = cb(0)(0).length
-    val cents = index.centroids
-    val luts = queries.collect().map { q =>
-      val u = unit(q.vec)
-      val cells = cents.indices
-        .map(c => (c, graft.tsne.Distances.sqEuclidean(u, cents(c))))
-        .sortBy { case (c, d) => (d, c) }
-        .take(nprobe).map(_._1).toSet
-      (q.id, cells, Array.tabulate(m, ksub) { (s, c) =>
-        val qs = subvec(u, s, dsub)
-        val cs = cb(s)(c)
-        var acc = 0.0
-        var d = 0
-        while (d < dsub) { acc += qs(d) * cs(d); d += 1 }
-        acc
-      })
-    }
-    val bc = spark.sparkContext.broadcast(luts)
-    val scored = index.coded
-      .as[(Long, Int, Array[Byte])].mapPartitions { rows =>
-        val ls = bc.value
-        rows.flatMap { case (j, cell, codeArr) =>
-          ls.iterator
-            .filter { case (i, cells, _) => i != j && cells.contains(cell) }
-            .map { case (i, _, lut) =>
-              var acc = 0.0
-              var s = 0
-              while (s < codeArr.length) { acc += lut(s)(codeArr(s) & 0xFF); s += 1 }
-              (i, j, acc)
-            }
+    val dsub = index.codebook(0)(0).length
+    val cbBc = spark.sparkContext.broadcast(index.codebook)
+    val centBc = spark.sparkContext.broadcast(index.centroids)
+    val qBlocks = queryBlocks(queries, queryParts)
+    val codedRdd = index.coded.as[(Long, Int, Array[Byte])].rdd
+    val scored = qBlocks.cartesian(codedRdd).mapPartitions { pairs =>
+      // per-task query-block state, built once on the first row: the
+      // probe set, the per-cell base term q·centroid[cell] (the residual
+      // decomposition q·x̂ = q·centroid + q·residual-code makes residual
+      // ADC the same m lookups plus this one constant), and the residual
+      // LUT. The query set never touches the driver — see [[pqTopK]].
+      var st: Array[(Long, java.util.BitSet, Array[Double],
+        Array[Array[Double]])] = null
+      pairs.flatMap { case (qArr, (j, cell, codeArr)) =>
+        if (st == null) st = qArr.map { case (i, u) =>
+          val cents = centBc.value
+          val probed = cents.indices
+            .map(c => (c, graft.tsne.Distances.sqEuclidean(u, cents(c))))
+            .sortBy { case (c, d) => (d, c) }
+            .take(nprobe).map(_._1)
+          val bits = new java.util.BitSet(cents.length)
+          probed.foreach(bits.set)
+          val base = Array.tabulate(cents.length) { c =>
+            var acc = 0.0
+            var d = 0
+            while (d < u.length) { acc += u(d) * cents(c)(d); d += 1 }
+            acc
+          }
+          (i, bits, base, buildLut(u, cbBc.value, dsub))
         }
-      }.toDF("i", "j", "sim")
+        st.iterator
+          .filter { case (i, bits, _, _) => i != j && bits.get(cell) }
+          .map { case (i, _, base, lut) =>
+            var acc = base(cell)
+            var s = 0
+            while (s < codeArr.length) { acc += lut(s)(codeArr(s) & 0xFF); s += 1 }
+            (i, j, acc)
+          }
+      }
+    }.toDF("i", "j", "sim")
     val ranked = Knn.topKPerPointRanked(
       scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
+
+  /** IVF-PQ with exact refinement (the FAISS `IndexRefineFlat` shape):
+    * ADC produces a `refine·k` shortlist from codes alone, then ONLY the
+    * shortlist rows' original vectors are fetched (two slim equi-joins on
+    * id) and rescored with exact cosine before the final top-k. This is
+    * the production recall lever the code budget can't buy: composed
+    * ADC recall is capped by quantization error, while the refined
+    * recall rises to the probe ceiling (every true neighbor that lands
+    * in a probed cell AND the shortlist is recovered exactly).
+    *
+    * Scale shape: the shortlist is |Q|·refine·k rows — the only rows
+    * whose full vectors ever move; the corpus-side join is an equi-join
+    * on id against the (id, vec) projection, so at 100 TB the refine
+    * step reads ~|Q|·refine·k·d doubles, not the corpus. */
+  def ivfPqRefineTopK(index: IvfPqIndex, corpus: Dataset[Point],
+                      queries: Dataset[Point], k: Int, nprobe: Int,
+                      refine: Int = 4, queryParts: Int = 1): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val shortlist = ivfPqTopK(index, queries, k * refine, nprobe, queryParts)
+      .select(col("i"), col("j"))
+    val qv = queries.toDF().select(col("id").as("i"), col("vec").as("qv"))
+    val cv = corpus.toDF().select(col("id").as("j"), col("vec").as("cv"))
+    val rescored = shortlist
+      .join(cv, "j")
+      .join(qv, "i")
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("qv"), col("cv")).as("sim"))
+    val ranked = Knn.topKPerPointRanked(
+      rescored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
 

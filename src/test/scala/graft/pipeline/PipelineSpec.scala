@@ -522,6 +522,72 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     idx.release(); idx2.release()
   }
 
+  "Ann.ivfPqRefineTopK" should "lift recall to the probe ceiling by exact rescore of the shortlist" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0L until 300L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(30))
+    val idx = Ann.ivfPqBuild(corpus, nlist = 10, m = 8, ksub = 32,
+      iters = 5, seed = 1L)
+    val exact = Ann.bruteTopK(corpus, queries, 5).select("i", "j")
+    val adc = Ann.ivfPqTopK(idx, queries, 5, nprobe = 6)
+    val refined = Ann.ivfPqRefineTopK(idx, corpus, queries, 5, nprobe = 6,
+      refine = 4)
+    val adcHits = adc.join(exact, Seq("i", "j"), "left_semi").count()
+    val refHits = refined.join(exact, Seq("i", "j"), "left_semi").count()
+    // exact rescore can only add recall over ADC ranking of the same
+    // probe set, and must clear the contract floor with margin
+    refHits should be >= adcHits
+    refHits.toDouble / exact.count() should be >= 0.75
+    // the refined neighbors still come from probed cells only — refine
+    // reorders the shortlist, it cannot resurrect unprobed rows
+    val cellOf = idx.coded.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = idx.centroids
+    val probed = queries.collect().map { q =>
+      val u = q.vec.clone()
+      val n = math.sqrt(u.map(x => x * x).sum); u.indices.foreach(i => u(i) /= n)
+      q.id -> cents.indices.map(c =>
+        (c, graft.tsne.Distances.sqEuclidean(u, cents(c))))
+        .sortBy { case (c, d) => (d, c) }.take(6).map(_._1).toSet
+    }.toMap
+    refined.collect().foreach { r =>
+      probed(r.getLong(0)) should contain(cellOf(r.getLong(1)))
+    }
+    idx.release()
+  }
+
+  "Ann.pqTopK" should "score a 10k-query batch fully distributed, invariant to query blocking" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val pts = (0L until 200L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val idx = Ann.pqBuild(corpus, m = 8, ksub = 32, iters = 3, seed = 1L)
+    // 10k queries as a genuine distributed Dataset — the round-8 design
+    // would have collected all of them and built 10k LUTs driver-side;
+    // the rewrite only ever ships the codebook broadcast, so this runs
+    // with per-task LUT memory of |Q|/queryParts blocks
+    val queries = s.createDataset((10000L until 20000L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))).repartition(16)
+    val r8 = Ann.pqTopK(idx, queries, 3, queryParts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    r8.size shouldBe 10000 * 3
+    // block height must not change results: same scores whatever the
+    // query partitioning (the per-task LUT build is per-query arithmetic)
+    val sub = queries.filter(_.id < 10100L)
+    val r1 = Ann.pqTopK(idx, sub, 3, queryParts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r4 = Ann.pqTopK(idx, sub, 3, queryParts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    r4 shouldBe r1
+    r1.subsetOf(r8) shouldBe true
+    idx.release()
+  }
+
   "Dedup.semanticDedup" should "match the brute-force semantic clustering" in {
     val s = spark
     import s.implicits._
