@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,6 +235,53 @@ object SparkEntry {
     // O14 (+O17/O18 at θ=0) — the exact t-SNE gradient at a deterministic
     // embedding (first two input dims), verified against an all-pairs SQL
     // formulation of F_attr − F_rep/sumQ
+    // O16 standalone — one delta-bar-delta update step per point, inputs
+    // derived deterministically from the embedding components; the oracle
+    // re-derives gain/step/position arithmetic component-wise in SQL with
+    // the exact association order of Gradient.update
+    "q_update_step" -> ((s, dir) => {
+      import s.implicits._
+      val r = (c: Column) => round(c, 9) + lit(0.0)
+      IO.readEmbeddings(s, dir).map { p =>
+        val y = Array(p.vec(0), p.vec(1))
+        val prev = Array(p.vec(2), p.vec(3))
+        val gains = Array(1.0 + math.abs(p.vec(4)), 1.0 + math.abs(p.vec(5)))
+        val grad = Array(p.vec(6), p.vec(7))
+        val (ny, ns, ng) = Gradient.update(y, prev, gains, grad,
+          minGain = 0.01, momentum = 0.5, learningRate = 0.1)
+        (p.id, ny(0), ny(1), ns(0), ns(1), ng(0), ng(1))
+      }.toDF("id", "y0", "y1", "s0", "s1", "g0", "g1")
+        .select(col("id"), r(col("y0")).as("y0_r"), r(col("y1")).as("y1_r"),
+          r(col("s0")).as("s0_r"), r(col("s1")).as("s1_r"),
+          r(col("g0")).as("g0_r"), r(col("g1")).as("g1_r"))
+        .orderBy("id")
+    }),
+
+    // O13 standalone — seeded working-set init: moments are value-exact
+    // (lastGrad = 0, gains = 1) and the gaussian positions are a pure
+    // function of (seed, id): a second build under a different
+    // partitioning must be bit-identical, and σ = 1e-4 bounds |y|. The
+    // gaussian draws themselves aren't SQL-expressible, so the oracle
+    // pins the moments and the flag.
+    "q_init_moments" -> ((s, dir) => {
+      import s.implicits._
+      val ids = IO.readEmbeddings(s, dir)
+        .map(p => AffinityRow(p.id, Array.empty[Long], Array.empty[Double]))
+      val a = Optimizer.initWorkingSet(ids, 2, seed = 42L)
+        .map(w => (w.id, w.y(0), w.y(1), w.lastGrad(0), w.lastGrad(1),
+          w.gains(0), w.gains(1)))
+        .toDF("id", "y0", "y1", "s0", "s1", "g0", "g1")
+      val b = Optimizer.initWorkingSet(ids.repartition(7), 2, seed = 42L)
+        .map(w => (w.id, w.y(0), w.y(1)))
+        .toDF("id", "b0", "b1")
+      a.join(b, "id")
+        .select(col("id"), col("s0"), col("s1"), col("g0"), col("g1"),
+          (col("y0") === col("b0") && col("y1") === col("b1") &&
+            abs(col("y0")) < 1e-2 && abs(col("y1")) < 1e-2)
+            .cast("long").as("init_ok"))
+        .orderBy("id")
+    }),
+
     "q_gradient_exact" -> ((s, dir) => {
       import s.implicits._
       val points = IO.readEmbeddings(s, dir)
@@ -372,6 +419,31 @@ object SparkEntry {
     }),
 
     // exact dedup: canonical id per content hash
+    // JSONL interchange round-trip: parquet truth → writeDocuments JSONL
+    // → readDocuments (declared schema, PERMISSIVE quarantine) must
+    // reproduce every value bit-for-bit, with two injected corrupt lines
+    // landing in the _corrupt column instead of the clean rows — the one
+    // operator family that had no CORRECTNESS row before round 9
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_$tag"
+      sources.Jsonl.writeDocuments(docs, out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/zz_corrupt.json"),
+        "this line is not json at all\n{\"doc_id\": \"not-a-long\"\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // localCheckpoint: one parse pass feeds both the quarantine count
+      // and the clean rows (and sidesteps QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      val back = sources.Jsonl.readDocuments(s, out).localCheckpoint()
+      val nCorrupt = back.where(col("_corrupt").isNotNull).count()
+      back.where(col("_corrupt").isNull)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .withColumn("n_corrupt", lit(nCorrupt))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       pipeline.Dedup.exactCanonical(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")
@@ -524,6 +596,18 @@ object SparkEntry {
       pipeline.Dedup.sharedSpanPairs(
         s.read.parquet(s"$dir/documents.parquet"), minLen = 40, gramWidth = 32)
         .orderBy("i", "j")
+    }),
+
+    // span-level duplicate REMOVAL (Lee et al. 2022 removal step): chars
+    // covered by a >= 40-gram also present in a lower-id doc are cut, the
+    // lowest doc keeps its text; candidates from winnowing anchors, cut
+    // via one codegen'd interval-merge. The oracle brute-forces EVERY
+    // offset and reconstructs the survivors char-by-char, so the full
+    // surviving text hash-matches, not just counts.
+    "q_substring_remove" -> ((s, dir) => {
+      pipeline.Dedup.removeSharedSpans(
+        s.read.parquet(s"$dir/documents.parquet"), minLen = 40, gramWidth = 32)
+        .orderBy("doc_id")
     }),
 
     // embedding near-dup: exact cosine ≥ θ pair set (left side spread over
@@ -734,7 +818,11 @@ object SparkEntry {
     "q_semantic_dedup_text" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") < 600)
-      val corpus = pipeline.TextOps.tfidfVectors(docs, dim = 64)
+      // localCheckpoint: the tf-idf build (tokenize + idf join) feeds BOTH
+      // sides of the exact cross join AND the k-means/verify pipeline —
+      // without it the lineage re-executes per consumer (r8's only bench
+      // drift, +29% on this query)
+      val corpus = pipeline.TextOps.tfidfVectors(docs, dim = 64).localCheckpoint()
       val par = s.sessionState.conf.numShufflePartitions
       val exact = corpus.toDF().repartition(par)
         .select(col("id").as("i"), col("vec").as("va"))
@@ -2098,6 +2186,13 @@ object SparkEntry {
         |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '[NUM]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the round-trip must land exactly on the parquet truth; the corrupt
+    // count is the two injected lines, quarantined rather than read
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |       CAST(2 AS BIGINT) AS n_corrupt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_dedup_exact" -> (canonSql + " ORDER BY doc_id"),
 
     "q_dedup_normalized" ->
@@ -2138,6 +2233,36 @@ object SparkEntry {
         |SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the removal semantics recomputed from scratch at char granularity:
+    // every offset's gram, per-gram min-doc ownership, covered position
+    // union, surviving chars re-concatenated in order
+    "q_substring_remove" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |g AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gram
+        |      FROM (SELECT doc_id, text,
+        |                   unnest(range(0, length(text) - 40 + 1)) AS pos
+        |            FROM d WHERE length(text) >= 40)),
+        |own AS (SELECT gram, MIN(doc_id) AS mn FROM g GROUP BY gram),
+        |dup AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gram)
+        |        WHERE g.doc_id > own.mn),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+        |        FROM (SELECT doc_id, pos, unnest(range(0, 40)) AS o FROM dup)),
+        |ch AS (SELECT doc_id, cpos, substr(text, cpos + 1, 1) AS c
+        |       FROM (SELECT doc_id, text,
+        |                    unnest(range(0, length(text))) AS cpos
+        |             FROM d WHERE length(text) >= 1)),
+        |kept AS (SELECT ch.doc_id,
+        |                string_agg(ch.c, '' ORDER BY ch.cpos) AS clean_text
+        |         FROM ch LEFT JOIN cov
+        |           ON ch.doc_id = cov.doc_id AND ch.cpos = cov.cpos
+        |         WHERE cov.doc_id IS NULL
+        |         GROUP BY ch.doc_id)
+        |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+        |       CAST(length(d.text) - length(COALESCE(k.clean_text, ''))
+        |            AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_minhash" -> jaccardOracle(0.7),
 
@@ -2375,6 +2500,43 @@ object SparkEntry {
     "q_affinity_rowsum" ->
       """SELECT vec_id AS i, ROUND(CAST(1.0 AS DOUBLE), 6) AS psum_r
         |FROM embeddings ORDER BY i""".stripMargin,
+
+    // the delta-bar-delta arithmetic re-derived component-wise with the
+    // same association order as Gradient.update: gain test (sign match →
+    // ×0.8 else +0.2, floored at minGain), step = m·prev − (lr·gain)·grad,
+    // position = step + y
+    "q_update_step" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id,
+        |         CAST(embedding[1] AS DOUBLE) AS y0, CAST(embedding[2] AS DOUBLE) AS y1,
+        |         CAST(embedding[3] AS DOUBLE) AS p0, CAST(embedding[4] AS DOUBLE) AS p1,
+        |         1.0 + ABS(CAST(embedding[5] AS DOUBLE)) AS ga0,
+        |         1.0 + ABS(CAST(embedding[6] AS DOUBLE)) AS ga1,
+        |         CAST(embedding[7] AS DOUBLE) AS gr0, CAST(embedding[8] AS DOUBLE) AS gr1
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT id, y0, y1, p0, p1, gr0, gr1,
+        |         CASE WHEN (gr0 > 0) = (p0 > 0) THEN GREATEST(ga0 * 0.8, 0.01)
+        |              ELSE GREATEST(ga0 + 0.2, 0.01) END AS ng0,
+        |         CASE WHEN (gr1 > 0) = (p1 > 0) THEN GREATEST(ga1 * 0.8, 0.01)
+        |              ELSE GREATEST(ga1 + 0.2, 0.01) END AS ng1
+        |  FROM e),
+        |st AS (
+        |  SELECT id, y0, y1, ng0, ng1,
+        |         0.5 * p0 - (0.1 * ng0) * gr0 AS ns0,
+        |         0.5 * p1 - (0.1 * ng1) * gr1 AS ns1
+        |  FROM u)
+        |SELECT id, ROUND(ns0 + y0, 9) + 0.0 AS y0_r, ROUND(ns1 + y1, 9) + 0.0 AS y1_r,
+        |       ROUND(ns0, 9) + 0.0 AS s0_r, ROUND(ns1, 9) + 0.0 AS s1_r,
+        |       ROUND(ng0, 9) + 0.0 AS g0_r, ROUND(ng1, 9) + 0.0 AS g1_r
+        |FROM st ORDER BY id""".stripMargin,
+
+    // moments value-exact, gaussian positions pinned via the determinism +
+    // bound flag (the seeded draws aren't SQL-expressible)
+    "q_init_moments" ->
+      """SELECT vec_id AS id, 0.0 AS s0, 0.0 AS s1, 1.0 AS g0, 1.0 AS g1,
+        |       CAST(1 AS BIGINT) AS init_ok
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     "q_gradient_exact" ->
       (knnSql +

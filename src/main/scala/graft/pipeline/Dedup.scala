@@ -577,6 +577,35 @@ object Dedup {
     * anchor candidate set is implied — no final re-filter is needed. */
   def sharedSpanPairs(docs: DataFrame, minLen: Int = 40,
                       gramWidth: Int = 32): DataFrame = {
+    val cands = spanCandidatePairs(docs, minLen, gramWidth)
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val candIds = cands.select(col("i").as("doc_id"))
+      .unionByName(cands.select(col("j").as("doc_id")))
+      .distinct()
+    val cdocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .where(length(col("text")) >= minLen)
+      .repartition(parallelism) // same explode-spread as the anchor side
+    val gIdxs = sequence(lit(0), length(col("text")) - minLen)
+    // per-doc array_distinct again — the exploded output is already
+    // (doc, gram)-distinct, so no corpus-wide DISTINCT exchange
+    val grams = cdocs.select(col("doc_id"),
+      explode(array_distinct(
+        transform(gIdxs, i => col("text").substr(i + 1, lit(minLen)))))
+        .as("gram"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The winnowing anchor front end shared by [[sharedSpanPairs]] and
+    * [[removeSharedSpans]]: candidate `(i, j)` doc pairs that collide on
+    * a window-minimum fingerprint — a lossless superset of the pairs
+    * sharing a verbatim ≥ `minLen` run (the winnowing guarantee; hash
+    * collisions only ADD candidates). */
+  private[pipeline] def spanCandidatePairs(docs: DataFrame, minLen: Int,
+                                           gramWidth: Int): DataFrame = {
     require(gramWidth >= 1 && minLen > gramWidth,
       s"need minLen > gramWidth >= 1, got minLen=$minLen gramWidth=$gramWidth")
     val k = minLen - gramWidth + 1
@@ -617,30 +646,66 @@ object Dedup {
     // and sits under BOTH sides of the verify self-join — with a lazy plan
     // the whole hash→window→join anchor pipeline would be re-evaluated ~4×
     // (the same consumed-many-times seam as minHashNearDups' shingle table)
-    val cands = anchors.as("a")
+    anchors.as("a")
       .join(anchors.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
       .localCheckpoint()
+  }
 
+  /** Span-level duplicate REMOVAL — the production completion of
+    * [[sharedSpanPairs]] (the removal step of Lee et al. 2022: cut the
+    * duplicated bytes, keep one occurrence): every character of a
+    * document covered by some `minLen`-gram that also occurs in a
+    * LOWER-id document is removed — the lowest doc_id containing a gram
+    * owns it and keeps its text — and the uncovered stretches are
+    * concatenated in order. Returns `(doc_id, clean_text, n_removed)`
+    * for EVERY input document (non-candidates pass through with
+    * n_removed = 0).
+    *
+    * Scale shape: the winnowing anchor front end
+    * ([[spanCandidatePairs]]) nominates candidate docs, so the exact
+    * per-offset gram table is built for candidates only — everything
+    * else passes through without ever being exploded. Ownership is a
+    * per-gram `min(doc_id)` hash aggregate (shuffle ∝ candidate-doc
+    * grams; no self-join, so a boilerplate gram shared by 10⁴ docs costs
+    * 10⁴ rows, not 10⁸ pairs), and the cut itself is one codegen'd
+    * `aggregate()` interval-merge over each doc's sorted covered
+    * offsets — O(len + spans) per doc, no char-level fan-out. */
+  def removeSharedSpans(docs: DataFrame, minLen: Int = 40,
+                        gramWidth: Int = 32): DataFrame = {
+    val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cands = spanCandidatePairs(docs, minLen, gramWidth)
     val candIds = cands.select(col("i").as("doc_id"))
       .unionByName(cands.select(col("j").as("doc_id")))
       .distinct()
     val cdocs = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .where(length(col("text")) >= minLen)
-      .repartition(parallelism) // same explode-spread as the anchor side
-    val gIdxs = sequence(lit(0), length(col("text")) - minLen)
-    // per-doc array_distinct again — the exploded output is already
-    // (doc, gram)-distinct, so no corpus-wide DISTINCT exchange
+      .select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull && length(col("text")) >= minLen)
+      .repartition(parallelism) // spread the per-offset explode
+    // every offset, positions kept (coverage needs them) — unlike the
+    // distinct gram table of the pair counter
     val grams = cdocs.select(col("doc_id"),
-      explode(array_distinct(
-        transform(gIdxs, i => col("text").substr(i + 1, lit(minLen)))))
-        .as("gram"))
-    grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      posexplode(transform(sequence(lit(0), length(col("text")) - minLen),
+        i => col("text").substr(i + 1, lit(minLen)))).as(Seq("p", "gram")))
+    val owner = grams.groupBy("gram").agg(min("doc_id").as("__mn"))
+    val covered = grams.join(owner, "gram")
+      .where(col("doc_id") > col("__mn"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("__ps"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("__ps").isNull, col("text")).otherwise(expr(
+          s"""aggregate(__ps,
+             |  named_struct('e', 0, 'acc', ''),
+             |  (st, p) -> named_struct(
+             |    'e', greatest(st.e, p + $minLen),
+             |    'acc', concat(st.acc,
+             |      substr(text, st.e + 1, greatest(p - st.e, 0)))),
+             |  st -> concat(st.acc, substr(text, st.e + 1)))""".stripMargin)))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long")
+          .as("n_removed"))
   }
 }

@@ -135,6 +135,60 @@ object Optimizer {
     } finally pCached.unpersist()
   }
 
+  /** The phase-1 superstep dataflow of [[optimizeDistributed]] as
+    * UNEXECUTED plans for `--executionPlan` (ref `Tsne.scala:89-95` dumps
+    * the Flink plan *instead of* executing; Spark's iterative loop is
+    * imperative, so the dumpable unit is one superstep). Built against an
+    * empty broadcast state and a 1-point tree — the closures never run,
+    * `queryExecution.toString` only drives analysis/optimization/physical
+    * planning on the driver, and NO Spark job is submitted (pinned by
+    * `TsneE2ESpec`'s job-listener assertion). */
+  def superstepPlanString(p: Dataset[AffinityRow], params: Params): String = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val metricName = params.metric
+    val bcState = sc.broadcast(new java.util.HashMap[Long, WorkingSet]())
+    val bcTree = sc.broadcast(BhTree.build(Array(Array(0.0, 0.0))))
+    val theta = params.theta
+    val factor = params.earlyExaggeration
+    // the same scan → fused force map as superstep stage 2
+    val forces = p.mapPartitions { rows =>
+      val metric = Distances.byName(metricName)
+      val st = bcState.value
+      val t = bcTree.value
+      rows.map { row =>
+        val yi = st.get(row.id).y
+        val ps = row.ps.map(_ * factor)
+        val (ax, ay) =
+          Gradient.attractiveForce(row.js, ps, yi, id => st.get(id).y, metric)
+        val (rx, ry, sq) = t.repulsiveForce(yi(0), yi(1), theta)
+        Force(row.id, ax, ay, rx, ry, sq, 0.0, 0.0)
+      }
+    }
+    // stage 3's single global aggregation
+    val agg = forces.agg(sum("sumQPart"), sum("lossPre"), sum("pSum"))
+    // stage 5's broadcast-state update map
+    val minGain = params.minGain
+    val lr = params.learningRate
+    val mom = params.initialMomentum
+    val upd = forces.map { f =>
+      val w = bcState.value.get(f.id)
+      val grad = Array(f.ax, f.ay)
+      val (ny, ns, ng) =
+        Gradient.update(w.y, w.lastGrad, w.gains, grad, minGain, mom, lr)
+      WorkingSet(f.id, ny, ns, ng)
+    }
+    try {
+      "== superstep forces (fused attractive + Barnes-Hut repulsive) ==\n" +
+        forces.queryExecution.toString +
+        "\n== superstep global aggregation (sumQ + loss partials) ==\n" +
+        agg.queryExecution.toString +
+        "\n== superstep state update (broadcast state, no shuffle) ==\n" +
+        upd.queryExecution.toString
+    } finally { bcState.destroy(); bcTree.destroy() }
+  }
+
   // ================= driver-local fast path ==============================
 
   /** The per-point phases (BH traversals, attractive forces, updates) run

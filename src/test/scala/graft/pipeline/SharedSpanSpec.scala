@@ -81,4 +81,63 @@ class SharedSpanSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .unionByName(Seq(3L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
     Dedup.sharedSpanPairs(df, minLen = 40, gramWidth = 16).count() shouldBe 0L
   }
+
+  // ---- removal ---------------------------------------------------------
+
+  /** All-offsets reference for removeSharedSpans: per-gram min-doc
+    * ownership, covered position union, surviving chars in order. */
+  private def bruteRemove(rows: Seq[(Long, String)], L: Int): Map[Long, String] = {
+    val grams = for {
+      (id, t) <- rows if t != null && t.length >= L
+      p <- 0 to t.length - L
+    } yield (t.substring(p, p + L), id, p)
+    val own = grams.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).min }
+    rows.map { case (id, t) =>
+      val cov =
+        if (t == null || t.length < L) Set.empty[Int]
+        else grams.collect { case (g, `id`, p) if own(g) < id => p }
+          .flatMap(p => p until p + L).toSet
+      id -> (if (t == null) null
+             else t.zipWithIndex.collect { case (c, i) if !cov(i) => c }.mkString)
+    }.toMap
+  }
+
+  private def runRemove(rows: Seq[(Long, String)], L: Int, w: Int): Map[Long, String] = {
+    val s = spark
+    import s.implicits._
+    Dedup.removeSharedSpans(rows.toDF("doc_id", "text"), minLen = L, gramWidth = w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  "removeSharedSpans" should "cut exactly the covered characters, keeping the lowest doc's copy" in {
+    val rows = Seq(
+      0L -> "0123456789abcdefghij", // owner of the run
+      1L -> "xx0123456789abcdefghijyy", // run spliced mid-doc: cut to xxyy
+      2L -> "zz", // shorter than minLen: untouched
+      3L -> "a completely unique document with nothing shared at all",
+      4L -> "0123456789ab") // prefix of the run, >= minLen: fully covered
+    val got = runRemove(rows, L = 8, w = 4)
+    got shouldBe bruteRemove(rows, 8)
+    got(0L) shouldBe rows(0)._2 // owner untouched
+    got(1L) shouldBe "xxyy" // interval-merged overlapping grams
+    got(2L) shouldBe "zz"
+    got(4L) shouldBe "" // all-covered doc survives as empty string
+  }
+
+  it should "match the all-offsets reference on a seeded corpus with spliced duplications" in {
+    val rnd = new Random(42)
+    def txt(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = (0L until 20L).map(i => i -> txt(60 + rnd.nextInt(80)))
+    // splice spans of earlier docs into later ones (the dup mechanism);
+    // some splices overlap, some docs get several
+    val rows = base.map { case (id, t) =>
+      if (id >= 10L && rnd.nextBoolean()) {
+        val (srcId, src) = base(rnd.nextInt(id.toInt / 2))
+        val span = src.substring(0, 15 + rnd.nextInt(20))
+        val cut = rnd.nextInt(t.length)
+        (id, t.substring(0, cut) + span + t.substring(cut), srcId)
+      } else (id, t, -1L)
+    }.map { case (id, t, _) => id -> t }
+    runRemove(rows, L = 12, w = 8) shouldBe bruteRemove(rows, 12)
+  }
 }

@@ -172,7 +172,18 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
     val planFile = new java.io.File("tsne_executionPlan.json")
     planFile.delete()
     val outDir = Files.createTempDirectory("tsne-e2e-plan").toString + "/emb"
-    Tsne.run(Array(
+    // ref Tsne.scala:89-95 dumps INSTEAD of executing — count Spark jobs
+    // to pin that the optimize path truly never runs (round-8 verdict #2:
+    // the old spelling executed the full loop before printing the plan)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try Tsne.run(Array(
       "--input", fixturePath("dense_input.csv"),
       "--output", outDir,
       "--dimension", "784",
@@ -182,10 +193,25 @@ class TsneE2ESpec extends AnyFlatSpec with Matchers with org.scalatest.Inspector
       "--knnMethod", "bruteforce",
       "--randomState", "42",
       "--executionPlan"), spark)
+    finally {
+      // listener events are async; run one sentinel job and wait for its
+      // event — bus ordering then guarantees every earlier event (if any)
+      // has been delivered, so the count below is complete. collect(), not
+      // count(): count carries an Exchange, which under AQE materializes
+      // as a second job and would miscount the sentinel
+      spark.range(1).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // ref Tsne.scala:89-95: plan file written, nothing executed to the sink
     planFile.exists() shouldBe true
-    scala.io.Source.fromFile(planFile).mkString should include("Physical Plan")
+    val txt = scala.io.Source.fromFile(planFile).mkString
+    txt should include("Physical Plan")
+    txt should include("superstep forces")
     new java.io.File(outDir).exists() shouldBe false
+    jobs.get() shouldBe 1 // ONLY the sentinel — the plan dump ran no job
     planFile.delete()
   }
 
