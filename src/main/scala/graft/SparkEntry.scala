@@ -303,8 +303,8 @@ object SparkEntry {
           // decimal-grid sums: order-independent and oracle-exact even
           // for the sf1-scale groups where a float sum's accumulated
           // error crosses round() boundaries (see ops.ExactNum)
-          round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty"),
-          round(ops.ExactNum.gridSum(col("l_extendedprice"), 2), 2).as("sum_price"),
+          round(ops.ExactNum.gridSumFast(col("l_quantity"), 2), 4).as("sum_qty"),
+          round(ops.ExactNum.gridSumFast(col("l_extendedprice"), 2), 2).as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -543,6 +543,26 @@ object SparkEntry {
     // set) — the transitive-closure step a canonical-doc picker needs;
     // oracle recomputes components via a recursive reachability CTE, an
     // entirely independent algorithm (closure join vs label propagation)
+    // link-graph centrality (crawl-curation prior): fixed-point PageRank
+    // over the order↔supplier bipartite graph (namespaced node ids),
+    // integer arithmetic end-to-end so 5 iterations of join+agg are
+    // bit-identical cross-engine — the oracle unrolls the same recurrence
+    // as chained CTEs (recursive CTEs can't aggregate)
+    "q_pagerank" -> ((s, dir) => {
+      // a deterministic 1/3 subgraph keeps the bench contract light; the
+      // operator itself has no subsetting
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_orderkey") * 2).as("dst"))
+      val edges = fwd.unionByName(rev).distinct()
+      ops.Graph.pageRank(edges, iters = 5)
+        .orderBy("node")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
@@ -900,7 +920,7 @@ object SparkEntry {
       streaming.Events.enrichWithDim(ev, cust)
         .groupBy("c_mktsegment", "event_type")
         .agg(count(lit(1)).as("n"),
-          round(ops.ExactNum.gridSum(col("value")), 6).as("sum_value_r"))
+          round(ops.ExactNum.gridSumFast(col("value")), 6).as("sum_value_r"))
         .orderBy("c_mktsegment", "event_type")
     }),
 
@@ -960,11 +980,11 @@ object SparkEntry {
     // spread over 16 reducers in phase 1
     "q_salted_agg" -> ((s, dir) => {
       ops.Skew.saltedSum(s.read.parquet(s"$dir/lineitem.parquet")
-          .withColumn("l_quantity", ops.ExactNum.dec(col("l_quantity"), 2)),
+          .withColumn("l_quantity", ops.ExactNum.gridLong(col("l_quantity"), 2)),
         Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"),
         saltFrom = "l_orderkey", salts = 16)
         .select(col("l_returnflag"), col("l_linestatus"),
-          round(col("sum_l_quantity").cast("double"), 4).as("sum_qty_r"))
+          round(col("sum_l_quantity") / lit(100.0), 4).as("sum_qty_r"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -1035,7 +1055,7 @@ object SparkEntry {
         factor = 8)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
-          round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("sum_price_r"))
+          round(ops.ExactNum.gridSumFast(col("o_totalprice"), 2), 2).as("sum_price_r"))
         .orderBy("c_mktsegment")
     }),
 
@@ -1196,7 +1216,7 @@ object SparkEntry {
     "q_cube_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty_r"))
+        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSumFast(col("l_quantity"), 2), 4).as("sum_qty_r"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty_r"))
@@ -1207,7 +1227,7 @@ object SparkEntry {
     "q_rollup_lineitem" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSum(col("l_quantity"), 2), 4).as("sum_qty_r"))
+        .agg(count(lit(1)).as("n"), round(ops.ExactNum.gridSumFast(col("l_quantity"), 2), 4).as("sum_qty_r"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_qty_r"))
@@ -1241,7 +1261,7 @@ object SparkEntry {
     "q_outer_join" -> ((s, dir) => {
       val perCust = s.read.parquet(s"$dir/orders.parquet")
         .groupBy(col("o_custkey"))
-        .agg(round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
+        .agg(round(ops.ExactNum.gridSumFast(col("o_totalprice"), 2), 2).as("rev"))
         .where(col("o_custkey") % 3 === 0)
       val customer = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_nationkey"))
@@ -1276,9 +1296,9 @@ object SparkEntry {
           dense_rank().over(w.orderBy(col("o_orderpriority"), col("o_orderkey")))
             .cast("long").as("prio_rank"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(sum(ops.ExactNum.dec(col("o_totalprice"), 2)).over(
+          round(sum(ops.ExactNum.gridLong(col("o_totalprice"), 2)).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double"), 2)
+            / lit(100.0), 2)
             .as("run_rev"))
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -1327,7 +1347,7 @@ object SparkEntry {
       ops.Bucketing.bucketedJoin(s, tOrders, tCustomer, "o_custkey")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
-          round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
+          round(ops.ExactNum.gridSumFast(col("o_totalprice"), 2), 2).as("rev"))
         .orderBy("c_nationkey")
     }),
 
@@ -1340,7 +1360,7 @@ object SparkEntry {
         .join(customer, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_orders"), round(ops.ExactNum.gridSum(col("o_totalprice"), 2), 2).as("rev"))
+        .agg(count(lit(1)).as("n_orders"), round(ops.ExactNum.gridSumFast(col("o_totalprice"), 2), 2).as("rev"))
         .orderBy("n_name")
     }),
 
@@ -1960,6 +1980,41 @@ object SparkEntry {
       |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
       |""".stripMargin
 
+  /** Fixed-point PageRank recurrence unrolled as chained CTEs (DuckDB's
+    * recursive CTEs forbid aggregates in the recursive term, so each
+    * iteration is its own contrib/dangling/rank CTE triple) — integer
+    * arithmetic mirrors `ops.Graph.pageRank` op-for-op: `//` is DuckDB's
+    * floor division ≡ Spark's `div` on the non-negative ranks. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |      WHERE l_orderkey % 3 = 0),
+        |e AS MATERIALIZED (SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM li
+        |      UNION
+        |      SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM li),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, SUM(r.r // deg.deg) AS s
+         |       FROM e JOIN r${i - 1} r ON e.src = r.node
+         |       JOIN deg ON deg.src = e.src
+         |       GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) AS dm
+         |       FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src
+         |       WHERE deg.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |         (15 * (1000000000000 // (SELECT n FROM nn)) +
+         |          85 * (COALESCE(c$i.s, 0) +
+         |                (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100 AS r
+         |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters ORDER BY node"
+  }
+
   /** Raw-text trigrams by position join (the hashless twin of `shingleSql`,
     * for oracles that can compare gram text directly). */
   private val trigramTextSql = tposSql +
@@ -2279,6 +2334,8 @@ object SparkEntry {
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
         |  AND ((i % 5 = 0) <> (j % 5 = 0))
         |ORDER BY i, j""".stripMargin),
+
+    "q_pagerank" -> pageRankOracleSql(5),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
 
@@ -2649,7 +2706,7 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
         |         AS window_start_s,
         |       event_type, COUNT(*) AS n,
-        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
+        |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
 
@@ -2669,7 +2726,7 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us, user_id,
         |       COUNT(*) AS n_events,
-        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
+        |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
         |FROM islands GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
 
@@ -2681,7 +2738,7 @@ object SparkEntry {
 
     "q_events_enrich" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n,
-        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value_r
+        |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
@@ -2692,8 +2749,8 @@ object SparkEntry {
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
-        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+        |       ROUND(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty,
+        |       ROUND(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_price,
         |       COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -2731,7 +2788,7 @@ object SparkEntry {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_join_agg" ->
-      """SELECT n_name, COUNT(*) AS n_orders, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+      """SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS rev
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -2739,13 +2796,13 @@ object SparkEntry {
 
     "q_bucketed_join" ->
       """SELECT c_nationkey, COUNT(*) AS n_orders,
-        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+        |       ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_outer_join" ->
       """WITH perCust AS (
-        |  SELECT o_custkey, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+        |  SELECT o_custkey, ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS rev
         |  FROM orders GROUP BY o_custkey HAVING o_custkey % 3 = 0),
         |cust AS (
         |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 = 0)
@@ -2772,9 +2829,9 @@ object SparkEntry {
         |  DENSE_RANK() OVER (PARTITION BY o_custkey
         |                     ORDER BY o_orderpriority, o_orderkey) AS prio_rank,
         |  NTILE(4) OVER w AS quartile,
-        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
         |          OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS run_rev
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS run_rev
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -2866,7 +2923,7 @@ object SparkEntry {
 
     "q_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
+        |       ROUND(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty_r
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -2921,7 +2978,7 @@ object SparkEntry {
 
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
-        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price_r
+        |       ROUND(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_price_r
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -3134,14 +3191,14 @@ object SparkEntry {
     "q_cube_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
-        |       COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
+        |       COUNT(*) AS n, ROUND(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty_r
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q_rollup_lineitem" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,
-        |       COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty_r
+        |       COUNT(*) AS n, ROUND(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) / 100.0, 4) AS sum_qty_r
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
@@ -3247,7 +3304,7 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
-        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS sum_window_r
+        |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) OVER w / 1000000.0, 6) AS sum_window_r
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -3422,7 +3479,7 @@ object SparkEntry {
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts)::DATE AS day,
-        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 AS v
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
         |      FROM daily GROUP BY 1),

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph scoring — the crawl-curation signal family: PageRank-style
+  * centrality over an edge table, the score CommonCrawl-derived pipelines
+  * use to weight domains/URLs before sampling (harmonic/PageRank
+  * centrality is the standard "is this a reputable page" prior, cf. the
+  * CC-Net / RefinedWeb curation stacks). Complements the dedup module's
+  * connected components ([[graft.pipeline.Dedup.duplicateClusters]]):
+  * components answer "which nodes are the same thing", centrality answers
+  * "which nodes matter".
+  *
+  * Arithmetic is FIXED-POINT (long micro-units, integer division): every
+  * iteration is integer-exact, so the result is bit-identical across
+  * partitionings, engines, and runs — no float-sum order anywhere. The
+  * cost is floor-loss per division (rank mass shrinks by < 1 unit per
+  * edge per iteration — a scoring signal, not a probability
+  * distribution; documented, deterministic, and identical in the DuckDB
+  * oracle's unrolled spelling).
+  *
+  * Scale shape per iteration: one equi-join edges⋈ranks on src (both
+  * sides hash-partitioned on the join key; ranks is |V| rows, edges |E|),
+  * one hash aggregate on dst (map-side combinable long sums), one 1-row
+  * dangling-mass aggregate broadcast back, and a left join onto the node
+  * table. No cross product, no window, no driver data path; lineage is
+  * cut per iteration with `localCheckpoint` exactly like the
+  * connected-components loop.
+  */
+object Graph {
+
+  /** Fixed-point PageRank. `edges` is a directed `(src, dst)` table
+    * (longs, self-loops allowed, duplicates contribute multiplicity);
+    * returns `(node, rank)` where rank is in SCALE=10^12 fixed-point
+    * units (Σ rank ≈ SCALE up to floor loss).
+    *
+    * Per iteration, with integer division throughout:
+    * {{{
+    *   contrib(dst) = Σ_{(s,dst)∈E} rank(s) div outdeg(s)
+    *   dangShare    = (Σ_{outdeg(s)=0} rank(s)) div N
+    *   rank'(v)     = (15·(SCALE div N) + 85·(contrib(v) + dangShare)) div 100
+    * }}}
+    * i.e. damping 0.85 expressed as the exact rational 85/100.
+    *
+    * `checkpointEvery` bounds lineage depth: within a window the
+    * iterations stay LAZY — one final job executes the whole chain and
+    * Spark's ReuseExchange deduplicates the per-iteration edge shuffle
+    * (the edge table is a checkpointed LogicalRDD, so its exchange
+    * subtree is identical every iteration) — measured 9.8 → 3.4 s for 5
+    * iterations at sf0.1 vs checkpointing every round. Past the window,
+    * a `localCheckpoint` cuts the (per-iteration-doubling) logical-plan
+    * growth, exactly like the CC loop. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("div", a, b)
+    // pre-partition the edge table by the join key BEFORE checkpointing:
+    // the checkpointed LogicalRDD remembers its HashPartitioning, so the
+    // per-iteration edges⋈ranks join plans NO edge-side exchange — the
+    // big static side is shuffled exactly once for the whole run (on a
+    // cluster: edges stay put, only the slim rank table moves)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+    // |V| is a 1-row driver bound (like the CC loop's convergence probe)
+    // and the rank table carries each node's STATIC out-degree from the
+    // start — no per-iteration rank⋈outdeg join
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge table")
+    val base = scale / n
+
+    var r = nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), lit(base).as("rank"), col("deg"))
+      .repartition(col("node"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(r.where(col("deg").isNotNull),
+          e("src") === r("node"))
+        .select(col("dst"), div(col("rank"), col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      val dang = r.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+      val next = r.select(col("node"), col("deg"))
+        .join(contribs, r("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          div(lit(15L) * lit(base) +
+            lit(85L) * (coalesce(col("contrib"), lit(0L)) +
+              div(col("dm"), lit(n))),
+            lit(100L)).as("rank"),
+          col("deg"))
+      it += 1
+      r = if (it % checkpointEvery == 0 && it < iters) next.localCheckpoint()
+          else next
+    }
+    r.select(col("node"), col("rank"))
+  }
+}

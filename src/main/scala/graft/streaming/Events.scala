@@ -87,7 +87,7 @@ object Events {
     events
       .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        graft.ops.ExactNum.gridSum(col("value")).as("sum_value"))
+        graft.ops.ExactNum.gridSumFast(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -98,7 +98,7 @@ object Events {
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(graft.ops.ExactNum.gridSum(col("value")), 6).as("sum_value_r"))
+        round(graft.ops.ExactNum.gridSumFast(col("value")), 6).as("sum_value_r"))
       .select(col("w.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value_r"))
 
@@ -232,8 +232,8 @@ object Events {
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_window_r",
-        round(sum(graft.ops.ExactNum.dec(col("value"))).over(w)
-          .cast("double"), 6))
+        round(sum(graft.ops.ExactNum.gridLong(col("value"))).over(w)
+          / lit(1000000.0), 6))
       .select("event_id", "user_id", "ts_us", "n_window", "sum_window_r")
   }
 
@@ -447,7 +447,7 @@ object Events {
     val daily = events
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
       .groupBy("user_id", "day")
-      .agg(graft.ops.ExactNum.gridSum(col("value")).as("v"))
+      .agg(graft.ops.ExactNum.gridSumFast(col("value")).as("v"))
       .localCheckpoint()
     val spine = daily.groupBy("user_id")
       .agg(min("day").as("lo"), max("day").as("hi"))

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+/** [[Graph.pageRank]] — fixed-point integer PageRank. Checked against a
+  * plain-Scala long-arithmetic reference (the exactness claim is
+  * bit-identity, not approximation), plus partitioning-invariance and
+  * dangling-mass redistribution. */
+class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private val SCALE = 1000000000000L
+
+  /** Reference implementation: same recurrence, same integer ops. */
+  private def brute(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val base = SCALE / n
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var r = nodes.map(_ -> base).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .map { case (s, d) => d -> r(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> (15L * base + 85L * (contrib.getOrElse(v, 0L) + dang / n)) / 100L
+      }.toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+                  parts: Int = 1): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.pageRank(df, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  "Graph.pageRank" should "match the integer reference bit-for-bit on a small graph" in {
+    // a hub (1), a chain, a dangling sink (5), and a cycle
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 1L, 3L -> 1L,
+      4L -> 5L, 6L -> 7L, 7L -> 6L)
+    run(edges, 5) shouldBe brute(edges, 5)
+    // the hub outranks the dangling sink's sole feeder
+    val got = run(edges, 5)
+    got(1L) should be > got(4L)
+  }
+
+  it should "be invariant to input partitioning (integer ops have no sum-order)" in {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val one = run(edges, 4, parts = 1)
+    run(edges, 4, parts = 13) shouldBe one
+    one shouldBe brute(edges, 4)
+  }
+
+  it should "redistribute dangling mass uniformly" in {
+    // star into a sink: every leaf's rank drains to 4, which is dangling
+    val edges = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L)
+    val got = run(edges, 3)
+    got shouldBe brute(edges, 3)
+    // the sink accumulates strictly more than any leaf
+    got(4L) should be > got(1L)
+    // leaves are symmetric: identical ranks
+    got(1L) shouldBe got(2L)
+    got(2L) shouldBe got(3L)
+  }
+}
