@@ -44,13 +44,13 @@ object Graph {
     * i.e. damping 0.85 expressed as the exact rational 85/100.
     *
     * `checkpointEvery` bounds lineage depth: within a window the
-    * iterations stay LAZY — one final job executes the whole chain and
-    * Spark's ReuseExchange deduplicates the per-iteration edge shuffle
-    * (the edge table is a checkpointed LogicalRDD, so its exchange
-    * subtree is identical every iteration) — measured 9.8 → 3.4 s for 5
-    * iterations at sf0.1 vs checkpointing every round. Past the window,
-    * a `localCheckpoint` cuts the (per-iteration-doubling) logical-plan
-    * growth, exactly like the CC loop. */
+    * iterations stay LAZY — one final job executes the whole chain with
+    * ReuseExchange deduplicating the identical static subtrees (the
+    * checkpointed edge table's exchange) — measured slightly faster than
+    * checkpointing every round (8.4 vs 9.8 s warm at sf0.1 pre-subset).
+    * Past the window, a `localCheckpoint` cuts the
+    * (per-iteration-doubling) logical-plan growth, exactly like the CC
+    * loop. */
   def pageRank(edges: DataFrame, iters: Int = 5,
                scale: Long = 1000000000000L,
                checkpointEvery: Int = 6): DataFrame = {
@@ -59,14 +59,21 @@ object Graph {
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       call_function("div", a, b)
-    // pre-partition the edge table by the join key BEFORE checkpointing:
-    // the checkpointed LogicalRDD remembers its HashPartitioning, so the
-    // per-iteration edges⋈ranks join plans NO edge-side exchange — the
-    // big static side is shuffled exactly once for the whole run (on a
-    // cluster: edges stay put, only the slim rank table moves)
+    // The edge table is materialized once (localCheckpoint) and then
+    // hash-joined per iteration — a slim 2-long-column shuffle per round,
+    // the standard Spark PageRank cost. Exchange-ELIMINATION spellings
+    // were measured and rejected at this scale: a persisted
+    // repartition(src) table does satisfy the join's distribution
+    // (GraphSpec pins that premise — it is the co-location lever a
+    // cluster deployment gets from a bucketed edge table,
+    // ops.Bucketing), but at bench scale the planner then prefers a
+    // sort-based join whose per-iteration sort costs MORE than the slim
+    // hash shuffle it saves (12.1 s vs 5.5 s warm at sf0.1); and a
+    // checkpointed LogicalRDD reports UnknownPartitioning, so
+    // checkpoint-after-repartition buys nothing. At 100 TB, bucket the
+    // edge table by src and the same join plans exchange-free.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))

@@ -397,6 +397,31 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
+  "Graph.pageRank" should "plan no edge-side exchange in the iteration join" in {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val r = ops.Graph.pageRank(edges, iters = 2)
+    r.collect()
+    // the edge table is repartition(src)+localCheckpoint'd, so its
+    // LogicalRDD reports HashPartitioning(src): every iteration's
+    // edges⋈ranks join must reuse it — the only exchanges in the final
+    // chain hash the slim rank/contrib side, never re-shuffle a scan of
+    // the checkpointed edges (scan nodes sit DIRECTLY under the join)
+    val plan = r.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    // the per-iteration aggregate partial-combines map-side
+    plan should include("HashAggregate")
+  }
+
+  "q_substring_remove" should "never plan a cartesian product and prune the scan" in {
+    val plan = formattedPlan("q_substring_remove")
+    plan should not include "CartesianProduct"
+    // the covered-offset ownership is a hash aggregate (per-gram min),
+    // not a self-join of the positional gram table
+    plan should include("HashAggregate")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

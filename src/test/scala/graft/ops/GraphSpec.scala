@@ -60,6 +60,38 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     one shouldBe brute(edges, 4)
   }
 
+  it should "plan no edge-side exchange over the persisted repartitioned edges (the no-reshuffle premise)" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // The cluster-scale co-location lever SCALE.md cites for pageRank: a
+    // persisted repartition(src) edge table satisfies the iteration
+    // join's distribution, so the join plans no edge-side exchange.
+    // (pageRank itself ships the plain hash-join spelling — at bench
+    // scale the exchange-free plan's per-iteration sort measured slower
+    // than the slim shuffle it saves; a bucketed table gets this
+    // co-location without the sort. localCheckpoint canNOT substitute:
+    // its LogicalRDD reports UnknownPartitioning — also measured.)
+    // Pin the premise with AQE off so the plan string is deterministic.
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      try {
+        val r = Seq((1L, 10L), (2L, 20L)).toDF("node", "rank")
+        val joined = e.join(r, e("src") === r("node"))
+        val plan = joined.queryExecution.executedPlan.toString
+        // exactly ONE shuffle — the slim rank side; the persisted edge
+        // side's partitioning satisfies the join's distribution
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+        plan should include("InMemoryTableScan")
+      } finally { e.unpersist(); () }
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   it should "redistribute dangling mass uniformly" in {
     // star into a sink: every leaf's rank drains to 4, which is dangling
     val edges = Seq(1L -> 4L, 2L -> 4L, 3L -> 4L)
