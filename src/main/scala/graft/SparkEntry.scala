@@ -543,6 +543,26 @@ object SparkEntry {
     // set) — the transitive-closure step a canonical-doc picker needs;
     // oracle recomputes components via a recursive reachability CTE, an
     // entirely independent algorithm (closure join vs label propagation)
+    // sufficient-statistics model training: ridge-regress the round-6
+    // quality score (micro-units) on (n_chars, n_tokens) — ONE map-side-
+    // combinable pass reduces the corpus to exact long moments, the 3×3
+    // solve is Cramer's rule in a fixed association order, and the oracle
+    // recomputes the identical expansion term-for-term
+    "q_ridge_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      val (n, w) = ops.Fit.ridgeNormal(feats, Seq("x1", "x2"), "y", lambda = 1.0)
+      Seq((n, w(0), w(1), w(2))).toDF("n", "w0", "w1", "w2")
+        .select(col("n"),
+          (round(col("w0"), 9) + lit(0.0)).as("w0_r"),
+          (round(col("w1"), 9) + lit(0.0)).as("w1_r"),
+          (round(col("w2"), 9) + lit(0.0)).as("w2_r"))
+    }),
+
     // link-graph centrality (crawl-curation prior): fixed-point PageRank
     // over the order↔supplier bipartite graph (namespaced node ids),
     // integer arithmetic end-to-end so 5 iterations of join+agg are
@@ -2334,6 +2354,53 @@ object SparkEntry {
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
         |  AND ((i % 5 = 0) <> (j % 5 = 0))
         |ORDER BY i, j""".stripMargin),
+
+    // the same exact-long moments and the same first-row-cofactor Cramer
+    // expansion, term-for-term (Fit.det3); λ=1.0 lands on the feature
+    // diagonals only
+    "q_ridge_quality" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS (
+         |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x1,
+         |         CAST(len(tk.t) AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+         |         SUM(x1) AS g01, SUM(x2) AS g02,
+         |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+         |         SUM(x2 * x2) AS g22,
+         |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+         |  FROM feat),
+         |a AS (
+         |  SELECT CAST(g00 AS BIGINT) AS n,
+         |         CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+         |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+         |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+         |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+         |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+         |         CAST(b2 AS DOUBLE) AS c2
+         |  FROM m)
+         |SELECT n,
+         |  ROUND((c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |           + a02 * (c1 * a21 - a11 * c2))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w0_r,
+         |  ROUND((a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * c2 - c1 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w1_r,
+         |  ROUND((a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |           + c0 * (a10 * a21 - a11 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w2_r
+         |FROM a""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql(5),
 

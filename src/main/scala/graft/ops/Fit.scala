@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Linear-model training by sufficient statistics — the canonical
+  * "fit a (quality) regressor on 100 TB" shape: the whole corpus is
+  * reduced in ONE pass to the d×d Gram matrix `G = XᵀX` and moment
+  * vector `b = Xᵀy` (d(d+3)/2 + 1 long sums, all map-side combinable —
+  * shuffle is one row of longs per partition), and the d×d solve happens
+  * on the driver. No iterations, no per-row model state, nothing scales
+  * with N except the single aggregation — the same
+  * sufficient-statistics trick `olsTrendPerGroup` uses per group,
+  * generalized to multivariate ridge.
+  *
+  * Exactness contract (matching the repo's oracle style): feature and
+  * label columns must be INTEGER-VALUED (they are cast to long; callers
+  * pre-scale grid values — e.g. micro-units — like every other exact
+  * operator here). The moments are then exact longs on any engine and
+  * any partitioning, and for d = 2 features the solve is Cramer's rule
+  * spelled in a fixed association order, so the coefficients are
+  * bit-identical cross-engine (`q_ridge_quality` hash-checks them
+  * against a DuckDB oracle that recomputes the same expansion).
+  * Overflow bound: Σ|x_i·x_j| and Σ|x_i·y| must stay under 2^63 —
+  * e.g. 1e3-scale features × 1e6-scale micro labels hold to ~10^9 rows;
+  * rescale features before training past that.
+  */
+object Fit {
+
+  /** Ridge regression via the normal equations `(G + λI')w = b`, where
+    * `I'` regularizes the feature diagonals only (never the intercept —
+    * index 0 of the returned weights). Rows with a NULL feature or label
+    * are excluded. Returns `(rowsUsed, weights)` with
+    * `weights(0) = intercept`. */
+  def ridgeNormal(df: DataFrame, features: Seq[String], labelCol: String,
+                  lambda: Double = 1.0): (Long, Array[Double]) = {
+    require(features.nonEmpty, "need at least one feature column")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val d = features.size + 1 // intercept first
+    val xs = lit(1L) +: features.map(col(_).cast("long"))
+    val y = col(labelCol).cast("long")
+    val clean = df.where(
+      (features :+ labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val gAggs = for { i <- 0 until d; j <- i until d }
+      yield sum(xs(i) * xs(j)).as(s"g_${i}_$j")
+    val bAggs = (0 until d).map(i => sum(xs(i) * y).as(s"b_$i"))
+    val aggs = gAggs ++ bAggs
+    val row = clean.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(row.fieldIndex("g_0_0"))
+    require(n > 0, "ridgeNormal needs at least one complete row")
+
+    val g = Array.ofDim[Double](d, d)
+    for { i <- 0 until d; j <- i until d } {
+      val v = row.getLong(row.fieldIndex(s"g_${i}_$j")).toDouble
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    (1 until d).foreach(i => g(i)(i) += lambda)
+    val b = Array.tabulate(d)(i => row.getLong(row.fieldIndex(s"b_$i")).toDouble)
+
+    val w =
+      if (d == 3) cramer3(g, b) // oracle-exact fixed-association path
+      else gaussianSolve(g, b)
+    (n, w)
+  }
+
+  /** First-row cofactor expansion, the EXACT association order the
+    * DuckDB oracle mirrors term-for-term. */
+  private[ops] def det3(m: Array[Array[Double]]): Double =
+    m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+      m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+      m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+
+  private def cramer3(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val det = det3(a)
+    require(det != 0.0, "singular normal equations (det = 0); raise lambda")
+    Array.tabulate(3) { k =>
+      val mk = Array.tabulate(3, 3)((i, j) => if (j == k) b(i) else a(i)(j))
+      det3(mk) / det
+    }
+  }
+
+  /** Partial-pivot Gaussian elimination for d > 2 features (driver-side
+    * d×d — no oracle contract past d = 2; deterministic for a given
+    * moment matrix). */
+  private def gaussianSolve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val d = b0.length
+    val a = a0.map(_.clone())
+    val b = b0.clone()
+    for (k <- 0 until d) {
+      val p = (k until d).maxBy(i => math.abs(a(i)(k)))
+      require(a(p)(k) != 0.0, "singular normal equations; raise lambda")
+      if (p != k) { val t = a(p); a(p) = a(k); a(k) = t
+        val tb = b(p); b(p) = b(k); b(k) = tb }
+      for (i <- k + 1 until d) {
+        val f = a(i)(k) / a(k)(k)
+        for (j <- k until d) a(i)(j) -= f * a(k)(j)
+        b(i) -= f * b(k)
+      }
+    }
+    val w = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var acc = b(i)
+      for (j <- i + 1 until d) acc -= a(i)(j) * w(j)
+      w(i) = acc / a(i)(i)
+    }
+    w
+  }
+
+  /** Map-side application of a trained model: ŷ = w₀ + Σ wᵢ·xᵢ, in the
+    * weights' index order — a pure projection, no shuffle. */
+  def predict(df: DataFrame, features: Seq[String],
+              weights: Array[Double],
+              outCol: String = "prediction"): DataFrame = {
+    require(weights.length == features.size + 1,
+      s"need ${features.size + 1} weights (intercept first), got ${weights.length}")
+    val expr = features.zipWithIndex.foldLeft(lit(weights(0))) {
+      case (acc, (f, i)) => acc + lit(weights(i + 1)) * col(f).cast("double")
+    }
+    df.withColumn(outCol, expr)
+  }
+}

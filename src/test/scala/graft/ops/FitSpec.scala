@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+/** [[Fit.ridgeNormal]] — sufficient-statistics ridge. The claims under
+  * test: exact recovery of a noiseless linear law at λ=0, bit-identical
+  * weights under repartitioning (long moments have no sum order), NULL
+  * exclusion, and the d>2 Gaussian-elimination path. */
+class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def mkDf(rows: Seq[(Long, Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "x1", "x2", "y")
+  }
+
+  "Fit.ridgeNormal" should "recover a noiseless linear law exactly at lambda = 0" in {
+    // y = 7 + 3·x1 − 2·x2, integer-valued everywhere
+    val rows = for {
+      x1 <- 0L to 12L; x2 <- 0L to 7L
+    } yield (x1 * 100 + x2, x1, x2, 7L + 3 * x1 - 2 * x2)
+    val (n, w) = Fit.ridgeNormal(mkDf(rows), Seq("x1", "x2"), "y", lambda = 0.0)
+    n shouldBe rows.size.toLong
+    w(0) shouldBe 7.0 +- 1e-9
+    w(1) shouldBe 3.0 +- 1e-9
+    w(2) shouldBe -2.0 +- 1e-9
+  }
+
+  it should "produce bit-identical weights under any partitioning" in {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(500)(i => (i.toLong, rnd.nextInt(1000).toLong,
+      rnd.nextInt(200).toLong, rnd.nextInt(1000000).toLong))
+    val (n1, w1) = Fit.ridgeNormal(mkDf(rows), Seq("x1", "x2"), "y")
+    val (n13, w13) = Fit.ridgeNormal(mkDf(rows).repartition(13), Seq("x1", "x2"), "y")
+    n13 shouldBe n1
+    w13.toSeq shouldBe w1.toSeq // exact long moments → exact same doubles
+  }
+
+  it should "exclude rows with NULL features or label" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val base = mkDf(Seq((1L, 2L, 3L, 10L), (2L, 4L, 1L, 20L), (3L, 1L, 1L, 5L)))
+    val withNull = base.unionByName(
+      Seq((4L, 9L)).toDF("id", "x1")
+        .withColumn("x2", lit(null).cast("long"))
+        .withColumn("y", lit(null).cast("long")))
+    val (n, w) = Fit.ridgeNormal(withNull, Seq("x1", "x2"), "y")
+    n shouldBe 3L
+    val (_, wBase) = Fit.ridgeNormal(base, Seq("x1", "x2"), "y")
+    w.toSeq shouldBe wBase.toSeq
+  }
+
+  it should "solve d > 2 features through Gaussian elimination" in {
+    // y = 1 + 2·x1 + 3·x2 − x3 over a spanning integer grid
+    val s = spark
+    import s.implicits._
+    val rows = for {
+      x1 <- 0L to 5L; x2 <- 0L to 4L; x3 <- 0L to 3L
+    } yield (x1, x2, x3, 1L + 2 * x1 + 3 * x2 - x3)
+    val df = rows.toDF("x1", "x2", "x3", "y")
+    val (_, w) = Fit.ridgeNormal(df, Seq("x1", "x2", "x3"), "y", lambda = 0.0)
+    w(0) shouldBe 1.0 +- 1e-9
+    w(1) shouldBe 2.0 +- 1e-9
+    w(2) shouldBe 3.0 +- 1e-9
+    w(3) shouldBe -1.0 +- 1e-9
+  }
+
+  "Fit.predict" should "apply the weights as a pure projection" in {
+    val df = mkDf(Seq((1L, 2L, 3L, 0L)))
+    val out = Fit.predict(df, Seq("x1", "x2"), Array(1.0, 10.0, 100.0))
+    out.select("prediction").head().getDouble(0) shouldBe 321.0 +- 1e-12
+    // no exchange: a map-side projection over the input
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+}
