@@ -558,9 +558,34 @@ object SparkEntry {
       val (n, w) = ops.Fit.ridgeNormal(feats, Seq("x1", "x2"), "y", lambda = 1.0)
       Seq((n, w(0), w(1), w(2))).toDF("n", "w0", "w1", "w2")
         .select(col("n"),
-          (round(col("w0"), 9) + lit(0.0)).as("w0_r"),
-          (round(col("w1"), 9) + lit(0.0)).as("w1_r"),
-          (round(col("w2"), 9) + lit(0.0)).as("w2_r"))
+          // round-6, NOT 9: the intercept is ~1e6 micro-units, where the
+          // 9th decimal is only ~8 double-ulps — the two engines' ROUND
+          // can legitimately disagree there (observed once in 20 groups);
+          // 1e-6 leaves ~1e4 ulps of margin at this magnitude
+          (round(col("w0"), 6) + lit(0.0)).as("w0_r"),
+          (round(col("w1"), 6) + lit(0.0)).as("w1_r"),
+          (round(col("w2"), 6) + lit(0.0)).as("w2_r"))
+    }),
+
+    // per-group model training: the same ridge, per SOURCE, with the 3×3
+    // Cramer solve expressed as Column arithmetic — one grouped hash
+    // aggregate then a projection, fully distributed, no driver solve
+    "q_ridge_by_source" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("source"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      ops.Fit.ridgePerGroupD2(feats, "source", "x1", "x2", "y", lambda = 1.0)
+        .select(col("source"), col("n"),
+          // round-6, NOT 9: the intercept is ~1e6 micro-units, where the
+          // 9th decimal is only ~8 double-ulps — the two engines' ROUND
+          // can legitimately disagree there (observed once in 20 groups);
+          // 1e-6 leaves ~1e4 ulps of margin at this magnitude
+          (round(col("w0"), 6) + lit(0.0)).as("w0_r"),
+          (round(col("w1"), 6) + lit(0.0)).as("w1_r"),
+          (round(col("w2"), 6) + lit(0.0)).as("w2_r"))
+        .orderBy("source")
     }),
 
     // link-graph centrality (crawl-curation prior): fixed-point PageRank
@@ -2391,16 +2416,61 @@ object SparkEntry {
          |  ROUND((c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
          |           + a02 * (c1 * a21 - a11 * c2))
          |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
-         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w0_r,
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w0_r,
          |  ROUND((a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
          |           + a02 * (a10 * c2 - c1 * a20))
          |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
-         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w1_r,
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w1_r,
          |  ROUND((a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
          |           + c0 * (a10 * a21 - a11 * a20))
          |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
-         |           + a02 * (a10 * a21 - a11 * a20)), 9) + 0.0 AS w2_r
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w2_r
          |FROM a""".stripMargin),
+
+    // grouped moments + the identical Cramer expansion, per source
+    "q_ridge_by_source" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS (
+         |  SELECT d.source, CAST(d.n_chars AS BIGINT) AS x1,
+         |         CAST(len(tk.t) AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id),
+         |m AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(x1) AS s1, SUM(x2) AS s2,
+         |         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+         |         SUM(x2 * x2) AS s22,
+         |         SUM(y) AS cc0, SUM(x1 * y) AS cc1, SUM(x2 * y) AS cc2
+         |  FROM feat GROUP BY source),
+         |a AS (
+         |  SELECT source, n,
+         |         CAST(n AS DOUBLE) AS a00, CAST(s1 AS DOUBLE) AS a01,
+         |         CAST(s2 AS DOUBLE) AS a02, CAST(s1 AS DOUBLE) AS a10,
+         |         CAST(s11 AS DOUBLE) + 1.0 AS a11, CAST(s12 AS DOUBLE) AS a12,
+         |         CAST(s2 AS DOUBLE) AS a20, CAST(s12 AS DOUBLE) AS a21,
+         |         CAST(s22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(cc0 AS DOUBLE) AS c0, CAST(cc1 AS DOUBLE) AS c1,
+         |         CAST(cc2 AS DOUBLE) AS c2
+         |  FROM m)
+         |SELECT source, n,
+         |  ROUND((c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |           + a02 * (c1 * a21 - a11 * c2))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w0_r,
+         |  ROUND((a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * c2 - c1 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w1_r,
+         |  ROUND((a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |           + c0 * (a10 * a21 - a11 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w2_r
+         |FROM a ORDER BY source""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql(5),
 

@@ -107,6 +107,55 @@ object Fit {
     w
   }
 
+  /** Per-group ridge for two features — "train a quality model per
+    * source/domain in one pass": the grouped moment sums are ONE hash
+    * aggregate (map-side combinable, shuffle ∝ groups), and the 3×3
+    * Cramer solve is expressed as Column arithmetic in the same fixed
+    * association order as [[det3]], so the whole operator is distributed
+    * end-to-end — no driver data path at all, group count unbounded.
+    * Same integer-valued-column exactness contract as [[ridgeNormal]];
+    * groups whose regularized normal matrix is singular (only possible
+    * at λ=0) report NULL weights. Returns
+    * `(group, n, w0, w1, w2)` unrounded. */
+  def ridgePerGroupD2(df: DataFrame, groupCol: String,
+                      f1: String, f2: String, labelCol: String,
+                      lambda: Double = 1.0): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val x1 = col(f1).cast("long")
+    val x2 = col(f2).cast("long")
+    val y = col(labelCol).cast("long")
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val m = clean.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"),
+        sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+        sum(x2 * x2).as("s22"),
+        sum(y).as("c0"), sum(x1 * y).as("c1"), sum(x2 * y).as("c2"))
+    val d = (c: String) => col(c).cast("double")
+    val (a00, a01, a02) = (d("n"), d("s1"), d("s2"))
+    val (a10, a11, a12) = (d("s1"), d("s11") + lit(lambda), d("s12"))
+    val (a20, a21, a22) = (d("s2"), d("s12"), d("s22") + lit(lambda))
+    val (c0, c1, c2) = (d("c0"), d("c1"), d("c2"))
+    // first-row cofactor expansion — the det3 association, in Columns
+    val det = a00 * (a11 * a22 - a12 * a21) -
+      a01 * (a10 * a22 - a12 * a20) +
+      a02 * (a10 * a21 - a11 * a20)
+    val det0 = c0 * (a11 * a22 - a12 * a21) -
+      a01 * (c1 * a22 - a12 * c2) +
+      a02 * (c1 * a21 - a11 * c2)
+    val det1 = a00 * (c1 * a22 - a12 * c2) -
+      c0 * (a10 * a22 - a12 * a20) +
+      a02 * (a10 * c2 - c1 * a20)
+    val det2 = a00 * (a11 * c2 - c1 * a21) -
+      a01 * (a10 * c2 - c1 * a20) +
+      c0 * (a10 * a21 - a11 * a20)
+    def safe(num: org.apache.spark.sql.Column) =
+      when(det === 0.0, lit(null).cast("double")).otherwise(num / det)
+    m.select(col(groupCol), col("n"),
+      safe(det0).as("w0"), safe(det1).as("w1"), safe(det2).as("w2"))
+  }
+
   /** Map-side application of a trained model: ŷ = w₀ + Σ wᵢ·xᵢ, in the
     * weights' index order — a pure projection, no shuffle. */
   def predict(df: DataFrame, features: Seq[String],

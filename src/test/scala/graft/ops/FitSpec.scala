@@ -69,6 +69,36 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     w(3) shouldBe -1.0 +- 1e-9
   }
 
+  "Fit.ridgePerGroupD2" should "match ridgeNormal group by group, fully in Columns" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 120
+    } yield (g, rnd.nextInt(500).toLong, rnd.nextInt(90).toLong,
+      rnd.nextInt(100000).toLong + i)
+    val df = rows.toDF("src", "x1", "x2", "y")
+    val got = Fit.ridgePerGroupD2(df, "src", "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val (n, w) = Fit.ridgeNormal(df.where(col("src") === g),
+        Seq("x1", "x2"), "y")
+      got(g)._1 shouldBe n
+      // both paths run the SAME det3 association over the SAME exact
+      // moments — bit-identical, not just approximately equal
+      got(g)._2 shouldBe w(0)
+      got(g)._3 shouldBe w(1)
+      got(g)._4 shouldBe w(2)
+    }
+    // shape: one hash aggregate + projection, no window, no join
+    val plan = Fit.ridgePerGroupD2(df, "src", "x1", "x2", "y")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
   "Fit.predict" should "apply the weights as a pure projection" in {
     val df = mkDf(Seq((1L, 2L, 3L, 0L)))
     val out = Fit.predict(df, Seq("x1", "x2"), Array(1.0, 10.0, 100.0))
