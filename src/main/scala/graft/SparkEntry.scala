@@ -1156,6 +1156,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // importance weights toward the English subset, Gumbel-top-k resample
+    // of the best quarter — weights and scores are integer micro-units
+    // (long sums, no float-order anywhere), selection through the shared
+    // two-phase prefix scan (no single-task window)
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.Dsir.resample(docs, col("lang") === "en", buckets = 1024,
+          keepNum = 1L, keepDen = 4L, salt = "dsir0")
+        .orderBy("doc_id")
+    }),
+
     // fixed-size training chunks with stride overlap (64-token windows
     // every 48): pure generator expressions, fan-out ∝ tokens/stride —
     // the upstream neighbor of sequence packing
@@ -3185,6 +3197,60 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS stratum_rank
         |FROM r WHERE rn <= (c * 1 + 5 - 1) // 5
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR: identical hashed-bucket distributions, the identical quantized
+    // log-ratio per bucket, long-sum doc weights, the identical seeded
+    // Gumbel perturbation, and the same (score DESC, hash, doc_id) rank
+    "q_dsir_select" -> (tposSql +
+      """, gr AS (
+        |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM tpos
+        |  UNION ALL
+        |  SELECT a.doc_id,
+        |         ('0x' || substr(md5(a.w || ' ' || b.w), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |g2 AS (
+        |  SELECT gr.doc_id, gr.bucket, (d.lang = 'en') AS tgt
+        |  FROM gr JOIN documents d ON gr.doc_id = d.doc_id),
+        |dist AS (
+        |  SELECT bucket,
+        |         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         COUNT(*) AS cr
+        |  FROM g2 GROUP BY bucket),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dist),
+        |lr AS (
+        |  SELECT bucket,
+        |         CAST(FLOOR((ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE))
+        |                   - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 1024 AS DOUBLE)))
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS lr_u
+        |  FROM dist, tot),
+        |pd AS (
+        |  SELECT gr.doc_id, COUNT(*) AS n_feats, SUM(lr.lr_u) AS logw_u
+        |  FROM gr JOIN lr ON gr.bucket = lr.bucket GROUP BY gr.doc_id),
+        |wt AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(pd.n_feats, 0) AS n_feats,
+        |         COALESCE(pd.logw_u, 0) AS logw_u
+        |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+        |sc AS (
+        |  SELECT doc_id, n_feats, logw_u,
+        |         logw_u + CAST(FLOOR(-ln(-ln(
+        |             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#dsir0!g'), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+        |             / 1152921504606846976.0)) * 1000000.0 + 0.5) AS BIGINT) AS score_u
+        |  FROM wt),
+        |r AS (
+        |  SELECT doc_id, n_feats, logw_u, score_u,
+        |         ROW_NUMBER() OVER (ORDER BY score_u DESC,
+        |           ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#dsir0'), 1, 15))::BIGINT,
+        |           doc_id) AS rn,
+        |         COUNT(*) OVER () AS c
+        |  FROM sc)
+        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        |       CAST(logw_u AS BIGINT) AS logw_u,
+        |       CAST(score_u AS BIGINT) AS score_u,
+        |       CAST(rn AS BIGINT) AS sample_rank
+        |FROM r WHERE rn <= (c * 1 + 4 - 1) // 4
+        |ORDER BY doc_id""".stripMargin),
 
     "q_doc_chunks" -> (tokSql +
       """, st AS (
