@@ -1168,6 +1168,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer-vocabulary learning (Sennrich et al. 2016): one
+    // corpus pass reduces to the distinct-word count table; every merge
+    // round then runs on that vocab-sized table (the shape production
+    // tokenizer trainers use) — the learned merge list is a pure function
+    // of the corpus (ties by pair text), so the oracle re-learns it
+    "q_bpe_merges" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.Bpe.learnMerges(docs, nMerges = 12).orderBy("step")
+    }),
+
+    // BPE inference: per-doc subword counts under the learned merges —
+    // a pure map-side projection (the merges broadcast as literals)
+    "q_bpe_segment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val m = pipeline.Bpe.learnMerges(docs, nMerges = 12).collect()
+        .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      pipeline.Bpe.segment(docs, m).orderBy("doc_id")
+    }),
+
     // fixed-size training chunks with stride overlap (64-token windows
     // every 48): pure generator expressions, fan-out ∝ tokens/stride —
     // the upstream neighbor of sequence packing
@@ -2036,6 +2055,70 @@ object SparkEntry {
       |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
       |""".stripMargin
+
+  /** BPE merge recurrence unrolled as chained CTEs: `w0` is the
+    * distinct-word count table in symbol form; each round `k` is a pair
+    * aggregation (`p`), the arg-max pair (`b`, ties by `(l, r)` asc), and
+    * the rewritten words (`w`) via the same double-`replace` spelling as
+    * `pipeline.Bpe.learnMerges` — left-to-right `replace` is identical in
+    * both engines, which is what makes the learned vocabulary
+    * hash-comparable. */
+  private def bpeChainSql(nMerges: Int): String = {
+    val sb = new StringBuilder(tokSql)
+    // MATERIALIZED is load-bearing: w_k is referenced twice (the next
+    // round's pair scan and the next rewrite), so an inlining planner
+    // would double the expression tree per round — 2^nMerges
+    sb.append(
+      """, w0 AS MATERIALIZED (
+        |  SELECT array_to_string(list_transform(range(1, len(w) + 1),
+        |           i -> substring(w, i, 1)), ' ') || ' </w>' AS sym,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks)
+        |  GROUP BY 1)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val prev = s"w${k - 1}"
+      sb.append(s""",
+        |s$k AS (SELECT string_split(sym, ' ') AS s, c FROM $prev),
+        |i$k AS (SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS i FROM s$k),
+        |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, SUM(c) AS cnt FROM i$k GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+        |w$k AS MATERIALIZED (SELECT trim(replace(replace(' ' || sym || ' ',
+        |          ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+        |          ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS sym, c
+        |        FROM $prev, b$k b)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) + "\n" +
+      (1 to nMerges).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS step, l AS "left", r AS "right",
+           |       CAST(cnt AS BIGINT) AS pair_count FROM b$k""".stripMargin)
+        .mkString("\nUNION ALL\n") + "\nORDER BY step"
+
+  private def bpeSegmentOracleSql(nMerges: Int): String = {
+    var r = "' ' || array_to_string(list_transform(range(1, len(w) + 1), " +
+      "i -> substring(w, i, 1)), ' ') || ' </w> '"
+    for (k <- 1 to nMerges) {
+      val pat = s"' ' || b$k.l || ' ' || b$k.r || ' '"
+      val rep = s"' ' || b$k.l || b$k.r || ' '"
+      r = s"replace(replace($r, $pat, $rep), $pat, $rep)"
+    }
+    bpeChainSql(nMerges) +
+      s""",
+      |tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      |sg AS (
+      |  SELECT tk.doc_id, len(string_split(trim($r), ' ')) AS n_sub
+      |  FROM tk, ${(1 to nMerges).map(k => s"b$k").mkString(", ")}),
+      |ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |              CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+      |       FROM sg GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens,
+      |       COALESCE(ag.n_bpe_tokens, 0) AS n_bpe_tokens
+      |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Fixed-point PageRank recurrence unrolled as chained CTEs (DuckDB's
     * recursive CTEs forbid aggregates in the recursive term, so each
@@ -3251,6 +3334,10 @@ object SparkEntry {
         |       CAST(rn AS BIGINT) AS sample_rank
         |FROM r WHERE rn <= (c * 1 + 4 - 1) // 4
         |ORDER BY doc_id""".stripMargin),
+
+    // BPE: the identical merge recurrence re-learned in SQL
+    "q_bpe_merges" -> bpeMergesOracleSql(12),
+    "q_bpe_segment" -> bpeSegmentOracleSql(12),
 
     "q_doc_chunks" -> (tokSql +
       """, st AS (

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding vocabulary learning (Sennrich et al. 2016) — the
+  * tokenizer-training stage of an LLM data pipeline, in the shape real
+  * trainers use at corpus scale: ONE pass over the corpus reduces it to
+  * the distinct-word count table (shuffle ∝ vocabulary, map-side
+  * combinable), and every merge iteration then runs on that vocab-sized
+  * table only — pair counting is a hash aggregate over distinct words
+  * weighted by their corpus counts, never a rescan of the text.
+  *
+  * Words are represented as space-joined character symbols with a
+  * terminal `</w>` marker (the paper's representation); a merge rewrites
+  * every word via two left-to-right `replace` passes over the
+  * space-padded form — two passes are exactly enough because a skipped
+  * occurrence (leading space consumed by the preceding match) is always
+  * followed by a merged token that restores its delimiters, and the same
+  * double-`replace` spelling runs identically in any SQL engine, which
+  * is what makes the merge table oracle-checkable. Ties on pair count
+  * break by `(left, right)` ascending, so the learned vocabulary is a
+  * pure function of the corpus.
+  *
+  * Driver traffic: one `(left, right, count)` row per merge round —
+  * nothing else leaves the cluster. Each round's words table is
+  * `localCheckpoint`ed so plan depth stays flat across rounds (the same
+  * lineage-cut discipline as the PageRank / connected-components loops).
+  *
+  * Not a reference port: the reference engine (tsne-flink) has no text
+  * surface (SURVEY.md §2.3). */
+object Bpe {
+
+  /** Space-joined character symbols of `tok`, plus the terminal marker:
+    * `"low"` → `"l o w </w>"`. Spelled with a substring loop (not a
+    * regex lookahead split) so the oracle can reproduce it in RE2-based
+    * engines; `call_function` keeps it usable inside nested lambdas. */
+  private def symExpr(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      array_join(
+        transform(sequence(lit(1), length(tok)),
+          i => call_function("substring", tok, i, lit(1))),
+        " "),
+      lit(" </w>"))
+
+  /** Learn the first `nMerges` BPE merges from the corpus.
+    * Returns `(step, left, right, pair_count)`, `step` 1-based in merge
+    * order. Stops early (fewer rows) if no pair occurs twice. */
+  def learnMerges(docs: DataFrame, nMerges: Int,
+                  minCount: Long = 2L): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    val parallelism = spark.sessionState.conf.numShufflePartitions
+    // the one corpus-scale pass: distinct words + counts, then the symbol
+    // representation (a pure projection on the vocab-sized result)
+    var words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .repartition(parallelism, col("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(symExpr(col("tok")).as("sym"), col("c"))
+      .localCheckpoint()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // adjacent symbol pairs over distinct words, weighted by corpus count
+      val s = split(col("sym"), " ")
+      val idxs = when(size(s) >= 2, sequence(lit(0), size(s) - 2))
+        .otherwise(array().cast("array<int>"))
+      val pairs = words
+        .select(explode(transform(idxs,
+            i => struct(element_at(s, i + 1).as("l"),
+              element_at(s, i + 2).as("r")))).as("p"), col("c"))
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum("c").as("cnt"))
+      val best = pairs
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        val padded = concat(lit(" "), col("sym"), lit(" "))
+        words = words
+          .select(
+            trim(call_function("replace",
+              call_function("replace", padded, lit(pat), lit(rep)),
+              lit(pat), lit(rep))).as("sym"),
+            col("c"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.toSeq.map { case (st, l, r, c) => Row(st.toLong, l, r, c) }, 1),
+      schema)
+  }
+
+  /** Segment with a learned merge list — the inference side of BPE, as a
+    * PURE PROJECTION: each token's symbol string gets every merge applied
+    * in learned order (the same double-`replace` spelling as training),
+    * and the per-doc subword count is a map-side array fold. No shuffle,
+    * no state, nothing leaves the row. Returns
+    * `(doc_id, n_tokens, n_bpe_tokens)`. */
+  def segment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val perTokCount = (tok: org.apache.spark.sql.Column) => {
+      val merged = merges.foldLeft(
+          concat(lit(" "), symExpr(tok), lit(" "))) {
+        case (acc, (l, r)) =>
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" $l$r ")
+          call_function("replace", call_function("replace", acc, pat, rep),
+            pat, rep)
+      }
+      size(split(trim(merged), " ")).cast("long")
+    }
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + perTokCount(w))
+          .as("n_bpe_tokens"))
+  }
+}
