@@ -1763,6 +1763,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source KL divergence from the corpus token distribution — the
+    // mixture-design outlier diagnostic; nano-unit integer terms, long
+    // sums, one corpus aggregation
+    "q_source_kl" -> ((s, dir) => {
+      pipeline.TextOps.sourceKl(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("stratum").as("source"), col("n_types"),
+          col("n_tokens"), col("kl_u"))
+        .orderBy("source")
+    }),
+
+    // Zipf power-law fit of the rank-frequency curve (datacard
+    // naturalness diagnostic): ranks via the two-phase prefix scan, OLS
+    // moments as DECIMAL(38) sums of micro-unit log coordinates
+    "q_zipf" -> ((s, dir) => {
+      ops.Zipf.zipfFit(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("n_types"), col("n_tokens"),
+          (round(col("slope"), 6) + 0.0).as("slope_r"),
+          (round(col("intercept") / 1e6, 6) + 0.0).as("intercept_r"))
+    }),
+
     // time-weighted average value per user (each value holds until the
     // next event): one user-keyed shuffle, the lead() window bounded by
     // one user's events
@@ -3908,6 +3929,60 @@ object SparkEntry {
         |       ROUND(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6)
         |         AS entropy_r
         |FROM e ORDER BY doc_id""".stripMargin),
+
+    // identical (stratum, token) counts, the identical nano-quantized
+    // per-term KL contribution, long sums
+    "q_source_kl" -> (tokSql +
+      """, tk AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |st AS (
+        |  SELECT d.source AS stratum, tk.w, CAST(COUNT(*) AS BIGINT) AS c_st
+        |  FROM tk JOIN documents d ON tk.doc_id = d.doc_id GROUP BY 1, 2),
+        |tt AS (SELECT stratum, SUM(c_st) AS t_s FROM st GROUP BY 1),
+        |g AS (SELECT w, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        |gr AS (SELECT SUM(c_t) AS t FROM g),
+        |term AS (
+        |  SELECT st.stratum, tt.t_s,
+        |         CAST(FLOOR((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |              * ln((CAST(c_st AS DOUBLE) * CAST(t AS DOUBLE))
+        |                   / (CAST(t_s AS DOUBLE) * CAST(c_t AS DOUBLE)))
+        |              * 1000000000.0 + 0.5) AS BIGINT) AS term_u
+        |  FROM st JOIN tt ON st.stratum = tt.stratum
+        |  JOIN g ON st.w = g.w, gr)
+        |SELECT stratum AS source, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(term_u) AS BIGINT) AS kl_u
+        |FROM term GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // identical rank order (count DESC, hash, token), identical
+    // micro-unit log coordinates, DECIMAL(38) moment sums, identical
+    // Cramer association
+    "q_zipf" -> (tokSql +
+      """, tk AS (SELECT unnest(t) AS w FROM toks),
+        |f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |r AS (
+        |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC,
+        |    ('0x' || substr(md5(COALESCE(CAST(w AS VARCHAR), 'null') || '#zipf'), 1, 15))::BIGINT,
+        |    w) AS rnk
+        |  FROM f),
+        |q AS (
+        |  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y,
+        |         c
+        |  FROM r),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q)
+        |SELECT n AS n_types, n_tokens,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0.0 AS slope_r,
+        |  ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |        / CAST(n AS DOUBLE) / 1000000.0, 6) + 0.0 AS intercept_r
+        |FROM m""".stripMargin),
 
     "q_twa" ->
       """WITH e AS (

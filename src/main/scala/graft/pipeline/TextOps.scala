@@ -227,6 +227,44 @@ object TextOps {
         round(log(col("n").cast("double")) - col("sclc") / col("n"), 6)
           .as("entropy_r"))
 
+  /** Per-stratum KL divergence from the corpus token distribution —
+    * `KL(p_s ‖ p) = Σ_t p_s(t) · ln(p_s(t) / p(t))` per source/domain:
+    * the mixture-design diagnostic ("which domains are token-distribution
+    * outliers, and by how much") that decides reweighting before
+    * training. Zero-width strata and tokens unseen in a stratum
+    * contribute nothing (0 · ln 0 = 0 by convention).
+    *
+    * Engine-exactness: each (stratum, token) term is quantized ONCE to
+    * integer nano-units — `floor(term · 1e9 + 0.5)` — and the per-stratum
+    * sum is a LONG sum, so no float addition order exists. (A nano grid,
+    * not micro: KL terms are O(p_s(t)) ≈ 1/vocab, far below micro
+    * resolution for real vocabularies.)
+    *
+    * Shape: ONE corpus aggregation to (stratum, token) counts (shuffle ∝
+    * distinct pairs, map-side combinable); stratum totals and the global
+    * token table are RE-aggregated from that table (vocab-sized, never a
+    * second corpus pass — the [[pmiCollocations]] discipline) and joined
+    * back broadcast. */
+  def sourceKl(docs: DataFrame, strataCol: String = "source"): DataFrame = {
+    val st = docs
+      .select(col(strataCol).as("stratum"), explode(tokens(col("text"))).as("w"))
+      .groupBy("stratum", "w").agg(count(lit(1)).as("c_st"))
+    val totals = st.groupBy("stratum").agg(sum("c_st").as("t_s"))
+    val global = st.groupBy("w").agg(sum("c_st").as("c_t"))
+    val grand = global.agg(sum("c_t").as("t"))
+    val term = (col("c_st").cast("double") / col("t_s").cast("double")) *
+      log((col("c_st").cast("double") * col("t").cast("double")) /
+          (col("t_s").cast("double") * col("c_t").cast("double")))
+    st.join(totals, "stratum")
+      .join(broadcast(global), "w")
+      .crossJoin(broadcast(grand))
+      .select(col("stratum"), col("t_s"),
+        floor(term * 1e9 + 0.5).cast("long").as("term_u"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_types"), max("t_s").as("n_tokens"),
+        sum("term_u").as("kl_u"))
+  }
+
   /** A small function-word list for quality scoring (English-ish; the
     * corpus vocabulary is synthetic so the *operator*, not the list, is
     * what matters). */
