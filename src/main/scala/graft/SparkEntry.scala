@@ -938,6 +938,17 @@ object SparkEntry {
         .orderBy("window_start_s", "event_type")
     }),
 
+    // sliding (hopping) event-time windows: 1-hour stats every 15
+    // minutes — each event fans out to 4 windows map-side, one hash agg
+    "q_events_sliding" -> ((s, dir) => {
+      streaming.Events.slidingStats(streaming.Events.readEvents(s, dir),
+          "1 hour", "15 minutes")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 6).as("sum_value_r"))
+        .orderBy("window_start_s", "event_type")
+    }),
+
     // gap-based session windows per user (keyed incremental state when
     // streaming; gaps-and-islands SQL for the oracle). Session starts carry
     // microseconds → epoch micros, same tz-proofing as above.
@@ -2961,6 +2972,23 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n,
         |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
         |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
+
+    // each event's 4 covering sliding windows generated per row, then the
+    // same grouped micro-grid sums as the tumbling oracle
+    "q_events_sliding" ->
+      """WITH ks AS (
+        |  SELECT ts, event_type, value, unnest(generate_series(0, 3)) AS k
+        |  FROM events),
+        |wd AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS ws,
+        |         event_type, value
+        |  FROM ks)
+        |SELECT CAST(epoch(ws) AS BIGINT) AS window_start_s,
+        |       event_type, COUNT(*) AS n,
+        |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
+        |FROM wd
         |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
 
     "q_events_sessions" ->

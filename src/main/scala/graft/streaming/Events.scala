@@ -91,6 +91,23 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding event-time windows (hopping aggregation): every event lands
+    * in `windowLength / slide` overlapping windows — the rate/trend shape
+    * dashboards read ("events per hour, updated every 15 minutes").
+    * Fan-out is the fixed window/slide ratio, applied map-side by the
+    * `window()` generator before the one hash aggregation, so the shuffle
+    * is ratio × events and the streaming form is the same incremental
+    * keyed state as [[windowedStats]]. Value sums ride the integer micro
+    * grid — no float-order anywhere. */
+  def slidingStats(events: DataFrame, windowLength: String = "1 hour",
+                   slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.ExactNum.gridSumFast(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Session windows per user (gap-based): a session ends after `gap` of
     * inactivity. Spark's native `session_window` keyed state — in
     * streaming this is incremental per-key state, no global sort. */

@@ -51,6 +51,29 @@ class EventsStreamingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     streamed.map(_._1).size shouldBe 3 // three distinct hours
   }
 
+  "slidingStats" should "fan each event into window/slide windows, streaming == batch" in {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val input = MemoryStream[Ev]
+    input.addData(sample: _*)
+    val q = Events.slidingStats(Events.withEventWatermark(input.toDF()),
+        "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = s.table("slide_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.slidingStats(sample.toDF(), "1 hour", "15 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    streamed shouldBe batch
+    // every (event, type) lands in exactly 4 sliding windows
+    batch.toSeq.map(_._3).sum shouldBe 4L * sample.size
+  }
+
   "dedupedStream" should "drop duplicate event ids within the watermark" in {
     val s = spark
     import s.implicits._
