@@ -1891,6 +1891,15 @@ object SparkEntry {
         .orderBy("week")
     }),
 
+    // n-gram diversity per source + corpus rollup (dedup-headroom
+    // signal): per-source HLL sketches once, '__all__' = sketch union —
+    // exact distincts only to machine-check the estimates
+    "q_ngram_diversity" -> ((s, dir) => {
+      ops.Sketches.ngramDiversity(
+        s.read.parquet(s"$dir/documents.parquet"), n = 3, tol = 0.05)
+        .orderBy("source")
+    }),
+
     // anti-entropy table checksum: hash-bucketed row counts + XOR of
     // content hashes — order/partitioning-invariant, divergence between
     // copies localizes to the differing buckets
@@ -4080,6 +4089,30 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |       CAST(1 AS BIGINT) AS ok
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // exact per-source occurrence + distinct 3-gram counts; ok = 1 is the
+    // sketch-accuracy contract the Spark side machine-checks
+    "q_ngram_diversity" -> (tposSql +
+      """, sh3 AS (
+        |  SELECT a.doc_id,
+        |         ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
+        |  FROM tpos a
+        |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |ss AS (
+        |  SELECT d.source, sh3.h
+        |  FROM sh3 JOIN documents d ON sh3.doc_id = d.doc_id),
+        |per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact
+        |  FROM ss GROUP BY 1)
+        |SELECT source, n_grams, n_exact, CAST(1 AS BIGINT) AS ok FROM per
+        |UNION ALL
+        |SELECT '__all__', CAST(SUM(n_grams) AS BIGINT),
+        |       (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM ss),
+        |       CAST(1 AS BIGINT)
+        |FROM per
+        |ORDER BY source""".stripMargin),
 
     // the full checksum recomputed from scratch: key-hash bucketing and
     // the content hash over the same chr(1)-separated / chr(2)-NULL-sentinel

@@ -60,6 +60,42 @@ object Sketches {
           .cast("long").as("ok"))
   }
 
+  /** N-gram diversity per source plus the corpus rollup — the dedup
+    * headroom signal ("how much of this source is distinct content, and
+    * how much of the corpus total does each source actually add"): per
+    * source, total 3-gram occurrences and the distinct estimate from a
+    * per-source DataSketches HLL; the `__all__` row merges the per-source
+    * sketches with `hll_union_agg` WITHOUT re-touching text — at 100 TB
+    * the per-source sketch table is what persists, and any regrouping
+    * (source sets, crawls, time slices) is a kilobyte-blob union. The
+    * exact distinct counts exist ONLY to machine-check the estimates
+    * (`ok` = within `tol`), the same contract as [[hllWeeklyRollup]].
+    * Emits `(source, n_grams, n_exact, ok)`, one row per source plus
+    * `__all__`. */
+  def ngramDiversity(docs: DataFrame, n: Int = 3,
+                     tol: Double = 0.05): DataFrame = {
+    val sh = graft.pipeline.Dedup.shingles(docs, n, keepPos = true,
+      carry = Seq("source"))
+    val perSource = sh.groupBy("source").agg(
+      count(lit(1)).as("n_grams"),
+      countDistinct("sh_hash").as("n_exact"),
+      expr("hll_sketch_agg(sh_hash)").as("__sk"))
+    val allRow = perSource.agg(
+      sum("n_grams").as("n_grams"),
+      expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+      .crossJoin(broadcast(
+        sh.agg(countDistinct("sh_hash").as("n_exact"))))
+      .select(lit("__all__").as("source"), col("n_grams"), col("n_exact"),
+        col("__est"))
+    val okCol = (abs(col("__est") - col("n_exact")) <=
+      greatest(col("n_exact") * tol, lit(1.0))).cast("long").as("ok")
+    perSource
+      .select(col("source"), col("n_grams"), col("n_exact"),
+        expr("hll_sketch_estimate(__sk)").as("__est"))
+      .unionByName(allRow)
+      .select(col("source"), col("n_grams"), col("n_exact"), okCol)
+  }
+
   /** Count-min sketch vs exact heavy-hitter counts: emits one row
     * `(n, ok)` with ok = 1 iff every top-`topN` item's sketch estimate
     * respects the CMS guarantee — never below the true count, and at most

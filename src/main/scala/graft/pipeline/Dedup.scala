@@ -28,7 +28,8 @@ object Dedup {
   /** Token `n`-gram shingle table: `(doc_id, [pos,] sh_hash)`, distinct per
     * doc when positions are dropped. Docs with < n tokens produce no rows
     * (nothing to compare). Pure array expressions — one narrow projection. */
-  def shingles(docs: DataFrame, n: Int = 3, keepPos: Boolean = false): DataFrame = {
+  def shingles(docs: DataFrame, n: Int = 3, keepPos: Boolean = false,
+               carry: Seq[String] = Nil): DataFrame = {
     // materialize the token array into its own projection first: a lambda
     // that references the raw split(...) expression re-evaluates the regex
     // split on every element_at inside the transform (3n× per shingle) —
@@ -38,9 +39,10 @@ object Dedup {
     // one core; shuffling the slim 1× doc projection is strictly cheaper
     // than the ~tokens× wider exchanges downstream aggregations do anyway
     val parallelism = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val tokenized = docs.select(col("doc_id"), col("text"))
+    val carryCols = carry.map(col)
+    val tokenized = docs.select(col("doc_id") +: col("text") +: carryCols: _*)
       .repartition(parallelism)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id") +: TextOps.tokens(col("text")).as("t") +: carryCols: _*)
     val t = col("t")
     // guard: sequence(0, x) with x < 0 generates a *descending* sequence
     val idxs = when(size(t) >= n, sequence(lit(0), size(t) - n))
@@ -49,7 +51,7 @@ object Dedup {
       i => Hashing.hash60(
         concat_ws(" ", (0 until n).map(o => element_at(t, i + o + 1)): _*)))
     val exploded = tokenized
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "sh_hash")))
+      .select(col("doc_id") +: posexplode(grams).as(Seq("pos", "sh_hash")) +: carryCols: _*)
     if (keepPos) exploded
     else exploded.select("doc_id", "sh_hash").distinct()
   }
