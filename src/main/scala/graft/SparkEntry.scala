@@ -567,6 +567,33 @@ object SparkEntry {
           (round(col("w2"), 6) + lit(0.0)).as("w2_r"))
     }),
 
+    // train→serve composition: fit the ridge quality model on the TRAIN
+    // split only (the deterministic hash split), score EVERY doc with a
+    // pure map-side projection (Fit.predict), keep each source's top-5 by
+    // integer-rounded predicted quality — the ranking executes through
+    // the GroupedTopKLimit bounded-heap operator, so no source is sorted
+    "q_quality_model_topk" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      val train = ops.Sampling.assignSplit(feats, "doc_id", splitFractions)
+        .where(col("split") === "train")
+      val (_, w) = ops.Fit.ridgeNormal(train, Seq("x1", "x2"), "y",
+        lambda = 1.0)
+      val scored = ops.Fit.predict(feats, Seq("x1", "x2"), w, "yhat")
+        .select(col("doc_id"), col("source"),
+          floor(col("yhat") + 0.5).cast("long").as("yhat_i"))
+      val win = Window.partitionBy("source")
+        .orderBy(col("yhat_i").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(win))
+        .where(col("rn") <= 5)
+        .select(col("source"), col("doc_id"), col("yhat_i"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // per-group model training: the same ridge, per SOURCE, with the 3×3
     // Cramer solve expressed as Column arithmetic — one grouped hash
     // aggregate then a projection, fully distributed, no driver solve
@@ -2515,6 +2542,73 @@ object SparkEntry {
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
         |  AND ((i % 5 = 0) <> (j % 5 = 0))
         |ORDER BY i, j""".stripMargin),
+
+    // the train-split moments, the identical UNROUNDED Cramer weights,
+    // the identical left-associated projection, integer-rounded scores,
+    // the same (yhat DESC, doc_id) per-source rank
+    "q_quality_model_topk" -> {
+      val thr0 = ops.Sampling.cumThresholds(splitFractions.map(_._2))(0)
+      tokSql +
+        s""", qual AS (
+           |  SELECT doc_id, ROUND($qualityExprSql,
+           |        6) AS q
+           |  FROM (
+           |  $qualityInnerSql)),
+           |feat AS (
+           |  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS x1,
+           |         CAST(len(tk.t) AS BIGINT) AS x2,
+           |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y,
+           |         ('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+           |                                      'null') || '#split'),
+           |                         1, 15))::BIGINT AS h
+           |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+           |  JOIN qual ON d.doc_id = qual.doc_id),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+           |         SUM(x1) AS g01, SUM(x2) AS g02,
+           |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+           |         SUM(x2 * x2) AS g22,
+           |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+           |  FROM feat WHERE h < $thr0),
+           |a AS (
+           |  SELECT CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+           |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+           |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+           |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+           |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+           |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+           |         CAST(b2 AS DOUBLE) AS c2
+           |  FROM m),
+           |w AS (
+           |  SELECT
+           |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+           |       + a02 * (c1 * a21 - a11 * c2))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w0,
+           |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * c2 - c1 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w1,
+           |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+           |       + c0 * (a10 * a21 - a11 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w2
+           |  FROM a),
+           |sc AS (
+           |  SELECT f.source, f.doc_id,
+           |         CAST(FLOOR(w.w0 + w.w1 * CAST(f.x1 AS DOUBLE)
+           |                    + w.w2 * CAST(f.x2 AS DOUBLE) + 0.5) AS BIGINT)
+           |           AS yhat_i
+           |  FROM feat f, w),
+           |r AS (
+           |  SELECT source, doc_id, yhat_i,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |                            ORDER BY yhat_i DESC, doc_id) AS rn
+           |  FROM sc)
+           |SELECT source, doc_id, yhat_i, CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 5
+           |ORDER BY source, rn""".stripMargin
+    },
 
     // the same exact-long moments and the same first-row-cofactor Cramer
     // expansion, term-for-term (Fit.det3); λ=1.0 lands on the feature
