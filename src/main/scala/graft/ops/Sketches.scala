@@ -76,10 +76,15 @@ object Sketches {
                      tol: Double = 0.05): DataFrame = {
     val sh = graft.pipeline.Dedup.shingles(docs, n, keepPos = true,
       carry = Seq("source"))
+    // materialize the |sources|-row sketch table: the union plan below
+    // references it from two branches, and Catalyst does not share common
+    // subplans across a union — without the cut, the corpus-scale gram
+    // build would run once per branch (measured 3× at sf1eq)
     val perSource = sh.groupBy("source").agg(
       count(lit(1)).as("n_grams"),
       countDistinct("sh_hash").as("n_exact"),
       expr("hll_sketch_agg(sh_hash)").as("__sk"))
+      .localCheckpoint()
     val allRow = perSource.agg(
       sum("n_grams").as("n_grams"),
       expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))

@@ -108,9 +108,18 @@ object Dsir {
     val u = (Hashing.hash60(concat(col("doc_id").cast("string"),
         lit("#" + salt + "!g"))).cast("double") + 0.5) /
       1152921504606846976.0 // 2^60
+    // materialize the slim scored frame (4 longs/doc) before the prefix
+    // scan: the selection machinery evaluates its input several times
+    // (stratum counts, range sampling, the sorted scan) and each pass
+    // would otherwise re-run the whole two-aggregation weights pipeline —
+    // the same lineage-cut-at-the-consumed-many-times-seam discipline as
+    // the MinHash and CC loops. Measured warm: 15.5 s → 2.9 s at sf0.1
+    // (5k docs, where recompute overhead dominated); at 100k docs the two
+    // inherent gram passes dominate and the win is ~12%.
     val scored = w.withColumn("score_u",
       col("logw_u") +
         floor(-log(-log(u)) * 1e6 + 0.5).cast("long"))
+      .localCheckpoint()
     Sampling.topFractionPerStratum(
         scored.withColumn("all", lit("all")),
         "doc_id", "all", col("score_u"), keepNum, keepDen, salt)
