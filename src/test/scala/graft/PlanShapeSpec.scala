@@ -422,6 +422,64 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("HashAggregate")
   }
 
+  "Dsir.importanceWeights" should "broadcast the bucket table and partial-aggregate the gram stream" in {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = pipeline.Dsir.importanceWeights(docs, col("lang") === "en", 1024)
+    w.collect()
+    val plan = w.queryExecution.executedPlan.toString
+    // the ≤ buckets-row log-ratio table joins broadcast — the token-scale
+    // gram stream is never shuffled for the join
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    // bucket distribution and per-doc sums both partial-combine map-side
+    plan.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") should be >= 4
+  }
+
+  "Bpe.segment" should "be a pure projection: no join, no window, no aggregate exchange" in {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val seg = pipeline.Bpe.segment(docs, Seq(("a", "b"), ("ab", "</w>")))
+    val plan = seg.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should not include "Exchange"
+  }
+
+  "q_source_kl" should "re-aggregate marginals from the pair table and broadcast them back" in {
+    val plan = formattedPlan("q_source_kl")
+    // global token table + grand total join broadcast; the (source, token)
+    // stream is shuffled exactly once, for its own aggregation
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+  }
+
+  "q_zipf" should "rank without any window node" in {
+    val df = SparkEntry.queries("q_zipf")(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString should not include "Window"
+  }
+
+  "q_events_sliding" should "fan out map-side and partial-aggregate before the shuffle" in {
+    val plan = formattedPlan("q_events_sliding")
+    // the 4-window assignment is an Expand directly over the scan — pure
+    // map-side, no join against a window table
+    plan should include("Expand")
+    plan should not include "Join"
+    plan.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") should be >= 2
+    plan should not include "Window (" // windowed agg, not a Window node
+  }
+
+  "q_quality_model_topk" should "rank per source through the bounded-heap operator" in {
+    val df = SparkEntry.queries("q_quality_model_topk")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
