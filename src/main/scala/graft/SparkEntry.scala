@@ -635,6 +635,26 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // personalized PageRank: restart mass teleports to a seed set (every
+    // 10th supplier) — rank-by-proximity-to-trusted-nodes, the
+    // TrustRank / topical-crawl-prioritization variant; same fixed-point
+    // integer arithmetic, bit-identical to the unrolled oracle
+    "q_ppr" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_orderkey") * 2).as("dst"))
+      val edges = fwd.unionByName(rev).distinct()
+      val seeds = edges.select(col("dst").as("node"))
+        .where(col("node") % 20 === 1)
+        .distinct()
+      ops.Graph.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy("node")
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
@@ -2223,6 +2243,45 @@ object SparkEntry {
       s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Personalized-PageRank unroll: same chained-CTE shape as
+    * [[pageRankOracleSql]], with the restart vector on the seed set
+    * (`node % 20 = 1` — every 10th supplier) and dangling mass returning
+    * to the seeds. */
+  private def pprOracleSql(iters: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |      WHERE l_orderkey % 3 = 0),
+        |e AS MATERIALIZED (SELECT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM li
+        |      UNION
+        |      SELECT l_suppkey * 2 + 1, l_orderkey * 2 FROM li),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ns AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes WHERE node % 20 = 1),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT node,
+        |         CASE WHEN node % 20 = 1
+        |              THEN 1000000000000 // (SELECT n FROM ns) ELSE 0 END AS r
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, SUM(r.r // deg.deg) AS s
+         |       FROM e JOIN r${i - 1} r ON e.src = r.node
+         |       JOIN deg ON deg.src = e.src
+         |       GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) AS dm
+         |       FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src
+         |       WHERE deg.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |         (CASE WHEN nodes.node % 20 = 1
+         |               THEN 15 * (1000000000000 // (SELECT n FROM ns)) ELSE 0 END +
+         |          85 * (COALESCE(c$i.s, 0) +
+         |                CASE WHEN nodes.node % 20 = 1
+         |                     THEN (SELECT dm FROM d$i) // (SELECT n FROM ns)
+         |                     ELSE 0 END)) // 100 AS r
+         |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters ORDER BY node"
+  }
+
   /** Raw-text trigrams by position join (the hashless twin of `shingleSql`,
     * for oracles that can compare gram text directly). */
   private val trigramTextSql = tposSql +
@@ -2703,6 +2762,8 @@ object SparkEntry {
          |FROM a ORDER BY source""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql(5),
+
+    "q_ppr" -> pprOracleSql(5),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
 

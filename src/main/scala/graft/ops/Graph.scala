@@ -114,4 +114,74 @@ object Graph {
     }
     r.select(col("node"), col("rank"))
   }
+
+  /** Personalized (topic-sensitive) PageRank: the restart mass teleports
+    * to a SEED set instead of uniformly — "rank every page by proximity
+    * to these trusted/topical pages", the crawl-prioritization and
+    * TrustRank-style spam-demotion variant. Same fixed-point integer
+    * arithmetic, same per-iteration shape as [[pageRank]]; the only
+    * changes are the restart vector (`scale div |S|` on seeds, 0
+    * elsewhere) and the dangling mass, which returns to the seeds (the
+    * standard PPR convention — lost mass re-enters through the teleport
+    * distribution). Seeds outside the edge table still hold restart mass
+    * (they are added to the node set); seed membership rides the rank
+    * table as a static flag, so no per-iteration seed join exists.
+    * Returns `(node, rank)`, bit-identical across partitionings and
+    * engines. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5,
+                           scale: Long = 1000000000000L,
+                           checkpointEvery: Int = 6): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("div", a, b)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint()
+    val sCount = sd.count()
+    require(sCount > 0, "personalizedPageRank needs a non-empty seed set")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .unionByName(sd)
+      .distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val sBase = scale / sCount
+
+    val seedBase = when(col("is_seed"), lit(sBase)).otherwise(lit(0L))
+    var r = nodes.join(outdeg, Seq("node"), "left")
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .select(col("node"), seedBase.as("rank"), col("deg"), col("is_seed"))
+      .repartition(col("node"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val contribs = e.join(r.where(col("deg").isNotNull),
+          e("src") === r("node"))
+        .select(col("dst"), div(col("rank"), col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("contrib"))
+      val dang = r.where(col("deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+      val next = r.select(col("node"), col("deg"), col("is_seed"))
+        .join(contribs, r("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          div(lit(15L) * seedBase +
+            lit(85L) * (coalesce(col("contrib"), lit(0L)) +
+              when(col("is_seed"), div(col("dm"), lit(sCount)))
+                .otherwise(lit(0L))),
+            lit(100L)).as("rank"),
+          col("deg"), col("is_seed"))
+      it += 1
+      r = if (it % checkpointEvery == 0 && it < iters) next.localCheckpoint()
+          else next
+    }
+    r.select(col("node"), col("rank"))
+  }
 }

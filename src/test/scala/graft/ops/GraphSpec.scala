@@ -103,4 +103,72 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got(1L) shouldBe got(2L)
     got(2L) shouldBe got(3L)
   }
+
+  /** Reference PPR: restart and dangling mass both teleport to seeds. */
+  private def brutePpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                       iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seeds).distinct.sorted
+    val sSet = seeds.toSet
+    val sCount = seeds.distinct.length.toLong
+    val sBase = SCALE / sCount
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var r = nodes.map(v => v -> (if (sSet(v)) sBase else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = edges
+        .map { case (s, d) => d -> r(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val dang = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map { v =>
+        val sb = if (sSet(v)) sBase else 0L
+        val ds = if (sSet(v)) dang / sCount else 0L
+        v -> (15L * sb + 85L * (contrib.getOrElse(v, 0L) + ds)) / 100L
+      }.toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                     parts: Int = 1): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df = edges.toDF("src", "dst").repartition(parts)
+    Graph.personalizedPageRank(df, seeds.toDF("node"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  "Graph.personalizedPageRank" should "match the integer reference and localize rank around the seeds" in {
+    // two symmetric cycles bridged both ways; seed in the first — without
+    // the return bridge the far cycle is an absorbing component and
+    // legitimately accumulates the leaked mass (checked the hard way)
+    val c1 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val c2 = Seq(10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val bridges = Seq(3L -> 10L, 12L -> 1L)
+    val edges = c1 ++ c2 ++ bridges
+    val got = runPpr(edges, Seq(1L), 6)
+    got shouldBe brutePpr(edges, Seq(1L), 6)
+    // restart mass keeps the seed on top, and the seed's cycle holds more
+    // total mass than the mirror cycle
+    got(1L) should be > got(10L)
+    (got(1L) + got(2L) + got(3L)) should be > (got(10L) + got(11L) + got(12L))
+  }
+
+  it should "teleport dangling mass to the seeds and accept off-graph seeds" in {
+    // 1 -> 2 (dangling sink), seed 99 not in the edge table
+    val edges = Seq(1L -> 2L)
+    val got = runPpr(edges, Seq(1L, 99L), 4)
+    got shouldBe brutePpr(edges, Seq(1L, 99L), 4)
+    // the off-graph seed keeps restart + dangling-return mass
+    got(99L) should be > 0L
+    got.keySet should contain(99L)
+  }
+
+  it should "be invariant to input partitioning" in {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val seeds = Seq(0L, 5L, 9L)
+    val one = runPpr(edges, seeds, 4, parts = 1)
+    runPpr(edges, seeds, 4, parts = 9) shouldBe one
+    one shouldBe brutePpr(edges, seeds, 4)
+  }
 }
