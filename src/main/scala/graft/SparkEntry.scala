@@ -1626,6 +1626,19 @@ object SparkEntry {
         .orderBy("source", "sample_rank")
     }),
 
+    // weighted sampling without replacement (Gumbel-top-k ≡
+    // Efraimidis–Spirakis): inclusion probability ∝ n_chars,
+    // deterministic; integer micro-unit scores, prefix-scan rank
+    "q_weighted_sample" -> ((s, dir) => {
+      ops.Sampling.weightedSample(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "n_chars"),
+          keyCol = "doc_id", weight = col("n_chars"),
+          keepNum = 1L, keepDen = 5L, salt = "ws0")
+        .select("doc_id", "n_chars", "score_u", "sample_rank")
+        .orderBy("doc_id")
+    }),
+
     // snapshot diff (CDC): one full-outer key join classifies a re-crawl
     // against the served corpus into insert/update/delete rows — the
     // incremental primitive that keeps downstream work ∝ |changes|. The
@@ -3857,6 +3870,27 @@ object SparkEntry {
         |           doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    // the identical quantized ln-weight + seeded Gumbel score, the same
+    // (score DESC, hash, key) rank, the same exact integer cutoff
+    "q_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(FLOOR(ln(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |         + CAST(FLOOR(-ln(-ln(
+        |             (CAST(('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#ws0!g'), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+        |             / 1152921504606846976.0)) * 1000000.0 + 0.5) AS BIGINT) AS score_u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, score_u,
+        |         ROW_NUMBER() OVER (ORDER BY score_u DESC,
+        |           ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#ws0'), 1, 15))::BIGINT,
+        |           doc_id) AS rn,
+        |         COUNT(*) OVER () AS c
+        |  FROM sc)
+        |SELECT doc_id, n_chars, score_u, CAST(rn AS BIGINT) AS sample_rank
+        |FROM r WHERE rn <= (c * 1 + 5 - 1) // 5
+        |ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (

@@ -45,6 +45,43 @@ object Sampling {
                  salt: String = "sample"): DataFrame =
     df.where(hashSamplePredicate(col(keyCol), rate, salt))
 
+  /** Seeded Gumbel noise in integer micro-units:
+    * `floor(−ln(−ln(u)) · 1e6 + 0.5)` with
+    * `u = (hash60(key#salt!g) + 0.5) / 2⁶⁰` — the deterministic noise
+    * behind Gumbel-top-k sampling (Dsir resampling, weighted sampling).
+    * Every sub-expression is an IEEE double op in fixed order, so the
+    * value is engine-exact given the shared hash. */
+  private[graft] def gumbelMicroU(key: Column, salt: String): Column = {
+    val u = (Hashing.hash60(concat(coalesce(key.cast("string"), lit("null")),
+        lit("#" + salt + "!g"))).cast("double") + 0.5) /
+      1152921504606846976.0 // 2^60
+    floor(-log(-log(u)) * 1e6 + 0.5).cast("long")
+  }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via the
+    * Gumbel-top-k identity): keeps the top `ceil(n · keepNum/keepDen)`
+    * rows by `floor_micro(ln weight) + Gumbel(hash)`, which selects each
+    * subset with the probability sequential weighted draws without
+    * replacement would — deterministically, as a pure function of
+    * (key set, weights, salt). `weight` must be positive; the two
+    * integer micro-unit terms sum as longs, so scores have no float
+    * order, and the rank runs through the shared two-phase prefix scan
+    * (never a single-task window). Returns kept rows plus
+    * `(score_u, sample_rank)`. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     keepNum: Long, keepDen: Long,
+                     salt: String = "wsample",
+                     partitions: Int = 0): DataFrame = {
+    val scoreU = floor(log(weight.cast("double")) * 1e6 + 0.5).cast("long") +
+      gumbelMicroU(col(keyCol), salt)
+    val scored = df.withColumn("score_u", scoreU)
+      .withColumn("__ws_all", lit("all"))
+    topFractionPerStratum(scored, keyCol, "__ws_all", col("score_u"),
+        keepNum, keepDen, salt, partitions)
+      .withColumn("sample_rank", col("stratum_rank"))
+      .drop("__ws_all", "stratum_rank")
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. per-language
     * mixing weights), rows of unlisted strata are dropped. The threshold
     * lookup is a literal CASE expression over *precomputed integer*

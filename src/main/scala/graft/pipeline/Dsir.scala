@@ -105,9 +105,6 @@ object Dsir {
   def resample(docs: DataFrame, isTarget: Column, buckets: Int,
                keepNum: Long, keepDen: Long, salt: String): DataFrame = {
     val w = importanceWeights(docs, isTarget, buckets)
-    val u = (Hashing.hash60(concat(col("doc_id").cast("string"),
-        lit("#" + salt + "!g"))).cast("double") + 0.5) /
-      1152921504606846976.0 // 2^60
     // materialize the slim scored frame (4 longs/doc) before the prefix
     // scan: the selection machinery evaluates its input several times
     // (stratum counts, range sampling, the sorted scan) and each pass
@@ -117,8 +114,7 @@ object Dsir {
     // (5k docs, where recompute overhead dominated); at 100k docs the two
     // inherent gram passes dominate and the win is ~12%.
     val scored = w.withColumn("score_u",
-      col("logw_u") +
-        floor(-log(-log(u)) * 1e6 + 0.5).cast("long"))
+      col("logw_u") + Sampling.gumbelMicroU(col("doc_id"), salt))
       .localCheckpoint()
     Sampling.topFractionPerStratum(
         scored.withColumn("all", lit("all")),
