@@ -1834,6 +1834,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus drift between CDC snapshots: each snapshot's token-
+    // distribution divergence from the pooled blend (the symmetric
+    // JS-style drift monitor a re-crawl pipeline alarms on) — the same
+    // KL operator, strata = snapshot version
+    "q_snapshot_drift" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val old = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("version", lit("old"))
+      val neu = docs.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"), col("text"))
+        .withColumn("version", lit("new"))
+      pipeline.TextOps.sourceKl(old.unionByName(neu), "version")
+        .select(col("stratum").as("version"), col("n_types"),
+          col("n_tokens"), col("kl_u"))
+        .orderBy("version")
+    }),
+
     // per-source KL divergence from the corpus token distribution — the
     // mixture-design outlier diagnostic; nano-unit integer terms, long
     // sums, one corpus aggregation
@@ -4155,6 +4175,40 @@ object SparkEntry {
         |       ROUND(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6)
         |         AS entropy_r
         |FROM e ORDER BY doc_id""".stripMargin),
+
+    // the same KL chain over the version-tagged snapshot union
+    "q_snapshot_drift" ->
+      """WITH un AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN text || ' v1' ELSE text END AS text,
+        |         'old' AS version
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 'new' AS version
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |tku AS (
+        |  SELECT version,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM un),
+        |st AS (
+        |  SELECT version AS stratum, w, CAST(COUNT(*) AS BIGINT) AS c_st
+        |  FROM tku GROUP BY 1, 2),
+        |tt AS (SELECT stratum, SUM(c_st) AS t_s FROM st GROUP BY 1),
+        |g AS (SELECT w, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        |gr AS (SELECT SUM(c_t) AS t FROM g),
+        |term AS (
+        |  SELECT st.stratum, tt.t_s,
+        |         CAST(FLOOR((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |              * ln((CAST(c_st AS DOUBLE) * CAST(t AS DOUBLE))
+        |                   / (CAST(t_s AS DOUBLE) * CAST(c_t AS DOUBLE)))
+        |              * 1000000000.0 + 0.5) AS BIGINT) AS term_u
+        |  FROM st JOIN tt ON st.stratum = tt.stratum
+        |  JOIN g ON st.w = g.w, gr)
+        |SELECT stratum AS version, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(term_u) AS BIGINT) AS kl_u
+        |FROM term GROUP BY 1 ORDER BY version""".stripMargin,
 
     // identical (stratum, token) counts, the identical nano-quantized
     // per-term KL contribution, long sums
