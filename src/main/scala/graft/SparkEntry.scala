@@ -985,6 +985,17 @@ object SparkEntry {
         .orderBy("window_start_s", "event_type")
     }),
 
+    // event-rate anomaly flags: windows whose count sits 3σ above the
+    // type's own mean — exact integer test (no sqrt, no float), per-type
+    // moments re-aggregated from the window-count table and broadcast
+    "q_rate_anomaly" -> ((s, dir) => {
+      streaming.Events.rateAnomalies(streaming.Events.readEvents(s, dir),
+          "1 hour")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+          col("event_type"), col("n"), col("is_anomaly"))
+        .orderBy("window_start_s", "event_type")
+    }),
+
     // sliding (hopping) event-time windows: 1-hour stats every 15
     // minutes — each event fans out to 4 windows map-side, one hash agg
     "q_events_sliding" -> ((s, dir) => {
@@ -3170,6 +3181,27 @@ object SparkEntry {
         |       ROUND(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS sum_value_r
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start_s, event_type""".stripMargin,
+
+    // identical window counts, identical integer 3-sigma test (HUGEINT is
+    // DuckDB's exact int128, mirroring Spark's DECIMAL(38,0) widening)
+    "q_rate_anomaly" ->
+      """WITH wc AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+        |         event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nw,
+        |         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+        |  FROM wc GROUP BY 1)
+        |SELECT wc.window_start_s, wc.event_type, wc.n,
+        |       CAST(CASE WHEN (wc.n * m.nw - m.s1) > 0
+        |                  AND CAST(wc.n * m.nw - m.s1 AS HUGEINT)
+        |                      * CAST(wc.n * m.nw - m.s1 AS HUGEINT)
+        |                      > 9 * (CAST(m.nw AS HUGEINT) * CAST(m.s2 AS HUGEINT)
+        |                             - CAST(m.s1 AS HUGEINT) * CAST(m.s1 AS HUGEINT))
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM wc JOIN m ON wc.event_type = m.event_type
+        |ORDER BY wc.window_start_s, wc.event_type""".stripMargin,
 
     // each event's 4 covering sliding windows generated per row, then the
     // same grouped micro-grid sums as the tumbling oracle

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators over the `events` table
@@ -107,6 +107,38 @@ object Events {
         graft.ops.ExactNum.gridSumFast(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Event-rate anomaly flags: for each (window, event_type), is the
+    * window's count more than 3σ above the type's own mean across all
+    * windows — the pipeline-health alarm ("did crawl ingest spike")
+    * layered on [[windowedStats]]' shape. The 3σ test is EXACT integer
+    * arithmetic, no sqrt and no float: `c − μ > 3σ` over per-type moments
+    * `(W, Σc, Σc²)` becomes
+    * `c·W − Σc > 0  AND  (c·W − Σc)² > 9·(W·Σc² − (Σc)²)`,
+    * with the squares widened to DECIMAL(38,0) (int128-exact in any
+    * engine) so a 10⁹-event type cannot overflow. Per-type moments are a
+    * re-aggregation of the window-count table (windows × types rows, not
+    * a second event pass) broadcast back. Emits
+    * `(window_start, event_type, n, is_anomaly)`. */
+  def rateAnomalies(events: DataFrame,
+                    windowLength: String = "1 hour"): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val moments = counts.groupBy("event_type")
+      .agg(count(lit(1)).as("nw"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val d19 = (c: Column) => c.cast("decimal(19,0)")
+    val lhs = col("n") * col("nw") - col("s1")
+    val anomaly = (lhs > 0L) &&
+      (d19(lhs) * d19(lhs) >
+        lit(9).cast("decimal(19,0)") *
+          (d19(col("nw")) * d19(col("s2")) - d19(col("s1")) * d19(col("s1"))))
+    counts.join(broadcast(moments), "event_type")
+      .select(col("window_start"), col("event_type"), col("n"),
+        anomaly.cast("long").as("is_anomaly"))
+  }
 
   /** Session windows per user (gap-based): a session ends after `gap` of
     * inactivity. Spark's native `session_window` keyed state — in
