@@ -107,28 +107,34 @@ object Bpe {
       schema)
   }
 
-  /** Segment with a learned merge list — the inference side of BPE, as a
-    * PURE PROJECTION: each token's symbol string gets every merge applied
-    * in learned order (the same double-`replace` spelling as training),
-    * and the per-doc subword count is a map-side array fold. No shuffle,
-    * no state, nothing leaves the row. Returns
-    * `(doc_id, n_tokens, n_bpe_tokens)`. */
+  /** Segment with a learned merge list — the inference side of BPE.
+    * The merge chain (char split + 2·|merges| `replace` passes, O(len²)
+    * string work per input) runs ONCE PER DISTINCT WORD, not per
+    * occurrence: tokenizer inference is vocabulary-bounded by Zipf's law,
+    * so the corpus-scale side is only an explode + a join against the
+    * vocab-sized `(word, n_sub)` table + a per-doc sum. At a skewed 100 TB
+    * corpus that turns ~10¹¹ merge-chain evaluations into ~10⁷.
+    * Returns `(doc_id, n_tokens, n_bpe_tokens)` (docs with no tokens:
+    * `(0, 0)`). */
   def segment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val perTokCount = (tok: org.apache.spark.sql.Column) => {
-      val merged = merges.foldLeft(
-          concat(lit(" "), symExpr(tok), lit(" "))) {
-        case (acc, (l, r)) =>
-          val pat = lit(s" $l $r ")
-          val rep = lit(s" $l$r ")
-          call_function("replace", call_function("replace", acc, pat, rep),
-            pat, rep)
-      }
-      size(split(trim(merged), " ")).cast("long")
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val merged = merges.foldLeft(
+        concat(lit(" "), symExpr(col("tok")), lit(" "))) {
+      case (acc, (l, r)) =>
+        val pat = lit(s" $l $r ")
+        val rep = lit(s" $l$r ")
+        call_function("replace", call_function("replace", acc, pat, rep),
+          pat, rep)
     }
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val vocab = toks.select(col("tok")).distinct()
+      .select(col("tok"), size(split(trim(merged), " ")).cast("long").as("n_sub"))
+    val perDoc = toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_sub").as("n_bpe_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        aggregate(col("t"), lit(0L), (acc, w) => acc + perTokCount(w))
-          .as("n_bpe_tokens"))
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 }

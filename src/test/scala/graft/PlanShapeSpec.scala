@@ -437,13 +437,21 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .count(_ == "HashAggregate") should be >= 4
   }
 
-  "Bpe.segment" should "be a pure projection: no join, no window, no aggregate exchange" in {
+  "Bpe.segment" should "run the merge chain on the vocab side only — no cartesian, no window" in {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val seg = pipeline.Bpe.segment(docs, Seq(("a", "b"), ("ab", "</w>")))
+    seg.collect()
     val plan = seg.queryExecution.executedPlan.toString
-    plan should not include "Join"
+    plan should not include "CartesianProduct"
     plan should not include "Window"
-    plan should not include "Exchange"
+    // the O(len²) replace chain sits above the DISTINCT (vocab)
+    // aggregate, never on the raw token explode: the optimized plan keeps
+    // every `replace` inside the project over the Aggregate(tok) subtree
+    val opt = seg.queryExecution.optimizedPlan.toString
+    val replaceLines = opt.linesIterator.filter(_.contains("replace(")).toSeq
+    replaceLines should not be empty
+    // the chain is fused into the vocab-distinct Aggregate node itself
+    replaceLines.foreach(_ should include("Aggregate [tok"))
   }
 
   "q_source_kl" should "re-aggregate marginals from the pair table and broadcast them back" in {
