@@ -1787,6 +1787,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source percentile-rank normalization: the calibration transform
+    // that makes scores comparable across sources — exact integer ranks
+    // through the two-phase prefix scan, one map-side division
+    "q_pct_rank" -> ((s, dir) => {
+      ops.Normalize.percentileRankPerStratum(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "n_chars"),
+          "doc_id", "source", col("n_chars"), salt = "pr0")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("stratum_rank"),
+          (round(col("pct_rank"), 6) + 0.0).as("pct_rank_r"))
+        .orderBy("doc_id")
+    }),
+
     // per-language winsorized quality: clamp to the exact nearest-rank
     // [p05, p95] per lang — cutoffs are ACTUAL data values from the
     // two-phase prefix scan, broadcast back; the clamp is map-side
@@ -4109,6 +4123,22 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the identical ascending (value, hash, key) rank and the identical
+    // one-division percentile
+    "q_pct_rank" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#pr0'), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_chars ASC, hh, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY source) AS c
+        |      FROM h)
+        |SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS stratum_rank,
+        |       ROUND(CAST(rn AS DOUBLE) / CAST(c AS DOUBLE), 6) + 0.0 AS pct_rank_r
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // cutoffs re-derived by the same nearest-rank rule over the same
     // (value, hash, key) order the prefix scan uses

@@ -66,4 +66,33 @@ object Normalize {
             (col("__mx") - col("__mn"))))
       .drop("__mn", "__mx")
   }
+
+  /** Percentile-rank normalization within each stratum: every row gets
+    * `stratum_rank` (1-based, ascending by `score` with the deterministic
+    * (hash, key) tie order) and `pct_rank = rank / |stratum|` — the
+    * calibration transform that makes quality scores comparable ACROSS
+    * sources before a global gate ("keep the best 20% overall" must not
+    * let one source's score scale dominate). Ranks come from the shared
+    * two-phase distributed prefix scan — no stratum is ever sorted in one
+    * task — and counts broadcast back, so the division is map-side. The
+    * rank is an exact integer; `pct_rank` is one IEEE division,
+    * engine-exact. */
+  def percentileRankPerStratum(df: DataFrame, keyCol: String,
+                               strataCol: String,
+                               score: org.apache.spark.sql.Column,
+                               salt: String = "pctr",
+                               partitions: Int = 0): DataFrame = {
+    // the input feeds the counts scan + the ranked pass (itself two
+    // evaluations: range sampling, sort) — same materialize-once
+    // discipline as winsorizePerStratum
+    val cached = df.localCheckpoint()
+    val ranked = Sampling.stratumPrefixCum(cached, keyCol, strataCol, lit(1L),
+      sortByScore = Some(score), "stratum_rank", salt, partitions,
+      scoreAscending = true)
+    val counts = cached.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq(strataCol))
+      .withColumn("pct_rank",
+        col("stratum_rank").cast("double") / col("__n").cast("double"))
+      .drop("__n")
+  }
 }
