@@ -1996,6 +1996,26 @@ object SparkEntry {
         .orderBy("week")
     }),
 
+    // quantile-sketch rollup (the HLL pattern for order statistics):
+    // per-day KLL sketches merged to weekly p50/p90/p99 WITHOUT
+    // re-touching rows; ok = every estimate's true rank interval within
+    // 3% of its target — covering build + merge + estimate
+    "q_kll_rollup" -> ((s, dir) => {
+      ops.Sketches.kllWeeklyQuantileRollup(
+        streaming.Events.readEvents(s, dir), "value",
+        Seq(0.5, 0.9, 0.99))
+        .orderBy("week")
+    }),
+
+    // audience overlap via theta sketches — the set operation HLL can't
+    // do: per-event-type sketches of user_id, pairwise INTERSECTION
+    // estimates machine-checked against the exact overlap counts
+    "q_theta_overlap" -> ((s, dir) => {
+      ops.Sketches.thetaPairOverlap(
+        streaming.Events.readEvents(s, dir), "event_type", "user_id")
+        .orderBy("g_a", "g_b")
+    }),
+
     // n-gram diversity per source + corpus rollup (dedup-headroom
     // signal): per-source HLL sketches once, '__all__' = sketch union —
     // exact distincts only to machine-check the estimates
@@ -4394,6 +4414,28 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
         |       CAST(1 AS BIGINT) AS ok
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // exact weekly non-null counts; ok = 1 is the KLL rank-interval
+    // contract the Spark side machine-checks
+    "q_kll_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |       CAST(COUNT(value) AS BIGINT) AS n,
+        |       CAST(1 AS BIGINT) AS ok
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // exact per-type distinct users and pairwise overlaps; ok = 1 is the
+    // theta-intersection accuracy contract
+    "q_theta_overlap" ->
+      """WITH mem AS (SELECT DISTINCT event_type AS g, user_id AS k FROM events),
+        |per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM mem GROUP BY g),
+        |ov AS (SELECT a.g AS g_a, b.g AS g_b, CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM mem a JOIN mem b ON a.k = b.k AND a.g < b.g
+        |       GROUP BY 1, 2)
+        |SELECT p1.g AS g_a, p2.g AS g_b, p1.n AS n_a, p2.n AS n_b,
+        |       COALESCE(ov.n_both, 0) AS n_both, CAST(1 AS BIGINT) AS ok
+        |FROM per p1 JOIN per p2 ON p1.g < p2.g
+        |LEFT JOIN ov ON ov.g_a = p1.g AND ov.g_b = p2.g
+        |ORDER BY g_a, g_b""".stripMargin,
 
     // exact per-source occurrence + distinct 3-gram counts; ok = 1 is the
     // sketch-accuracy contract the Spark side machine-checks

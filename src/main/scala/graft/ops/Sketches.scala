@@ -60,6 +60,100 @@ object Sketches {
           .cast("long").as("ok"))
   }
 
+  /** Pre-aggregated QUANTILE rollup — [[hllWeeklyRollup]]'s pattern for
+    * order statistics: per-day DataSketches KLL sketches
+    * (`kll_sketch_agg_double`) are built once, then weeks merge the daily
+    * sketches with `kll_merge_agg_double` WITHOUT re-touching rows, and
+    * quantiles read off the merged sketch. The daily sketch table is what a
+    * production pipeline persists (a few KB per day at k=200); any ad-hoc
+    * range's p50/p90/p99 is a blob merge, not an events re-scan — the exact
+    * alternative ([[exactQuantilesPerStratum]]) costs a full prefix scan
+    * per regrouping.
+    *
+    * The machine check covers build + merge + estimate with the sketch's
+    * ACTUAL guarantee (normalized rank error, ≈1.65% at k=200): for each
+    * requested rank q, the estimated value v must have its true rank
+    * interval [P(x < v), P(x ≤ v)] within `rankTol` of q — the same
+    * interval form as [[quantilesWithinRankError]] (testing only P(x ≤ v)
+    * false-fails duplicate-heavy columns). Emits one row per week:
+    * `(week, n, ok)`; n = non-null values, exact. */
+  def kllWeeklyQuantileRollup(events: DataFrame, valueCol: String,
+                              qs: Seq[Double], k: Int = 200,
+                              rankTol: Double = 0.03): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile rank")
+    qs.foreach(q => require(q > 0 && q < 1, s"rank $q must be in (0, 1)"))
+    val base = events.select(
+      expr("CAST(date_trunc('week', ts) AS DATE)").as("week"),
+      to_date(col("ts")).as("day"), col(valueCol).cast("double").as("__v"))
+    val daily = base.groupBy("week", "day")
+      .agg(expr(s"kll_sketch_agg_double(__v, $k)").as("sk"))
+    val weekly = daily.groupBy("week")
+      .agg(expr(s"kll_merge_agg_double(sk, $k)").as("msk"))
+    val est = weekly.select(col("week") +:
+      qs.indices.map(i => expr(
+        s"kll_sketch_get_quantile_double(msk, ${qs(i)})").as(s"__q_$i")): _*)
+    // |weeks| rows of estimates broadcast back; one hash agg per week
+    // recomputes the exact rank interval of each estimated value
+    val aggCols = count(col("__v")).as("n") +:
+      qs.indices.flatMap(i => Seq(
+        (sum(when(col("__v") < col(s"__q_$i"), 1L).otherwise(0L)) /
+          count(col("__v"))).as(s"__lo_$i"),
+        (sum(when(col("__v") <= col(s"__q_$i"), 1L).otherwise(0L)) /
+          count(col("__v"))).as(s"__hi_$i")))
+    base.join(broadcast(est), "week")
+      .groupBy("week").agg(aggCols.head, aggCols.tail: _*)
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"), col("n"),
+        qs.indices.map(i =>
+          (lit(qs(i)) >= col(s"__lo_$i") - rankTol &&
+            lit(qs(i)) <= col(s"__hi_$i") + rankTol).cast("long"))
+          .reduce(_ * _).as("ok"))
+  }
+
+  /** Audience overlap via theta sketches — the mergeable-sketch operation
+    * HLL fundamentally cannot do: per-group theta sketches of a key
+    * (`theta_sketch_agg`) support INTERSECTION and DIFFERENCE, not just
+    * union, so "users who did A and B" across any ad-hoc group pair is a
+    * kilobyte-blob operation on the persisted per-group sketch table —
+    * never a re-scan, never an exact-set join. Emits one row per unordered
+    * group pair: `(g_a, g_b, n_a, n_b, n_both, ok)` where n_a/n_b/n_both
+    * are EXACT distinct counts (the oracle's half) and ok = 1 iff the
+    * sketch-estimated intersection is within `tol` of n_both — the machine
+    * check for build + pairwise `theta_intersection` + estimate.
+    *
+    * Error note: intersection error scales with the UNION's sketch error
+    * (Dasgupta et al., "Theta-Sketch Framework"), so `tol` is relative to
+    * the union size, floored at 2 — a tiny true overlap of two big sets
+    * is exactly where theta's guarantee is loose. */
+  def thetaPairOverlap(events: DataFrame, groupCol: String, keyCol: String,
+                       tol: Double = 0.05): DataFrame = {
+    val base = events.select(col(groupCol).as("g"), col(keyCol).as("__k"))
+    // one pass: per-group sketch + exact distinct side by side
+    val per = base.groupBy("g").agg(
+      expr("theta_sketch_agg(__k)").as("sk"),
+      countDistinct(col("__k")).as("n"))
+      .localCheckpoint() // consumed by both sides of the self-join
+    val pairsEst = per.select(col("g").as("g_a"), col("sk").as("sk_a"),
+        col("n").as("n_a"))
+      .join(per.select(col("g").as("g_b"), col("sk").as("sk_b"),
+        col("n").as("n_b")), col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+          .as("__est"),
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b))").as("__uest"))
+    // exact pairwise overlap, computed like the oracle will: the deduped
+    // (g, k) table self-joined on k — shuffle ∝ distinct memberships
+    val mem = base.distinct()
+    val exactBoth = mem.select(col("g").as("g_a"), col("__k"))
+      .join(mem.select(col("g").as("g_b"), col("__k")), Seq("__k"))
+      .where(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_both"))
+    pairsEst.join(exactBoth, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        (abs(col("__est") - coalesce(col("n_both"), lit(0L))) <=
+          greatest(col("__uest") * tol, lit(2.0))).cast("long").as("ok"))
+  }
+
   /** N-gram diversity per source plus the corpus rollup — the dedup
     * headroom signal ("how much of this source is distinct content, and
     * how much of the corpus total does each source actually add"): per

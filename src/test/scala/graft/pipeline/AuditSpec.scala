@@ -153,4 +153,59 @@ class AuditSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // weekly distinct = max users of any day in that week (nested actives)
     got.head._2 shouldBe 56L // days 0..6 → 50+6 = 56 distinct users
   }
+
+  "Sketches.kllWeeklyQuantileRollup" should "merge daily quantile sketches within the rank tolerance" in {
+    val s = spark
+    import s.implicits._
+    // 2 weeks, values skewed differently by week so a wrong merge (e.g.
+    // one week's sketch reused for the other) lands far outside 3%
+    val rows = for (d <- 0 until 14; i <- 0 until 500) yield
+      (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        if (d < 7) (i * 37 % 500).toDouble else (i * 37 % 500) * 10.0)
+    val events = rows.toDF("ts", "value")
+    val got = graft.ops.Sketches.kllWeeklyQuantileRollup(events, "value",
+      qs = Seq(0.5, 0.9, 0.99)).orderBy("week")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 2
+    got.foreach { case (_, n, ok) =>
+      n shouldBe 3500L
+      ok shouldBe 1L
+    }
+  }
+
+  it should "fail the contract for an out-of-tolerance estimate" in {
+    val s = spark
+    import s.implicits._
+    // sanity of the checker itself: shrink the tolerance to ~0 and feed a
+    // distinct-valued column — the sketch's real rank error (≈1.65% at
+    // k=200 over 20k distinct values) must now trip at least one rank
+    val rows = (0 until 14).flatMap(d => (0 until 2000).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+        (d * 2000 + i) * 997.0 % 28000)))
+    val events = rows.toDF("ts", "value")
+    val ok = graft.ops.Sketches.kllWeeklyQuantileRollup(events, "value",
+      qs = Seq(0.1, 0.3, 0.5, 0.7, 0.9), rankTol = 1e-6)
+      .agg(min("ok")).head.getLong(0)
+    ok shouldBe 0L
+  }
+
+  "Sketches.thetaPairOverlap" should "estimate pairwise overlaps within tolerance, exact sets aside" in {
+    val s = spark
+    import s.implicits._
+    // groups with engineered overlaps: a∩b = 500, a∩c = 0, b∩c = 100
+    val rows =
+      (0 until 1000).map(u => ("a", u.toLong)) ++
+        (500 until 1500).map(u => ("b", u.toLong)) ++
+        (1400 until 1600).map(u => ("c", u.toLong)) ++
+        // duplicate memberships must not inflate anything
+        (0 until 200).map(u => ("a", u.toLong))
+    val got = graft.ops.Sketches.thetaPairOverlap(
+      rows.toDF("g", "u"), "g", "u").orderBy("g_a", "g_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    got shouldBe Array(
+      ("a", "b", 1000L, 1000L, 500L, 1L),
+      ("a", "c", 1000L, 200L, 0L, 1L),
+      ("b", "c", 1000L, 200L, 100L, 1L))
+  }
 }
