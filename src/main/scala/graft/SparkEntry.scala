@@ -1570,6 +1570,35 @@ object SparkEntry {
           (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
     }),
 
+    // distributed PCA contract: one tree-aggregate pass reduces the corpus
+    // to a d×d scatter block, driver Jacobi eigensolve; total_var_r is the
+    // covariance trace an engine with no eigensolver recomputes as the
+    // per-dim variance sum, and recon_ok is the DISTRIBUTED Pythagorean
+    // identity ‖residual‖² ≡ (n−1)·Σ_{i>k} λᵢ tying the eigensolve to data
+    "q_pca" -> ((s, dir) => {
+      pipeline.Pca.qualityReport(IO.readEmbeddings(s, dir), k = 8,
+        varRound = 4)
+    }),
+
+    // similarity search, spectral path: PCA-shortlist + exact rescore —
+    // the data-ADAPTIVE counterpart of q_ann_rp's JL sketch (same m spent
+    // on the directions the corpus actually varies in). Same recall-floor
+    // contract and floor as the other approximate families.
+    "q_ann_pca" -> ((s, dir) => {
+      val k = 10
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(col("id") < 100)
+      val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
+      val approx = pipeline.Pca.pcaTopK(corpus, queries, k,
+        nComponents = 16, shortlist = 256)
+      val hits = approx.join(exact, Seq("i", "j"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      queries.toDF().agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits)
+        .select(col("n_queries"),
+          (col("hits") >= col("n_queries") * k * 0.6).cast("long").as("recall_ok"))
+    }),
+
     // decontamination through the prebuilt phrase index: which corpus
     // documents (doc_id ≥ 20) contain any 3-gram of the "benchmark" set
     // (doc_id < 20) — the probe side is broadcast, the index is never
@@ -3885,6 +3914,27 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_ann_rp" ->
+      """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // the covariance trace recomputed with no eigensolver: per-dimension
+    // sample variances summed; the ok flags are the Spark-side machine
+    // checks (orthonormality, eigenvalue order, reconstruction identity)
+    "q_pca" ->
+      """WITH x AS (
+        |  SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |pv AS (SELECT pos, var_samp(v) AS vv FROM x GROUP BY pos)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n,
+        |       CAST(64 AS BIGINT) AS d, CAST(8 AS BIGINT) AS k,
+        |       ROUND(CAST(SUM(vv) AS DOUBLE), 4) + 0.0 AS total_var_r,
+        |       CAST(1 AS BIGINT) AS order_ok,
+        |       CAST(1 AS BIGINT) AS ortho_ok,
+        |       CAST(1 AS BIGINT) AS recon_ok
+        |FROM pv""".stripMargin,
+
+    "q_ann_pca" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
