@@ -876,6 +876,17 @@ object SparkEntry {
       feats.join(samples, "id").join(asciiOk, "id").orderBy("id")
     }),
 
+    // perceptual image hashing (dHash) through the multimodal decode
+    // seam: stub decoder so the DuckDB oracle replays decode + bit-pack
+    // exactly; the REAL ImageIO path and the banded Hamming near-dup
+    // blocking are pinned in MultimodalPhashSpec on synthesized PNGs
+    "q_phash" -> ((s, dir) => {
+      pipeline.Multimodal.perceptualHashes(
+        pipeline.Multimodal.fromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("id")
+    }),
+
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
     // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
     "q_embed_neardup_lsh" -> ((s, dir) => {
@@ -2983,6 +2994,25 @@ object SparkEntry {
     "q_ann_ivfpq_refine" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // the dHash replayed from scratch: stub features
+    // v(k) = hash60(text‖'#'‖k)/2^60 on a 6-row × 11-col grid, bit
+    // r·10+c set iff v(r,c) > v(r,c+1) — identical double division and
+    // strict comparison on both engines
+    "q_phash" ->
+      """WITH f AS (
+        |  SELECT doc_id, k,
+        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |           / 1152921504606846976.0 AS v
+        |  FROM documents CROSS JOIN generate_series(0, 65) t(k)),
+        |p AS (
+        |  SELECT l.doc_id, ((l.k // 11) * 10 + (l.k % 11)) AS bit
+        |  FROM f l JOIN f r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+        |  WHERE l.k % 11 < 10 AND l.v > r.v)
+        |SELECT d.doc_id AS id,
+        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS phash
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY id""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS id,

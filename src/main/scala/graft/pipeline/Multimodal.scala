@@ -198,6 +198,86 @@ object Multimodal {
     } finally in.close()
   }
 
+  /** Rectangular luma-grid decoder (gridH rows × gridW cols, row-major) —
+    * [[decodeImageGrayscale]]'s grid generalized to the non-square shapes
+    * perceptual hashing needs (dHash compares horizontal neighbors, so it
+    * wants one extra column). Curried to [[decodeFeatures]]'s decoder
+    * shape; `featureDim` must equal gridW·gridH. */
+  def decodeImageLumaGridFor(gridW: Int, gridH: Int)(featureDim: Int)(
+      payload: Array[Byte]): Array[Double] = {
+    require(featureDim == gridW * gridH,
+      s"featureDim $featureDim must be gridW*gridH = ${gridW * gridH}")
+    imageIoCacheDisabled
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not an image ImageIO can decode")
+    val w = img.getWidth; val h = img.getHeight
+    Array.tabulate(gridH * gridW) { k =>
+      val rgb = img.getRGB((k % gridW) * w / gridW, (k / gridW) * h / gridH)
+      val r = (rgb >> 16) & 0xFF
+      val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+  }
+
+  /** Difference-hash (dHash) perceptual signatures: decode each payload to
+    * a gridH × gridW luma grid, set bit r·(gridW−1)+c iff
+    * grid(r,c) > grid(r,c+1) — the gradient-direction fingerprint that is
+    * stable under re-encoding, resizing and small brightness shifts
+    * (the classic image near-dup signal; Krawetz's dHash). The default
+    * 6×11 grid gives the repo's 60-bit signature width. Decode runs in
+    * partition batches ([[decodeFeatures]]); the bit-pack is pure Column
+    * arithmetic, so with [[decodeStub]] the whole pipeline is
+    * engine-reproducible and the driver oracle recomputes it exactly.
+    * Emits `(id, phash)`. */
+  def perceptualHashes(mm: DataFrame, gridW: Int = 11, gridH: Int = 6,
+                       decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame = {
+    require(gridW >= 2 && gridH >= 1, s"grid ${gridW}x$gridH too small")
+    val bits = gridH * (gridW - 1)
+    require(bits <= 60, s"dHash width $bits exceeds the 60-bit signature")
+    val feats = decodeFeatures(mm, gridW * gridH, decoder)
+    val phash = (0 until gridH).flatMap { r =>
+      (0 until gridW - 1).map { c =>
+        when(col("features")(r * gridW + c) > col("features")(r * gridW + c + 1),
+          lit(1L << (r * (gridW - 1) + c))).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+    feats.select(col("id"), phash.as("phash"))
+  }
+
+  /** Image near-duplicate pairs: banded exact-match blocking over the
+    * dHash (split the signature into `maxHamming + 1` chunks — a pair
+    * within the radius must agree exactly on at least one chunk, the same
+    * pigeonhole trick as `Dedup.simHashNearDups`), then verify the true
+    * Hamming distance. No all-pairs: shuffle is (maxHamming+1)·N chunk
+    * rows, the join meets only inside chunk buckets — at 100 TB of images
+    * this is the difference between a bucket join and an impossible N²
+    * decode-and-compare. Emits `(i, j, hamming)`, i < j. */
+  def imageNearDups(mm: DataFrame, maxHamming: Int = 3,
+                    gridW: Int = 11, gridH: Int = 6,
+                    decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame = {
+    val bits = gridH * (gridW - 1)
+    val chunks = maxHamming + 1
+    require(bits % chunks == 0,
+      s"signature width $bits must split into maxHamming+1 = $chunks chunks")
+    val width = bits / chunks
+    val sigs = perceptualHashes(mm, gridW, gridH, decoder)
+    val chunkArr = array((0 until chunks).map(c =>
+      shiftright(col("phash"), c * width).bitwiseAND((1L << width) - 1)): _*)
+    val banded = sigs.select(col("id"), col("phash"),
+      posexplode(chunkArr).as(Seq("chunk", "ckey")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Batch feature extraction over the payload column: `mapPartitions`
     * (one decoder init per partition — the Scala analogue of the
     * batch-iterator contract `mapInPandas` gives Python UDFs), emitting
