@@ -635,6 +635,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // exact per-node triangle counts on the supplier co-supply graph
+    // (suppliers sharing an order — clique-per-order structure): the
+    // local-clustering diagnostic that separates coherent similarity
+    // families from blocking-artifact hubs. Degree-oriented wedge join —
+    // Σ outdeg² = O(E^1.5) candidates on any graph, no hub blowup.
+    "q_triangles" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      ops.Graph.triangleCounts(pairs,
+        Some(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey").as("node"))))
+        .orderBy("node")
+    }),
+
     // personalized PageRank: restart mass teleports to a seed set (every
     // 10th supplier) — rank-by-proximity-to-trusted-nodes, the
     // TrustRank / topical-crawl-prioritization variant; same fixed-point
@@ -2880,6 +2899,25 @@ object SparkEntry {
          |FROM a ORDER BY source""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql(5),
+
+    // every triangle enumerated once as a < b < c by the textbook 3-way
+    // join — independent of the Spark side's degree orientation
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  WHERE a.l_orderkey % 20 = 0),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM e x JOIN e y ON y.u = x.v
+        |  JOIN e z ON z.u = x.u AND z.v = y.v),
+        |t AS (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |SELECT s.s_suppkey AS node, CAST(COUNT(t.node) AS BIGINT) AS triangles
+        |FROM supplier s LEFT JOIN t ON t.node = s.s_suppkey
+        |GROUP BY 1 ORDER BY node""".stripMargin,
 
     "q_ppr" -> pprOracleSql(5),
 

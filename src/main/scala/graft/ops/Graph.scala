@@ -184,4 +184,65 @@ object Graph {
     }
     r.select(col("node"), col("rank"))
   }
+
+  /** Exact per-node triangle counts on an undirected graph — the local
+    * clustering signal: for a duplicate-pair graph, triangle-rich nodes
+    * sit in coherent near-dup families (safe to collapse) while
+    * triangle-free high-degree nodes are hub artifacts of the blocking
+    * (boilerplate shingles, LSH band collisions) that SHOULDN'T merge —
+    * the standard spam/community diagnostic on similarity graphs.
+    *
+    * `edges` is any-orientation `(src, dst)`; duplicates and self-loops
+    * are cleaned. `nodes` optionally fixes the output domain (isolated
+    * nodes get 0); default = nodes appearing in edges.
+    *
+    * Scale shape (Suri & Vassilvitskii, WWW'11): orient each edge toward
+    * its higher-(degree, id) endpoint — every triangle then has exactly
+    * one pivot with two out-edges, and the wedge join's volume is
+    * Σ_v outdeg(v)² = O(|E|^1.5) on ANY graph (each outdeg ≤ √(2|E|)),
+    * immune to the power-law hub blowup a naive adjacency self-join hits
+    * (a hub of degree d would otherwise contribute d² wedges; oriented,
+    * a hub RECEIVES edges and contributes none). Three hash joins + one
+    * aggregate, no window, nothing driver-side. */
+  def triangleCounts(edges: DataFrame,
+                     nodes: Option[DataFrame] = None): DataFrame = {
+    // canonical simple edge set, consumed 4× (degrees, orientation, wedge
+    // closing join) — cut the lineage once
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // (deg, id) total order: strictly more edges, or same degree + higher id
+    val ew = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ew.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("p"),
+      when(uFirst, col("v")).otherwise(col("u")).as("q"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("dq"))
+    // wedges at the pivot, each unordered out-pair once (by the same
+    // (deg, id) order), closed iff (x, y) is an edge
+    val o1 = oriented.select(col("p"), col("q").as("x"), col("dq").as("dx"))
+    val o2 = oriented.select(col("p"), col("q").as("y"), col("dq").as("dy"))
+    val wedges = o1.join(o2,
+      Seq("p")).where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tris = wedges.join(e,
+      least(col("x"), col("y")) === col("u") &&
+        greatest(col("x"), col("y")) === col("v"))
+      .select(col("p"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("p"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val domain = nodes.getOrElse(deg.select("node"))
+    domain.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -171,4 +171,63 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     runPpr(edges, seeds, 4, parts = 9) shouldBe one
     one shouldBe brutePpr(edges, seeds, 4)
   }
+
+  behavior of "Graph.triangleCounts"
+
+  private def runTri(edges: Seq[(Long, Long)],
+                     nodes: Option[Seq[Long]] = None): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"),
+      nodes.map(_.toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def bruteTri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val e = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val adj = nodes.map(v =>
+      v -> e.collect { case (a, b) if a == v => b
+                       case (a, b) if b == v => a }).toMap
+    nodes.map(v => v -> adj(v).toSeq.combinations(2)
+      .count { case Seq(x, y) =>
+        e((math.min(x, y), math.max(x, y))) }.toLong).toMap
+  }
+
+  it should "count K4 and leave a star triangle-free" in {
+    // K4: 4 triangles, each node in 3 of them
+    val k4 = for (a <- 0 to 3; b <- a + 1 to 3) yield (a.toLong, b.toLong)
+    runTri(k4) shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+    // star hub: high degree, zero triangles — the hub-artifact signature
+    val star = (1 to 6).map(i => (0L, i.toLong))
+    runTri(star).values.toSet shouldBe Set(0L)
+  }
+
+  it should "clean duplicates, reversed edges and self-loops" in {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    runTri(messy) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
+
+  it should "cover the node domain with zeros for isolated nodes" in {
+    val got = runTri(Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      nodes = Some(Seq(1L, 2L, 3L, 9L)))
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L)
+  }
+
+  it should "match brute force on a random graph incl. a heavy hub, at any partitioning" in {
+    val rnd = new scala.util.Random(23)
+    val rand = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    // plant a hub touching everything: the degree orientation must not
+    // blow up nor miscount around it
+    val hub = (0 until 40).map(i => (99L, i.toLong))
+    val edges = (rand ++ hub).filter { case (a, b) => a != b }
+    val expect = bruteTri(edges)
+    runTri(edges) shouldBe expect
+    val s = spark
+    import s.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst").repartition(11))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expect
+  }
 }
