@@ -654,6 +654,22 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // local clustering coefficient over the same co-supply graph: exact
+    // integer numerator/denominator, one IEEE division per node
+    "q_clustering_coeff" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      ops.Graph.clusteringCoefficients(pairs)
+        .select(col("node"), col("deg"), col("triangles"),
+          (round(col("coeff"), 6) + 0.0).as("coeff_r"))
+        .orderBy("node")
+    }),
+
     // personalized PageRank: restart mass teleports to a seed set (every
     // 10th supplier) — rank-by-proximity-to-trusted-nodes, the
     // TrustRank / topical-crawl-prioritization variant; same fixed-point
@@ -1918,6 +1934,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact two-sample KS drift, one-vs-rest per source: the binning-free
+    // CDF-gap alarm (KL/histogram monitors can't see drift inside a bin).
+    // Integer numerator over the shared two-phase prefix scan with both
+    // cumulative counts packed into one long; one IEEE division at the end
+    "q_ks_drift" -> ((s, dir) => {
+      ops.Analytics.ksDriftPerStratum(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "source", "n_chars")
+        .orderBy("source")
+    }),
+
     // corpus drift between CDC snapshots: each snapshot's token-
     // distribution divergence from the pooled blend (the symmetric
     // JS-style drift monitor a re-crawl pipeline alarms on) — the same
@@ -2918,6 +2945,35 @@ object SparkEntry {
         |SELECT s.s_suppkey AS node, CAST(COUNT(t.node) AS BIGINT) AS triangles
         |FROM supplier s LEFT JOIN t ON t.node = s.s_suppkey
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // same triangle enumeration + degrees; the coefficient is the same
+    // one integer-exact-operands division, rounded identically
+    "q_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  WHERE a.l_orderkey % 20 = 0),
+        |dg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT x.u AS a, x.v AS b, y.v AS c
+        |  FROM e x JOIN e y ON y.u = x.v
+        |  JOIN e z ON z.u = x.u AND z.v = y.v),
+        |t AS (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri),
+        |tc AS (
+        |  SELECT dg.node, dg.deg, CAST(COUNT(t.node) AS BIGINT) AS triangles
+        |  FROM dg LEFT JOIN t ON t.node = dg.node
+        |  GROUP BY 1, 2)
+        |SELECT node, deg, triangles,
+        |       CASE WHEN deg >= 2 THEN
+        |         ROUND(CAST(triangles * 2 AS DOUBLE) / (deg * (deg - 1)), 6) + 0.0
+        |       ELSE 0.0 END AS coeff_r
+        |FROM tc ORDER BY node""".stripMargin,
 
     "q_ppr" -> pprOracleSql(5),
 
@@ -4377,6 +4433,35 @@ object SparkEntry {
         |FROM e ORDER BY doc_id""".stripMargin),
 
     // the same KL chain over the version-tagged snapshot union
+    // the same one-vs-rest CDFs over the value grid, windowed cumulative
+    // sums (single-engine, so a window is fine here), same exact integer
+    // numerator and the identical final division
+    "q_ks_drift" ->
+      """WITH st AS (SELECT DISTINCT source FROM documents),
+        |f AS (
+        |  SELECT st.source AS stratum, d.n_chars AS v,
+        |         CASE WHEN d.source = st.source THEN 1 ELSE 0 END AS w1,
+        |         CASE WHEN d.source = st.source THEN 0 ELSE 1 END AS w2
+        |  FROM documents d CROSS JOIN st),
+        |g AS (SELECT stratum, v, SUM(w1) AS a1, SUM(w2) AS a2
+        |      FROM f GROUP BY 1, 2),
+        |c AS (SELECT stratum, v,
+        |             SUM(a1) OVER (PARTITION BY stratum ORDER BY v) AS c1,
+        |             SUM(a2) OVER (PARTITION BY stratum ORDER BY v) AS c2
+        |      FROM g),
+        |n AS (SELECT stratum, MAX(c1) AS n_in, MAX(c2) AS n_out
+        |      FROM c GROUP BY 1),
+        |k AS (SELECT c.stratum,
+        |             MAX(ABS(c.c1 * n.n_out - c.c2 * n.n_in)) AS ks_num
+        |      FROM c JOIN n USING (stratum) GROUP BY 1)
+        |SELECT k.stratum AS source, CAST(n.n_in AS BIGINT) AS n_in,
+        |       CAST(n.n_out AS BIGINT) AS n_out,
+        |       CAST(k.ks_num AS BIGINT) AS ks_num,
+        |       CASE WHEN n.n_out > 0 THEN
+        |         ROUND(CAST(k.ks_num AS DOUBLE) / (n.n_in * n.n_out), 6) + 0.0
+        |       ELSE 0.0 END AS ks_r
+        |FROM k JOIN n USING (stratum) ORDER BY source""".stripMargin,
+
     "q_snapshot_drift" ->
       """WITH un AS (
         |  SELECT doc_id,

@@ -70,4 +70,62 @@ object Analytics {
         round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
           / den.cast("double"), 9)).as("intercept_r"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov drift per stratum, one-vs-rest:
+    * for each stratum g, `D_g = max_x |F_g(x) − F_¬g(x)|` between the
+    * stratum's empirical value CDF and the rest of the corpus — the
+    * nonparametric "did this source/snapshot drift" alarm that needs no
+    * binning choice (the failure mode of histogram/KL monitors: drift
+    * inside one bin is invisible; KS sees any CDF gap ≥ 1/n).
+    *
+    * Arithmetic is integer-exact end-to-end: the statistic is kept as the
+    * integer numerator `max |c_in·n_out − c_out·n_in|` over the common
+    * refinement of both CDFs (all products < 2⁶² for n < 2³¹, enforced),
+    * and `ks_r = ks_num / (n_in·n_out)` is the one IEEE division. No
+    * sort-in-one-task anywhere: BOTH cumulative counts ride one shared
+    * two-phase prefix scan ([[Sampling.stratumPrefixCum]]) with the pair
+    * packed into a single long (in-count in the high 32 bits), so the
+    * whole monitor is one range-partitioned scan + two hash aggregations.
+    * Cost is ∝ |strata| · N rows (each row joins every stratum's
+    * one-vs-rest split via a broadcast fan-out) — the monitor shape, run
+    * over a handful of sources/snapshots, not thousands.
+    *
+    * Emits `(strataCol, n_in, n_out, ks_num, ks_r)`; NULL values are
+    * excluded (no rank), a stratum covering the whole input gets ks = 0. */
+  def ksDriftPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                        valueCol: String, salt: String = "ks",
+                        partitions: Int = 0): DataFrame = {
+    val nonNull = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(strataCol), col(valueCol))
+    // one column-pruned count guards the 32-bit count packing (each side's
+    // cumulative count must fit its half of the packed long)
+    require(nonNull.count() < Int.MaxValue.toLong,
+      "KS packing supports inputs up to 2^31 rows")
+    val strata = nonNull.select(col(strataCol).as("__stratum")).distinct()
+    val fanned = nonNull.crossJoin(broadcast(strata))
+    val w = when(col(strataCol) === col("__stratum"), lit(1L << 32))
+      .otherwise(lit(1L))
+    val cum = Sampling.stratumPrefixCum(
+      fanned, keyCol, "__stratum", w,
+      sortByScore = Some(col(valueCol)), "__cum", salt, partitions,
+      scoreAscending = true)
+    // F at each distinct value = the largest inclusive cum among its ties
+    val perValue = cum.groupBy(col("__stratum"), col(valueCol))
+      .agg(max("__cum").as("__c"))
+      .select(col("__stratum"),
+        shiftright(col("__c"), 32).as("__cin"),
+        col("__c").bitwiseAND(lit(0xFFFFFFFFL)).as("__cout"))
+    val sizes = perValue.groupBy("__stratum")
+      .agg(max("__cin").as("n_in"), max("__cout").as("n_out"))
+    perValue.join(broadcast(sizes), "__stratum")
+      .groupBy(col("__stratum"), col("n_in"), col("n_out"))
+      .agg(max(abs(col("__cin") * col("n_out") - col("__cout") * col("n_in")))
+        .as("ks_num"))
+      .select(col("__stratum").as(strataCol), col("n_in"), col("n_out"),
+        col("ks_num"),
+        when(col("n_out") > 0,
+          round(col("ks_num").cast("double") /
+            (col("n_in") * col("n_out")).cast("double"), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("ks_r"))
+  }
 }

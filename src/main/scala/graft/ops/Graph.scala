@@ -245,4 +245,31 @@ object Graph {
       .select(col("node"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** Local clustering coefficient per node: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * — triangles from [[triangleCounts]], degrees re-derived from the same
+    * cleaned edge set, the division left as the ONE IEEE operation on
+    * integer-exact numerator/denominator (the repo's exactness
+    * convention). Degree-1 and isolated nodes get coefficient 0. The
+    * per-node "is this neighborhood a coherent community or a hub
+    * artifact" score; emits `(node, deg, triangles, coeff)`. */
+  def clusteringCoefficients(edges: DataFrame,
+                             nodes: Option[DataFrame] = None): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e.select(col("u").as("src"), col("v").as("dst")),
+      nodes)
+    tri.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          (col("triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
 }

@@ -124,4 +124,62 @@ class NormalizeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     r.getDouble(2) shouldBe slope +- 1e-6
   }
+
+  behavior of "Analytics.ksDriftPerStratum"
+
+  private def bruteKs(rows: Seq[(Long, String, Long)]): Map[String, (Long, Long, Long)] = {
+    // (stratum -> (n_in, n_out, ks_num)) by direct CDF evaluation
+    rows.map(_._2).distinct.map { g =>
+      val in = rows.filter(_._2 == g).map(_._3)
+      val out = rows.filter(_._2 != g).map(_._3)
+      val grid = (in ++ out).distinct
+      val num = grid.map(x =>
+        math.abs(in.count(_ <= x).toLong * out.size -
+          out.count(_ <= x).toLong * in.size)).max
+      g -> (in.size.toLong, out.size.toLong, num)
+    }.toMap
+  }
+
+  it should "match the direct CDF evaluation, at any partitioning" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // stratum "b" shifted by +50: a real drift the monitor must see
+    val rows = (0 until 300).map { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val v = rnd.nextInt(100).toLong + (if (g == "b") 50L else 0L)
+      (i.toLong, g, v)
+    }
+    val expect = bruteKs(rows)
+    def got(parts: Int) = Analytics.ksDriftPerStratum(
+      rows.toDF("id", "src", "v").repartition(parts), "id", "src", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    got(1) shouldBe expect
+    got(7) shouldBe expect
+    // and the drifted stratum's statistic dominates
+    val ks = expect.map { case (g, (ni, no, num)) =>
+      g -> num.toDouble / (ni * no) }
+    ks("b") should be > ks("a")
+    ks("b") should be > 0.4
+  }
+
+  it should "handle ties, nulls and a single-stratum input" in {
+    val s = spark
+    import s.implicits._
+    // heavy ties: values only 1 and 2
+    val rows = Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L),
+      (4L, "b", 1L), (5L, "b", 2L), (6L, "b", 2L))
+    val expect = bruteKs(rows)
+    Analytics.ksDriftPerStratum(rows.toDF("id", "src", "v"), "id", "src", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap shouldBe expect
+    // NULL values drop; a lone stratum has an empty other side -> ks 0
+    val df = Seq((1L, Some(1L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "v").withColumn("src", lit("only"))
+    val r = Analytics.ksDriftPerStratum(df, "id", "src", "v").head
+    r.getLong(1) shouldBe 2L
+    r.getLong(2) shouldBe 0L
+    r.getDouble(4) shouldBe 0.0
+  }
 }
