@@ -1934,6 +1934,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // content-defined chunking (rsync/LBFS shape): cuts where a rolling
+    // 16-char window hash lands on a 5-bit zero — alignment-invariant
+    // chunk boundaries, one map-side generator expression, nothing
+    // sequential per document; chunk_hash is the storage-dedup unit
+    "q_cdc_chunks" -> ((s, dir) => {
+      pipeline.Dedup.contentDefinedChunks(
+        s.read.parquet(s"$dir/documents.parquet"), window = 16, maskBits = 5)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // exact two-sample KS drift, one-vs-rest per source: the binning-free
     // CDF-gap alarm (KL/histogram monitors can't see drift inside a bin).
     // Integer numerator over the shared two-phase prefix scan with both
@@ -4433,6 +4443,34 @@ object SparkEntry {
         |FROM e ORDER BY doc_id""".stripMargin),
 
     // the same KL chain over the version-tagged snapshot union
+    // the same window-hash cut rule replayed per position, segments via
+    // LEAD over the per-doc boundary set
+    "q_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 16)) AS p
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, p + 15 AS b
+        |  FROM pos
+        |  WHERE (('0x' || substr(md5(substr(text, p, 16)), 1, 15))::BIGINT & 31) = 0),
+        |bnd AS (
+        |  SELECT doc_id, 0 AS b FROM documents
+        |  UNION ALL SELECT doc_id, b FROM cuts
+        |  UNION ALL SELECT doc_id, length(text) FROM documents),
+        |seg AS (
+        |  SELECT doc_id, b AS s,
+        |         LEAD(b) OVER (PARTITION BY doc_id ORDER BY b) AS e,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS idx
+        |  FROM bnd)
+        |SELECT seg.doc_id, CAST(seg.idx AS BIGINT) AS chunk_idx,
+        |       CAST(seg.s + 1 AS BIGINT) AS start,
+        |       CAST(seg.e - seg.s AS BIGINT) AS chunk_len,
+        |       ('0x' || substr(md5(substr(d.text, seg.s + 1, seg.e - seg.s)), 1, 15))::BIGINT AS chunk_hash
+        |FROM seg JOIN documents d USING (doc_id)
+        |WHERE seg.e IS NOT NULL AND seg.e > seg.s
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // the same one-vs-rest CDFs over the value grid, windowed cumulative
     // sums (single-engine, so a window is fine here), same exact integer
     // numerator and the identical final division

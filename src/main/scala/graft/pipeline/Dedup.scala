@@ -710,4 +710,61 @@ object Dedup {
         (length(col("text")) - length(col("clean_text"))).cast("long")
           .as("n_removed"))
   }
+
+  // ---------------- content-defined chunking ---------------------------
+
+  /** Content-defined chunking (the rsync/LBFS shape — Muthitacharoen et
+    * al., SOSP'01): cut each document where a rolling `window`-char hash
+    * lands on a `maskBits`-bit zero — boundaries depend only on LOCAL
+    * content, so an insertion early in a document shifts every byte but
+    * re-aligns the cut points within one chunk, and identical passages
+    * shared across documents produce identical chunks at any offset.
+    * That alignment-invariance is what fixed-size blocking can never
+    * give, and it makes `chunk_hash` the unit of cross-corpus storage
+    * dedup ("how many of these 100 TB are literally the same bytes").
+    *
+    * Expected chunk length ≈ 2^maskBits chars (geometric); this is the
+    * PURE form — no min/max chunk clamps, so every cut decision is a
+    * function of its own window alone and the whole operator is one
+    * map-side generator expression (positions → window hashes → cuts →
+    * segment substrings), embarrassingly parallel with nothing sequential
+    * per document. (Production CDC adds min/max clamps, which chain cut
+    * decisions left-to-right; the unclamped form keeps the operator
+    * deterministic-per-window and SQL-replayable.)
+    *
+    * Emits `(doc_id, chunk_idx, start, chunk_len, chunk_hash)` with
+    * 1-based `start`, hash = [[Hashing.hash60]] of the chunk text.
+    * Empty documents emit no chunks. */
+  def contentDefinedChunks(docs: DataFrame, window: Int = 16,
+                           maskBits: Int = 5): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maskBits >= 1 && maskBits <= 30,
+      s"maskBits must be in [1, 30], got $maskBits")
+    val mask = (1L << maskBits) - 1
+    val w1 = window - 1
+    // interior cut points (0-based end offsets), strictly inside the doc:
+    // cut after char p+w-1 iff the window at p hashes to a masked zero
+    val bounds = expr(
+      s"""concat(array(0),
+         |  filter(
+         |    transform(sequence(1, greatest(length(text) - $w1, 1)),
+         |      p -> IF(p <= length(text) - $window
+         |              AND (CAST(conv(substring(md5(substring(text, p, $window)), 1, 15), 16, 10) AS BIGINT) & $mask) = 0,
+         |              p + $w1, -1)),
+         |    e -> e > 0),
+         |  array(length(text)))""".stripMargin)
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("__b", bounds)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, size(__b) - 2),
+          |  i -> struct(__b[i] + 1 AS start,
+          |              __b[i + 1] - __b[i] AS clen,
+          |              substring(text, __b[i] + 1, __b[i + 1] - __b[i]) AS chunk))"""
+          .stripMargin)))
+      .where(col("col.clen") > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start").cast("long").as("start"),
+        col("col.clen").cast("long").as("chunk_len"),
+        Hashing.hash60(col("col.chunk")).as("chunk_hash"))
+  }
 }
