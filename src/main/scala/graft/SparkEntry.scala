@@ -1934,6 +1934,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-source n-gram signature: top-5 most over-represented 3-grams by
+    // lift = p(gram|source)/p(gram|corpus) — the source-fingerprinting
+    // signal a mix designer reads ("what does this source add"); exact
+    // integer counts, ONE division, ranked through the bounded-heap
+    // grouped top-k operator (min support 3 to drop singleton noise)
+    "q_source_signature" -> ((s, dir) => {
+      val sh = pipeline.Dedup.shingles(
+        s.read.parquet(s"$dir/documents.parquet"),
+        n = 3, keepPos = true, carry = Seq("source"))
+      val bySrc = sh.groupBy("source", "sh_hash").agg(count(lit(1)).as("c_sg"))
+        .localCheckpoint() // feeds 3 aggregations + the join below
+      val byGram = bySrc.groupBy("sh_hash").agg(sum("c_sg").as("c_g"))
+      val bySrcT = bySrc.groupBy("source").agg(sum("c_sg").as("n_s"))
+      val total = bySrc.agg(sum("c_sg").as("n"))
+      val lift = bySrc.where(col("c_sg") >= 3)
+        .join(byGram, "sh_hash")
+        .join(broadcast(bySrcT), "source")
+        .crossJoin(broadcast(total))
+        .withColumn("lift",
+          (col("c_sg") * col("n")).cast("double") /
+            (col("c_g") * col("n_s")).cast("double"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("lift").desc, col("sh_hash"))
+      lift.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("source"), col("sh_hash"), col("c_sg"), col("c_g"),
+          (round(col("lift"), 6) + 0.0).as("lift_r"), col("rk"))
+        .orderBy("source", "rk")
+    }),
+
     // content-defined chunking (rsync/LBFS shape): cuts where a rolling
     // 16-char window hash lands on a 5-bit zero — alignment-invariant
     // chunk boundaries, one map-side generator expression, nothing
@@ -4443,6 +4473,37 @@ object SparkEntry {
         |FROM e ORDER BY doc_id""".stripMargin),
 
     // the same KL chain over the version-tagged snapshot union
+    // all occurrence counts re-derived from the position self-join; the
+    // identical one-division lift and the identical (lift, hash) ranking
+    "q_source_signature" -> (tposSql +
+      """, sh3 AS (
+        |  SELECT a.doc_id,
+        |         ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
+        |  FROM tpos a
+        |  JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+        |ss AS (SELECT d.source, sh3.h
+        |       FROM sh3 JOIN documents d ON sh3.doc_id = d.doc_id),
+        |bysrc AS (SELECT source, h, COUNT(*) AS c_sg FROM ss GROUP BY 1, 2),
+        |bygram AS (SELECT h, SUM(c_sg) AS c_g FROM bysrc GROUP BY 1),
+        |bysrct AS (SELECT source, SUM(c_sg) AS n_s FROM bysrc GROUP BY 1),
+        |tot AS (SELECT SUM(c_sg) AS n FROM bysrc),
+        |l AS (
+        |  SELECT b.source, b.h, b.c_sg, g.c_g,
+        |         CAST(b.c_sg * t.n AS DOUBLE) / (g.c_g * st.n_s) AS lift
+        |  FROM bysrc b JOIN bygram g USING (h)
+        |  JOIN bysrct st USING (source) CROSS JOIN tot t
+        |  WHERE b.c_sg >= 3),
+        |r AS (
+        |  SELECT source, h, c_sg, c_g, lift,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY lift DESC, h) AS rk
+        |  FROM l)
+        |SELECT source, h AS sh_hash, CAST(c_sg AS BIGINT) AS c_sg,
+        |       CAST(c_g AS BIGINT) AS c_g,
+        |       ROUND(lift, 6) + 0.0 AS lift_r, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+
     // the same window-hash cut rule replayed per position, segments via
     // LEAD over the per-doc boundary set
     "q_cdc_chunks" ->
