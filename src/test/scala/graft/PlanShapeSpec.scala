@@ -488,6 +488,48 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
+  "q_ks_drift and q_pct_rank" should "contain no window and no single-partition exchange" in {
+    // both CDFs / ranks ride the shared two-phase prefix scan; a refactor
+    // to the textbook cumulative-window spelling would serialize on one
+    // task exactly at corpus scale
+    for (name <- Seq("q_ks_drift", "q_pct_rank")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "Window"
+      plan should not include "SinglePartition"
+    }
+  }
+
+  "q_triangles" should "join wedges by key with no cartesian product" in {
+    val df = SparkEntry.queries("q_triangles")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // degree orientation keeps the wedge join an equi-join on the pivot;
+    // an all-pairs shape here would be the naive adjacency blowup
+    plan should not include "CartesianProduct"
+  }
+
+  "q_source_signature" should "rank lift per source through the bounded-heap operator" in {
+    val df = SparkEntry.queries("q_source_signature")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_cdc_chunks" should "stay map-side: no join, no window, no aggregate before the sink" in {
+    val df = SparkEntry.queries("q_cdc_chunks")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the whole cut rule is generator expressions over one scan — the
+    // 100 TB claim IS this shape (the final orderBy is the driver
+    // contract's presentation sort, a range exchange, not a join)
+    plan should not include "Join"
+    plan should not include "Window"
+    plan should not include "HashAggregate"
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
