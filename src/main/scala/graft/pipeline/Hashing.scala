@@ -19,17 +19,28 @@ object Hashing {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** JVM form, bit-identical to [[hash60]]. */
-  def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val hex = d.take(8).map(b => f"$b%02x").mkString // 16 hex chars
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))
+
+  /** JVM form over raw bytes (for binary/multimodal payloads).
+    * The first 15 HEX CHARS of the digest are numerically the first 8
+    * bytes read big-endian, dropped one nibble — computed directly
+    * (the earlier per-byte format-string hex spelling dominated the
+    * profile of hash-heavy JVM paths like the stub decoder at ~10× the
+    * digest's own cost). `HashingSpec` pins equality with the string
+    * spelling the engines use. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = localDigest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    (((h(0) & 0xFFL) << 56) | ((h(1) & 0xFFL) << 48) |
+      ((h(2) & 0xFFL) << 40) | ((h(3) & 0xFFL) << 32) |
+      ((h(4) & 0xFFL) << 24) | ((h(5) & 0xFFL) << 16) |
+      ((h(6) & 0xFFL) << 8) | (h(7) & 0xFFL)) >>> 4
   }
 
-  /** JVM form over raw bytes (for binary/multimodal payloads). */
-  def hash60(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = d.take(8).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private val localDigest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 }
