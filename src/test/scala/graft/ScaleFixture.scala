@@ -116,6 +116,8 @@ object ScaleFixture {
     }.toDF("n_nationkey", "n_name", "n_regionkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
 
+    writeSupplier(spark, dir)
+
     // events: 1M rows / 15k users over one month (10× sf0.1 in rows AND
     // user cardinality), mirroring the driver fixture's shape — event_id
     // walks forward in time with jitter, 5 event types, 2-decimal values,
@@ -139,6 +141,18 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
+  /** Supplier: the co-supply graph's node domain (q_triangles /
+    * q_clustering_coeff) — keys cover lineitem's full l_suppkey range. */
+  def writeSupplier(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    spark.range(1, 10001, 1, 4).map { sk =>
+      val rng = new java.util.Random(0x50BBL ^ (sk * 0x9E3779B97F4A7C15L))
+      (sk, f"Supplier#$sk%09d", rng.nextInt(25),
+        math.rint((rng.nextDouble() * 11000.0 - 1000.0) * 100) / 100)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val gen = "target/sf1eq"
     val spark = SparkSession.builder().appName("scale-fixture")
@@ -152,7 +166,12 @@ object ScaleFixture {
         val t0 = System.nanoTime()
         generate(spark, gen)
         println(f"SF1EQ generated in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } else if (!new java.io.File(s"$gen/supplier.parquet").exists()) {
+        // backfill for fixtures generated before the supplier table existed
+        writeSupplier(spark, gen)
+        println("SF1EQ supplier table backfilled")
       }
+      if (args.contains("fixture-only")) { spark.stop(); return }
       def time(f: => Long): (Long, Double) = {
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
