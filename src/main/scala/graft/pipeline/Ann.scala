@@ -742,4 +742,116 @@ object Ann {
       scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
+
+  /** Scalar-quantization index (the FAISS `IndexScalarQuantizer` QT_8bit
+    * shape): per-dimension affine byte codes over unit-normalized vectors.
+    * `mins`/`deltas` are the trained per-dim range (2·d doubles — the whole
+    * "model"); `codes` holds one byte per dimension per row. */
+  final case class SqIndex(mins: Array[Double], deltas: Array[Double],
+                           codes: DataFrame /* (id, codes: Array[Byte]) */) {
+    def release(): Unit = codes.unpersist()
+  }
+
+  /** Train + encode the SQ8 index: ONE `treeAggregate` pass reduces the
+    * corpus to per-dim (min, max) — 2·d doubles to the driver, never a row —
+    * then encoding is a pure map: `code_d = round((v_d − min_d)/Δ_d · 255)`.
+    * 64-dim float64 vectors (512 B) become 64 B code rows: the 8× storage
+    * cut with per-dim resolution PQ's shared codebook can't give, and the
+    * right first step down the compression ladder (SQ8 ≈ lossless recall,
+    * PQ when bytes matter more). Constant-range dims (Δ=0) encode as 0 and
+    * decode back to the constant. */
+  def sqBuild(corpus: Dataset[Point]): SqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val unitized = corpus.map(p => Point(p.id, unit(p.vec)))
+    val dim = unitized.head().vec.length
+    val zero = (Array.fill(dim)(Double.MaxValue), Array.fill(dim)(Double.MinValue))
+    val (mins, maxs) = unitized.rdd.treeAggregate(zero)(
+      seqOp = { case ((mn, mx), p) =>
+        var d = 0
+        while (d < dim) {
+          val v = p.vec(d)
+          if (v < mn(d)) mn(d) = v
+          if (v > mx(d)) mx(d) = v
+          d += 1
+        }
+        (mn, mx)
+      },
+      combOp = { case ((amn, amx), (bmn, bmx)) =>
+        var d = 0
+        while (d < dim) {
+          if (bmn(d) < amn(d)) amn(d) = bmn(d)
+          if (bmx(d) > amx(d)) amx(d) = bmx(d)
+          d += 1
+        }
+        (amn, amx)
+      })
+    val deltas = Array.tabulate(dim)(d => maxs(d) - mins(d))
+    val bc = spark.sparkContext.broadcast((mins, deltas))
+    val codes = unitized.mapPartitions { rows =>
+      val (mn, dl) = bc.value
+      rows.map { p =>
+        val c = new Array[Byte](dim)
+        var d = 0
+        while (d < dim) {
+          c(d) =
+            if (dl(d) == 0.0) 0.toByte
+            else {
+              val q = math.round((p.vec(d) - mn(d)) / dl(d) * 255.0)
+              (if (q < 0L) 0L else if (q > 255L) 255L else q).toByte
+            }
+          d += 1
+        }
+        (p.id, c)
+      }
+    }.toDF("id", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count()
+    SqIndex(mins, deltas, codes)
+  }
+
+  /** Approximate cosine top-k over SQ8 codes, distributed on BOTH sides
+    * like [[pqTopK]]: the only broadcast is the 2·d-double range model.
+    * Per query the affine decode folds into a constant plus a per-dim
+    * weight — `q·v̂ = Σ q_d·min_d + Σ (q_d·Δ_d/255)·code_d` — so each
+    * (query, row) scores in d byte-multiply-adds over the codes-only scan;
+    * original vectors never move. `queryParts` as in [[pqTopK]]. */
+  def sqTopK(index: SqIndex, queries: Dataset[Point], k: Int,
+             queryParts: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((index.mins, index.deltas))
+    val qBlocks = queryBlocks(queries, queryParts)
+    val codesRdd = index.codes.as[(Long, Array[Byte])].rdd
+    val scored = qBlocks.cartesian(codesRdd).mapPartitions { pairs =>
+      // per-task fold of the query block into (id, base, weights) — built
+      // once, lazily on the first row (the glom'd block is one shared array)
+      var folded: Array[(Long, Double, Array[Double])] = null
+      pairs.flatMap { case (qArr, (j, codeArr)) =>
+        if (folded == null) {
+          val (mn, dl) = bc.value
+          folded = qArr.map { case (i, u) =>
+            var base = 0.0
+            val w = new Array[Double](u.length)
+            var d = 0
+            while (d < u.length) {
+              base += u(d) * mn(d)
+              w(d) = u(d) * dl(d) / 255.0
+              d += 1
+            }
+            (i, base, w)
+          }
+        }
+        folded.iterator.filter(_._1 != j).map { case (i, base, w) =>
+          var acc = base
+          var d = 0
+          while (d < w.length) { acc += w(d) * (codeArr(d) & 0xFF); d += 1 }
+          (i, j, acc)
+        }
+      }
+    }.toDF("i", "j", "sim")
+    val ranked = Knn.topKPerPointRanked(
+      scored.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
 }

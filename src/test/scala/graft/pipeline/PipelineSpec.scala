@@ -522,6 +522,65 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     idx.release(); idx2.release()
   }
 
+  "Ann.sqBuild/sqTopK" should "encode near-losslessly and score by the folded affine decode" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0L until 300L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    val corpus = s.createDataset(pts)
+    val queries = s.createDataset(pts.take(30))
+    val idx = Ann.sqBuild(corpus)
+    idx.mins.length shouldBe 16
+    val codes = idx.codes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    codes.size shouldBe 300
+    codes.values.foreach(_.length shouldBe 16)
+    // min/max training is exact (no float-sum order anywhere), so codes
+    // are bit-identical across partitionings — the determinism pin
+    val idx2 = Ann.sqBuild(corpus.repartition(7))
+    idx2.mins.toSeq shouldBe idx.mins.toSeq
+    idx2.deltas.toSeq shouldBe idx.deltas.toSeq
+    idx2.codes.collect().map(r =>
+      r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap shouldBe
+      codes.map { case (k, v) => k -> v.toSeq }
+    // round-trip fidelity: every decoded dim within half a quantization
+    // step of the unit vector (|v − v̂| ≤ Δ/510, the 8-bit error bound)
+    // mirror Ann.unit's exact formulation (multiply by the reciprocal —
+    // dividing instead lands 1 ulp off and breaks the bit-parity pin)
+    def unit(v: Array[Double]): Array[Double] = {
+      val inv = 1.0 / math.sqrt(v.map(x => x * x).sum); v.map(_ * inv)
+    }
+    pts.foreach { p =>
+      val u = unit(p.vec)
+      val c = codes(p.id)
+      u.indices.foreach { d =>
+        val dec = idx.mins(d) + (c(d) & 0xFF) / 255.0 * idx.deltas(d)
+        math.abs(dec - u(d)) should be <= idx.deltas(d) / 510.0 + 1e-12
+      }
+    }
+    // score exactness: sqTopK's sim equals the same base + Σ w·code fold
+    // computed by a plain-Scala reference, bit-for-bit
+    val approx = Ann.sqTopK(idx, queries, 5)
+    val got = approx.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { case ((i, j), sim) =>
+      val u = unit(pts(i.toInt).vec)
+      val c = codes(j)
+      var base = 0.0
+      val w = new Array[Double](u.length)
+      u.indices.foreach { d => base += u(d) * idx.mins(d); w(d) = u(d) * idx.deltas(d) / 255.0 }
+      var acc = base
+      u.indices.foreach(d => acc += w(d) * (c(d) & 0xFF))
+      sim shouldBe acc
+    }
+    // 8 bits/dim on 16-dim unit vectors is near-lossless: recall ≈ 1
+    val exact = Ann.bruteTopK(corpus, queries, 5).select("i", "j")
+    val hits = approx.join(exact, Seq("i", "j"), "left_semi").count()
+    hits.toDouble / exact.count() should be >= 0.9
+    idx.release(); idx2.release()
+  }
+
   "Ann.ivfPqRefineTopK" should "lift recall to the probe ceiling by exact rescore of the shortlist" in {
     val s = spark
     import s.implicits._
