@@ -717,6 +717,19 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // leakage-safe split: splits assigned per near-dup CLUSTER (via
+    // MinHash pairs + CC), so near-copies can never straddle train/eval —
+    // the oracle re-derives the clusters through the recursive
+    // reachability CTE and re-hashes the cluster label through the same
+    // threshold rule as q_split_assign
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      pipeline.Dedup.leakageSafeSplit(
+        docs.select("doc_id"), pairs.select("i", "j"), splitFractions)
+        .orderBy("id")
+    }),
+
     // SimHash signatures, bit-for-bit vs the SQL recomputation
     "q_dedup_simhash" -> ((s, dir) => {
       pipeline.Dedup.simHashes(s.read.parquet(s"$dir/documents.parquet"))
@@ -3039,6 +3052,22 @@ object SparkEntry {
     "q_ppr" -> pprOracleSql(5),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    "q_split_leakage_safe" -> {
+      val thr = ops.Sampling.cumThresholds(splitFractions.map(_._2))
+      clusterCteSql(0.7) +
+        s"""
+           |SELECT id, cluster,
+           |       CASE WHEN h < ${thr(0)} THEN 'train'
+           |            WHEN h < ${thr(1)} THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM (SELECT id, cluster,
+           |             ('0x' || substr(md5(COALESCE(CAST(cluster AS VARCHAR),
+           |                                          'null') || '#split'),
+           |                             1, 15))::BIGINT AS h
+           |      FROM cl)
+           |ORDER BY id""".stripMargin
+    },
 
     // same recursive-CTE truth, reduced to the family-size histogram
     "q_dup_cluster_sizes" -> (clusterCteSql(0.7) +

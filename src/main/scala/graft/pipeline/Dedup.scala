@@ -771,4 +771,27 @@ object Dedup {
       }
       .toDF("doc_id", "chunk_idx", "start", "chunk_len", "chunk_hash")
   }
+
+  /** Leakage-safe train/val/test split: assign splits per NEAR-DUP CLUSTER,
+    * not per document, so two near-copies can never land on opposite sides
+    * of the train/eval boundary — the contamination channel a per-doc hash
+    * split leaves wide open (a benchmark answer deduped imperfectly, a
+    * boilerplate family straddling the fence — each is memorization leaking
+    * into eval). Composition: [[duplicateClusters]] over any pair set →
+    * every member keys [[graft.ops.Sampling.assignSplit]] by its cluster
+    * label (the component's min id), inheriting all of assignSplit's
+    * contracts — disjoint, exhaustive, append-stable — at cluster
+    * granularity. Singletons cluster to themselves, so a pair-free corpus
+    * degrades to exactly the per-doc split.
+    *
+    * Scale: the split itself is a pure map-side projection over the CC
+    * output; cost is dominated by the pair generator + the O(log D) CC
+    * rounds, both already bounded (see [[duplicateClusters]]). */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       salt: String = "split"): DataFrame = {
+    val clusters = duplicateClusters(docs, pairs)
+    graft.ops.Sampling.assignSplit(clusters, "cluster", fractions, salt)
+      .select(col("id"), col("cluster"), col("split"))
+  }
 }

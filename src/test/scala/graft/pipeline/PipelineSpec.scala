@@ -190,7 +190,36 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     again shouldBe got
   }
 
-  it should "converge on a 300-deep chain (pointer jumping beats the round cap)" in {
+  "Dedup.leakageSafeSplit" should "keep every near-dup cluster on one side of the fence" in {
+    val s = spark
+    import s.implicits._
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val nodes = (0L until 200L).toDF("doc_id")
+    // 40 clusters of 5 — every pair chains consecutive members
+    val pairs = (0L until 200L).filter(_ % 5 != 4)
+      .map(i => (i, i + 1)).toDF("i", "j")
+    val got = Dedup.leakageSafeSplit(nodes, pairs, fracs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    got.length shouldBe 200
+    // cluster atomicity: one split label per cluster — the leakage pin
+    got.groupBy(_._2).values.foreach(_.map(_._3).distinct.length shouldBe 1)
+    // a pair-free corpus degrades to exactly the per-doc assignSplit
+    // (cluster = self, same key string, same salt)
+    val noPairs = Dedup.leakageSafeSplit(nodes,
+      s.emptyDataset[(Long, Long)].toDF("i", "j"), fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val perDoc = graft.ops.Sampling.assignSplit(nodes, "doc_id", fracs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    noPairs shouldBe perDoc
+    // stable under repartitioning (CC min-labels and the hash are both
+    // order-independent)
+    val again = Dedup.leakageSafeSplit(nodes.repartition(7),
+      pairs.repartition(5), fracs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    again shouldBe got.toSet
+  }
+
+  "Dedup.duplicateClusters" should "converge on a 300-deep chain (pointer jumping beats the round cap)" in {
     val s = spark
     import s.implicits._
     // a path graph of diameter 299: min-label propagation alone needs 299
