@@ -654,6 +654,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // k-core of the part co-occurrence graph (parts sharing an order):
+    // iterative peeling to the unique fixpoint at k=16 — the cohesion
+    // gate separating interlinked families from hub/tendril artifacts.
+    // Exact integer counting, confluent, so the oracle's unrolled peel
+    // chain must match node-for-node incl. in-core degrees (measured
+    // peel depth 3/7/6 at sf0.001/0.01/0.1; the oracle unrolls 12).
+    "q_kcore" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      ops.Graph.kCore(pairs, k = 16).orderBy("node")
+    }),
+
     // local clustering coefficient over the same co-supply graph: exact
     // integer numerator/denominator, one IEEE division per node
     "q_clustering_coeff" -> ((s, dir) => {
@@ -3019,6 +3036,35 @@ object SparkEntry {
         |SELECT s.s_suppkey AS node, CAST(COUNT(t.node) AS BIGINT) AS triangles
         |FROM supplier s LEFT JOIN t ON t.node = s.s_suppkey
         |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // the identical peel chain unrolled 12 rounds (≥ the measured depth;
+    // idempotent once converged) — any dropped-too-early or kept-too-long
+    // node breaks the hash
+    "q_kcore" -> {
+      val base =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  WHERE a.l_orderkey % 4 = 0)""".stripMargin
+      val rounds = (0 until 12).map { i =>
+        s""",
+           |d$i AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM
+           |  (SELECT u AS node FROM e$i UNION ALL SELECT v FROM e$i) t
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= 16),
+           |e${i + 1} AS MATERIALIZED (SELECT u, v FROM e$i
+           |  WHERE u IN (SELECT node FROM k$i)
+           |    AND v IN (SELECT node FROM k$i))""".stripMargin
+      }.mkString
+      base + rounds +
+        """,
+          |dfin AS (SELECT node, COUNT(*) AS c FROM
+          |  (SELECT u AS node FROM e12 UNION ALL SELECT v FROM e12) t
+          |  GROUP BY 1)
+          |SELECT node, CAST(c AS BIGINT) AS deg
+          |FROM dfin WHERE c >= 16 ORDER BY node""".stripMargin
+    },
 
     // same triangle enumeration + degrees; the coefficient is the same
     // one integer-exact-operands division, rounded identically

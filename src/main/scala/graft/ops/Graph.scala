@@ -272,4 +272,59 @@ object Graph {
             (col("deg") * (col("deg") - 1)).cast("double"))
           .otherwise(lit(0.0)).as("coeff"))
   }
+
+  /** k-core via iterative peeling: repeatedly drop nodes with degree < k
+    * until the fixpoint — the maximal subgraph where every node keeps ≥ k
+    * neighbors. The cohesion filter degree alone can't express (a hub
+    * touching a thousand degree-1 leaves has huge degree and an empty
+    * 2-core): dense duplicate families, link farms, and genuinely
+    * interlinked communities survive; stars and tendrils peel away. Emits
+    * `(node, deg)` for core members, `deg` = degree WITHIN the core.
+    *
+    * Exact and deterministic: peeling is confluent (the k-core is unique
+    * regardless of removal order), every round is integer counting — no
+    * float anywhere — so the result is partition- and engine-invariant.
+    *
+    * Scale shape per round: one explode + map-side-combinable count
+    * (shuffle ∝ E), two left-semi joins of the edge table against the
+    * survivor set (hash joins on the endpoint; the survivor side is |V|
+    * rows and usually broadcasts). Rounds = cascade depth, NOT diameter —
+    * real graphs peel in a handful of rounds; lineage is cut per round
+    * like the CC/PageRank loops, and non-convergence within `maxRounds`
+    * fails loudly rather than returning a half-peeled set. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      val next = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m = next.count()
+      // peeling only removes edges, so an unchanged count IS the fixpoint
+      if (m == nEdges) converged = true
+      else { e = next; nEdges = m; rounds += 1 }
+      if (nEdges == 0L) converged = true // empty core: nothing left to peel
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach the fixpoint in $maxRounds rounds " +
+          "(pathologically deep cascade) — raise maxRounds")
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+  }
 }

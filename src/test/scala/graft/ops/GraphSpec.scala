@@ -230,4 +230,65 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Graph.triangleCounts(edges.toDF("src", "dst").repartition(11))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expect
   }
+
+  /** Plain-Scala peeling reference (set-based fixpoint). */
+  private def bruteCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = e.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = e.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != e.size
+      e = next
+    }
+    e.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  private def runCore(edges: Seq[(Long, Long)], k: Int,
+                      parts: Int = 1, maxRounds: Int = 50): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df = edges.toDF("src", "dst")
+    Graph.kCore(if (parts > 1) df.repartition(parts) else df, k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  "Graph.kCore" should "keep the clique and peel the tendril (hub-vs-cohesion)" in {
+    // K4 {1,2,3,4} with a pendant chain 4-5-6: the 3-core is exactly the
+    // K4 (each member keeps its 3 clique neighbors); the chain peels
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    runCore(edges, 3) shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // a star hub has huge degree but an empty 2-core — the signal degree
+    // alone cannot express
+    val star = (1L to 30L).map(i => (0L, i))
+    runCore(star, 2) shouldBe Map.empty
+  }
+
+  it should "survive cascades, dirty edges, and match brute force at any partitioning" in {
+    // peeling one layer re-exposes the next: cascade must run to fixpoint
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b } ++
+      Seq((7L, 7L), (3L, 3L)) ++ // self loops: cleaned
+      Seq((1L, 2L), (2L, 1L), (1L, 2L)) // dupes + reversed: one edge
+    val expect = bruteCore(edges, 6)
+    expect should not be Map.empty // fixture sanity: non-trivial core
+    runCore(edges, 6) shouldBe expect
+    runCore(edges, 6, parts = 11) shouldBe expect
+  }
+
+  it should "fail loudly when the cascade outruns maxRounds" in {
+    // a 30-chain at k=2 peels one node per end per round — 14 rounds;
+    // capping at 3 must throw, never return a half-peeled set
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy
+      runCore(chain, 2, maxRounds = 3)
+    // with enough rounds the same chain peels to an empty core
+    runCore(chain, 2, maxRounds = 20) shouldBe Map.empty
+  }
 }
