@@ -567,6 +567,25 @@ object SparkEntry {
           (round(col("w2"), 6) + lit(0.0)).as("w2_r"))
     }),
 
+    // leave-one-out influence (closed-form data attribution): which docs
+    // the quality model owes its fit to — exact Sherman–Morrison LOO
+    // residual e/(1−h) + leverage from the driver 3×3 inverse, scored as
+    // a pure map-side projection; every IEEE step (moments → cofactor
+    // inverse → quadratic form) mirrored term-for-term by the oracle
+    "q_loo_influence" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      ops.Fit.looInfluenceD2(feats, "doc_id", "x1", "x2", "y", lambda = 1.0)
+        .select(col("doc_id"),
+          (round(col("resid"), 4) + 0.0).as("resid_r"),
+          (round(col("leverage"), 9) + 0.0).as("leverage_r"),
+          (round(col("loo_resid"), 4) + 0.0).as("loo_r"))
+        .orderBy("doc_id")
+    }),
+
     // train→serve composition: fit the ridge quality model on the TRAIN
     // split only (the deterministic hash split), score EVERY doc with a
     // pure map-side projection (Fit.predict), keep each source's top-5 by
@@ -2970,6 +2989,73 @@ object SparkEntry {
          |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
          |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w2_r
          |FROM a""".stripMargin),
+
+    // the identical moments, Cramer weights, cofactor inverse, and
+    // quadratic-form spelling — resid/leverage/loo must match bit-for-bit
+    // at the rounding grid
+    "q_loo_influence" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS (
+         |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x1,
+         |         CAST(len(tk.t) AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+         |         SUM(x1) AS g01, SUM(x2) AS g02,
+         |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+         |         SUM(x2 * x2) AS g22,
+         |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+         |  FROM feat),
+         |a AS (
+         |  SELECT CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+         |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+         |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+         |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+         |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+         |         CAST(b2 AS DOUBLE) AS c2
+         |  FROM m),
+         |dd AS (
+         |  SELECT *, (a00 * (a11 * a22 - a12 * a21)
+         |             - a01 * (a10 * a22 - a12 * a20)
+         |             + a02 * (a10 * a21 - a11 * a20)) AS det
+         |  FROM a),
+         |mw AS (
+         |  SELECT
+         |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |       + a02 * (c1 * a21 - a11 * c2)) / det AS w0,
+         |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * c2 - c1 * a20)) / det AS w1,
+         |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |       + c0 * (a10 * a21 - a11 * a20)) / det AS w2,
+         |    (a11 * a22 - a12 * a21) / det AS m00,
+         |    -(a01 * a22 - a02 * a21) / det AS m01,
+         |    (a01 * a12 - a02 * a11) / det AS m02,
+         |    (a00 * a22 - a02 * a20) / det AS m11,
+         |    -(a00 * a12 - a02 * a10) / det AS m12,
+         |    (a00 * a11 - a01 * a10) / det AS m22
+         |  FROM dd),
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(f.y AS DOUBLE)
+         |      - (w0 + w1 * CAST(f.x1 AS DOUBLE) + w2 * CAST(f.x2 AS DOUBLE))
+         |      AS resid,
+         |    (m00 + m01 * CAST(f.x1 AS DOUBLE) + m02 * CAST(f.x2 AS DOUBLE))
+         |      + (m01 + m11 * CAST(f.x1 AS DOUBLE) + m12 * CAST(f.x2 AS DOUBLE))
+         |        * CAST(f.x1 AS DOUBLE)
+         |      + (m02 + m12 * CAST(f.x1 AS DOUBLE) + m22 * CAST(f.x2 AS DOUBLE))
+         |        * CAST(f.x2 AS DOUBLE) AS lev
+         |  FROM feat f CROSS JOIN mw)
+         |SELECT doc_id, ROUND(resid, 4) + 0.0 AS resid_r,
+         |       ROUND(lev, 9) + 0.0 AS leverage_r,
+         |       ROUND(resid / (1.0 - lev), 4) + 0.0 AS loo_r
+         |FROM sc ORDER BY doc_id""".stripMargin),
 
     // grouped moments + the identical Cramer expansion, per source
     "q_ridge_by_source" -> (tokSql +

@@ -34,6 +34,19 @@ object Fit {
     * `weights(0) = intercept`. */
   def ridgeNormal(df: DataFrame, features: Seq[String], labelCol: String,
                   lambda: Double = 1.0): (Long, Array[Double]) = {
+    val (n, g, b) = normalMoments(df, features, labelCol, lambda)
+    val w =
+      if (b.length == 3) cramer3(g, b) // oracle-exact fixed-association path
+      else gaussianSolve(g, b)
+    (n, w)
+  }
+
+  /** The one-pass moment reduction behind [[ridgeNormal]] (and the LOO
+    * influence operator): exact long sums → the λ-regularized normal
+    * matrix `A = G + λI'` and moment vector `b`, as driver doubles. */
+  private[ops] def normalMoments(df: DataFrame, features: Seq[String],
+                                 labelCol: String, lambda: Double)
+      : (Long, Array[Array[Double]], Array[Double]) = {
     require(features.nonEmpty, "need at least one feature column")
     require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
     val d = features.size + 1 // intercept first
@@ -57,11 +70,7 @@ object Fit {
     }
     (1 until d).foreach(i => g(i)(i) += lambda)
     val b = Array.tabulate(d)(i => row.getLong(row.fieldIndex(s"b_$i")).toDouble)
-
-    val w =
-      if (d == 3) cramer3(g, b) // oracle-exact fixed-association path
-      else gaussianSolve(g, b)
-    (n, w)
+    (n, g, b)
   }
 
   /** First-row cofactor expansion, the EXACT association order the
@@ -167,5 +176,52 @@ object Fit {
       case (acc, (f, i)) => acc + lit(weights(i + 1)) * col(f).cast("double")
     }
     df.withColumn(outCol, expr)
+  }
+
+  /** Leave-one-out influence for the two-feature ridge model — closed-form
+    * data attribution: which rows does the quality model owe its fit to,
+    * and which fight it? For ridge via normal equations the LOO refit has
+    * an exact Sherman–Morrison form — no N retrains: with
+    * `A = G + λI'`, leverage `h_i = x_iᵀ A⁻¹ x_i` and the residual the
+    * REFIT-WITHOUT-i model gives row i is `e_i / (1 − h_i)`. High |loo|
+    * = outlier/mislabeled candidate; high leverage = the row single-
+    * handedly anchors the fit — the standard pruning/inspection signals.
+    *
+    * Scale shape: the training pass is [[ridgeNormal]]'s single moment
+    * aggregation; A⁻¹ is a driver 3×3 (six doubles); scoring is a pure
+    * map-side projection with the six inverse entries + three weights as
+    * literals. Nothing scales with N but the one aggregate and the map.
+    *
+    * Exactness: moments are exact longs; the 3×3 inverse and weights are
+    * fixed-association cofactor expansions ([[det3]]'s order), and the
+    * per-row quadratic form is spelled `(t0 + t1·x1) + t2·x2` — every
+    * IEEE step mirrored term-for-term by the `q_loo_influence` oracle, so
+    * resid/leverage/loo are bit-identical cross-engine. Emits
+    * `(idCol, resid, leverage, loo_resid)` unrounded, complete rows only. */
+  def looInfluenceD2(df: DataFrame, idCol: String, f1: String, f2: String,
+                     labelCol: String, lambda: Double = 1.0): DataFrame = {
+    val (_, a, b) = normalMoments(df, Seq(f1, f2), labelCol, lambda)
+    val det = det3(a)
+    require(det != 0.0, "singular normal equations (det = 0); raise lambda")
+    val w = cramer3(a, b)
+    // symmetric 3×3 inverse by adjugate — each cofactor in the exact
+    // spelling the oracle mirrors
+    val m00 = (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) / det
+    val m01 = -(a(0)(1) * a(2)(2) - a(0)(2) * a(2)(1)) / det
+    val m02 = (a(0)(1) * a(1)(2) - a(0)(2) * a(1)(1)) / det
+    val m11 = (a(0)(0) * a(2)(2) - a(0)(2) * a(2)(0)) / det
+    val m12 = -(a(0)(0) * a(1)(2) - a(0)(2) * a(1)(0)) / det
+    val m22 = (a(0)(0) * a(1)(1) - a(0)(1) * a(1)(0)) / det
+    val x1 = col(f1).cast("long").cast("double")
+    val x2 = col(f2).cast("long").cast("double")
+    val y = col(labelCol).cast("long").cast("double")
+    val resid = y - (lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2)
+    val t0 = lit(m00) + lit(m01) * x1 + lit(m02) * x2
+    val t1 = lit(m01) + lit(m11) * x1 + lit(m12) * x2
+    val t2 = lit(m02) + lit(m12) * x1 + lit(m22) * x2
+    val h = t0 + t1 * x1 + t2 * x2
+    df.where(Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol), resid.as("resid"), h.as("leverage"),
+        (resid / (lit(1.0) - h)).as("loo_resid"))
   }
 }

@@ -106,4 +106,48 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // no exchange: a map-side projection over the input
     out.queryExecution.executedPlan.toString should not include "Exchange"
   }
+
+  "Fit.looInfluenceD2" should "equal an actual N-refit leave-one-out, rank a planted outlier first, and stay map-side" in {
+    val rnd = new scala.util.Random(41)
+    val clean = (0L until 40L).map { i =>
+      val x1 = rnd.nextInt(50).toLong + 1
+      val x2 = rnd.nextInt(30).toLong + 1
+      (i, x1, x2, 5000 + 300 * x1 - 70 * x2 + rnd.nextInt(40).toLong)
+    }
+    // plant one grossly mislabeled row
+    val rows = clean :+ (99L, 25L, 15L, 10000000L)
+    val df = mkDf(rows)
+    val got = Fit.looInfluenceD2(df, "id", "x1", "x2", "y")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    got.size shouldBe rows.size
+    // the Sherman–Morrison shortcut against the ground truth: refit
+    // WITHOUT row i, and the refit model's residual on row i must equal
+    // loo_resid — the claim that makes e/(1−h) "leave-one-out"
+    rows.take(8).foreach { case (id, x1, x2, y) =>
+      val (_, wRefit) = Fit.ridgeNormal(
+        mkDf(rows.filterNot(_._1 == id)), Seq("x1", "x2"), "y")
+      val refitResid = y.toDouble - (wRefit(0) + wRefit(1) * x1 + wRefit(2) * x2)
+      got(id)._3 shouldBe refitResid +- (math.abs(refitResid) * 1e-6 + 1e-6)
+    }
+    // leverage is a valid ridge leverage: in (0, 1) for every row
+    got.values.foreach { case (_, h, _) =>
+      h should be > 0.0
+      h should be < 1.0
+    }
+    // the planted outlier dominates the influence ranking
+    got.maxBy { case (_, (_, _, loo)) => math.abs(loo) }._1 shouldBe 99L
+    // NULL rows are excluded, and scoring adds no exchange beyond the
+    // one training aggregate (the scored output is a pure projection)
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((1L, Some(2L), 3L, 4L), (2L, None, 5L, 6L),
+      (3L, Some(7L), 8L, 9L)).toDF("id", "x1", "x2", "y")
+    Fit.looInfluenceD2(withNull, "id", "x1", "x2", "y")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    val plan = Fit.looInfluenceD2(df, "id", "x1", "x2", "y")
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "Join"
+  }
 }
