@@ -586,6 +586,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // k-fold cross-validated ridge in two corpus passes: hash folds, ONE
+    // grouped moment aggregate, leave-one-fold-out by exact long
+    // subtraction (total − fold), per-fold Cramer in Columns, held-out
+    // MSE over integer-rounded residuals (long SSE — no float order).
+    // The oracle re-derives folds, moments, subtraction, weights, and
+    // SSE term-for-term; every value hash-exact.
+    "q_cv_ridge" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      ops.Fit.cvRidgeD2(feats, "doc_id", "x1", "x2", "y", k = 5, lambda = 1.0)
+        .select(col("fold"), col("n_train"), col("n_test"),
+          (round(col("w0"), 6) + 0.0).as("w0_r"),
+          (round(col("w1"), 6) + 0.0).as("w1_r"),
+          (round(col("w2"), 6) + 0.0).as("w2_r"),
+          // the held-out error crosses the oracle as the EXACT long SSE —
+          // round(mse, 6) at 1e9 magnitude is a sub-ulp grid where the
+          // engines' ROUND legitimately disagree (observed 1-digit flip)
+          col("sse"))
+        .orderBy("fold")
+    }),
+
     // train→serve composition: fit the ridge quality model on the TRAIN
     // split only (the deterministic hash split), score EVERY doc with a
     // pure map-side projection (Fit.predict), keep each source's top-5 by
@@ -3056,6 +3080,85 @@ object SparkEntry {
          |       ROUND(lev, 9) + 0.0 AS leverage_r,
          |       ROUND(resid / (1.0 - lev), 4) + 0.0 AS loo_r
          |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // folds, fold moments, total−fold training moments, the identical
+    // Cramer expansion per fold, and the integer-residual SSE
+    "q_cv_ridge" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS (
+         |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x1,
+         |         CAST(len(tk.t) AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id),
+         |fr AS (
+         |  SELECT doc_id, x1, x2, y,
+         |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+         |                                      'null') || '#cv'),
+         |                         1, 15))::BIGINT % 5 AS fold
+         |  FROM feat),
+         |fm AS (
+         |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(x1) AS s1, SUM(x2) AS s2,
+         |         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+         |         SUM(x2 * x2) AS s22,
+         |         SUM(y) AS c0, SUM(x1 * y) AS c1, SUM(x2 * y) AS c2
+         |  FROM fr GROUP BY fold),
+         |tot AS (
+         |  SELECT SUM(n) AS t_n, SUM(s1) AS t_s1, SUM(s2) AS t_s2,
+         |         SUM(s11) AS t_s11, SUM(s12) AS t_s12, SUM(s22) AS t_s22,
+         |         SUM(c0) AS t_c0, SUM(c1) AS t_c1, SUM(c2) AS t_c2
+         |  FROM fm),
+         |tr AS (
+         |  SELECT fold, CAST(t_n - n AS BIGINT) AS n_train,
+         |         CAST(t_n - n AS DOUBLE) AS a00,
+         |         CAST(t_s1 - s1 AS DOUBLE) AS a01,
+         |         CAST(t_s2 - s2 AS DOUBLE) AS a02,
+         |         CAST(t_s1 - s1 AS DOUBLE) AS a10,
+         |         CAST(t_s11 - s11 AS DOUBLE) + 1.0 AS a11,
+         |         CAST(t_s12 - s12 AS DOUBLE) AS a12,
+         |         CAST(t_s2 - s2 AS DOUBLE) AS a20,
+         |         CAST(t_s12 - s12 AS DOUBLE) AS a21,
+         |         CAST(t_s22 - s22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(t_c0 - c0 AS DOUBLE) AS c0,
+         |         CAST(t_c1 - c1 AS DOUBLE) AS c1,
+         |         CAST(t_c2 - c2 AS DOUBLE) AS c2
+         |  FROM fm CROSS JOIN tot),
+         |mw AS (
+         |  SELECT fold, n_train,
+         |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |       + a02 * (c1 * a21 - a11 * c2))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w0,
+         |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * c2 - c1 * a20))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w1,
+         |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |       + c0 * (a10 * a21 - a11 * a20))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w2
+         |  FROM tr),
+         |sc AS (
+         |  SELECT fr.fold,
+         |    CAST(FLOOR(CAST(fr.y AS DOUBLE)
+         |      - (mw.w0 + mw.w1 * CAST(fr.x1 AS DOUBLE)
+         |         + mw.w2 * CAST(fr.x2 AS DOUBLE)) + 0.5) AS BIGINT) AS rq
+         |  FROM fr JOIN mw ON fr.fold = mw.fold),
+         |ag AS (
+         |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |         SUM(rq * rq) AS sse
+         |  FROM sc GROUP BY fold)
+         |SELECT mw.fold, mw.n_train, ag.n_test,
+         |       ROUND(mw.w0, 6) + 0.0 AS w0_r,
+         |       ROUND(mw.w1, 6) + 0.0 AS w1_r,
+         |       ROUND(mw.w2, 6) + 0.0 AS w2_r,
+         |       CAST(ag.sse AS BIGINT) AS sse
+         |FROM mw JOIN ag ON mw.fold = ag.fold ORDER BY mw.fold""".stripMargin),
 
     // grouped moments + the identical Cramer expansion, per source
     "q_ridge_by_source" -> (tokSql +

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.Hashing
+
 /** Linear-model training by sufficient statistics — the canonical
   * "fit a (quality) regressor on 100 TB" shape: the whole corpus is
   * reduced in ONE pass to the d×d Gram matrix `G = XᵀX` and moment
@@ -223,5 +225,89 @@ object Fit {
     df.where(Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
       .select(col(idCol), resid.as("resid"), h.as("leverage"),
         (resid / (lit(1.0) - h)).as("loo_resid"))
+  }
+
+  /** k-fold cross-validated ridge in TWO corpus passes — honest held-out
+    * model selection at any corpus size, no k retrains: rows hash into k
+    * disjoint folds ([[Hashing.hash60]] on the id — deterministic,
+    * append-stable, the same membership rule every sampler here uses);
+    * ONE grouped aggregate reduces the corpus to k rows of exact long
+    * moments; each fold's training moments are TOTAL − fold (exact long
+    * subtraction — leave-one-fold-out by arithmetic, not by re-scanning);
+    * the k models solve via the [[det3]] Cramer association IN COLUMNS
+    * (the [[ridgePerGroupD2]] spelling); the second pass scores every
+    * row against its own held-out model (a k-row broadcast join) and
+    * reduces per-fold SSE over INTEGER-rounded residuals — long sums, no
+    * float order, so per-fold MSE is bit-identical cross-engine
+    * (residuals are micro-unit-scale; Σ resid² < 2^63 holds to ~10^6
+    * rows of 10^6-magnitude labels — same overflow contract as the
+    * moment sums).
+    *
+    * Emits one row per fold: `(fold, n_train, w0, w1, w2, n_test, mse)`
+    * unrounded. The quality-model use: pick λ / feature sets by held-out
+    * MSE instead of training-set fit, with the entire procedure costing
+    * two aggregates regardless of N. */
+  def cvRidgeD2(df: DataFrame, idCol: String, f1: String, f2: String,
+                labelCol: String, k: Int = 5, lambda: Double = 1.0,
+                salt: String = "cv"): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val x1 = col(f1).cast("long")
+    val x2 = col(f2).cast("long")
+    val y = col(labelCol).cast("long")
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val fold = pmod(Hashing.hash60(
+      concat(coalesce(col(idCol).cast("string"), lit("null")),
+        lit("#" + salt))), lit(k.toLong))
+    val rows = clean.select(col(idCol), x1.as("x1"), x2.as("x2"),
+      y.as("y"), fold.as("fold"))
+    val fm = rows.groupBy("fold").agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("c0"), sum(col("x1") * col("y")).as("c1"),
+      sum(col("x2") * col("y")).as("c2"))
+    val moments = Seq("n", "s1", "s2", "s11", "s12", "s22", "c0", "c1", "c2")
+    val tot = fm.agg(moments.map(m => sum(col(m)).as(s"t_$m")).head,
+      moments.map(m => sum(col(m)).as(s"t_$m")).tail: _*)
+    // training moments = total − this fold, exact longs
+    val tr = fm.crossJoin(broadcast(tot))
+      .select(col("fold") +: col("n") +:
+        moments.map(m => (col(s"t_$m") - col(m)).as(s"r_$m")): _*)
+    val d = (c: String) => col(c).cast("double")
+    val (a00, a01, a02) = (d("r_n"), d("r_s1"), d("r_s2"))
+    val (a10, a11, a12) = (d("r_s1"), d("r_s11") + lit(lambda), d("r_s12"))
+    val (a20, a21, a22) = (d("r_s2"), d("r_s12"), d("r_s22") + lit(lambda))
+    val (c0, c1, c2) = (d("r_c0"), d("r_c1"), d("r_c2"))
+    // first-row cofactor expansion — the det3 association, in Columns
+    val det = a00 * (a11 * a22 - a12 * a21) -
+      a01 * (a10 * a22 - a12 * a20) +
+      a02 * (a10 * a21 - a11 * a20)
+    val det0 = c0 * (a11 * a22 - a12 * a21) -
+      a01 * (c1 * a22 - a12 * c2) +
+      a02 * (c1 * a21 - a11 * c2)
+    val det1 = a00 * (c1 * a22 - a12 * c2) -
+      c0 * (a10 * a22 - a12 * a20) +
+      a02 * (a10 * c2 - c1 * a20)
+    val det2 = a00 * (a11 * c2 - c1 * a21) -
+      a01 * (a10 * c2 - c1 * a20) +
+      c0 * (a10 * a21 - a11 * a20)
+    val models = tr.select(col("fold"), (col("r_n")).as("n_train"),
+      (det0 / det).as("w0"), (det1 / det).as("w1"), (det2 / det).as("w2"))
+    // pass 2: every row scored by ITS OWN held-out model; residuals
+    // rounded to integer label units so the SSE is an exact long sum
+    val scored = rows.join(broadcast(models), "fold")
+    val residQ = floor(col("y").cast("double") -
+      (col("w0") + col("w1") * col("x1").cast("double") +
+        col("w2") * col("x2").cast("double")) + lit(0.5)).cast("long")
+    scored.groupBy("fold")
+      .agg(count(lit(1)).as("n_test"), sum(residQ * residQ).as("sse"))
+      .join(models, "fold")
+      .select(col("fold"), col("n_train"), col("w0"), col("w1"), col("w2"),
+        col("n_test"), col("sse"),
+        (col("sse").cast("double") / col("n_test").cast("double")).as("mse"))
   }
 }

@@ -150,4 +150,59 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
     plan should not include "Join"
   }
+
+  "Fit.cvRidgeD2" should "train each fold's model on exactly the complement and score held-out exactly" in {
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 120L).map { i =>
+      val x1 = rnd.nextInt(80).toLong + 1
+      val x2 = rnd.nextInt(40).toLong + 1
+      (i, x1, x2, 2000 + 41 * x1 + 13 * x2 + rnd.nextInt(25).toLong)
+    }
+    val df = mkDf(rows)
+    val cv = Fit.cvRidgeD2(df, "id", "x1", "x2", "y", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    cv.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    // folds partition the rows
+    cv.values.map(_._5).sum shouldBe rows.size.toLong
+    cv.foreach { case (_, (nTrain, _, _, _, nTest, _)) =>
+      nTrain + nTest shouldBe rows.size.toLong
+    }
+    // ground truth: recompute each row's fold by the same hash rule,
+    // refit on the complement via ridgeNormal (bit-identical claim), and
+    // re-derive the integer-residual SSE
+    def foldOf(id: Long): Long = {
+      val h = graft.pipeline.Hashing.hash60(s"$id#cv")
+      ((h % 4) + 4) % 4
+    }
+    (0L until 4L).foreach { f =>
+      val test = rows.filter(r => foldOf(r._1) == f)
+      val train = rows.filterNot(r => foldOf(r._1) == f)
+      val (nRefit, wRefit) = Fit.ridgeNormal(mkDf(train), Seq("x1", "x2"), "y")
+      val (nTrain, w0, w1, w2, nTest, sse) = cv(f)
+      nTrain shouldBe nRefit
+      nTest shouldBe test.size.toLong
+      // same exact moments (subtraction vs direct) + same Cramer
+      // association → same doubles? NOT guaranteed: cvRidgeD2 subtracts
+      // then solves in Columns while ridgeNormal aggregates directly —
+      // the MOMENTS are identical exact longs either way, and both run
+      // det3's association, so the weights ARE bit-identical
+      w0 shouldBe wRefit(0)
+      w1 shouldBe wRefit(1)
+      w2 shouldBe wRefit(2)
+      val expectSse = test.map { case (_, x1, x2, y) =>
+        val r = math.floor(
+          y.toDouble - (w0 + w1 * x1.toDouble + w2 * x2.toDouble) + 0.5).toLong
+        r * r
+      }.sum
+      sse shouldBe expectSse
+    }
+    // partition invariance: exact moments + hash folds have no order
+    val again = Fit.cvRidgeD2(mkDf(rows).repartition(7), "id", "x1", "x2", "y",
+      k = 4).collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    again shouldBe cv
+  }
 }
