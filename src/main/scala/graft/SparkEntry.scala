@@ -586,6 +586,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // distributed binary classifier (is-English from length/token-count):
+    // IRLS over the ALGEBRAIC sigmoid — rational IEEE ops only, so
+    // per-row weights are bit-identical cross-engine (exp would differ in
+    // ulps and poison every sum); contributions quantized once to the
+    // 1e-6 grid and summed as longs. 3 iterations = 3 corpus passes; the
+    // oracle unrolls all 3 with the identical spelling.
+    "q_logistic_lang" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        (col("lang") === "en").cast("long").as("y"))
+      val (n, w, nCorrect) = ops.Fit.logisticElliottD2(
+        feats, "x1", "x2", "y", iters = 3, lambda = 1.0)
+      Seq((n, w(0), w(1), w(2), nCorrect))
+        .toDF("n", "w0", "w1", "w2", "n_correct")
+        .select(col("n"),
+          (round(col("w0"), 6) + 0.0).as("w0_r"),
+          (round(col("w1"), 9) + 0.0).as("w1_r"),
+          (round(col("w2"), 9) + 0.0).as("w2_r"),
+          col("n_correct"))
+    }),
+
     // k-fold cross-validated ridge in two corpus passes: hash folds, ONE
     // grouped moment aggregate, leave-one-fold-out by exact long
     // subtraction (total − fold), per-fold Cramer in Columns, held-out
@@ -3080,6 +3104,81 @@ object SparkEntry {
          |       ROUND(lev, 9) + 0.0 AS leverage_r,
          |       ROUND(resid / (1.0 - lev), 4) + 0.0 AS loo_r
          |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the identical 3-round IRLS unroll: algebraic sigmoid, 1e-6-grid
+    // long sums, Cramer per round — weights and the exact integer
+    // n_correct must hash-match
+    "q_logistic_lang" -> {
+      val base = tokSql +
+        """, rws AS MATERIALIZED (
+          |  SELECT CAST(d.n_chars AS DOUBLE) AS x1,
+          |         CAST(len(tk.t) AS DOUBLE) AS x2,
+          |         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
+          |w0t AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |r$i AS (
+           |  SELECT x1, x2, y, (w0 + w1 * x1 + w2 * x2) AS eta
+           |  FROM rws CROSS JOIN w${i - 1}t),
+           |r2$i AS (
+           |  SELECT x1, x2, y, eta,
+           |         0.5 + eta / (2.0 * (1.0 + ABS(eta))) AS mu,
+           |         1.0 / (2.0 * ((1.0 + ABS(eta)) * (1.0 + ABS(eta)))) AS s
+           |  FROM r$i),
+           |r3$i AS (
+           |  SELECT x1, x2, s, (s * eta + (y - mu)) AS sz FROM r2$i),
+           |m$i AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    SUM(CAST(FLOOR(s * 1000000.0 + 0.5) AS BIGINT)) AS m00,
+           |    SUM(CAST(FLOOR(s * x1 * 1000000.0 + 0.5) AS BIGINT)) AS m01,
+           |    SUM(CAST(FLOOR(s * x2 * 1000000.0 + 0.5) AS BIGINT)) AS m02,
+           |    SUM(CAST(FLOOR(s * x1 * x1 * 1000000.0 + 0.5) AS BIGINT)) AS m11,
+           |    SUM(CAST(FLOOR(s * x1 * x2 * 1000000.0 + 0.5) AS BIGINT)) AS m12,
+           |    SUM(CAST(FLOOR(s * x2 * x2 * 1000000.0 + 0.5) AS BIGINT)) AS m22,
+           |    SUM(CAST(FLOOR(sz * 1000000.0 + 0.5) AS BIGINT)) AS b0,
+           |    SUM(CAST(FLOOR(sz * x1 * 1000000.0 + 0.5) AS BIGINT)) AS b1,
+           |    SUM(CAST(FLOOR(sz * x2 * 1000000.0 + 0.5) AS BIGINT)) AS b2
+           |  FROM r3$i),
+           |a$i AS (
+           |  SELECT CAST(m00 AS DOUBLE) AS a00, CAST(m01 AS DOUBLE) AS a01,
+           |         CAST(m02 AS DOUBLE) AS a02, CAST(m01 AS DOUBLE) AS a10,
+           |         CAST(m11 AS DOUBLE) + 1000000.0 AS a11,
+           |         CAST(m12 AS DOUBLE) AS a12,
+           |         CAST(m02 AS DOUBLE) AS a20, CAST(m12 AS DOUBLE) AS a21,
+           |         CAST(m22 AS DOUBLE) + 1000000.0 AS a22,
+           |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+           |         CAST(b2 AS DOUBLE) AS c2
+           |  FROM m$i),
+           |w${i}t AS MATERIALIZED (
+           |  SELECT
+           |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+           |       + a02 * (c1 * a21 - a11 * c2))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w0,
+           |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * c2 - c1 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w1,
+           |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+           |       + c0 * (a10 * a21 - a11 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w2
+           |  FROM a$i)""".stripMargin
+      }.mkString
+      base + rounds +
+        """,
+          |fin AS (
+          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          |         CAST(SUM(CASE WHEN ((w0 + w1 * x1 + w2 * x2) > 0.0)
+          |                            = (y > 0.5)
+          |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+          |  FROM rws CROSS JOIN w3t)
+          |SELECT fin.n, ROUND(w3t.w0, 6) + 0.0 AS w0_r,
+          |       ROUND(w3t.w1, 9) + 0.0 AS w1_r,
+          |       ROUND(w3t.w2, 9) + 0.0 AS w2_r, fin.n_correct
+          |FROM fin CROSS JOIN w3t""".stripMargin
+    },
 
     // folds, fold moments, total−fold training moments, the identical
     // Cramer expansion per fold, and the integer-residual SSE

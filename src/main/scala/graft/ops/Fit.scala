@@ -310,4 +310,76 @@ object Fit {
         col("n_test"), col("sse"),
         (col("sse").cast("double") / col("n_test").cast("double")).as("mse"))
   }
+
+  /** Binary CLASSIFIER for two integer features — IRLS over the
+    * ALGEBRAIC sigmoid `σ(t) = 1/2 + t/(2(1+|t|))` (the Elliott
+    * activation): each iteration is ONE corpus aggregate reducing the
+    * weighted normal equations to ten exact longs, then a driver 3×3
+    * Cramer solve — k passes for k iterations, no per-row model state,
+    * nothing data-sized on the driver. The "is this doc English / spam /
+    * high-quality" trainer at corpus scale.
+    *
+    * Why the algebraic link and not `exp`: the two engines' `exp` differ
+    * in final ulps, which would poison every downstream sum — σ and its
+    * derivative here are rational IEEE ops only, so per-row weights are
+    * bit-identical cross-engine. Per-row weighted contributions
+    * (`s`, `s·x`, `s·x·x`, `s·z`-folded terms) quantize once to the 1e-6
+    * grid and sum as LONGS — no float-sum order anywhere; the working
+    * response enters as the bounded product `s·z = s·η + (y − μ)`, never
+    * the unbounded `z` itself. Overflow contract: Σ s·x²·10⁶ < 2^63 —
+    * holds to ~10^6 rows of 3000-char docs; rescale features past that.
+    *
+    * Returns `(n, weights(intercept, w1, w2), nCorrect)` — `nCorrect` =
+    * training rows the final model classifies correctly at the 0.5
+    * threshold (`η > 0`), an exact integer. λ regularizes the feature
+    * diagonals in original units (scaled by 10⁶ internally to match the
+    * grid). */
+  def logisticElliottD2(df: DataFrame, f1: String, f2: String,
+                        labelCol: String, iters: Int = 3,
+                        lambda: Double = 1.0): (Long, Array[Double], Long) = {
+    require(iters >= 1, s"need at least 1 iteration, got $iters")
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val x1 = col(f1).cast("long").cast("double")
+    val x2 = col(f2).cast("long").cast("double")
+    val y = col(labelCol).cast("long").cast("double")
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    var w = Array(0.0, 0.0, 0.0)
+    var n = 0L
+    var it = 0
+    while (it < iters) {
+      val eta = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2
+      val absT = abs(eta)
+      val mu = lit(0.5) + eta / (lit(2.0) * (lit(1.0) + absT))
+      val s = lit(1.0) / (lit(2.0) * ((lit(1.0) + absT) * (lit(1.0) + absT)))
+      val sz = s * eta + (y - mu)
+      val row = clean.agg(
+        count(lit(1)).as("n"),
+        sum(q(s)).as("m00"), sum(q(s * x1)).as("m01"), sum(q(s * x2)).as("m02"),
+        sum(q(s * x1 * x1)).as("m11"), sum(q(s * x1 * x2)).as("m12"),
+        sum(q(s * x2 * x2)).as("m22"),
+        sum(q(sz)).as("b0"), sum(q(sz * x1)).as("b1"),
+        sum(q(sz * x2)).as("b2")).head()
+      n = row.getLong(0)
+      require(n > 0, "logisticElliottD2 needs at least one complete row")
+      val reg = lambda * 1e6
+      val a = Array(
+        Array(row.getLong(1).toDouble, row.getLong(2).toDouble,
+          row.getLong(3).toDouble),
+        Array(row.getLong(2).toDouble, row.getLong(4).toDouble + reg,
+          row.getLong(5).toDouble),
+        Array(row.getLong(3).toDouble, row.getLong(5).toDouble,
+          row.getLong(6).toDouble + reg))
+      val b = Array(row.getLong(7).toDouble, row.getLong(8).toDouble,
+        row.getLong(9).toDouble)
+      w = cramer3(a, b)
+      it += 1
+    }
+    val etaF = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2
+    val nCorrect = clean.agg(
+      sum(((etaF > lit(0.0)) === (y > lit(0.5))).cast("long"))).head().getLong(0)
+    (n, w, nCorrect)
+  }
 }

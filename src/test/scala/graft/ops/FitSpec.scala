@@ -205,4 +205,38 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
           r.getLong(5), r.getLong(6))).toMap
     again shouldBe cv
   }
+
+  "Fit.logisticElliottD2" should "separate a separable fixture and stay bit-identical under repartitioning" in {
+    val rnd = new scala.util.Random(47)
+    // linearly separable with margin: y = [x1 + x2 > 60]
+    val rows = (0L until 200L).map { i =>
+      val x1 = rnd.nextInt(50).toLong
+      val x2 = rnd.nextInt(50).toLong
+      val m = x1 + x2
+      (i, x1, x2, if (m > 70) 1L else if (m < 50) 0L else -1L)
+    }.filter(_._4 >= 0L)
+    val df = mkDf(rows)
+    val (n, w, nCorrect) = Fit.logisticElliottD2(df, "x1", "x2", "y", iters = 3)
+    n shouldBe rows.size.toLong
+    // with a 20-unit margin, 3 IRLS rounds classify the training set
+    // (near-)perfectly — allow one boundary miss
+    nCorrect.toDouble / n should be >= 0.99
+    // the learned direction: both features push toward the label
+    w(1) should be > 0.0
+    w(2) should be > 0.0
+    // quantized long moments + driver Cramer have no partition order
+    val (n2, w2, c2) = Fit.logisticElliottD2(df.repartition(9),
+      "x1", "x2", "y", iters = 3)
+    n2 shouldBe n
+    c2 shouldBe nCorrect
+    w2.toSeq shouldBe w.toSeq
+    // NULL labels/features excluded
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((1L, Some(2L), 3L, Some(1L)), (2L, None, 5L, Some(0L)),
+      (3L, Some(7L), 8L, None), (4L, Some(1L), 1L, Some(0L)))
+      .toDF("id", "x1", "x2", "y")
+    val (n3, _, _) = Fit.logisticElliottD2(withNull, "x1", "x2", "y", iters = 1)
+    n3 shouldBe 2L
+  }
 }
