@@ -1980,6 +1980,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Poisson bootstrap (Chamandy et al.): 32 deterministic resample
+    // replicates of the corpus mean in ONE pass — per-(row, rep) weight
+    // Poisson(1) from the literal hash-threshold ladder, exact long
+    // sums per replicate, one terminal division. The spread of the 32
+    // means is the error bar on mean(n_chars).
+    "q_bootstrap_mean" -> ((s, dir) => {
+      ops.Sampling.bootstrapMeans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "n_chars", b = 32)
+        .select(col("rep"), col("n_eff"), col("wsum"),
+          (round(col("mean"), 6) + 0.0).as("mean_r"))
+        .orderBy("rep")
+    }),
+
     // per-source percentile-rank normalization: the calibration transform
     // that makes scores comparable across sources — exact integer ranks
     // through the two-phase prefix scan, one map-side division
@@ -4744,6 +4757,30 @@ object SparkEntry {
          |                             1, 15))::BIGINT AS h
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the identical hash, the identical literal Poisson ladder, exact
+    // integer weights and sums
+    "q_bootstrap_mean" -> {
+      val thr = ops.Sampling.poissonThresholds()
+      val cases = thr.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      s"""WITH f AS (
+         |  SELECT b.rep, d.n_chars,
+         |         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#boot#'
+         |                             || CAST(b.rep AS VARCHAR)),
+         |                         1, 15))::BIGINT AS u
+         |  FROM documents d CROSS JOIN generate_series(0, 31) b(rep)),
+         |w AS (
+         |  SELECT rep, n_chars,
+         |         CASE $cases ELSE ${thr.size} END AS w
+         |  FROM f)
+         |SELECT CAST(rep AS BIGINT) AS rep,
+         |       CAST(SUM(w) AS BIGINT) AS n_eff,
+         |       CAST(SUM(w * n_chars) AS BIGINT) AS wsum,
+         |       ROUND(CAST(SUM(w * n_chars) AS DOUBLE)
+         |             / CAST(SUM(w) AS DOUBLE), 6) + 0.0 AS mean_r
+         |FROM w GROUP BY rep ORDER BY rep""".stripMargin
     },
 
     // the identical ascending (value, hash, key) rank and the identical

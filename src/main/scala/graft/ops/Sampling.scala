@@ -399,4 +399,62 @@ object Sampling {
         }
       }, outSchema)
   }
+
+  /** Cumulative Poisson(1) thresholds on the 2^60 hash grid, for
+    * [[bootstrapMeans]]: `thr(k) = round(P(X ≤ k)·2^60)`, the tail mass
+    * past `kMax` folded into a final exact 2^60 (same forced-cover rule
+    * as [[cumThresholds]]). Driver-computed once and embedded as
+    * LITERALS in both engines' plans, so the weight assignment is
+    * integer-exact cross-engine. */
+  def poissonThresholds(kMax: Int = 20): Seq[Long] = {
+    require(kMax >= 1, s"kMax must be >= 1, got $kMax")
+    val pmf = new Array[Double](kMax)
+    var k = 0
+    var term = math.exp(-1.0) // P(0)
+    while (k < kMax) {
+      pmf(k) = term
+      k += 1
+      term = term / k
+    }
+    val cum = pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(math.min(c, 1.0) * (1L << 60).toDouble))
+    cum.init :+ (1L << 60)
+  }
+
+  /** Poisson bootstrap over a distributed corpus (the one-pass bootstrap
+    * of Chamandy et al. — "error bars on corpus statistics without
+    * resampling the corpus"): replicate `b`'s resample weight for each
+    * row is Poisson(1), derived DETERMINISTICALLY from
+    * `hash60(key#salt#b)` through the literal threshold ladder, so
+    * membership is a pure function of (key, salt, b) — reproducible,
+    * append-stable, engine-identical. Emits one row per replicate:
+    * `(rep, n_eff, wsum, mean)` with `n_eff = Σw`, `wsum = Σw·x` exact
+    * longs and ONE terminal IEEE division — the spread of the B means IS
+    * the sampling distribution of the corpus mean.
+    *
+    * Scale shape: the B-fold fan-out is a map-side generator over each
+    * row (CPU ∝ B·N, no extra scan); the only shuffle is the hash
+    * aggregate keyed by `rep` — B rows per partition after map-side
+    * combine, B rows total out. `valueCol` must be integer-valued (the
+    * repo's exactness contract); Σ w·x at Poisson weights ≤ ~20 holds
+    * the long bound to ~10^5-magnitude values × 10^9 rows. */
+  def bootstrapMeans(df: DataFrame, keyCol: String, valueCol: String,
+                     b: Int = 32, salt: String = "boot"): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    val thr = poissonThresholds()
+    val x = col(valueCol).cast("long")
+    val rep = explode(sequence(lit(0), lit(b - 1))).as("rep")
+    val rows = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"), x.as("x"), rep)
+    val u = Hashing.hash60(
+      concat(col("k"), lit("#" + salt + "#"), col("rep").cast("string")))
+    val w = thr.zipWithIndex.foldRight(lit(thr.size.toLong)) {
+      case ((t, k), acc) => when(u < lit(t), lit(k.toLong)).otherwise(acc)
+    }
+    rows.select(col("rep").cast("long").as("rep"), col("x"), w.as("w"))
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("x")).as("wsum"))
+      .select(col("rep"), col("n_eff"), col("wsum"),
+        (col("wsum").cast("double") / col("n_eff").cast("double")).as("mean"))
+  }
 }

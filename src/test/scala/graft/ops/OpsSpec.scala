@@ -236,6 +236,40 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     Sampling.hashSample(df, "id", 0.5, "t").count() shouldBe got
   }
 
+  it should "bootstrap the mean with Poisson(1) weights: calibrated, exact, partition-invariant" in {
+    // thresholds: monotone, full-cover ladder
+    val thr = Sampling.poissonThresholds()
+    thr.last shouldBe (1L << 60)
+    thr.sliding(2).foreach(p => p(0) should be <= p(1))
+    // P(0) = P(1) = e^-1 ≈ 0.3679 on the grid
+    (thr.head.toDouble / (1L << 60)) shouldBe math.exp(-1.0) +- 1e-12
+    val df = s.range(5000).toDF("id")
+      .withColumn("v", (col("id") % 100) + 10)
+    val got = Sampling.bootstrapMeans(df, "id", "v", b = 32)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    got.size shouldBe 32
+    val trueMean = (0 until 5000).map(i => (i % 100) + 10).sum / 5000.0
+    // Poisson(1) weights: every replicate's effective size ≈ N (±5σ ≈
+    // ±354 at N=5000) and the replicate means straddle the true mean
+    got.values.foreach { case (nEff, _, _) =>
+      nEff.toDouble shouldBe 5000.0 +- 400.0
+    }
+    val means = got.values.map(_._3).toSeq
+    means.min should be <= trueMean
+    means.max should be >= trueMean
+    // the spread is the σ/√N error bar, not degenerate and not wild:
+    // sd(v) ≈ 28.9 → se ≈ 0.41; the 32-rep sd should be within 3× of it
+    val se = math.sqrt(means.map(m => (m - trueMean) * (m - trueMean)).sum / 32)
+    se should be > 0.1
+    se should be < 1.3
+    // exact longs + literal ladder: bit-identical under repartitioning
+    Sampling.bootstrapMeans(df.repartition(11), "id", "v", b = 32)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap shouldBe got
+  }
+
   it should "assign every row to exactly one split at the target fractions" in {
     val df = s.range(20000).toDF("id")
     val splits = Sampling.assignSplit(df, "id",
