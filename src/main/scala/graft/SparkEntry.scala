@@ -880,6 +880,18 @@ object SparkEntry {
         .orderBy("i", "rn")
     }),
 
+    // hard-negative mining for contrastive training: per query the top-5
+    // most-similar rows BELOW the near-dup bar (0.45 — q_embed_neardup's
+    // threshold), so positives/near-dups never become negatives. Exact
+    // full oracle: the same cosine ranking with the band filter.
+    "q_hard_negatives" -> ((s, dir) => {
+      val corpus = IO.readEmbeddings(s, dir)
+      val queries = corpus.filter(col("id") < 20)
+      pipeline.Ann.hardNegatives(corpus, queries, 5, thetaDup = 0.45)
+        .select(col("i"), col("j"), col("rn"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("i", "rn")
+    }),
+
     // similarity search, scale path: hyperplane LSH — recall floor vs the
     // exact top-k, deterministic in (seed, data) like q_knn_project
     "q_ann_lsh" -> ((s, dir) => {
@@ -3503,6 +3515,28 @@ object SparkEntry {
         |  SELECT i, j, sim,
         |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
         |  FROM sims)
+        |SELECT i, j, rn, ROUND(sim, 6) AS sim_r
+        |FROM rk WHERE rn <= 5 ORDER BY i, rn""".stripMargin,
+
+    // the same cosine ranking with the near-dup band filter BEFORE the
+    // row_number — any near-dup leaking into the negatives flips the hash
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS sim
+        |  FROM e a CROSS JOIN e b
+        |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+        |rk AS (
+        |  SELECT i, j, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+        |  FROM sims WHERE sim < 0.45)
         |SELECT i, j, rn, ROUND(sim, 6) AS sim_r
         |FROM rk WHERE rn <= 5 ORDER BY i, rn""".stripMargin,
 

@@ -743,6 +743,34 @@ object Ann {
     ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k MOST
+    * similar corpus rows whose cosine stays BELOW the near-dup bar — the
+    * informative negatives that teach an embedding model its decision
+    * boundary (random negatives are trivially far; positives/near-dups
+    * must be excluded or the loss fights itself — the standard hard-
+    * negative recipe, cf. DPR/SimCSE practice). Same scan shape as
+    * [[bruteTopK]] (broadcast queries × corpus stream) with the band
+    * filter applied BEFORE ranking, so near-dups never enter the heaps;
+    * ranking executes through the bounded-heap grouped top-k operator.
+    * For web-scale corpora swap the brute scan for any index family here
+    * (LSH/IVF/PQ shortlist, then band-filter + rank the shortlist). */
+  def hardNegatives(corpus: Dataset[Point], queries: Dataset[Point], k: Int,
+                    thetaDup: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = queries.toDF().select(col("id").as("i"), col("vec").as("va"))
+    val c = corpus.toDF()
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("id").as("j"), col("vec").as("vb"))
+    val pairs = broadcast(q).crossJoin(c)
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        Distances.cosineSimCol(col("va"), col("vb")).as("sim"))
+      .where(col("sim") < lit(thetaDup))
+    val ranked = Knn.topKPerPointRanked(
+      pairs.select(col("i"), col("j"), (-col("sim")).as("dist")), k)
+    ranked.select(col("i"), col("j"), col("rn"), (-col("dist")).as("sim"))
+  }
+
   /** Scalar-quantization index (the FAISS `IndexScalarQuantizer` QT_8bit
     * shape): per-dimension affine byte codes over unit-normalized vectors.
     * `mins`/`deltas` are the trained per-dim range (2·d doubles — the whole

@@ -551,6 +551,45 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     idx.release(); idx2.release()
   }
 
+  "Ann.hardNegatives" should "rank the closest rows below the near-dup bar and never leak a positive" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val base = (0L until 100L).map(i =>
+      graft.tsne.Point(i, Array.fill(16)(rnd.nextGaussian())))
+    // plant exact copies of the first 5 points — cosine 1.0 near-dups
+    // that MUST be excluded from their own negative sets
+    val dups = (0L until 5L).map(i =>
+      graft.tsne.Point(1000L + i, base(i.toInt).vec.clone()))
+    val corpus = s.createDataset(base ++ dups)
+    val queries = s.createDataset(base.take(5))
+    val got = Ann.hardNegatives(corpus, queries, 5, thetaDup = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(2).toInt) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    got.size shouldBe 25
+    // brute reference: cosine to every other row, band-filtered, ranked
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val all = base ++ dups
+    queries.collect().foreach { q =>
+      val expect = all.filter(_.id != q.id)
+        .map(p => (p.id, cos(q.vec, p.vec)))
+        .filter(_._2 < 0.45)
+        .sortBy { case (j, sim) => (-sim, j) }
+        .take(5)
+      (1 to 5).foreach { rn =>
+        val (j, sim) = got((q.id, rn))
+        j shouldBe expect(rn - 1)._1
+        sim shouldBe expect(rn - 1)._2 +- 1e-9
+        sim should be < 0.45
+        // the planted duplicate (cosine 1.0) never appears
+        j should not be (1000L + q.id)
+      }
+    }
+  }
+
   "Ann.sqBuild/sqTopK" should "encode near-losslessly and score by the folded affine decode" in {
     val s = spark
     import s.implicits._
