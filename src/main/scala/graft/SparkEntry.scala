@@ -1992,6 +1992,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // uniform negative sampling (the random half of the contrastive pair
+    // family): 3 deterministic pseudo-uniform negatives per doc by
+    // position over the dense doc_id rank — hash mod N with the
+    // self-collision bumped; the oracle re-derives rank, draw, bump, and
+    // the join identically
+    "q_negative_pairs" -> ((s, dir) => {
+      ops.Sampling.negativePairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", k = 3)
+        .orderBy("i", "neg_idx")
+    }),
+
     // Poisson bootstrap (Chamandy et al.): 32 deterministic resample
     // replicates of the corpus mean in ONE pass — per-(row, rep) weight
     // Poisson(1) from the literal hash-threshold ladder, exact long
@@ -4792,6 +4803,26 @@ object SparkEntry {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the identical dense rank, modular draw, and self-collision bump
+    "q_negative_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+        |  FROM documents),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |a AS (
+        |  SELECT r.doc_id AS i, r.rk, g.neg_idx, nn.n,
+        |         ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR) || '#neg#'
+        |                             || CAST(g.neg_idx AS VARCHAR)),
+        |                         1, 15))::BIGINT % nn.n AS t0
+        |  FROM r CROSS JOIN nn CROSS JOIN generate_series(0, 2) g(neg_idx)),
+        |t AS (
+        |  SELECT i, neg_idx,
+        |         CASE WHEN t0 = rk THEN (t0 + 1) % n ELSE t0 END AS target
+        |  FROM a)
+        |SELECT t.i, CAST(t.neg_idx AS BIGINT) AS neg_idx, r2.doc_id AS j
+        |FROM t JOIN r r2 ON r2.rk = t.target
+        |ORDER BY i, neg_idx""".stripMargin,
 
     // the identical hash, the identical literal Poisson ladder, exact
     // integer weights and sums

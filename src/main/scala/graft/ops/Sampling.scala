@@ -421,6 +421,48 @@ object Sampling {
     cum.init :+ (1L << 60)
   }
 
+  /** Uniform negative sampling for contrastive training — the random-
+    * negative half of the pair-generation family ([[graft.pipeline.Ann.hardNegatives]]
+    * is the hard half): for each anchor row, `k` deterministic
+    * pseudo-uniform OTHER rows, as `(i, neg_idx, j)` pairs. Sampling by
+    * POSITION over a dense 0..N−1 rank (the terasort two-phase shape —
+    * range partition + per-partition offsets, never a one-task window)
+    * makes the draw exactly uniform over rows whatever the key
+    * distribution; the draw itself is `hash60(key#salt#idx) mod N` with
+    * the self-collision bumped to the next rank (deterministic, so the
+    * pair set is a pure function of (key set, salt, k) — reproducible
+    * and engine-identical). Keys must be unique and non-null (they are
+    * ids). Scale shape: one range exchange for the rank, one
+    * co-partitioned equi-join of k·N slim pairs against the N-row rank
+    * table; nothing driver-sized. */
+  def negativePairs(df: DataFrame, keyCol: String, k: Int,
+                    salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"need at least 1 negative per anchor, got $k")
+    val spark = df.sparkSession
+    val keyed = df.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val ranged = keyed.repartitionByRange(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+    val schema = ranged.schema.add("rk", LongType, nullable = false)
+    val ranks = spark.createDataFrame(
+      ranged.rdd.zipWithIndex().map { case (row, idx) =>
+        Row.fromSeq(row.toSeq :+ idx)
+      }, schema).localCheckpoint()
+    val n = ranks.count()
+    require(n >= 2, s"need at least 2 rows to sample negatives, got $n")
+    val t0 = pmod(Hashing.hash60(
+      concat(col("i").cast("string"), lit("#" + salt + "#"),
+        col("neg_idx").cast("string"))), lit(n))
+    val anchors = ranks
+      .select(col(keyCol).as("i"), col("rk").as("ri"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("neg_idx"))
+      .select(col("i"), col("neg_idx"),
+        when(t0 === col("ri"), (t0 + lit(1L)) % lit(n)).otherwise(t0)
+          .as("target"))
+    anchors.join(ranks.select(col(keyCol).as("j"), col("rk")),
+        col("target") === col("rk"))
+      .select(col("i"), col("neg_idx"), col("j"))
+  }
+
   /** Poisson bootstrap over a distributed corpus (the one-pass bootstrap
     * of Chamandy et al. — "error bars on corpus statistics without
     * resampling the corpus"): replicate `b`'s resample weight for each

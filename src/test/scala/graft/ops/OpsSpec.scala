@@ -270,6 +270,37 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .toMap shouldBe got
   }
 
+  it should "draw k uniform negatives per anchor, never itself, exactly as the reference" in {
+    import s.implicits._
+    // non-contiguous keys: rank-based position sampling must not assume
+    // dense ids
+    val keys = (0L until 500L).map(_ * 7 + 3)
+    val df = keys.toDF("id")
+    val got = Sampling.negativePairs(df, "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.length shouldBe 1500
+    got.foreach { case (i, _, j) => j should not be i }
+    // plain-Scala reference: sorted-rank draw with the self-bump
+    val sorted = keys.sorted
+    val rankOf = sorted.zipWithIndex.toMap
+    val n = sorted.size
+    val expect = keys.flatMap { i =>
+      (0L until 3L).map { idx =>
+        val t0 = (graft.pipeline.Hashing.hash60(s"$i#neg#$idx") % n + n) % n
+        val t = if (t0 == rankOf(i)) (t0 + 1) % n else t0
+        (i, idx, sorted(t.toInt))
+      }
+    }.toSet
+    got.toSet shouldBe expect
+    // uniformity sanity: no row is drawn wildly more than the k-average
+    val counts = got.groupBy(_._3).view.mapValues(_.length)
+    counts.values.max should be <= 15 // mean 3, Poisson tail at n=500
+    // partition invariance
+    Sampling.negativePairs(df.repartition(13), "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe expect
+  }
+
   it should "assign every row to exactly one split at the target fractions" in {
     val df = s.range(20000).toDF("id")
     val splits = Sampling.assignSplit(df, "id",
