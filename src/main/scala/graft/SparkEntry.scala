@@ -1172,6 +1172,16 @@ object SparkEntry {
         .orderBy("window_start_s", "event_type")
     }),
 
+    // CUSUM sequential drift monitor: per-type running max(0, S+(n−k))
+    // over hourly counts, alarm at S > 3k — catches the sustained small
+    // shift the 3σ point test (q_rate_anomaly) can't see. Exact integer
+    // recurrence; the oracle replays it as a recursive CTE.
+    "q_cusum_drift" -> ((s, dir) => {
+      streaming.Events.cusumDrift(streaming.Events.readEvents(s, dir),
+          "1 hour")
+        .orderBy("window_start_s", "event_type")
+    }),
+
     // sliding (hopping) event-time windows: 1-hour stats every 15
     // minutes — each event fans out to 4 windows map-side, one hash agg
     "q_events_sliding" -> ((s, dir) => {
@@ -3875,6 +3885,37 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM wc JOIN m ON wc.event_type = m.event_type
         |ORDER BY wc.window_start_s, wc.event_type""".stripMargin,
+
+    // the identical integer recurrence replayed as a recursive CTE over
+    // per-type window indices
+    "q_cusum_drift" ->
+      """WITH RECURSIVE wc AS (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start_s,
+        |         event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, window_start_s, n,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY window_start_s) AS i
+        |  FROM wc),
+        |al AS (
+        |  SELECT event_type,
+        |         CAST((SUM(n) + COUNT(*) - 1) // COUNT(*) AS BIGINT) AS k
+        |  FROM wc GROUP BY 1),
+        |r(event_type, i, s) AS (
+        |  SELECT idx.event_type, idx.i, GREATEST(0, idx.n - al.k)
+        |  FROM idx JOIN al ON al.event_type = idx.event_type WHERE idx.i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, GREATEST(0, r.s + (idx.n - al.k))
+        |  FROM r JOIN idx ON idx.event_type = r.event_type
+        |              AND idx.i = r.i + 1
+        |  JOIN al ON al.event_type = idx.event_type)
+        |SELECT idx.window_start_s, idx.event_type, idx.n, al.k, r.s,
+        |       CAST(CASE WHEN r.s > 3 * al.k THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i
+        |JOIN al ON al.event_type = idx.event_type
+        |ORDER BY idx.window_start_s, idx.event_type""".stripMargin,
 
     // each event's 4 covering sliding windows generated per row, then the
     // same grouped micro-grid sums as the tumbling oracle

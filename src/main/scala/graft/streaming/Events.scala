@@ -140,6 +140,48 @@ object Events {
         anomaly.cast("long").as("is_anomaly"))
   }
 
+  /** CUSUM change-point monitor per event type — the SEQUENTIAL drift
+    * detector next to the repo's distributional ones (KS/KL/3σ windows):
+    * `S_w = max(0, S_{w-1} + (n_w − k))` accumulates sustained excess
+    * over the allowance `k` (per-type ceil-mean window count, exact
+    * integer division), alarming when `S > 3k`. A 3σ test only sees
+    * single-window spikes; CUSUM fires on a persistent small shift —
+    * the slow-rot regression a point test never crosses threshold on.
+    * All integer arithmetic → bit-identical cross-engine, and the
+    * recurrence is oracle-checkable as a recursive CTE.
+    *
+    * Shape: one window-count aggregate (shuffle ∝ windows·types), a
+    * 1-row-per-type broadcast of the allowance, then ONE sorted-group
+    * fold per type over its own windows (the funnel/capped-session
+    * machinery — windows per type are bounded, and the shuffle's own
+    * spillable sort provides the order). Emits
+    * `(window_start_s, event_type, n, k, s, alarm)`. */
+  def cusumDrift(events: DataFrame,
+                 windowLength: String = "1 hour"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val counts = events
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("w_s"), col("event_type"),
+        col("n"))
+    val allow = counts.groupBy("event_type")
+      .agg(count(lit(1)).as("nw"), sum("n").as("tot"))
+      .select(col("event_type"), expr("(tot + nw - 1) div nw").as("k"))
+    counts.join(broadcast(allow), "event_type")
+      .select(col("event_type"), col("w_s"), col("n"), col("k"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("w_s")) { (tpe, rows) =>
+        var s = 0L
+        rows.map { case (_, w, n, k) =>
+          s = math.max(0L, s + (n - k))
+          (w, tpe, n, k, s, if (s > 3 * k) 1L else 0L)
+        }
+      }
+      .toDF("window_start_s", "event_type", "n", "k", "s", "alarm")
+  }
+
   /** Session windows per user (gap-based): a session ends after `gap` of
     * inactivity. Spark's native `session_window` keyed state — in
     * streaming this is incremental per-key state, no global sort. */

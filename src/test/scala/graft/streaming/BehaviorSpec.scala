@@ -281,4 +281,58 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       "2024-03-04" -> 8.0)
     byUser(1L).length shouldBe 3
   }
+
+  behavior of "Events.cusumDrift"
+
+  it should "alarm on a sustained shift but not a single spike, per the exact recurrence" in {
+    // type 'a': 6 hourly windows of counts 2,2,2,4,4,4 — total 18, nw 6,
+    // k = ceil(18/6) = 3; S = 0,0,0,1,2,3; alarm at S > 9: never.
+    // type 'b': counts 1,1,10,1,1,1 — total 15, k = ceil(15/6) = 3;
+    // S = 0,0,7,5,3,1 — the spike decays, no alarm (3σ would fire here).
+    // type 'c': counts 1,1,8,8,8,8 — total 34, k = 6;
+    // S = 0,0,2,4,6,8 > 18? no... use counts 1,1,12,12,12,12: total 50,
+    // k = ceil(50/6) = 9; S = 0,0,3,6,9,12; alarm when S > 27: never.
+    // Sustained-shift alarm needs a long run: type 'c' with 12 windows
+    // 1×6 then 12×6: total 78, k = ceil(78/12) = 7;
+    // S after shift: 5,10,15,20,25,30 — alarm at S > 21 on windows 11,12.
+    def burst(tpe: String, counts: Seq[Int], user0: Long) = {
+      var id = user0
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map { _ =>
+          id += 1
+          (id, id, ts(1 + h / 24, h % 24), tpe)
+        }
+      }
+    }
+    val events = ev(
+      burst("a", Seq(2, 2, 2, 4, 4, 4), 1000L) ++
+        burst("b", Seq(1, 1, 10, 1, 1, 1), 2000L) ++
+        burst("c", Seq(1, 1, 1, 1, 1, 1, 6, 12, 12, 12, 12, 12), 3000L))
+    val got = Events.cusumDrift(events, "1 hour").collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // replay the recurrence per type in plain Scala
+    Seq("a" -> Seq(2, 2, 2, 4, 4, 4), "b" -> Seq(1, 1, 10, 1, 1, 1),
+      "c" -> Seq(1, 1, 1, 1, 1, 1, 6, 12, 12, 12, 12, 12)).foreach {
+      case (tpe, counts) =>
+        val tot = counts.sum
+        val k = (tot + counts.size - 1) / counts.size
+        var sAcc = 0L
+        counts.zipWithIndex.foreach { case (c, h) =>
+          sAcc = math.max(0L, sAcc + (c - k))
+          val w = ts(1 + h / 24, h % 24).getTime / 1000
+          got((tpe, w)) shouldBe ((c.toLong, k.toLong, sAcc,
+            if (sAcc > 3L * k) 1L else 0L))
+        }
+    }
+    // the spike type never alarms; the sustained type does
+    got.collect { case ((t, _), (_, _, _, al)) if al == 1L => t }
+      .toSet shouldBe Set("c")
+    // partition invariance (integer ops + sorted-group fold)
+    Events.cusumDrift(
+      ev(burst("a", Seq(2, 2, 2, 4, 4, 4), 1000L)).repartition(7), "1 hour")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap shouldBe
+      got.collect { case (("a", w), (_, _, sv, _)) => w -> sv }.toMap
+  }
 }
