@@ -586,6 +586,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // calibration report (reliability diagram) for the quality model:
+    // equal-depth deciles by predicted score, mean predicted vs mean
+    // actual per decile — rank from the two-phase prefix scan over the
+    // quantized prediction, exact long sums, two terminal divisions
+    "q_calibration" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      ops.Fit.calibrationD2(feats, "doc_id", "x1", "x2", "y", nBuckets = 10)
+        .select(col("bucket"), col("n"), col("sp"), col("sy"),
+          (round(col("mean_pred"), 6) + 0.0).as("mean_pred_r"),
+          (round(col("mean_actual"), 6) + 0.0).as("mean_actual_r"))
+        .orderBy("bucket")
+    }),
+
     // distributed binary classifier (is-English from length/token-count):
     // IRLS over the ALGEBRAIC sigmoid — rational IEEE ops only, so
     // per-row weights are bit-identical cross-engine (exp would differ in
@@ -3150,6 +3167,76 @@ object SparkEntry {
          |       ROUND(lev, 9) + 0.0 AS leverage_r,
          |       ROUND(resid / (1.0 - lev), 4) + 0.0 AS loo_r
          |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // identical weights (Cramer), identical quantized predictions,
+    // identical (pred, hash, id) rank and decile arithmetic
+    "q_calibration" -> (tokSql +
+      s""", qual AS (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS (
+         |  SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS x1,
+         |         CAST(len(tk.t) AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+         |  JOIN qual ON d.doc_id = qual.doc_id),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+         |         SUM(x1) AS g01, SUM(x2) AS g02,
+         |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+         |         SUM(x2 * x2) AS g22,
+         |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+         |  FROM feat),
+         |a AS (
+         |  SELECT CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+         |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+         |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+         |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+         |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+         |         CAST(b2 AS DOUBLE) AS c2
+         |  FROM m),
+         |ws AS (
+         |  SELECT
+         |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |       + a02 * (c1 * a21 - a11 * c2))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w0,
+         |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * c2 - c1 * a20))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w1,
+         |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |       + c0 * (a10 * a21 - a11 * a20))
+         |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |       + a02 * (a10 * a21 - a11 * a20)) AS w2
+         |  FROM a),
+         |pr AS (
+         |  SELECT f.doc_id, f.y,
+         |         CAST(FLOOR((ws.w0 + ws.w1 * CAST(f.x1 AS DOUBLE)
+         |                     + ws.w2 * CAST(f.x2 AS DOUBLE)) + 0.5)
+         |              AS BIGINT) AS p
+         |  FROM feat f CROSS JOIN ws),
+         |hh AS (
+         |  SELECT doc_id, y, p,
+         |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+         |                                      'null') || '#cal'),
+         |                         1, 15))::BIGINT AS h
+         |  FROM pr),
+         |r AS (
+         |  SELECT y, p, ROW_NUMBER() OVER (ORDER BY p, h, doc_id) AS rn,
+         |         COUNT(*) OVER () AS c
+         |  FROM hh)
+         |SELECT ((rn - 1) * 10) // c AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(p) AS BIGINT) AS sp, CAST(SUM(y) AS BIGINT) AS sy,
+         |       ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |         + 0.0 AS mean_pred_r,
+         |       ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |         + 0.0 AS mean_actual_r
+         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin),
 
     // the identical 3-round IRLS unroll: algebraic sigmoid, 1e-6-grid
     // long sums, Cramer per round — weights and the exact integer

@@ -311,6 +311,47 @@ object Fit {
         (col("sse").cast("double") / col("n_test").cast("double")).as("mse"))
   }
 
+  /** Reliability diagram (calibration report) for the two-feature ridge
+    * model: rows bucket into `nBuckets` equal-depth bins by PREDICTED
+    * score, and each bin reports mean predicted vs mean actual — the
+    * standard "is the quality model honest at the top of its range"
+    * check before its scores gate a corpus. A well-calibrated model
+    * tracks the diagonal; divergence in the top bin is exactly where a
+    * curation threshold does damage.
+    *
+    * Exactness: predictions quantize to integer label units (one IEEE
+    * chain + floor, bit-identical cross-engine), the equal-depth bin
+    * comes from the exact global rank over `(pred, hash, id)` via the
+    * two-phase prefix scan (never a one-task window), and per-bin sums
+    * are exact longs with two terminal divisions. Emits
+    * `(bucket, n, sp, sy, mean_pred, mean_actual)`. */
+  def calibrationD2(df: DataFrame, idCol: String, f1: String, f2: String,
+                    labelCol: String, nBuckets: Int = 10,
+                    lambda: Double = 1.0, salt: String = "cal"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val (_, w) = ridgeNormal(df, Seq(f1, f2), labelCol, lambda)
+    val x1 = col(f1).cast("long").cast("double")
+    val x2 = col(f2).cast("long").cast("double")
+    val pred = lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val scored = clean.select(col(idCol), col(labelCol).cast("long").as("__y"),
+      floor(pred + lit(0.5)).cast("long").as("__p"))
+      .withColumn("__all", lit("all"))
+    val total = scored.count()
+    require(total > 0, "calibrationD2 needs at least one complete row")
+    val ranked = Sampling.stratumPrefixCum(scored, idCol, "__all", lit(1L),
+      sortByScore = Some(col("__p")), "__rank", salt, partitions = 0,
+      scoreAscending = true)
+    ranked
+      .withColumn("bucket", expr(s"((__rank - 1) * $nBuckets) div ${total}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("__p").as("sp"), sum("__y").as("sy"))
+      .select(col("bucket"), col("n"), col("sp"), col("sy"),
+        (col("sp").cast("double") / col("n").cast("double")).as("mean_pred"),
+        (col("sy").cast("double") / col("n").cast("double")).as("mean_actual"))
+  }
+
   /** Binary CLASSIFIER for two integer features — IRLS over the
     * ALGEBRAIC sigmoid `σ(t) = 1/2 + t/(2(1+|t|))` (the Elliott
     * activation): each iteration is ONE corpus aggregate reducing the

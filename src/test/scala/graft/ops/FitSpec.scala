@@ -206,6 +206,38 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     again shouldBe cv
   }
 
+  "Fit.calibrationD2" should "bin by prediction with the ±1 depth law and track a calibrated fixture" in {
+    val rnd = new scala.util.Random(53)
+    val rows = (0L until 400L).map { i =>
+      val x1 = rnd.nextInt(100).toLong + 1
+      val x2 = rnd.nextInt(60).toLong + 1
+      // exact linear law + symmetric noise: calibrated by construction
+      (i, x1, x2, 10000 + 50 * x1 + 20 * x2 + (rnd.nextInt(401) - 200).toLong)
+    }
+    val df = mkDf(rows)
+    val got = Fit.calibrationD2(df, "id", "x1", "x2", "y", nBuckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    got.keySet shouldBe (0L until 10L).toSet
+    // equal-depth ±1 law and full coverage
+    got.values.map(_._1).sum shouldBe 400L
+    got.values.foreach { case (n, _, _, _, _) => n shouldBe 40L +- 1L }
+    // prediction means ascend across buckets (ranked by prediction)
+    val mp = (0L until 10L).map(b => got(b)._4)
+    mp.sliding(2).foreach(p => p(0) should be <= p(1))
+    // calibrated fixture: per-bucket actual tracks predicted within the
+    // noise scale (sd 116, se at n=40 ≈ 18 → 4σ ≈ 73)
+    got.values.foreach { case (_, _, _, predM, actM) =>
+      math.abs(predM - actM) should be < 150.0
+    }
+    // partition invariance (exact rank + long sums)
+    Fit.calibrationD2(df.repartition(7), "id", "x1", "x2", "y", nBuckets = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap shouldBe got
+  }
+
   "Fit.logisticElliottD2" should "separate a separable fixture and stay bit-identical under repartitioning" in {
     val rnd = new scala.util.Random(47)
     // linearly separable with margin: y = [x1 + x2 > 60]
