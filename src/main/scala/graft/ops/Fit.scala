@@ -352,6 +352,60 @@ object Fit {
         (col("sy").cast("double") / col("n").cast("double")).as("mean_actual"))
   }
 
+  /** Split-conformal prediction intervals for the two-feature ridge
+    * model — DISTRIBUTION-FREE uncertainty with a finite-sample
+    * guarantee: train on the `fit` slice, take the conformal quantile
+    * `q` = the `⌈(n_cal+1)(1−α)⌉`-th smallest |residual| on the held-out
+    * `cal` slice, and `pred ± q` then covers a fresh row's label with
+    * probability ≥ 1−α under exchangeability alone — no noise model, no
+    * asymptotics (Vovk et al.; the Lei et al. split-conformal recipe).
+    * The report checks the guarantee empirically: coverage counted on a
+    * third `test` slice the procedure never touched.
+    *
+    * Exactness: the three slices are the deterministic hash split;
+    * residuals quantize to integer label units; the quantile is the
+    * exact nearest-rank VALUE over `(score, hash, id)` via the two-phase
+    * prefix scan; coverage is an integer count — every cross-engine
+    * value is a long or a bit-identical double. Driver sees two counts
+    * and one rank value, never data. Emits one row:
+    * `(n_fit, n_cal, n_test, q, n_covered)`. */
+  def conformalD2(df: DataFrame, idCol: String, f1: String, f2: String,
+                  labelCol: String, alphaNum: Long = 1L, alphaDen: Long = 10L,
+                  lambda: Double = 1.0, salt: String = "conf"): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a fraction in (0, 1), got $alphaNum/$alphaDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val split = Sampling.assignSplit(clean, idCol,
+      Seq("fit" -> 0.5, "cal" -> 0.25, "test" -> 0.25), salt)
+      .localCheckpoint() // consumed 4×: train, cal rank, test count, cover
+    val (nFit, w) = ridgeNormal(split.where(col("split") === "fit"),
+      Seq(f1, f2), labelCol, lambda)
+    val x1 = col(f1).cast("long").cast("double")
+    val x2 = col(f2).cast("long").cast("double")
+    val y = col(labelCol).cast("long").cast("double")
+    val score = abs(floor(y -
+      (lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2) + lit(0.5)).cast("long"))
+    val scored = split.select(col(idCol), col("split"), score.as("score"))
+    val cal = scored.where(col("split") === "cal").withColumn("__all", lit("all"))
+    val nCal = cal.count()
+    require(nCal > 0, "conformalD2 needs a non-empty calibration slice")
+    val k = math.min(nCal,
+      ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen)
+    val q = Sampling.stratumPrefixCum(cal, idCol, "__all", lit(1L),
+        sortByScore = Some(col("score")), "__rank", salt + "r",
+        partitions = 0, scoreAscending = true)
+      .where(col("__rank") === k)
+      .select(col("score")).head().getLong(0)
+    val test = scored.where(col("split") === "test")
+    val agg = test.agg(count(lit(1)).as("n_test"),
+      sum((col("score") <= q).cast("long")).as("n_covered")).head()
+    Seq((nFit, nCal, agg.getLong(0), q, agg.getLong(1)))
+      .toDF("n_fit", "n_cal", "n_test", "q", "n_covered")
+  }
+
   /** Binary CLASSIFIER for two integer features — IRLS over the
     * ALGEBRAIC sigmoid `σ(t) = 1/2 + t/(2(1+|t|))` (the Elliott
     * activation): each iteration is ONE corpus aggregate reducing the

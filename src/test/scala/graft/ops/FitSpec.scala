@@ -238,6 +238,51 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
           r.getDouble(5))).toMap shouldBe got
   }
 
+  "Fit.conformalD2" should "hit the finite-sample coverage guarantee and match a hand replay" in {
+    val rnd = new scala.util.Random(59)
+    val rows = (0L until 1200L).map { i =>
+      val x1 = rnd.nextInt(100).toLong + 1
+      val x2 = rnd.nextInt(50).toLong + 1
+      (i, x1, x2, 5000 + 30 * x1 + 12 * x2 + (rnd.nextInt(201) - 100).toLong)
+    }
+    val df = mkDf(rows)
+    val out = Fit.conformalD2(df, "id", "x1", "x2", "y").head()
+    val (nFit, nCal, nTest, q, nCov) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3), out.getLong(4))
+    nFit + nCal + nTest shouldBe rows.size.toLong
+    // the ≥ 1−α finite-sample guarantee, with binomial slack at n_test
+    val coverage = nCov.toDouble / nTest
+    coverage should be >= 0.85
+    // and non-trivial: q is not swallowing everything
+    coverage should be <= 0.99
+    q should be > 0L
+    q should be < 300L // noise is ±100 → quantile of |resid| well under 300
+    // hand replay: same split hash, refit on fit slice, nearest-rank on
+    // the (score, hash, id) order, coverage recount
+    def splitOf(id: Long): String = {
+      val h = graft.pipeline.Hashing.hash60(s"$id#conf")
+      val thr = Sampling.cumThresholds(Seq(0.5, 0.25, 0.25))
+      if (h < thr(0)) "fit" else if (h < thr(1)) "cal" else "test"
+    }
+    val fitRows = rows.filter(r => splitOf(r._1) == "fit")
+    val (_, w) = Fit.ridgeNormal(mkDf(fitRows), Seq("x1", "x2"), "y")
+    def score(r: (Long, Long, Long, Long)): Long = math.abs(math.floor(
+      r._4.toDouble - (w(0) + w(1) * r._2.toDouble + w(2) * r._3.toDouble)
+        + 0.5).toLong)
+    val cal = rows.filter(r => splitOf(r._1) == "cal")
+      .map(r => (score(r), graft.pipeline.Hashing.hash60(s"${r._1}#confr"), r._1))
+      .sorted
+    val k = math.min(cal.size.toLong, ((cal.size + 1) * 9 + 9) / 10)
+    cal.size.toLong shouldBe nCal
+    cal((k - 1).toInt)._1 shouldBe q
+    val testRows = rows.filter(r => splitOf(r._1) == "test")
+    testRows.size.toLong shouldBe nTest
+    testRows.count(r => score(r) <= q).toLong shouldBe nCov
+    // partition invariance
+    Fit.conformalD2(df.repartition(7), "id", "x1", "x2", "y")
+      .head().toSeq shouldBe out.toSeq
+  }
+
   "Fit.logisticElliottD2" should "separate a separable fixture and stay bit-identical under repartitioning" in {
     val rnd = new scala.util.Random(47)
     // linearly separable with margin: y = [x1 + x2 > 60]
