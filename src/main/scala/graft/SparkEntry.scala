@@ -1203,6 +1203,14 @@ object SparkEntry {
         .orderBy("window_start_s", "event_type")
     }),
 
+    // exact two-proportion A/B test: hash arms, distinct-user conversion
+    // to 'purchase', χ² verdict by integer cross-multiplication in
+    // DECIMAL(38) (critical value as the rational 384/100) — no float
+    // anywhere, the oracle replays every count and the comparison
+    "q_ab_test" -> ((s, dir) => {
+      streaming.Events.abTest(streaming.Events.readEvents(s, dir), "purchase")
+    }),
+
     // CUSUM sequential drift monitor: per-type running max(0, S+(n−k))
     // over hourly counts, alarm at S > 3k — catches the sustained small
     // shift the 3σ point test (q_rate_anomaly) can't see. Exact integer
@@ -4073,6 +4081,36 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM wc JOIN m ON wc.event_type = m.event_type
         |ORDER BY wc.window_start_s, wc.event_type""".stripMargin,
+
+    // identical arm hash, distinct-user conversion, and HUGEINT
+    // cross-multiplied verdict
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'),
+        |                         1, 15))::BIGINT % 2 AS arm,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS conv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |       CAST(CASE WHEN
+        |         CAST(n_a + n_b AS HUGEINT)
+        |           * ((CAST(conv_a AS HUGEINT) * CAST(n_b - conv_b AS HUGEINT)
+        |               - CAST(n_a - conv_a AS HUGEINT) * CAST(conv_b AS HUGEINT))
+        |              * (CAST(conv_a AS HUGEINT) * CAST(n_b - conv_b AS HUGEINT)
+        |                 - CAST(n_a - conv_a AS HUGEINT) * CAST(conv_b AS HUGEINT)))
+        |           * 100
+        |         > 384 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+        |               * CAST(conv_a + conv_b AS HUGEINT)
+        |               * CAST((n_a - conv_a) + (n_b - conv_b) AS HUGEINT)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM c""".stripMargin,
 
     // the identical integer recurrence replayed as a recursive CTE over
     // per-type window indices

@@ -182,6 +182,53 @@ object Events {
       .toDF("window_start_s", "event_type", "n", "k", "s", "alarm")
   }
 
+  /** Two-proportion A/B test on conversion — the experimentation
+    * primitive, exact end-to-end: users hash into two arms (the same
+    * deterministic membership rule as every sampler here — with a real
+    * assignment table the arm column drops in unchanged), conversion =
+    * "user emitted ≥1 `convType` event", and the χ² decision
+    * `N·(ad−bc)² > 3.84·n_A·n_B·(a+c)·(b+d)` (the α=0.05 critical
+    * value as the exact rational 384/100) evaluates by integer
+    * cross-multiplication in DECIMAL(38) — no float, no sqrt, so the
+    * verdict is bit-identical cross-engine. (The χ² VALUE is one
+    * division away if wanted; the operator emits the counts and the
+    * verdict, which is what a gate consumes.)
+    *
+    * Shape: one (user → arm, converted) dedup aggregate (shuffle ∝
+    * distinct users), one 4-long reduction; nothing else scales. Emits
+    * one row: `(n_a, conv_a, n_b, conv_b, significant)`. */
+  def abTest(events: DataFrame, convType: String,
+             salt: String = "ab"): DataFrame = {
+    val arm = pmod(graft.pipeline.Hashing.hash60(
+      concat(col("user_id").cast("string"), lit("#" + salt))), lit(2L))
+    val users = events
+      .select(col("user_id"), arm.as("arm"),
+        (col("event_type") === convType).cast("long").as("is_conv"))
+      .groupBy("user_id", "arm")
+      .agg(max("is_conv").as("conv"))
+    val counts = users.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    // DECIMAL(38) throughout the products: N·(ad−bc)²·100 stays inside
+    // 38 digits to ~10^7 users per arm (past that, split the statistic
+    // or pre-aggregate per shard); Spark nulls on decimal overflow, so a
+    // blown bound surfaces as a NULL verdict, never a wrong one
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val a = col("conv_a")
+    val b = col("n_a") - col("conv_a")
+    val c0 = col("conv_b")
+    val d0 = col("n_b") - col("conv_b")
+    val n = col("n_a") + col("n_b")
+    val cross = d38(a) * d38(d0) - d38(b) * d38(c0)
+    val sig = (d38(n) * (cross * cross) * d38(lit(100L)) >
+      d38(lit(384L)) * d38(col("n_a")) * d38(col("n_b")) *
+        d38(a + c0) * d38(b + d0)).cast("long")
+    counts.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      sig.as("significant"))
+  }
+
   /** Session windows per user (gap-based): a session ends after `gap` of
     * inactivity. Spark's native `session_window` keyed state — in
     * streaming this is incremental per-key state, no global sort. */

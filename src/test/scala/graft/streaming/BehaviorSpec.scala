@@ -282,6 +282,53 @@ class BehaviorSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     byUser(1L).length shouldBe 3
   }
 
+  behavior of "Events.abTest"
+
+  it should "dedup users, split arms by hash, and decide by the exact chi-square rule" in {
+    // 60 users, several events each — conversion must count USERS, not
+    // events; arm membership from the same hash both sides replay
+    def armOf(u: Long): Long = {
+      val h = graft.pipeline.Hashing.hash60(s"$u#ab")
+      ((h % 2) + 2) % 2
+    }
+    val users = (1L to 60L)
+    // plant a strong effect: arm-0 users convert, arm-1 users don't
+    // (3 converters' worth of noise the other way)
+    val rows = users.flatMap { u =>
+      val converts = if (armOf(u) == 0L) u % 20 != 0 else u % 20 == 0
+      val base = Seq((u * 10, u, ts(1, (u % 24).toInt), "view"),
+        (u * 10 + 1, u, ts(2, (u % 24).toInt), "view"))
+      if (converts)
+        base ++ Seq((u * 10 + 2, u, ts(2, (u % 24).toInt), "purchase"),
+          (u * 10 + 3, u, ts(3, (u % 24).toInt), "purchase")) // twice: still 1 user
+      else base
+    }
+    val out = Events.abTest(ev(rows), "purchase").head()
+    val (nA, convA, nB, convB, sig) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3), out.getLong(4))
+    nA + nB shouldBe 60L
+    // replay the counts by hand
+    val expA = users.filter(armOf(_) == 0L)
+    val expB = users.filter(armOf(_) == 1L)
+    nA shouldBe expA.size.toLong
+    nB shouldBe expB.size.toLong
+    convA shouldBe expA.count(_ % 20 != 0).toLong
+    convB shouldBe expB.count(_ % 20 == 0).toLong
+    // the planted near-total separation is overwhelmingly significant
+    sig shouldBe 1L
+    // and the exact rule replayed in BigInt agrees
+    val (a, b, c, d) = (BigInt(convA), BigInt(nA - convA),
+      BigInt(convB), BigInt(nB - convB))
+    val lhs = BigInt(nA + nB) * (a * d - b * c).pow(2) * 100
+    val rhs = BigInt(384) * BigInt(nA) * BigInt(nB) * (a + c) * (b + d)
+    (lhs > rhs) shouldBe true
+    // a no-effect fixture (everyone converts) is not significant
+    val flat = users.flatMap { u =>
+      Seq((u * 10, u, ts(1), "view"), (u * 10 + 1, u, ts(2), "purchase"))
+    }
+    Events.abTest(ev(flat), "purchase").head().getLong(4) shouldBe 0L
+  }
+
   behavior of "Events.cusumDrift"
 
   it should "alarm on a sustained shift but not a single spike, per the exact recurrence" in {
