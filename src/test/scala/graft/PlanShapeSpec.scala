@@ -501,6 +501,34 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "q_calibration and q_conformal" should "rank through the prefix scan with no window and no one-task exchange" in {
+    // decile bins / the conformal quantile come from the shared two-phase
+    // exact rank — the cumulative-window spelling would serialize 100 TB
+    for (name <- Seq("q_calibration", "q_conformal")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      plan should not include "Window"
+      plan should not include "SinglePartition"
+    }
+  }
+
+  "q_ab_test and q_cusum_drift" should "stay aggregate-shaped: no window, no join beyond the 1-row broadcast, no cartesian blowup" in {
+    val ab = SparkEntry.queries("q_ab_test")(spark, dir)
+    ab.collect()
+    val abPlan = ab.queryExecution.executedPlan.toString
+    abPlan should not include "Window"
+    abPlan should not include "SortMergeJoin"
+    abPlan should not include "CartesianProduct"
+    val cu = SparkEntry.queries("q_cusum_drift")(spark, dir)
+    cu.collect()
+    val cuPlan = cu.queryExecution.executedPlan.toString
+    // the per-type allowance arrives as a broadcast, never a shuffled join
+    cuPlan should include("BroadcastHashJoin")
+    cuPlan should not include "SortMergeJoin"
+    cuPlan should not include "CartesianProduct"
+  }
+
   "q_triangles" should "join wedges by key with no cartesian product" in {
     val df = SparkEntry.queries("q_triangles")(spark, dir)
     df.collect()
