@@ -1512,6 +1512,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // boundary-preserving packing: next-fit bins per 512-doc shard that
+    // NEVER split a document across training rows (the no-cross-
+    // contamination alternative to q_pack_sequences' concat-and-chop);
+    // the sequential fold is bounded per shard, and the oracle replays
+    // it as a recursive CTE
+    "q_pack_nosplit" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val projected = docs.select(col("doc_id"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      ops.Packing.packBinsNoSplit(projected, "doc_id", "n_tokens",
+        capacity = 256L, shardSize = 512L)
+        .orderBy("id")
+    }),
+
     // the operators composed into the actual use-case: quality filter →
     // language filter → exact dedup (keep canonical) → deterministic
     // train-slice sample — one curation pass over the corpus, exactly
@@ -4597,6 +4611,33 @@ object SparkEntry {
         |       CAST((strt + n_tokens - 1) // 256 AS BIGINT) AS seq_last,
         |       CAST(strt % 256 AS BIGINT) AS pos_in_seq
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // identical hash order, shard/pos arithmetic, and the next-fit
+    // recurrence replayed recursively
+    "q_pack_nosplit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS t,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#packns'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |         (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) // 512 AS shard,
+        |         (ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) % 512 AS pos
+        |  FROM d),
+        |r(shard, pos, doc_id, t, bin, run) AS (
+        |  SELECT shard, pos, doc_id, t, CAST(0 AS BIGINT), t
+        |  FROM s WHERE pos = 0
+        |  UNION ALL
+        |  SELECT s.shard, s.pos, s.doc_id, s.t,
+        |         CASE WHEN r.run + s.t > 256 THEN r.bin + 1 ELSE r.bin END,
+        |         CASE WHEN r.run + s.t > 256 THEN s.t ELSE r.run + s.t END
+        |  FROM r JOIN s ON s.shard = r.shard AND s.pos = r.pos + 1)
+        |SELECT doc_id AS id, t AS tokens, CAST(shard AS BIGINT) AS shard,
+        |       CAST(pos AS BIGINT) AS pos, CAST(bin AS BIGINT) AS bin,
+        |       CAST(run - t AS BIGINT) AS bin_start
+        |FROM r ORDER BY id""".stripMargin,
 
     "q_curation_e2e" -> (tokSql +
       s""", q AS (

@@ -90,4 +90,52 @@ object Packing {
         (col("__start") % seqLen).as("pos_in_seq")): _*)
     out
   }
+
+  /** Boundary-preserving packing — next-fit bins that NEVER split a
+    * document across training rows, the "packing without
+    * cross-contamination" alternative to [[packSequences]]'s
+    * concat-and-chop (a document straddling a sequence boundary leaks
+    * its neighbors into the attention window; this variant trades a
+    * little padding for clean rows). Documents first lay out in the
+    * deterministic salted-hash order as `shardSize`-document shards
+    * ([[Sharding.assignShards]] — the epoch-shuffle machinery, reused);
+    * WITHIN each shard a next-fit fold opens a new bin whenever the
+    * running token count would exceed `capacity`. Oversized documents
+    * (> capacity tokens) get a bin alone — emitted, never silently
+    * dropped, so the caller can route them to truncation explicitly.
+    *
+    * Scale shape: the fold is per shard over ≤ `shardSize` documents via
+    * the shuffle's own spillable sorted groups — bins are a SEQUENTIAL
+    * recurrence, and bounding it to a shard is what makes it distributed
+    * without a single-task stream (the same move as the capped-session
+    * fold). All integer arithmetic; the layout is a pure function of
+    * (key set, token counts, salt, capacity, shardSize). Keys must be
+    * unique and castable to long. Emits
+    * `(id, tokens, shard, pos, bin, bin_start)` — `bin` counts within
+    * the shard, `bin_start` is the document's token offset in its bin. */
+  def packBinsNoSplit(df: DataFrame, keyCol: String, tokenCol: String,
+                      capacity: Long, shardSize: Long,
+                      salt: String = "packns"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharded = Sharding.assignShards(
+      df.select(col(keyCol), col(tokenCol).cast("long").as("__tok")),
+      keyCol, shardSize, salt)
+    sharded.select(col(keyCol).cast("long").as("k"), col("__tok"),
+        col("shard"), col("pos"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapSortedGroups(col("pos")) { (shard, rows) =>
+        var bin = -1L
+        var running = 0L
+        rows.map { case (k, t, _, pos) =>
+          if (bin < 0L || running + t > capacity) { bin += 1; running = 0L }
+          val start = running
+          running += t
+          (k, t, shard, pos, bin, start)
+        }
+      }
+      .toDF("id", "tokens", "shard", "pos", "bin", "bin_start")
+  }
 }

@@ -301,6 +301,52 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .toSet shouldBe expect
   }
 
+  it should "pack next-fit bins that never split a document and match the sequential reference" in {
+    import s.implicits._
+    val rnd = new Random(61L)
+    val rows = (0L until 300L).map(i => (i, rnd.nextInt(120).toLong + 1)) ++
+      Seq((900L, 500L)) // oversize doc: must land in a bin alone
+    val df = rows.toDF("doc_id", "n_tokens")
+    val got = Packing.packBinsNoSplit(df, "doc_id", "n_tokens",
+      capacity = 256L, shardSize = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    got.length shouldBe rows.size
+    // sequential reference over the same (hash, key) order
+    val order = rows.sortBy { case (id, _) =>
+      (graft.pipeline.Hashing.hash60(s"$id#packns"), id)
+    }
+    val expect = order.zipWithIndex.map { case ((id, t), rk) =>
+      (id, t, rk / 64L, rk % 64L)
+    }.groupBy(_._3).toSeq.flatMap { case (shard, docs) =>
+      var bin = -1L; var run = 0L
+      docs.sortBy(_._4).map { case (id, t, _, pos) =>
+        if (bin < 0L || run + t > 256L) { bin += 1; run = 0L }
+        val start = run
+        run += t
+        (id, t, shard, pos, bin, start)
+      }
+    }.toSet
+    got.toSet shouldBe expect
+    // invariants: no bin exceeds capacity unless it holds ONE oversize
+    // doc, and every doc is whole (start + tokens stays in its bin)
+    got.groupBy(g => (g._3, g._5)).values.foreach { binDocs =>
+      val total = binDocs.map(_._2).sum
+      if (total > 256L) binDocs.length shouldBe 1
+      binDocs.foreach { case (_, t, _, _, _, start) =>
+        start + t shouldBe <=(math.max(256L, t))
+      }
+    }
+    // the oversize doc sits alone
+    val over = got.find(_._1 == 900L).get
+    got.count(g => (g._3, g._5) == ((over._3, over._5))) shouldBe 1
+    // partition invariance
+    Packing.packBinsNoSplit(df.repartition(9), "doc_id", "n_tokens",
+      capacity = 256L, shardSize = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet shouldBe expect
+  }
+
   it should "assign every row to exactly one split at the target fractions" in {
     val df = s.range(20000).toDF("id")
     val splits = Sampling.assignSplit(df, "id",
