@@ -600,6 +600,20 @@ object SparkEntry {
       ops.Fit.conformalD2(feats, "doc_id", "x1", "x2", "y")
     }),
 
+    // Mondrian (per-source) conformal: the marginal guarantee can hide
+    // 99%-on-web / 60%-on-tail coverage — per-stratum quantiles from the
+    // stratified prefix scan restore the guarantee PER SOURCE
+    "q_conformal_mondrian" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val feats = docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("x1"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      ops.Fit.conformalMondrianD2(feats, "doc_id", "source",
+          "x1", "x2", "y")
+        .orderBy("source")
+    }),
+
     // calibration report (reliability diagram) for the quality model:
     // equal-depth deciles by predicted score, mean predicted vs mean
     // actual per decile — rank from the two-phase prefix scan over the
@@ -3289,6 +3303,92 @@ object SparkEntry {
            |  FROM sc CROSS JOIN qv WHERE sc.split = 'test')
            |SELECT ws.n_fit, qv.n_cal, tst.n_test, qv.q, tst.n_covered
            |FROM ws CROSS JOIN qv CROSS JOIN tst""".stripMargin
+    },
+
+    // the conformal oracle stratified by source: per-source rank rule,
+    // quantile, and coverage count
+    "q_conformal_mondrian" -> {
+      val thr = ops.Sampling.cumThresholds(Seq(0.5, 0.25, 0.25))
+      tokSql +
+        s""", qual AS (
+           |  SELECT doc_id, ROUND($qualityExprSql,
+           |        6) AS q
+           |  FROM (
+           |  $qualityInnerSql)),
+           |feat AS (
+           |  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS x1,
+           |         CAST(len(tk.t) AS BIGINT) AS x2,
+           |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+           |  FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id
+           |  JOIN qual ON d.doc_id = qual.doc_id),
+           |sp AS (
+           |  SELECT doc_id, source, x1, x2, y,
+           |         CASE WHEN h < ${thr(0)} THEN 'fit'
+           |              WHEN h < ${thr(1)} THEN 'cal'
+           |              ELSE 'test' END AS split
+           |  FROM (SELECT feat.*,
+           |               ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+           |                                            'null') || '#conf'),
+           |                               1, 15))::BIGINT AS h
+           |        FROM feat) f),
+           |m AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+           |         SUM(x1) AS g01, SUM(x2) AS g02,
+           |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+           |         SUM(x2 * x2) AS g22,
+           |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+           |  FROM sp WHERE split = 'fit'),
+           |a AS (
+           |  SELECT CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+           |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+           |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+           |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+           |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+           |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+           |         CAST(b2 AS DOUBLE) AS c2
+           |  FROM m),
+           |ws AS (
+           |  SELECT
+           |    (c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+           |       + a02 * (c1 * a21 - a11 * c2))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w0,
+           |    (a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * c2 - c1 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w1,
+           |    (a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+           |       + c0 * (a10 * a21 - a11 * a20))
+           |    / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+           |       + a02 * (a10 * a21 - a11 * a20)) AS w2
+           |  FROM a),
+           |sc AS (
+           |  SELECT sp.doc_id, sp.source, sp.split,
+           |         ABS(CAST(FLOOR(CAST(sp.y AS DOUBLE)
+           |           - (ws.w0 + ws.w1 * CAST(sp.x1 AS DOUBLE)
+           |              + ws.w2 * CAST(sp.x2 AS DOUBLE)) + 0.5)
+           |           AS BIGINT)) AS score
+           |  FROM sp CROSS JOIN ws),
+           |calr AS (
+           |  SELECT source, score,
+           |         ROW_NUMBER() OVER (PARTITION BY source
+           |                            ORDER BY score, h2, doc_id) AS rn,
+           |         COUNT(*) OVER (PARTITION BY source) AS c
+           |  FROM (SELECT doc_id, source, score,
+           |               ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+           |                                            'null') || '#confr'),
+           |                               1, 15))::BIGINT AS h2
+           |        FROM sc WHERE split = 'cal') t),
+           |qv AS (
+           |  SELECT source, CAST(c AS BIGINT) AS n_cal, score AS q
+           |  FROM calr WHERE rn = LEAST(c, ((c + 1) * 9 + 9) // 10))
+           |SELECT sc.source, qv.n_cal, qv.q,
+           |       CAST(COUNT(*) AS BIGINT) AS n_test,
+           |       CAST(SUM(CASE WHEN sc.score <= qv.q THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_covered
+           |FROM sc JOIN qv ON sc.source = qv.source
+           |WHERE sc.split = 'test'
+           |GROUP BY 1, 2, 3 ORDER BY sc.source""".stripMargin
     },
 
     // identical weights (Cramer), identical quantized predictions,

@@ -406,6 +406,71 @@ object Fit {
       .toDF("n_fit", "n_cal", "n_test", "q", "n_covered")
   }
 
+  /** Mondrian (group-conditional) split-conformal: one shared model, a
+    * SEPARATE conformal quantile per stratum — the fix for the failure
+    * mode marginal conformal allows at corpus scale, where 90% overall
+    * coverage can be 99% on English and 60% on the tail language (the
+    * guarantee then holds PER GROUP, each stratum calibrated by its own
+    * residuals; Vovk's Mondrian taxonomy with groups as categories).
+    * Same machinery as [[conformalD2]] with the rank scan stratified:
+    * per-stratum nearest-rank targets are driver-computed from the cal
+    * counts (one row per stratum — bounded), the quantile VALUES come
+    * from the shared two-phase prefix scan partitioned by stratum, and
+    * coverage is counted per stratum on the untouched test slice. Strata
+    * with an empty calibration slice emit no row (no quantile exists to
+    * certify them — absent, never silently mis-covered). Emits one row
+    * per stratum: `(stratum, n_cal, q, n_test, n_covered)`. */
+  def conformalMondrianD2(df: DataFrame, idCol: String, strataCol: String,
+                          f1: String, f2: String, labelCol: String,
+                          alphaNum: Long = 1L, alphaDen: Long = 10L,
+                          lambda: Double = 1.0,
+                          salt: String = "conf"): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a fraction in (0, 1), got $alphaNum/$alphaDen")
+    val spark = df.sparkSession
+    val clean = df.where(
+      Seq(f1, f2, labelCol).map(col(_).isNotNull).reduce(_ && _))
+    val split = Sampling.assignSplit(clean, idCol,
+      Seq("fit" -> 0.5, "cal" -> 0.25, "test" -> 0.25), salt)
+      .localCheckpoint()
+    val (_, w) = ridgeNormal(split.where(col("split") === "fit"),
+      Seq(f1, f2), labelCol, lambda)
+    val x1 = col(f1).cast("long").cast("double")
+    val x2 = col(f2).cast("long").cast("double")
+    val y = col(labelCol).cast("long").cast("double")
+    val score = abs(floor(y -
+      (lit(w(0)) + lit(w(1)) * x1 + lit(w(2)) * x2) + lit(0.5)).cast("long"))
+    val scored = split.select(col(idCol), col(strataCol), col("split"),
+      score.as("score"))
+    val cal = scored.where(col("split") === "cal")
+    val targets = cal.groupBy(strataCol).count().collect().map { r =>
+      val c = r.getLong(1)
+      org.apache.spark.sql.Row(r.get(0), c,
+        math.min(c, ((c + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen))
+    }
+    val tSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__t",
+        df.schema(strataCol).dataType),
+      org.apache.spark.sql.types.StructField("n_cal",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__k",
+        org.apache.spark.sql.types.LongType)))
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets.toSeq, 1), tSchema)
+    val ranked = Sampling.stratumPrefixCum(cal, idCol, strataCol, lit(1L),
+      sortByScore = Some(col("score")), "__rank", salt + "r",
+      partitions = 0, scoreAscending = true)
+    val qs = ranked.join(broadcast(tdf),
+        ranked(strataCol) <=> tdf("__t") && col("__rank") === col("__k"))
+      .select(col(strataCol), col("n_cal"), col("score").as("q"))
+    val test = scored.where(col("split") === "test")
+    test.join(qs, strataCol)
+      .groupBy(strataCol)
+      .agg(first(col("n_cal")).as("n_cal"), first(col("q")).as("q"),
+        count(lit(1)).as("n_test"),
+        sum((col("score") <= col("q")).cast("long")).as("n_covered"))
+  }
+
   /** Binary CLASSIFIER for two integer features — IRLS over the
     * ALGEBRAIC sigmoid `σ(t) = 1/2 + t/(2(1+|t|))` (the Elliott
     * activation): each iteration is ONE corpus aggregate reducing the

@@ -283,6 +283,41 @@ class FitSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .head().toSeq shouldBe out.toSeq
   }
 
+  "Fit.conformalMondrianD2" should "calibrate each stratum by its own residual scale" in {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(67)
+    // heteroscedastic strata: 'tight' ±40 noise, 'wide' ±400 — ONE shared
+    // model, so a single marginal quantile must misfit one of them;
+    // per-stratum quantiles must separate by an order of magnitude
+    val rows = (0L until 1600L).map { i =>
+      val x1 = rnd.nextInt(100).toLong + 1
+      val x2 = rnd.nextInt(50).toLong + 1
+      val tight = i % 2 == 0
+      val noise = if (tight) rnd.nextInt(81) - 40 else rnd.nextInt(801) - 400
+      (i, if (tight) "tight" else "wide", x1, x2,
+        8000 + 25 * x1 + 10 * x2 + noise.toLong)
+    }
+    val df = rows.toDF("id", "src", "x1", "x2", "y")
+    val got = Fit.conformalMondrianD2(df, "id", "src", "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    got.keySet shouldBe Set("tight", "wide")
+    val (_, qT, nTestT, covT) = got("tight")
+    val (_, qW, nTestW, covW) = got("wide")
+    // each stratum's quantile reflects ITS noise scale
+    qT should be < 100L
+    qW should be > 200L
+    // and the guarantee holds per group (binomial slack at ~200 test rows)
+    covT.toDouble / nTestT should be >= 0.82
+    covW.toDouble / nTestW should be >= 0.82
+    // determinism under repartitioning
+    Fit.conformalMondrianD2(df.repartition(7), "id", "src", "x1", "x2", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap shouldBe got
+  }
+
   "Fit.logisticElliottD2" should "separate a separable fixture and stay bit-identical under repartitioning" in {
     val rnd = new scala.util.Random(47)
     // linearly separable with margin: y = [x1 + x2 > 60]
