@@ -402,6 +402,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // graded contamination: distinct-gram overlap FRACTION per doc, the
+    // GPT-3-style soft decontamination score; verdict by integer
+    // cross-multiplication (n_hit*100 >= n_grams*20), never a float test
+    "q_contamination_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.contaminationOverlap(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // label hygiene: unlabeled docs (doc_id % 7 = 0 simulates a lost tag)
+    // inherit the majority label of their near-dup cluster's labeled
+    // members; ties to the smallest label, no labeled peer -> 'und'
+    "q_label_backfill" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      pipeline.Dedup.labelBackfill(docs, pairs.select("i", "j"),
+        unlabeled = col("doc_id") % 7 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // cross-source duplication matrix: near-dup pairs per unordered
+    // source pair — the which-crawls-overlap diagnostic before mixing
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = pipeline.Dedup.minHashNearDups(docs, n = 3, theta = 0.7)
+      pipeline.Dedup.sourceOverlapMatrix(docs, pairs.select("i", "j"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // winnowing fingerprints (MOSS): windowed minima over shingle hashes
     "q_doc_fingerprint" -> ((s, dir) => {
       pipeline.TextOps.fingerprints(s.read.parquet(s"$dir/documents.parquet"))
@@ -2934,6 +2965,27 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
 
+    "q_contamination_overlap" -> (trigramTextSql +
+      """, bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_hit
+        |       FROM corp JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(o.n_hit, 0) AS BIGINT) AS n_hit,
+        |       ROUND(COALESCE(o.n_hit, 0) * 1.0
+        |             / GREATEST(COALESCE(t.n_grams, 0), 1), 6)
+        |         AS overlap_frac_r,
+        |       CAST(CASE WHEN COALESCE(o.n_hit, 0) > 0
+        |                  AND COALESCE(o.n_hit, 0) * 100
+        |                      >= COALESCE(t.n_grams, 0) * 20
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN ov o ON o.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
+
     "q_text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -3742,6 +3794,50 @@ object SparkEntry {
     "q_ppr" -> pprOracleSql(5),
 
     "q_dedup_clusters" -> clusterOracle(0.7),
+
+    // majority vote over the LABELED members of each recursive-closure
+    // cluster — the closure is algorithmically independent of the Spark
+    // side's label propagation, same guarantee as q_dedup_clusters
+    "q_label_backfill" -> (clusterCteSql(0.7) +
+      """,
+        |lab AS (
+        |  SELECT cl.cluster, d.lang, COUNT(*) AS votes
+        |  FROM cl JOIN documents d ON d.doc_id = cl.id
+        |  WHERE d.doc_id % 7 <> 0 GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT cluster, lang AS maj_label FROM (
+        |    SELECT cluster, lang,
+        |           ROW_NUMBER() OVER (PARTITION BY cluster
+        |             ORDER BY votes DESC, lang) AS rn
+        |    FROM lab) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id % 7 <> 0 THEN d.lang
+        |            ELSE COALESCE(m.maj_label, 'und') END AS lang_out,
+        |       CAST(CASE WHEN d.doc_id % 7 = 0 AND m.maj_label IS NOT NULL
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS backfilled
+        |FROM documents d
+        |JOIN cl ON cl.id = d.doc_id
+        |LEFT JOIN maj m ON m.cluster = cl.cluster
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // exact >=theta pair set grouped by unordered source pair — the same
+    // lossless-pair-set premise q_dedup_clusters already hash-checks
+    "q_source_overlap" -> (shingleSql +
+      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT i, j FROM inter
+        |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7)
+        |SELECT LEAST(di.source, dj.source) AS src_a,
+        |       GREATEST(di.source, dj.source) AS src_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM p JOIN documents di ON di.doc_id = p.i
+        |       JOIN documents dj ON dj.doc_id = p.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_split_leakage_safe" -> {
       val thr = ops.Sampling.cumThresholds(splitFractions.map(_._2))

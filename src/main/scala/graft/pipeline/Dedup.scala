@@ -794,4 +794,72 @@ object Dedup {
     graft.ops.Sampling.assignSplit(clusters, "cluster", fractions, salt)
       .select(col("id"), col("cluster"), col("split"))
   }
+
+  /** Label backfill across near-dup clusters: documents whose metadata
+    * label is missing (the `unlabeled` predicate) inherit the MAJORITY
+    * label of the LABELED members of their duplicate cluster — the
+    * production label-hygiene move for scraped corpora, where a re-crawl
+    * or mirror often lost the tag its near-copy still carries. Ties break
+    * to the lexicographically smallest label and an unlabeled document
+    * with no labeled cluster peer (singletons included) reports the
+    * sentinel `fallback` — both rules deterministic, so the output is a
+    * pure function of (docs, pairs).
+    *
+    * Returns one row per document: `(doc_id, lang_out, backfilled)` where
+    * `backfilled` is 1 exactly when a majority label was inherited.
+    *
+    * Scale: [[duplicateClusters]] bounds the graph work (O(log D)
+    * rounds); the vote is one (cluster, label) hash aggregation over
+    * LABELED MEMBERS OF NON-SINGLETON CLUSTERS ONLY — far smaller than
+    * the corpus — ranked through the grouped-top-k operator (k=1, never a
+    * full sort), then joined back id-keyed. No step touches text. */
+  def labelBackfill(docs: DataFrame, pairs: DataFrame,
+                    labelCol: String = "lang",
+                    unlabeled: org.apache.spark.sql.Column,
+                    fallback: String = "und"): DataFrame = {
+    val clusters = duplicateClusters(docs.select("doc_id"), pairs)
+    val labeled = clusters
+      .join(docs.where(!unlabeled).select(col("doc_id"), col(labelCol)),
+        col("id") === col("doc_id"))
+      .groupBy("cluster", labelCol).agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("votes").desc, col(labelCol))
+    val majority = labeled
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cluster"), col(labelCol).as("maj_label"))
+    docs.select(col("doc_id"), col(labelCol), unlabeled.as("unl"))
+      .join(clusters, col("doc_id") === col("id"), "left")
+      .join(majority, Seq("cluster"), "left")
+      .select(
+        col("doc_id"),
+        when(!col("unl"), col(labelCol))
+          .otherwise(coalesce(col("maj_label"), lit(fallback)))
+          .as("lang_out"),
+        (col("unl") && col("maj_label").isNotNull).cast("long")
+          .as("backfilled"))
+  }
+
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * the number of verified near-dup pairs straddling it (diagonal =
+    * within-source duplication). THE overlap diagnostic before corpus
+    * mixing — two crawls with a heavy off-diagonal cell are re-scrapes of
+    * the same sites, and their mixing weights double-count unless one is
+    * deduped against the other.
+    *
+    * Scale: two id-keyed equi-joins decorate the verified pair set (far
+    * smaller than the corpus — LSH banding bounds it) with a slim
+    * `(doc_id, source)` projection, then one hash aggregation over at
+    * most |sources|² cells. Nothing is all-pairs in the corpus. */
+  def sourceOverlapMatrix(docs: DataFrame, pairs: DataFrame,
+                          sourceCol: String = "source"): DataFrame = {
+    val src = docs.select(col("doc_id"), col(sourceCol))
+    val decorated = pairs
+      .join(src.select(col("doc_id").as("i"), col(sourceCol).as("src_i")), "i")
+      .join(src.select(col("doc_id").as("j"), col(sourceCol).as("src_j")), "j")
+    decorated
+      .groupBy(
+        least(col("src_i"), col("src_j")).as("src_a"),
+        greatest(col("src_i"), col("src_j")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -464,6 +464,48 @@ object TextOps {
         (coalesce(col("n_contaminated"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Soft contamination score ([[decontaminate]]'s graded twin, the
+    * GPT-3 appendix-C / PaLM shape): per corpus document, the FRACTION of
+    * its distinct token n-grams that appear anywhere in the benchmark
+    * set, flagged when the fraction reaches `pctThreshold` percent. The
+    * binary any-overlap flag over-fires on one stock phrase; the graded
+    * score separates "quotes a benchmark item wholesale" from "shares a
+    * common trigram" and is what production decontamination actually
+    * thresholds.
+    *
+    * The flag is decided by integer cross-multiplication
+    * (`n_hit·100 ≥ n_grams·pct`) — no float comparison anywhere in the
+    * verdict — and the reported fraction is two integer operands under
+    * one IEEE division, exact cross-engine. Docs with < n tokens have no
+    * grams and report 0/0 → fraction 0, unflagged.
+    *
+    * Shape at scale: identical to [[decontaminate]] — one corpus shingle
+    * pass, a broadcast hash join against the tiny benchmark gram set
+    * (left join so the same pass counts total AND hit grams — the corpus
+    * side is touched once), one doc-keyed aggregation. */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 3, pctThreshold: Int = 20): DataFrame = {
+    val corpusShingles = Dedup.shingles(corpus, n)
+    val benchShingles = Dedup.shingles(benchmark, n).select("sh_hash")
+      .distinct().withColumn("hit", lit(1L))
+    val perDoc = corpusShingles
+      .join(broadcast(benchShingles), Seq("sh_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    corpus.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L))
+          / greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6)
+          .as("overlap_frac_r"),
+        (coalesce(col("n_hit"), lit(0L)) * 100 >=
+          coalesce(col("n_grams"), lit(0L)) * pctThreshold &&
+          coalesce(col("n_hit"), lit(0L)) > 0).cast("long").as("flagged"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the scale path for when
     * the benchmark/blocklist n-gram set outgrows a comfortable broadcast
     * HASH join (a billion grams ≈ 30 GB hashed vs ≈ 2 GB of Bloom bits at

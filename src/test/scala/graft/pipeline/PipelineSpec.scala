@@ -923,6 +923,110 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     got(2L) shouldBe ((0L, 0L))
   }
 
+  "contaminationOverlap" should "grade overlap fractions and flag by the integer rule" in {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"), // 1 of 5 grams hits
+      (2L, "a quick brown fox appears"),           // 3 of 3 grams hit
+      (3L, "entirely different words here now"),   // 0 of 3
+      (4L, "too short"))                           // < n tokens: no grams
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appears")).toDF("doc_id", "text")
+    val got = TextOps.contaminationOverlap(corpus, bench, n = 3, pctThreshold = 20)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    got(1L) shouldBe ((5L, 1L, 0.2, 1L))  // 1*100 >= 5*20 — boundary flags
+    got(2L) shouldBe ((3L, 3L, 1.0, 1L))
+    got(3L) shouldBe ((3L, 0L, 0.0, 0L))
+    got(4L) shouldBe ((0L, 0L, 0.0, 0L)) // gramless doc: 0/0 -> 0, unflagged
+  }
+
+  it should "be the graded refinement of decontaminate's binary flag" in {
+    val s = spark
+    import s.implicits._
+    // one stock phrase in a long doc: binary flag fires, graded does not
+    val corpus = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "quick brown fox lambda mu nu xi omicron pi rho sigma tau"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox appears")).toDF("doc_id", "text")
+    val binary = TextOps.decontaminate(corpus, bench).collect().head
+    binary.getLong(2) shouldBe 1L
+    val graded = TextOps.contaminationOverlap(corpus, bench).collect().head
+    graded.getLong(4) shouldBe 0L // 1 of 19 grams is below 20%
+  }
+
+  "labelBackfill" should "inherit the majority label with deterministic fallback" in {
+    val s = spark
+    import s.implicits._
+    // unlabeled = doc_id % 7 == 0 (7, 14, 21, 28)
+    // cluster {7,1,2,3}: labeled en,en,es -> 7 inherits en
+    // cluster {14,4}: labeled peer es -> 14 inherits es
+    // cluster {21,28}: all unlabeled -> fallback, not backfilled
+    // singleton 35 would be unlabeled+alone -> fallback; labeled 5 keeps own
+    val d = Seq(
+      (7L, "xx"), (1L, "en"), (2L, "en"), (3L, "es"),
+      (14L, "xx"), (4L, "es"),
+      (21L, "xx"), (28L, "xx"),
+      (35L, "xx"), (5L, "fr"))
+      .toDF("doc_id", "lang")
+    val pairs = Seq((7L, 1L), (1L, 2L), (2L, 3L), (14L, 4L), (21L, 28L))
+      .toDF("i", "j")
+    val unl = col("doc_id") % 7 === 0
+    val got = Dedup.labelBackfill(d, pairs, unlabeled = unl)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    got(7L) shouldBe (("en", 1L))
+    got(14L) shouldBe (("es", 1L))
+    got(21L) shouldBe (("und", 0L)) // all-unlabeled cluster
+    got(28L) shouldBe (("und", 0L))
+    got(35L) shouldBe (("und", 0L)) // unlabeled singleton
+    got(5L) shouldBe (("fr", 0L))
+    got(1L) shouldBe (("en", 0L))   // labeled members never change
+    got(3L) shouldBe (("es", 0L))
+  }
+
+  it should "vote only over labeled members, break ties to the smallest label" in {
+    val s = spark
+    import s.implicits._
+    // cluster {7, 10, 20, 30}: labeled votes de:1 (10), ar:1 (20), zz:1 (30)
+    // -> tie broken to 'ar' for unlabeled 7; unlabeled members never vote
+    val d = Seq((7L, "xx"), (10L, "de"), (20L, "ar"), (30L, "zz"),
+      (14L, "ignored"), (6L, "en"))
+      .toDF("doc_id", "lang")
+    val pairs = Seq((7L, 10L), (10L, 20L), (20L, 30L), (7L, 14L))
+      .toDF("i", "j")
+    val unl = col("doc_id") % 7 === 0
+    val got = Dedup.labelBackfill(d, pairs, unlabeled = unl)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    got(7L) shouldBe (("ar", 1L))
+    got(14L) shouldBe (("ar", 1L))
+    got(10L) shouldBe (("de", 0L))
+    got(6L) shouldBe (("en", 0L))
+    // stable under repartitioning (CC + vote are order-independent)
+    val again = Dedup.labelBackfill(d.repartition(7), pairs.repartition(5),
+      unlabeled = unl)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    again shouldBe got
+  }
+
+  "sourceOverlapMatrix" should "count pairs per unordered source pair incl. the diagonal" in {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "web"), (2L, "books"), (3L, "web"), (4L, "web"), (5L, "code"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("i", "j")
+    val got = Dedup.sourceOverlapMatrix(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2)=(web,books), (2,3)=(books,web) -> books/web: 2
+    // (1,3),(3,4) within web: 2; (4,5)=(web,code) -> code/web: 1
+    got shouldBe Map(
+      ("books", "web") -> 2L, ("web", "web") -> 2L, ("code", "web") -> 1L)
+  }
+
   "Multimodal" should "round-trip binary payloads through the stub decoder" in {
     val s = spark
     import s.implicits._
