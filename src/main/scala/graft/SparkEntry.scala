@@ -1428,6 +1428,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // waterfill (capped-proportional) global token budget: 4/5 of the
+    // corpus' tokens allocated across languages — small languages taken
+    // in full, the leftover re-floods the rest, remainder +1 to the
+    // lexicographically smallest survivors; per-language selection is
+    // the same hash-ordered token prefix as q_sample_token_budget
+    "q_waterfill_budget" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val projected = docs.select(col("doc_id"), col("lang"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val total = projected.agg(sum("n_tokens")).first.getLong(0)
+      val budget = (BigInt(4) * BigInt(total) / BigInt(5)).toLong
+      ops.Sampling.waterfillTokenBudget(projected, "doc_id", "lang",
+          col("n_tokens"), budget, salt = "wfill")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens"), col("target_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // skew-safe salted equi-join: the hot-key join spelled by hand
     // (deterministic salt from o_orderkey, small side replicated 8×) —
     // must equal the plain join row-for-row, so the oracle just joins
@@ -4635,6 +4653,57 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
         |                         WHEN 'src2' THEN 10000 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_waterfill_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#wfill'), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE lang IS NOT NULL),
+        |b AS (SELECT 4 * SUM(n_tokens) // 5 AS budget FROM d),
+        |inv AS (SELECT lang, SUM(n_tokens)::BIGINT AS n FROM d GROUP BY lang),
+        |ord AS (
+        |  SELECT lang, n,
+        |         ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+        |         COUNT(*) OVER () AS s,
+        |         SUM(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING) AS cumn
+        |  FROM inv),
+        |fl AS (
+        |  SELECT lang, n, i, s, cumn,
+        |         BOOL_AND(n * (s - i + 1) <= b.budget - (cumn - n))
+        |           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS taken
+        |  FROM ord CROSS JOIN b),
+        |agg AS (
+        |  SELECT COALESCE(SUM(n) FILTER (WHERE taken), 0) AS taken_tok,
+        |         COUNT(*) FILTER (WHERE taken) AS k, MAX(s) AS s
+        |  FROM fl),
+        |wl AS (
+        |  SELECT CASE WHEN a.s - a.k > 0
+        |              THEN (b.budget - a.taken_tok) // (a.s - a.k)
+        |              ELSE 0 END AS base,
+        |         CASE WHEN a.s - a.k > 0
+        |              THEN (b.budget - a.taken_tok) % (a.s - a.k)
+        |              ELSE 0 END AS extra
+        |  FROM agg a CROSS JOIN b),
+        |notk AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) AS rl
+        |         FROM fl WHERE NOT taken),
+        |tgt AS (
+        |  SELECT f.lang,
+        |         CASE WHEN f.taken THEN f.n
+        |              ELSE w.base + CASE WHEN nk.rl <= w.extra THEN 1 ELSE 0 END
+        |         END AS target
+        |  FROM fl f CROSS JOIN wl w LEFT JOIN notk nk ON nk.lang = f.lang),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT c.doc_id, c.lang, c.n_tokens, CAST(c.cum AS BIGINT) AS cum_tokens,
+        |       CAST(t.target AS BIGINT) AS target_tokens
+        |FROM c JOIN tgt t ON t.lang = c.lang
+        |WHERE c.cum <= t.target
+        |ORDER BY c.doc_id""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

@@ -268,6 +268,87 @@ object Sampling {
     cum.where(col("stratum_rank") <= targetCol)
   }
 
+  /** Waterfill (capped-proportional) allocation of ONE global token
+    * budget across strata: every stratum gets an equal share of the
+    * budget EXCEPT strata whose whole inventory fits under that share —
+    * those are taken in full and their leftover re-floods the rest. The
+    * allocation every mixture design under per-source caps needs:
+    * `temperatureSample`'s targets silently under-fill when a small
+    * source's target exceeds its inventory; waterfill is the classic
+    * max-min fair answer (`t_s = min(n_s, waterline)` with
+    * `Σ t_s = min(budget, Σ n_s)` exactly).
+    *
+    * All arithmetic is exact-integer and deterministic, so the kept set
+    * is a pure function of (key set, strata, salt, budget) and exactly
+    * recomputable in SQL: strata sort ascending by (inventory, stratum);
+    * a stratum is taken in full iff `n_i · m_i ≤ r_i` (both sides exact —
+    * BigInt guards the product) where `r_i`/`m_i` are the remaining
+    * budget/strata, a prefix-closed rule; the survivors get
+    * `base = r div m` tokens each with the `r mod m` remainder spread
+    * +1 to the lexicographically smallest survivors. Each survivor's
+    * target is < its inventory by construction of the stop rule.
+    * Selection then reuses [[tokenBudgetSample]]'s per-stratum
+    * hash-ordered prefix verbatim. NULL strata are dropped like
+    * `tokenBudgetSample`'s unlisted strata.
+    *
+    * Shape at scale: one per-stratum inventory aggregate (|strata| rows
+    * to the driver — the same bounded traffic `temperatureSample`
+    * accepts), the waterline solved on the driver over those rows, then
+    * the shared two-phase distributed prefix scan. Emits `cum_tokens`
+    * and the stratum's `target_tokens` so downstream audits need no
+    * recompute. */
+  def waterfillTokenBudget(df: DataFrame, keyCol: String, strataCol: String,
+                           tokenCount: Column, budget: Long,
+                           salt: String = "waterfill",
+                           partitions: Int = 0): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val rows = df.where(col(strataCol).isNotNull)
+    val inv: Array[(String, Long)] = rows
+      .groupBy(col(strataCol).cast("string").as("__g"))
+      .agg(sum(coalesce(tokenCount.cast("long"), lit(0L))).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val targets = waterfillTargets(inv, budget)
+    if (targets.isEmpty)
+      return rows.withColumn("cum_tokens", lit(0L))
+        .withColumn("target_tokens", lit(0L)).limit(0)
+    val targetCol = targets.foldLeft(lit(-1L)) { case (acc, (g, t)) =>
+      when(col(strataCol).cast("string") === g, lit(t)).otherwise(acc)
+    }
+    tokenBudgetSample(rows, keyCol, strataCol, tokenCount, targets,
+      salt, partitions)
+      .withColumn("target_tokens", targetCol)
+  }
+
+  /** The exact-integer waterline solve (driver-side, |strata| entries).
+    * Exposed for specs and budget reports. */
+  private[graft] def waterfillTargets(inv: Array[(String, Long)],
+                                      budget: Long): Map[String, Long] = {
+    inv.foreach { case (g, n) =>
+      require(n >= 0L, s"negative token inventory $n for stratum $g") }
+    val sorted = inv.sortBy { case (g, n) => (n, g) }
+    val targets = scala.collection.mutable.Map[String, Long]()
+    var r = budget
+    var m = sorted.length
+    var i = 0
+    var filling = true
+    while (i < sorted.length && filling) {
+      val (g, n) = sorted(i)
+      if (BigInt(n) * m <= BigInt(r)) {
+        targets(g) = n; r -= n; m -= 1; i += 1
+      } else filling = false
+    }
+    if (i < sorted.length) {
+      val base = r / m
+      val rem = (r % m).toInt
+      val rest = sorted.drop(i).map(_._1).sorted
+      rest.zipWithIndex.foreach { case (g, k) =>
+        targets(g) = base + (if (k < rem) 1L else 0L)
+      }
+    }
+    targets.toMap
+  }
+
   /** Per-stratum top-fraction selection by a score — the quantile quality
     * gate ("keep the best 20% of each source by quality"): per stratum,
     * keep the `keepNum/keepDen` fraction of documents with the highest

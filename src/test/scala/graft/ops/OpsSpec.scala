@@ -510,6 +510,105 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .toSet shouldBe windowed
   }
 
+  it should "solve the exact integer waterline on hand-checked fixtures" in {
+    val inv = Array(("a", 100L), ("b", 10L), ("c", 30L))
+    // b fully taken, then c, a capped at the residual
+    Sampling.waterfillTargets(inv, 80L) shouldBe
+      Map("a" -> 40L, "b" -> 10L, "c" -> 30L)
+    Sampling.waterfillTargets(inv, 75L) shouldBe
+      Map("a" -> 35L, "b" -> 10L, "c" -> 30L)
+    // waterline between b and c: a and c share evenly
+    Sampling.waterfillTargets(inv, 50L) shouldBe
+      Map("a" -> 20L, "b" -> 10L, "c" -> 20L)
+    // odd remainder: +1 to the lexicographically smallest survivor
+    Sampling.waterfillTargets(inv, 51L) shouldBe
+      Map("a" -> 21L, "b" -> 10L, "c" -> 20L)
+    // budget covers everything: every stratum taken in full
+    Sampling.waterfillTargets(inv, 141L) shouldBe
+      Map("a" -> 100L, "b" -> 10L, "c" -> 30L)
+    Sampling.waterfillTargets(inv, 0L) shouldBe
+      Map("a" -> 0L, "b" -> 0L, "c" -> 0L)
+    Sampling.waterfillTargets(Array.empty[(String, Long)], 10L) shouldBe
+      Map.empty
+  }
+
+  it should "hold the waterfill laws on randomized inventories" in {
+    val rnd = new Random(7L)
+    for (trial <- 0 until 50) {
+      val inv = Array.tabulate(1 + rnd.nextInt(8))(i =>
+        (s"s$i", rnd.nextInt(1000).toLong))
+      val total = inv.map(_._2).sum
+      val budget = rnd.nextInt(1500).toLong
+      val t = Sampling.waterfillTargets(inv, budget)
+      val invMap = inv.toMap
+      withClue(s"trial $trial inv ${inv.toSeq} budget $budget: ") {
+        // allocates exactly min(budget, inventory), never over-draws a stratum
+        t.values.sum shouldBe math.min(budget, total)
+        t.foreach { case (g, v) => v should be <= invMap(g) }
+        // max-min fairness: survivors (capped strata) differ by at most 1,
+        // and every fully-taken stratum fits under every survivor's share
+        val survivors = t.filter { case (g, v) => v < invMap(g) }
+        if (survivors.nonEmpty) {
+          (survivors.values.max - survivors.values.min) should be <= 1L
+          val floor = survivors.values.min
+          t.foreach { case (g, v) =>
+            if (v == invMap(g)) v should be <= floor + 1
+          }
+        }
+      }
+    }
+  }
+
+  it should "waterfill a global token budget down to the selected rows" in {
+    import s.implicits._
+    // skewed like a real mix: web ~80% of tokens, math tiny — math must be
+    // taken in full and its leftover re-flood web/code
+    val df = s.range(3000)
+      .select(col("id"),
+        when(col("id") % 10 < 8, lit("web")).otherwise(
+          when(col("id") % 10 === 8, lit("code")).otherwise(lit("math")))
+          .as("g"),
+        (col("id") % 7 + 1).as("toks"))
+      .where(!(col("g") === "math" && col("id") > 300)) // shrink math
+    val invArr = df.groupBy("g").agg(sum("toks").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val inv = invArr.toMap
+    val budget = inv("math") + 1000L // math drowns, web/code split ~500 each
+    val got = Sampling.waterfillTokenBudget(df, "id", "g", col("toks"),
+      budget, salt = "wf")
+    val targets = Sampling.waterfillTargets(invArr, budget)
+    targets("math") shouldBe inv("math")
+    // the selection IS tokenBudgetSample at the waterfill targets, with
+    // the stratum's target decorating every row
+    val viaBudgets = Sampling.tokenBudgetSample(df, "id", "g", col("toks"),
+      targets, salt = "wf")
+    got.select("id", "g", "toks", "cum_tokens").collect().toSet shouldBe
+      viaBudgets.collect().toSet
+    got.collect().foreach { r =>
+      r.getAs[Long]("target_tokens") shouldBe targets(r.getAs[String]("g"))
+    }
+    // every math row survives (full take); kept token mass fits the budget
+    val keptByG = got.groupBy("g").agg(sum("toks").as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    keptByG("math") shouldBe inv("math")
+    keptByG.values.sum should be <= budget
+    // partition invariance
+    for (p <- Seq(1, 3, 17)) {
+      Sampling.waterfillTokenBudget(df, "id", "g", col("toks"), budget,
+        salt = "wf", partitions = p).collect().toSet shouldBe
+        got.collect().toSet
+    }
+    // a budget covering the whole corpus keeps every row
+    Sampling.waterfillTokenBudget(df, "id", "g", col("toks"),
+      inv.values.sum, salt = "wf").count() shouldBe df.count()
+    // NULL strata are dropped like tokenBudgetSample's unlisted strata
+    val withNull = df.withColumn("g",
+      when(col("id") % 13 === 0, lit(null: String)).otherwise(col("g")))
+    Sampling.waterfillTokenBudget(withNull, "id", "g", col("toks"),
+        budget, salt = "wf")
+      .where(col("g").isNull).count() shouldBe 0L
+  }
+
   it should "keep the exact per-stratum top fraction with hash tie-break" in {
     import s.implicits._
     // scores with heavy ties (id % 5) force the deterministic hash
