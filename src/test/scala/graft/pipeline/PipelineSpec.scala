@@ -958,6 +958,31 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     graded.getLong(4) shouldBe 0L // 1 of 19 grams is below 20%
   }
 
+  it should "equal its Bloom-prefiltered twin row-for-row" in {
+    val s = spark
+    import s.implicits._
+    // a corpus big enough that Bloom false positives WILL occur at a tiny
+    // bit budget — the verify join must remove every one of them
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(11L)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(8)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val bench = (0L until 40L).map { i =>
+      (1000L + i, Array.fill(6)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val exact = rows(TextOps.contaminationOverlap(corpus, bench))
+    // bitsPerKey = 1: deliberately saturated filter, heavy false positives
+    rows(TextOps.contaminationOverlapBloom(corpus, bench,
+      bitsPerKey = 1, k = 1)) shouldBe exact
+    // production setting too
+    rows(TextOps.contaminationOverlapBloom(corpus, bench)) shouldBe exact
+  }
+
   "labelBackfill" should "inherit the majority label with deterministic fallback" in {
     val s = spark
     import s.implicits._
