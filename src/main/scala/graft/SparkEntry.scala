@@ -1497,6 +1497,21 @@ object SparkEntry {
         .orderBy("source", "quantile")
     }),
 
+    // token-WEIGHTED per-source quantiles of document length: the value
+    // where the cumulative TOKEN mass (not row count) crosses ceil(q·W) —
+    // the datacard stat a handful of huge docs moves while a row median
+    // sits still; targets in exact integer arithmetic, crossing test all-long
+    "q_weighted_quantiles" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val projected = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      ops.Sketches.weightedQuantilesPerStratum(projected,
+        "doc_id", "source", "n_chars", col("n_tokens"),
+        Map("p50" -> ((50L, 100L)), "p90" -> ((90L, 100L))),
+        salt = "wq0")
+        .orderBy("source", "quantile")
+    }),
+
     // temperature mixture sampling (α = 0.5): per-source doc targets
     // ∝ √count — engine-exact by construction (floor(sqrt) integer
     // weights, integer target division), so the oracle re-derives the
@@ -4773,6 +4788,25 @@ object SparkEntry {
         |  VALUES ('p50', 50, 100), ('p90', 90, 100), ('p99', 99, 100))
         |SELECT source, quantile, n_chars
         |FROM r JOIN q ON rn = GREATEST((c * num + den - 1) // den, 1)
+        |ORDER BY source, quantile""".stripMargin,
+
+    "q_weighted_quantiles" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#wq0'), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT source, n_chars, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY source
+        |                                 ORDER BY n_chars, h, doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS cw,
+        |             SUM(n_tokens) OVER (PARTITION BY source) AS W
+        |      FROM d),
+        |q(quantile, num, den) AS (VALUES ('p50', 50, 100), ('p90', 90, 100))
+        |SELECT source, quantile, n_chars
+        |FROM r JOIN q ON cw >= GREATEST((W * num + den - 1) // den, 1)
+        |             AND cw - n_tokens < GREATEST((W * num + den - 1) // den, 1)
         |ORDER BY source, quantile""".stripMargin,
 
     // targets re-derived in SQL: FLOOR(SQRT(count)) is the integer sqrt

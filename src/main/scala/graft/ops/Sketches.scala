@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates with machine-checkable accuracy contracts.
@@ -311,6 +311,71 @@ object Sketches {
     ranked.join(broadcast(tdf),
         ranked(strataCol) <=> tdf("__t") &&
           ranked("__rank") === tdf("__target"))
+      .select(col(strataCol), col("quantile"), col(valueCol))
+  }
+
+  /** WEIGHTED exact per-stratum quantiles — [[exactQuantilesPerStratum]]
+    * over a mass column instead of row count: the quantile value is the
+    * first row (in deterministic (value, hash, key) order) whose
+    * cumulative weight reaches `ceil(q · W)`, W = the stratum's total
+    * weight. The datacard stat row-weighted quantiles misstate: "the
+    * token-weighted median document length" weights every document by
+    * its token mass, so half the CORPUS TOKENS sit in docs at or below
+    * the reported value — a handful of huge docs move it where a row
+    * median would not.
+    *
+    * Exact-integer: the rank targets are `max(1, ceil(W·num/den))` in
+    * BigInt on the driver (one weight-sum per stratum — |strata| rows),
+    * and the crossing test `cw − w < target ≤ cw` is all-long, so the
+    * selected rows are exactly recomputable in SQL. Zero-weight rows can
+    * never cross a target (cw − 0 < t ≤ cw is empty) and NULL weights
+    * count as zero, matching [[Sampling.tokenBudgetSample]]'s token rule.
+    *
+    * Shape at scale: the shared two-phase per-stratum prefix scan with
+    * the weight as the summed mass (never a one-task window), plus one
+    * broadcast join against the |strata| × |quantiles| target table. */
+  def weightedQuantilesPerStratum(df: DataFrame, keyCol: String,
+                                  strataCol: String, valueCol: String,
+                                  weight: Column,
+                                  quantiles: Map[String, (Long, Long)],
+                                  salt: String = "wquant",
+                                  partitions: Int = 0): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (n, (num, den)) =>
+      require(den > 0 && num >= 0 && num <= den,
+        s"quantile $n must be a fraction in [0, 1], got $num/$den")
+    }
+    val spark = df.sparkSession
+    val w = coalesce(weight.cast("long"), lit(0L))
+    val nonNull = df.where(col(valueCol).isNotNull)
+      .withColumn("__wq_w", w)
+    val totals = nonNull.groupBy(col(strataCol))
+      .agg(sum(col("__wq_w")).as("__W")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val targets: Seq[org.apache.spark.sql.Row] = totals.toSeq.flatMap {
+      case (g, tw) =>
+        quantiles.toSeq.map { case (qn, (num, den)) =>
+          val rank = ((BigInt(tw) * BigInt(num) + BigInt(den) - 1)
+            / BigInt(den)).toLong max 1L
+          org.apache.spark.sql.Row(g, qn, rank)
+        }
+    }
+    val tSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__t",
+        df.schema(strataCol).dataType),
+      org.apache.spark.sql.types.StructField("quantile",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__target",
+        org.apache.spark.sql.types.LongType)))
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets, 1), tSchema)
+    val ranked = Sampling.stratumPrefixCum(nonNull, keyCol, strataCol,
+      col("__wq_w"), sortByScore = Some(col(valueCol)), "__cw", salt,
+      partitions, scoreAscending = true)
+    ranked.join(broadcast(tdf),
+        ranked(strataCol) <=> tdf("__t") &&
+          ranked("__cw") >= tdf("__target") &&
+          ranked("__cw") - ranked("__wq_w") < tdf("__target"))
       .select(col(strataCol), col("quantile"), col(valueCol))
   }
 }

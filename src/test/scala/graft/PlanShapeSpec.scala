@@ -195,11 +195,11 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
-  "q_shard_assignment, q_pack_sequences, q_sample_token_budget, q_sample_temperature, q_quality_topfrac, q_waterfill_budget and q_exact_quantiles" should "contain no window and no single-partition exchange" in {
+  "q_shard_assignment, q_pack_sequences, q_sample_token_budget, q_sample_temperature, q_quality_topfrac, q_waterfill_budget, q_weighted_quantiles and q_exact_quantiles" should "contain no window and no single-partition exchange" in {
     for (name <- Seq("q_shard_assignment", "q_pack_sequences",
                      "q_sample_token_budget", "q_sample_temperature",
                      "q_quality_topfrac", "q_waterfill_budget",
-                     "q_exact_quantiles")) {
+                     "q_weighted_quantiles", "q_exact_quantiles")) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString

@@ -682,6 +682,54 @@ class OpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  it should "pick exact WEIGHTED quantiles by cumulative mass" in {
+    import s.implicits._
+    // hand fixture: values 1..4 with weights 1,1,1,7 (W=10) — the heavy
+    // row drags every weighted quantile ≥ p40 onto value 4, while the row
+    // median of the same data is 2
+    val df = Seq((1L, "a", 1L, 1L), (2L, "a", 2L, 1L),
+      (3L, "a", 3L, 1L), (4L, "a", 4L, 7L)).toDF("id", "g", "v", "wt")
+    val got = Sketches.weightedQuantilesPerStratum(df, "id", "g", "v",
+      col("wt"), Map("p30" -> ((3L, 10L)), "p50" -> ((1L, 2L)),
+        "p90" -> ((9L, 10L))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    got shouldBe Set(("a", "p30", 3L), ("a", "p50", 4L), ("a", "p90", 4L))
+    Sketches.exactQuantilesPerStratum(df, "id", "g", "v",
+      Map("p50" -> ((1L, 2L)))).collect().head.getLong(2) shouldBe 2L
+    // weight ≡ 1 degrades to the row-count quantile exactly; randomized,
+    // with ties, at several partition counts, vs a plain-Scala reference
+    val rnd = new Random(3L)
+    val rows = (0 until 800).map(i =>
+      (i.toLong, (i % 3).toString, rnd.nextInt(9).toLong,
+        rnd.nextInt(5).toLong)) // weights 0..4 incl. zero-weight rows
+    val big = rows.toDF("id", "g", "v", "wt")
+    val hashed = rows.map { case (id, g, v, wt) =>
+      val h = graft.pipeline.Hashing.hash60(s"$id#wq")
+      (id, g, v, wt, h)
+    }
+    def reference(num: Long, den: Long): Set[(String, Long)] =
+      hashed.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(t => (t._3, t._5, t._1))
+        val tw = sorted.map(_._4).sum
+        val target = math.max(1L, (tw * num + den - 1) / den)
+        var cum = 0L
+        sorted.collectFirst {
+          case t if { cum += t._4; cum >= target && cum - t._4 < target } =>
+            (g, t._3)
+        }
+      }.toSet
+    for (p <- Seq(0, 1, 7)) {
+      Sketches.weightedQuantilesPerStratum(big, "id", "g", "v", col("wt"),
+        Map("p50" -> ((1L, 2L)), "p95" -> ((19L, 20L))), salt = "wq",
+        partitions = p)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .groupBy(_._2).map { case (q, ts) => q -> ts.map(t => (t._1, t._3)).toSet }
+        .toMap shouldBe Map("p50" -> reference(1L, 2L),
+          "p95" -> reference(19L, 20L))
+    }
+  }
+
   it should "equal the plain join row-for-row under heavy key skew" in {
     import s.implicits._
     // 90% of big-side rows share one hot key; small side has duplicate
