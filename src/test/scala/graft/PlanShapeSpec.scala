@@ -99,6 +99,24 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("(doc_id#")
   }
 
+  "q_contamination_overlap" should "broadcast the benchmark gram set; the Bloom twin must carry no join on the probe path" in {
+    val df = SparkEntry.queries("q_contamination_overlap")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    val bloom = SparkEntry.queries("q_contamination_overlap_bloom")(spark, dir)
+    bloom.collect()
+    val bplan = bloom.queryExecution.executedPlan.toString
+    // the Bloom probe is pure codegen'd bit ops (getbit over a literal
+    // array) — it must appear as a Filter, never a join node; the exact
+    // verify join and the doc-keyed recombines broadcast
+    bplan should include("getbit")
+    bplan should include("BroadcastHashJoin")
+    bplan should not include "CartesianProduct"
+  }
+
   "q_text_repetition" should "partial-aggregate the n-gram counts map-side" in {
     val plan = formattedPlan("q_text_repetition")
     plan should include("HashAggregate")
