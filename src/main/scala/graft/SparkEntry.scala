@@ -1139,6 +1139,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // envelope-gradient audio signatures (perceptual hashing's audio
+    // analog, gain-invariant by construction): stub decoder so the
+    // oracle replays decode + bit-pack exactly; the REAL WAV codec path
+    // and the banded near-dup blocking are pinned in MultimodalPhashSpec
+    "q_audio_sig" -> ((s, dir) => {
+      pipeline.Multimodal.audioSignatures(
+        pipeline.Multimodal.fromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("id")
+    }),
+
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
     // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
     "q_embed_neardup_lsh" -> ((s, dir) => {
@@ -4074,6 +4085,23 @@ object SparkEntry {
         |  WHERE l.k % 11 < 10 AND l.v > r.v)
         |SELECT d.doc_id AS id,
         |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS phash
+        |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // identical stub-feature replay, temporal gradient: bit k iff
+    // env(k) > env(k+1) over 61 bins
+    "q_audio_sig" ->
+      """WITH f AS (
+        |  SELECT doc_id, k,
+        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |           / 1152921504606846976.0 AS v
+        |  FROM documents CROSS JOIN generate_series(0, 60) t(k)),
+        |p AS (
+        |  SELECT l.doc_id, l.k AS bit
+        |  FROM f l JOIN f r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+        |  WHERE l.v > r.v)
+        |SELECT d.doc_id AS id,
+        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS asig
         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY id""".stripMargin,
 

@@ -257,23 +257,66 @@ object Multimodal {
   def imageNearDups(mm: DataFrame, maxHamming: Int = 3,
                     gridW: Int = 11, gridH: Int = 6,
                     decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame =
+    bandedHammingPairs(perceptualHashes(mm, gridW, gridH, decoder), "phash",
+      gridH * (gridW - 1), maxHamming)
+
+  /** Envelope-gradient audio signatures — [[perceptualHashes]]' audio
+    * analog: decode each payload to a `dim`-bin waveform envelope
+    * ([[decodeWavWaveform]] on real WAV/PCM; [[decodeStub]] for the
+    * oracle-replayable pipeline), set bit k iff `env(k) > env(k+1)` — the
+    * temporal-gradient fingerprint. GAIN-INVARIANT by construction:
+    * scaling every sample by the same positive factor scales every RMS
+    * bin together and preserves every strict comparison, so a re-mastered
+    * / volume-normalized copy of the same audio hashes identically —
+    * the property an absolute-amplitude signature lacks. The default 61
+    * bins give the repo's 60-bit signature width. Emits `(id, asig)`. */
+  def audioSignatures(mm: DataFrame, dim: Int = 61,
+                      decoder: Int => Array[Byte] => Array[Double] = decodeStub)
       : DataFrame = {
-    val bits = gridH * (gridW - 1)
+    require(dim >= 2 && dim - 1 <= 60,
+      s"dim $dim gives ${dim - 1} signature bits, need 1..60")
+    val feats = decodeFeatures(mm, dim, decoder)
+    val sig = (0 until dim - 1).map { k =>
+      when(col("features")(k) > col("features")(k + 1), lit(1L << k))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    feats.select(col("id"), sig.as("asig"))
+  }
+
+  /** Audio near-duplicate pairs: the identical banded pigeonhole blocking
+    * as [[imageNearDups]], over the envelope-gradient signature — audio
+    * near-dedup that survives re-encoding and gain changes, bucketed, not
+    * all-pairs. Emits `(i, j, hamming)`, i < j. */
+  def audioNearDups(mm: DataFrame, maxHamming: Int = 3, dim: Int = 61,
+                    decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame =
+    bandedHammingPairs(audioSignatures(mm, dim, decoder), "asig",
+      dim - 1, maxHamming)
+
+  /** Shared banded exact-match Hamming blocking (split the signature into
+    * `maxHamming + 1` chunks — a pair within the radius must agree
+    * exactly on at least one chunk, the same pigeonhole trick as
+    * `Dedup.simHashNearDups`), then verify the true Hamming distance.
+    * No all-pairs: shuffle is (maxHamming+1)·N chunk rows, the join meets
+    * only inside chunk buckets. */
+  private def bandedHammingPairs(sigs: DataFrame, sigCol: String, bits: Int,
+                                 maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     require(bits % chunks == 0,
       s"signature width $bits must split into maxHamming+1 = $chunks chunks")
     val width = bits / chunks
-    val sigs = perceptualHashes(mm, gridW, gridH, decoder)
     val chunkArr = array((0 until chunks).map(c =>
-      shiftright(col("phash"), c * width).bitwiseAND((1L << width) - 1)): _*)
-    val banded = sigs.select(col("id"), col("phash"),
+      shiftright(col(sigCol), c * width).bitwiseAND((1L << width) - 1)): _*)
+    val banded = sigs.select(col("id"), col(sigCol),
       posexplode(chunkArr).as(Seq("chunk", "ckey")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+        bit_count(col(s"a.$sigCol").bitwiseXOR(col(s"b.$sigCol")))
+          .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

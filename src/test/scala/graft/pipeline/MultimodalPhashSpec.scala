@@ -102,4 +102,77 @@ class MultimodalPhashSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
     ex.getMessage should include("not an image")
   }
+
+  // --- audio analog: envelope-gradient signatures + banded blocking ---
+
+  private def wav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xFF).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Segment-amplitude-modulated square wave with EVEN sample values, so
+    * a 2× gain cut is exact integer arithmetic and the RMS envelope
+    * halves exactly (power-of-two scaling commutes with IEEE rounding). */
+  private def audio(seed: Int, nSeg: Int = 61, perSeg: Int = 40,
+                    gainShift: Int = 0): Array[Short] = {
+    val rnd = new scala.util.Random(seed)
+    val amps = Array.fill(nSeg)(((2000 + rnd.nextInt(14000)) * 2) >> gainShift)
+    Array.tabulate(nSeg * perSeg) { i =>
+      val a = amps(i / perSeg)
+      (if (i % 2 == 0) a else -a).toShort
+    }
+  }
+
+  behavior of "Multimodal.audioSignatures (javax.sound path)"
+
+  it should "be exactly gain-invariant on the real WAV codec and separate unrelated audio" in {
+    val rows = Seq(
+      1L -> wav(audio(5)),
+      2L -> wav(audio(5, gainShift = 1)), // the same audio at half gain
+      3L -> wav(audio(9)))                // unrelated audio
+    val sigs = Multimodal.audioSignatures(mmTable(rows), 61,
+        Multimodal.decodeWavWaveform)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(2L) shouldBe sigs(1L) // bit-identical, not merely close
+    java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) should be > 10
+  }
+
+  it should "find audio near-dup pairs via banded blocking, lossless vs brute force" in {
+    // stub payloads: random signatures plus planted exact copies; an
+    // elevated radius makes random collisions appear so the blocking has
+    // non-trivial work beyond the planted Hamming-0 pairs
+    val base = (0 until 200).map(i =>
+      (i.toLong, s"audio payload $i".getBytes("UTF-8")))
+    val copies = (0 until 4).map(i =>
+      (500L + i, s"audio payload $i".getBytes("UTF-8")))
+    val mm = mmTable(base ++ copies)
+    val maxH = 19 // chunks = 20: pigeonhole still exact, radius just wider
+    val got = Multimodal.audioNearDups(mm, maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Multimodal.audioSignatures(mm)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= maxH
+    } yield (i, j, h)).toSet
+    got shouldBe brute
+    brute.size should be > 4 // random collisions beyond the planted pairs
+    (0 until 4).foreach(i => got should contain((i.toLong, 500L + i, 0)))
+    // deterministic across partitionings
+    Multimodal.audioNearDups(mmTable((base ++ copies).reverse).repartition(7),
+        maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet shouldBe got
+  }
 }
