@@ -1150,6 +1150,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // per-frame video fingerprints (frame-sampled dHash, 4 frames × 56
+    // bits): stub decoder so the oracle replays decode + bit-pack exactly;
+    // the real animated-GIF path + the per-frame banded near-dup vote are
+    // pinned in MultimodalPhashSpec
+    "q_video_sig" -> ((s, dir) => {
+      pipeline.Multimodal.videoSignatures(
+        pipeline.Multimodal.fromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("id", "frame")
+    }),
+
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
     // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
     "q_embed_neardup_lsh" -> ((s, dir) => {
@@ -4104,6 +4115,25 @@ object SparkEntry {
         |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS asig
         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY id""".stripMargin,
+
+    // per-frame replay: feature index k = frame*64 + r*8 + c; horizontal
+    // gradient bits r*7+c for c < 7, one signature row per (doc, frame)
+    "q_video_sig" ->
+      """WITH f AS (
+        |  SELECT doc_id, k,
+        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |           / 1152921504606846976.0 AS v
+        |  FROM documents CROSS JOIN generate_series(0, 255) t(k)),
+        |p AS (
+        |  SELECT l.doc_id, l.k // 64 AS frame,
+        |         ((l.k % 64) // 8) * 7 + (l.k % 8) AS bit
+        |  FROM f l JOIN f r ON l.doc_id = r.doc_id AND r.k = l.k + 1
+        |  WHERE l.k % 8 < 7 AND l.v > r.v),
+        |fr AS (SELECT doc_id, unnest(range(4)) AS frame FROM documents)
+        |SELECT fr.doc_id AS id, CAST(fr.frame AS BIGINT) AS frame,
+        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS fsig
+        |FROM fr LEFT JOIN p ON p.doc_id = fr.doc_id AND p.frame = fr.frame
+        |GROUP BY 1, 2 ORDER BY id, frame""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS id,

@@ -294,6 +294,82 @@ object Multimodal {
     bandedHammingPairs(audioSignatures(mm, dim, decoder), "asig",
       dim - 1, maxHamming)
 
+  /** Per-frame gradient signatures for frame-sampled video —
+    * [[perceptualHashes]] applied to each sampled frame of a multi-frame
+    * payload: decode to `nFrames` evenly-strided `side`×`side` luma grids
+    * ([[decodeGifFrames]] on real animated media; [[decodeStub]] for the
+    * oracle-replayable pipeline), per frame set bit `r·(side−1)+c` iff
+    * `grid(r,c) > grid(r,c+1)`. Emits one row per sampled frame:
+    * `(id, frame, fsig)` — the video-fingerprint unit that survives
+    * re-encoding and brightness shifts exactly like the image dHash.
+    * Default `side` = 8 gives 56-bit frame signatures. */
+  def videoSignatures(mm: DataFrame, nFrames: Int = 4, side: Int = 8,
+                      decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame = {
+    require(nFrames >= 1, s"nFrames must be positive, got $nFrames")
+    require(side >= 2, s"side must be >= 2, got $side")
+    val bits = side * (side - 1)
+    require(bits <= 60, s"frame signature width $bits exceeds 60 bits")
+    val perFrame = side * side
+    val feats = decodeFeatures(mm, nFrames * perFrame, decoder)
+    val frameSigs = (0 until nFrames).map { f =>
+      val base = f * perFrame
+      val sig = (0 until side).flatMap { r =>
+        (0 until side - 1).map { c =>
+          when(col("features")(base + r * side + c) >
+               col("features")(base + r * side + c + 1),
+            lit(1L << (r * (side - 1) + c))).otherwise(lit(0L))
+        }
+      }.reduce(_ + _)
+      struct(lit(f).cast("long").as("frame"), sig.as("fsig"))
+    }
+    feats.select(col("id"), explode(array(frameSigs: _*)).as("fs"))
+      .select(col("id"), col("fs.frame").as("frame"), col("fs.fsig").as("fsig"))
+  }
+
+  /** Video near-duplicate pairs: two payloads are near-dups when at least
+    * `minMatchingFrames` of their SAME-POSITION sampled frames agree
+    * within `maxHamming` bits — the frame-fingerprint vote that catches
+    * re-encoded / brightness-shifted copies of the same footage without
+    * ever comparing raw frames. Blocking is the shared banded pigeonhole
+    * per (frame, chunk): a frame pair within the radius must agree
+    * exactly on one of `maxHamming+1` signature chunks, so the join meets
+    * only inside (frame, chunk, value) buckets — never all-pairs; the
+    * per-pair vote is one hash aggregation over the surviving frame
+    * matches. Bucket selectivity ∝ 2^(bits/(maxHamming+1)) — the default
+    * 56-bit / radius-3 split gives 14-bit chunk keys (16k buckets).
+    * Emits `(i, j, n_matching_frames)`, i < j. */
+  def videoNearDups(mm: DataFrame, minMatchingFrames: Int = 3,
+                    maxHamming: Int = 3, nFrames: Int = 4, side: Int = 8,
+                    decoder: Int => Array[Byte] => Array[Double] = decodeStub)
+      : DataFrame = {
+    require(minMatchingFrames >= 1 && minMatchingFrames <= nFrames,
+      s"minMatchingFrames must be in [1, $nFrames], got $minMatchingFrames")
+    val bits = side * (side - 1)
+    val chunks = maxHamming + 1
+    require(bits % chunks == 0,
+      s"frame signature width $bits must split into maxHamming+1 = $chunks chunks")
+    val width = bits / chunks
+    val sigs = videoSignatures(mm, nFrames, side, decoder)
+    val chunkArr = array((0 until chunks).map(c =>
+      shiftright(col("fsig"), c * width).bitwiseAND((1L << width) - 1)): _*)
+    val banded = sigs.select(col("id"), col("frame"), col("fsig"),
+      posexplode(chunkArr).as(Seq("chunk", "ckey")))
+    val frameMatches = banded.as("a")
+      .join(banded.as("b"),
+        col("a.frame") === col("b.frame") &&
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.frame").as("frame"),
+        bit_count(col("a.fsig").bitwiseXOR(col("b.fsig"))).as("hamming"))
+      .distinct() // a close pair can agree on several chunks — count once
+      .where(col("hamming") <= maxHamming)
+    frameMatches.groupBy("i", "j")
+      .agg(count(lit(1)).as("n_matching_frames"))
+      .where(col("n_matching_frames") >= minMatchingFrames)
+  }
+
   /** Shared banded exact-match Hamming blocking (split the signature into
     * `maxHamming + 1` chunks — a pair within the radius must agree
     * exactly on at least one chunk, the same pigeonhole trick as
