@@ -941,6 +941,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus-frequency boilerplate removal (the C4/Dolma cleaning rule at
+    // 3-gram granularity): a 3-token run seen in >= 5 DISTINCT docs is
+    // chrome, and every covered token is cut from EVERY carrier —
+    // frequency-based and symmetric, unlike the pairwise shared-span
+    // surgery above. Oracle rebuilds the surviving text token-by-token,
+    // so the full cleaned string hash-matches.
+    "q_boilerplate_remove" -> ((s, dir) => {
+      pipeline.TextOps.removeBoilerplateGrams(
+        s.read.parquet(s"$dir/documents.parquet"), k = 3, minDf = 5L)
+        .orderBy("doc_id")
+    }),
+
     // embedding near-dup: exact cosine ≥ θ pair set (left side spread over
     // the shuffle parallelism — the cross join inherits its partitioning,
     // and a 1-partition scan would serialize the N²/2 similarity work)
@@ -3161,6 +3173,31 @@ object SparkEntry {
         |            AS BIGINT) AS n_removed
         |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // frequency-based boilerplate surgery: positional 3-grams, distinct-doc
+    // frequency >= 5 flags a gram, covered token positions anti-joined out,
+    // survivors re-concatenated in token order
+    "q_boilerplate_remove" -> (tokSql +
+      """, grams AS (
+        |  SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 3), ' ') AS gram
+        |  FROM toks, UNNEST(range(0, GREATEST(len(t) - 2, 0))) AS u(s)),
+        |freq AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 5),
+        |flag AS (SELECT g.doc_id, g.s FROM grams g JOIN freq USING (gram)),
+        |cover AS (SELECT DISTINCT doc_id, s + d AS i
+        |          FROM flag, UNNEST(range(0, 3)) AS u(d)),
+        |tok_pos AS (SELECT doc_id, i, t[i + 1] AS tok
+        |            FROM toks, UNNEST(range(0, len(t))) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.i, tp.tok
+        |         FROM tok_pos tp ANTI JOIN cover USING (doc_id, i)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT tk.doc_id, COALESCE(a.ct, '') AS clean_text,
+        |       CAST(len(tk.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks tk LEFT JOIN agg a USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin),
 
     "q_dedup_minhash" -> jaccardOracle(0.7),
 

@@ -684,4 +684,66 @@ object TextOps {
           size(col("__toks")) - col("__start")).cast("long")
           .as("chunk_tokens"))
   }
+
+  /** Corpus-frequency boilerplate removal — the C4/Dolma cleaning rule at
+    * k-gram granularity: any k-token run whose exact text occurs in at
+    * least `minDf` DISTINCT documents is boilerplate (navigation chrome,
+    * license blurbs, cookie banners repeat verbatim across a crawl), and
+    * every token covered by an occurrence of a boilerplate gram is cut
+    * from the surviving text. Differs from the pairwise span family
+    * ([[Dedup.sharedSpanPairs]] / [[Dedup.removeSharedSpans]]): this is
+    * frequency-based, symmetric — the span is removed from EVERY document
+    * that carries it, not just the higher-id duplicate.
+    *
+    * Emits one row per input document: `(doc_id, clean_text, n_removed)`,
+    * token order preserved, documents shorter than k tokens kept whole,
+    * a fully-boilerplate document surviving as the empty string (callers
+    * filter on `n_removed` / emptiness downstream).
+    *
+    * Plan shape, built for a crawl-scale corpus: positional k-grams are a
+    * map-side `explode` (fan-out ∝ tokens); document frequency is one hash
+    * aggregate on the gram text with map-side partial combine; flagged
+    * starts come from an equi-join of grams against the (small, typically
+    * broadcastable) frequent-gram set; the per-document start list is a
+    * `collect_list` aggregate over flagged rows only (∝ boilerplate hits,
+    * not tokens); and the surgery itself is a higher-order `filter` with a
+    * positional `exists` probe against that list — no token-level shuffle,
+    * no window, no all-pairs anywhere. Every step is exact integer/string
+    * arithmetic, reproducible in the DuckDB oracle. */
+  def removeBoilerplateGrams(docs: DataFrame, k: Int = 3, minDf: Long = 5L,
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minDf >= 2L, s"minDf below 2 would delete every gram, got $minDf")
+    val toks = docs.select(col(idCol),
+      tokens(col(textCol)).as("__toks"))
+    val grams = toks
+      .where(size(col("__toks")) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("__s"),
+        col("__toks"))
+      .select(col(idCol), col("__s"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(k)), " ")
+          .as("__gram"))
+    val frequent = grams.groupBy("__gram")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select("__gram")
+    // (doc, start) is unique within `grams`, so the equi-join against the
+    // deduplicated frequent set needs no distinct afterwards.
+    val starts = grams.join(frequent, "__gram")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).as("__starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol),
+        filter(col("__toks"), (_, i) =>
+          !exists(col("__starts"), s => s <= i && i < s + k)).as("__kept"),
+        col("__toks"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
 }

@@ -577,6 +577,23 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "HashAggregate"
   }
 
+  "q_boilerplate_remove" should "broadcast the frequent-gram set and keep the surgery join-free" in {
+    val df = SparkEntry.queries("q_boilerplate_remove")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the frequent-gram set (tiny by construction: df >= minDf survivors)
+    // reaches the positional-gram stream as a broadcast, and the final
+    // doc -> flagged-starts attach is a broadcast left join — the only
+    // all-to-all shuffles are the gram-frequency hash agg and the
+    // per-doc starts agg, both with map-side partial combine
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    // token surgery is a higher-order filter probe, not a token-level join
+    plan should include("exists(")
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
