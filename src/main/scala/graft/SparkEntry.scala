@@ -953,6 +953,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-engine-exact distributed k-means (Lloyd in integer fixed
+    // point): the SemDeDup/IVF clustering primitive as a verifiable
+    // assignment, not just a recall floor — 3 assignment rounds, 2
+    // truncated-integer-mean updates, argmin via one packed-long min
+    "q_kmeans" -> ((s, dir) => {
+      pipeline.Clustering.kmeansExact(
+        s.read.parquet(s"$dir/embeddings.parquet"), k = 8, iters = 3)
+        .orderBy("vec_id")
+    }),
+
     // embedding near-dup: exact cosine ≥ θ pair set (left side spread over
     // the shuffle parallelism — the cross join inherits its partitioning,
     // and a 1-partition scan would serialize the N²/2 similarity work)
@@ -2722,6 +2732,49 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.pipeline.Clustering.kmeansExact]]: the same
+    * 1e-6-grid quantization, packed-long argmin (`dist·2^10 + cl`,
+    * `MIN` both ranks and tie-breaks), truncated-integer centroid means
+    * (`//` truncates toward zero exactly like Spark's `div`), and
+    * empty-cluster carry — every iteration unrolled as CTEs, every
+    * intermediate integer-exact, so the full assignment hash-matches. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val mult = 1L << 10
+    val sb = new StringBuilder
+    sb ++= s"""WITH pts AS (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding,
+      |           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |px AS (SELECT id, unnest(qv) AS v, generate_subscripts(qv, 1) AS dim FROM pts),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cl, qv AS cv
+      |       FROM pts ORDER BY id LIMIT $k)""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+        |a$i AS (
+        |  SELECT p.id,
+        |         MIN(CAST(list_sum(list_transform(range(1, len(p.qv) + 1),
+        |               j -> (p.qv[j] - c.cv[j]) * (p.qv[j] - c.cv[j]))) AS BIGINT)
+        |             * $mult + c.cl) AS code
+        |  FROM pts p, $prev c GROUP BY p.id)""".stripMargin
+      if (i < iters) sb ++= s""",
+        |s$i AS (
+        |  SELECT a.code % $mult AS cl, px.dim, SUM(px.v) AS sv, COUNT(*) AS n
+        |  FROM a$i a JOIN px ON a.id = px.id GROUP BY 1, 2),
+        |m$i AS (
+        |  SELECT cl, list(CAST(sv AS BIGINT) // n ORDER BY dim) AS cv
+        |  FROM s$i GROUP BY cl),
+        |c$i AS (
+        |  SELECT p.cl, COALESCE(m.cv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN m$i m USING (cl))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT a.id AS vec_id, CAST(a.code % $mult AS BIGINT) AS cluster
+      |FROM a$iters a ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   private def bpeMergesOracleSql(nMerges: Int): String =
     bpeChainSql(nMerges) + "\n" +
       (1 to nMerges).map(k =>
@@ -4034,6 +4087,8 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY i, j""".stripMargin),
+
+    "q_kmeans" -> kmeansOracleSql(8, 3),
 
     "q_embed_neardup" ->
       """WITH e AS (

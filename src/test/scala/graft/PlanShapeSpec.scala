@@ -594,6 +594,18 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("exists(")
   }
 
+  "q_kmeans" should "broadcast the centroid table into every assignment round" in {
+    val df = SparkEntry.queries("q_kmeans")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the k-row centroid side rides a broadcast nested loop (an explicit
+    // broadcast cross join, fan-out k per point, all map-side); a
+    // CartesianProduct here would mean the broadcast hint regressed and
+    // the N×k expansion became a shuffle
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
