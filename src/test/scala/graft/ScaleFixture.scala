@@ -117,6 +117,7 @@ object ScaleFixture {
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
 
     writeSupplier(spark, dir)
+    writeEmbeddings(spark, dir)
 
     // events: 1M rows / 15k users over one month (10× sf0.1 in rows AND
     // user cardinality), mirroring the driver fixture's shape — event_id
@@ -139,6 +140,24 @@ object ScaleFixture {
         s"""{"k": ${rng.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Embeddings: 100k unit-normalized 64-dim float vectors (10× sf0.1's
+    * 2k rows), matching the driver fixture's shape exactly — isotropic
+    * gaussian directions (the driver's label column carries no cluster
+    * structure: measured same-label mean cosine 8e-4), labels near-uniform
+    * 0..9 — so the exact-ranking embedding queries (k-means assignment,
+    * brute cosine top-k, hard negatives) run in the sf1eq oracle pass at
+    * native scale. */
+  def writeEmbeddings(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    spark.range(0, 100000L, 1, 32).map { id =>
+      val rng = new java.util.Random(0xE3BEDL ^ (id * 0x9E3779B97F4A7C15L))
+      val g = Array.fill(64)(rng.nextGaussian())
+      val nrm = math.sqrt(g.map(x => x * x).sum)
+      (id, g.map(x => (x / nrm).toFloat), rng.nextInt(10))
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   /** Supplier: the co-supply graph's node domain (q_triangles /
@@ -166,10 +185,16 @@ object ScaleFixture {
         val t0 = System.nanoTime()
         generate(spark, gen)
         println(f"SF1EQ generated in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } else if (!new java.io.File(s"$gen/supplier.parquet").exists()) {
-        // backfill for fixtures generated before the supplier table existed
-        writeSupplier(spark, gen)
-        println("SF1EQ supplier table backfilled")
+      } else {
+        if (!new java.io.File(s"$gen/supplier.parquet").exists()) {
+          // backfill for fixtures generated before the supplier table existed
+          writeSupplier(spark, gen)
+          println("SF1EQ supplier table backfilled")
+        }
+        if (!new java.io.File(s"$gen/embeddings.parquet").exists()) {
+          writeEmbeddings(spark, gen)
+          println("SF1EQ embeddings table backfilled")
+        }
       }
       if (args.contains("fixture-only")) { spark.stop(); return }
       def time(f: => Long): (Long, Double) = {
