@@ -789,6 +789,21 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities on the DIRECTED order→supplier bipartite
+    // graph (same 1/3 subgraph as q_pagerank): hubs = orders spanning
+    // reputable suppliers, authorities = suppliers reached by broad
+    // orders — the two-role centrality PageRank's single score conflates.
+    // Fixed-point integer with decimal-widened L1 normalization; the
+    // oracle replays the full mutual recursion.
+    "q_hits" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_orderkey") % 3 === 0)
+      val edges = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      ops.Graph.hits(edges, iters = 3)
+        .orderBy("node")
+    }),
+
     // exact per-node triangle counts on the supplier co-supply graph
     // (suppliers sharing an order — clique-per-order structure): the
     // local-clustering diagnostic that separates coherent similarity
@@ -2775,6 +2790,39 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[graft.ops.Graph.hits]]: the mutual recursion
+    * unrolled — per iteration two edge⋈score sums and two L1
+    * normalizations, HUGEINT `raw·scale // tot` matching Spark's
+    * decimal-widened `div` (both truncate toward zero on positives). */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem WHERE l_orderkey % 3 = 0),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+      |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+      |h0 AS MATERIALIZED (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |ra$i AS MATERIALIZED (SELECT e.dst AS node, SUM(h.hub) AS raw
+        |         FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+        |ta$i AS MATERIALIZED (SELECT SUM(raw) AS tot FROM ra$i),
+        |a$i AS MATERIALIZED (SELECT n.node,
+        |               CAST(COALESCE(r.raw, 0) * $scale // t.tot AS BIGINT) AS auth
+        |        FROM nodes n LEFT JOIN ra$i r USING (node), ta$i t),
+        |rh$i AS MATERIALIZED (SELECT e.src AS node, SUM(a.auth) AS raw
+        |         FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+        |th$i AS MATERIALIZED (SELECT SUM(raw) AS tot FROM rh$i),
+        |h$i AS MATERIALIZED (SELECT n.node,
+        |               CAST(COALESCE(r.raw, 0) * $scale // t.tot AS BIGINT) AS hub
+        |        FROM nodes n LEFT JOIN rh$i r USING (node), th$i t)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT h.node, h.hub, a.auth AS authority
+      |FROM h$iters h JOIN a$iters a USING (node) ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   private def bpeMergesOracleSql(nMerges: Int): String =
     bpeChainSql(nMerges) + "\n" +
       (1 to nMerges).map(k =>
@@ -3892,6 +3940,8 @@ object SparkEntry {
          |FROM a ORDER BY source""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql(5),
+
+    "q_hits" -> hitsOracleSql(3, 1000000000L),
 
     // every triangle enumerated once as a < b < c by the textbook 3-way
     // join — independent of the Spark side's degree orientation

@@ -327,4 +327,71 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
   }
+
+  /** HITS hubs & authorities (Kleinberg's mutual recursion) — the
+    * centrality that separates the two ROLES a node plays on a directed
+    * graph: a good hub points at good authorities, a good authority is
+    * pointed at by good hubs. On the order→supplier bipartite graph this
+    * reads "orders that span reputable suppliers" / "suppliers reached by
+    * broad orders"; on a crawl link graph it is the classic
+    * directory-vs-content split PageRank's single score conflates.
+    *
+    * Same fixed-point discipline as [[pageRank]]: scores live in integer
+    * `scale` units, each half-step L1-normalizes (Σ = scale, up to floor
+    * loss) via widen-to-decimal multiply + integral division — a long
+    * `raw·scale` would overflow at crawl-scale edge counts, decimal(38,0)
+    * holds to 10^38; the division is `div` (truncation toward zero,
+    * matching DuckDB `//` on HUGEINT) — so every score is bit-identical
+    * across partitionings and engines, and the DuckDB oracle replays the
+    * full recursion. Duplicate edges contribute multiplicity, as in
+    * [[pageRank]]; nodes with no in-edges get authority 0, no out-edges
+    * hub 0 (scores are diagnostics, not distributions over iterations).
+    *
+    * Per iteration: two slim equi-joins (edges⋈scores) + two
+    * map-side-combinable long hash aggregates + two 1-row broadcast
+    * normalizer aggregates — shuffle ∝ |E| + |V|, no window, nothing
+    * data-sized on the driver; the score table is `localCheckpoint`ed per
+    * iteration, the PageRank/CC lineage-cut rule. */
+  def hits(edges: DataFrame, iters: Int = 3,
+           scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val div = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("div", a, b)
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    require(e.limit(1).count() > 0, "hits needs a non-empty edge table")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .localCheckpoint()
+
+    // one L1-normalized half-step: raw_score(node) = Σ over matching
+    // edges of the counterpart score, rescaled so Σ = scale exactly
+    // (floor loss aside). `raw·scale` rides decimal(38,0).
+    def halfStep(score: DataFrame, scoreCol: String, edgeKey: String,
+                 groupKey: String, outCol: String): DataFrame = {
+      val raw = e.join(score, e(edgeKey) === score("node"))
+        .groupBy(e(groupKey).as("node"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          div(coalesce(col("raw"), lit(0L)).cast("decimal(38,0)") *
+            lit(scale), col("tot")).as(outCol))
+    }
+
+    var h = nodes.select(col("node"), lit(scale).as("hub"))
+    var a: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      a = halfStep(h, "hub", "src", "dst", "auth").localCheckpoint()
+      h = halfStep(a, "auth", "dst", "src", "hub").localCheckpoint()
+      it += 1
+    }
+    h.join(a, "node")
+      .select(col("node"), col("hub"), col("auth").as("authority"))
+  }
 }

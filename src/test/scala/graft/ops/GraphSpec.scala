@@ -291,4 +291,65 @@ class GraphSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     // with enough rounds the same chain peels to an empty core
     runCore(chain, 2, maxRounds = 20) shouldBe Map.empty
   }
+
+  private val HitsScale = 1000000000L
+
+  /** Plain-Scala integer HITS in the operator's exact spelling:
+    * widen-to-BigInt multiply, truncated division, L1 renorm per
+    * half-step. */
+  private def bruteHits(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var h = nodes.map(_ -> HitsScale).toMap
+    var a = Map.empty[Long, Long]
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = BigInt(raw.values.map(BigInt(_)).sum.toString)
+      nodes.map { n =>
+        n -> (BigInt(raw.getOrElse(n, 0L)) * HitsScale / tot).toLong
+      }.toMap
+    }
+    (1 to iters).foreach { _ =>
+      a = norm(edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = norm(edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int,
+                      parts: Int = 4): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Graph.hits(edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  "hits" should "split the hub and authority roles on a bipartite fan" in {
+    // order-ish nodes 1..3 point at supplier-ish nodes 10..12; node 1
+    // spans all three suppliers, supplier 10 is hit by all three orders
+    val edges = Seq(1L -> 10L, 1L -> 11L, 1L -> 12L,
+      2L -> 10L, 2L -> 11L, 3L -> 10L)
+    val got = runHits(edges, 3)
+    got shouldBe bruteHits(edges, 3)
+    // pure sources have authority 0, pure sinks hub 0
+    Seq(1L, 2L, 3L).foreach(n => got(n)._2 shouldBe 0L)
+    Seq(10L, 11L, 12L).foreach(n => got(n)._1 shouldBe 0L)
+    // the broadest order is the best hub; the most-cited supplier the
+    // best authority
+    got(1L)._1 should be > got(2L)._1
+    got(2L)._1 should be > got(3L)._1
+    got(10L)._2 should be > got(11L)._2
+    got(11L)._2 should be > got(12L)._2
+  }
+
+  it should "match brute force on a random directed graph at any partitioning" in {
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, (40 + rnd.nextInt(20)).toLong)) ++
+      (1 to 60).map(_ => ((40 + rnd.nextInt(20)).toLong, rnd.nextInt(40).toLong))
+    val expect = bruteHits(edges, 3)
+    runHits(edges, 3, parts = 1) shouldBe expect
+    runHits(edges, 3, parts = 17) shouldBe expect
+  }
 }
