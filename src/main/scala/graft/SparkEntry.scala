@@ -2230,6 +2230,22 @@ object SparkEntry {
     // per-source percentile-rank normalization: the calibration transform
     // that makes scores comparable across sources — exact integer ranks
     // through the two-phase prefix scan, one map-side division
+    // quantile normalization across sources (quantile matching): every
+    // doc's n_chars is replaced by the GLOBAL n_chars at the same
+    // relative rank — each source's marginal becomes the corpus marginal
+    // exactly, so one global length threshold means the same thing in
+    // every source. Integer-exact end to end (ranks, ceil-div mapping,
+    // value fetch); the oracle replays the full rank→rank→value chain.
+    "q_quantile_normalize" -> ((s, dir) => {
+      ops.Normalize.quantileNormalizePerStratum(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "n_chars"),
+          "doc_id", "source", "n_chars", salt = "qn0")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("stratum_rank"), col("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
     "q_pct_rank" -> ((s, dir) => {
       ops.Normalize.percentileRankPerStratum(
           s.read.parquet(s"$dir/documents.parquet")
@@ -5691,6 +5707,29 @@ object SparkEntry {
 
     // the identical ascending (value, hash, key) rank and the identical
     // one-division percentile
+    // the same (value, hash, key) deterministic order as the prefix scan,
+    // per source AND globally; ceil-div rank mapping; value fetched by
+    // global-rank equi-join
+    "q_quantile_normalize" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#qn0'), 1, 15))::BIGINT AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |                                ORDER BY n_chars ASC, hh, doc_id) AS rs,
+        |             COUNT(*) OVER (PARTITION BY source) AS ns
+        |      FROM h),
+        |g AS (SELECT n_chars AS n_chars_norm,
+        |             ROW_NUMBER() OVER (ORDER BY n_chars ASC, hh, doc_id) AS gr
+        |      FROM h),
+        |t AS (SELECT doc_id, source, n_chars, CAST(rs AS BIGINT) AS stratum_rank,
+        |             (rs * (SELECT COUNT(*) FROM documents) + ns - 1) // ns AS tgt
+        |      FROM r)
+        |SELECT t.doc_id, t.source, t.n_chars, t.stratum_rank, g.n_chars_norm
+        |FROM t JOIN g ON g.gr = t.tgt
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_pct_rank" ->
       """WITH h AS (
         |  SELECT doc_id, source, n_chars,

@@ -95,4 +95,57 @@ object Normalize {
         col("stratum_rank").cast("double") / col("__n").cast("double"))
       .drop("__n")
   }
+
+  /** Quantile normalization across strata — the microarray/ML "quantile
+    * matching" transform: each row's value is REPLACED by the global
+    * distribution's value at the same relative rank, so every stratum's
+    * marginal becomes the corpus marginal exactly and one downstream
+    * threshold means the same thing in every source. Stronger than
+    * [[percentileRankPerStratum]] (which emits the rank itself): the
+    * output stays in value units, so length/score cutoffs tuned on the
+    * whole corpus apply per source unchanged.
+    *
+    * Mapping is pure integer: stratum rank r ∈ [1, nₛ] (ascending by
+    * value with the deterministic (value, hash, key) tie order) maps to
+    * global rank ⌈r·N/nₛ⌉ — computed as `(r·N + nₛ − 1) div nₛ` with the
+    * multiply widened to decimal(38,0) (r·N overflows a long at
+    * crawl-scale row counts; integral `div` on decimals still returns
+    * LONG, truncation identical to DuckDB `//` on HUGEINT) — then one
+    * co-partitioned equi-join fetches the global value at that rank.
+    * For an integer value column the whole operator is engine-exact with
+    * zero float ops.
+    *
+    * Shape at scale: two runs of the shared two-phase prefix scan (per
+    * stratum, and globally as a single range-partitioned scan — never a
+    * one-task window), one |strata|-row broadcast of counts, and one
+    * slim rank-keyed equi-join ∝ N. */
+  def quantileNormalizePerStratum(df: DataFrame, keyCol: String,
+                                  strataCol: String, valueCol: String,
+                                  salt: String = "qn",
+                                  partitions: Int = 0): DataFrame = {
+    // feeds the stratum scan, the global scan, and the counts — cut once
+    val cached = df.localCheckpoint()
+    val total = cached.count()
+    require(total > 0, "quantileNormalizePerStratum needs a non-empty input")
+    val ranked = Sampling.stratumPrefixCum(cached, keyCol, strataCol,
+      lit(1L), sortByScore = Some(col(valueCol)), "__rs", salt, partitions,
+      scoreAscending = true)
+    val counts = cached.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
+    // the reference distribution: the same deterministic order over ONE
+    // constant stratum — still the two-phase scan, no single-task sort
+    val globalRanked = Sampling.stratumPrefixCum(
+      cached.withColumn("__g", lit(1)), keyCol, "__g",
+      lit(1L), sortByScore = Some(col(valueCol)), "__gr", salt, partitions,
+      scoreAscending = true)
+      .select(col("__gr"), col(valueCol).as(s"${valueCol}_norm"))
+    ranked.join(broadcast(counts), Seq(strataCol))
+      .withColumn("__target",
+        call_function("div",
+          col("__rs").cast("decimal(38,0)") * lit(total) + col("__ns") -
+            lit(1L),
+          col("__ns")))
+      .join(globalRanked, col("__target") === col("__gr"))
+      .drop("__ns", "__gr", "__target")
+      .withColumnRenamed("__rs", "stratum_rank")
+  }
 }

@@ -507,6 +507,17 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
+  "q_quantile_normalize" should "contain no window and no single-partition exchange" in {
+    val df = SparkEntry.queries("q_quantile_normalize")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both the per-source and the GLOBAL rank ride the two-phase
+    // range-partitioned prefix scan — a global quantile table built with
+    // a one-task sort would be the 100 TB bottleneck
+    plan should not include "Window"
+    plan should not include "SinglePartition"
+  }
+
   "q_ks_drift and q_pct_rank" should "contain no window and no single-partition exchange" in {
     // both CDFs / ranks ride the shared two-phase prefix scan; a refactor
     // to the textbook cumulative-window spelling would serialize on one

@@ -182,4 +182,70 @@ class NormalizeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     r.getLong(2) shouldBe 0L
     r.getDouble(4) shouldBe 0.0
   }
+
+  behavior of "Normalize.quantileNormalizePerStratum"
+
+  /** Plain-Scala replay: per-stratum rank and global rank in the exact
+    * (value, hash, key) tie order, ceil-div mapping, global value fetch. */
+  private def bruteQn(rows: Seq[(Long, String, Long)],
+                      salt: String): Map[Long, (Long, Long)] = {
+    val n = rows.size.toLong
+    def h(id: Long) = graft.pipeline.Hashing.hash60(s"$id#$salt")
+    val gval = rows.sortBy { case (id, _, v) => (v, h(id), id) }.map(_._3)
+    rows.groupBy(_._2).flatMap { case (_, grp) =>
+      val ns = grp.size.toLong
+      grp.sortBy { case (id, _, v) => (v, h(id), id) }.zipWithIndex.map {
+        case ((id, _, _), i) =>
+          val rs = i + 1L
+          val tgt = (rs * n + ns - 1L) / ns
+          id -> (rs, gval((tgt - 1L).toInt))
+      }
+    }.toMap
+  }
+
+  private def runQn(rows: Seq[(Long, String, Long)], salt: String,
+                    parts: Int = 4): Map[Long, (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    Normalize.quantileNormalizePerStratum(
+        rows.toDF("id", "src", "v").repartition(parts), "id", "src", "v",
+        salt = salt)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("stratum_rank"), r.getAs[Long]("v_norm"))).toMap
+  }
+
+  it should "match the replay on skewed strata and make every marginal the global one" in {
+    val rnd = new scala.util.Random(17)
+    // three sources on wildly different scales — the transform's point
+    val rows = (1L to 60L).map(i => (i, "a", 10L + rnd.nextInt(20))) ++
+      (61L to 100L).map(i => (i, "b", 1000L + rnd.nextInt(5000))) ++
+      (101L to 110L).map(i => (i, "c", rnd.nextInt(3).toLong))
+    val got = runQn(rows, "qtest")
+    got shouldBe bruteQn(rows, "qtest")
+    // normalized values are actual global values
+    val gvals = rows.map(_._3).toSet
+    got.values.map(_._2).toSet.subsetOf(gvals) shouldBe true
+    // rs = ns maps to tgt = N exactly, so every stratum's top-ranked row
+    // lands on the global maximum
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val stratumOf = rows.map(r => r._1 -> r._2).toMap
+    val tops = got.collect { case (id, (rs, nv))
+      if rs == sizes(stratumOf(id)) => nv }
+    tops.toSet shouldBe Set(rows.map(_._3).max)
+  }
+
+  it should "be the identity on a single-stratum input and partition-invariant" in {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 50L).map(i => (i, "only", rnd.nextInt(100).toLong))
+    val got = runQn(rows, "qid")
+    // one stratum: rs = gr exactly, so each row maps to its own value's
+    // position — the value multiset is preserved row-for-row
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    // replay gives the identity on values
+    got.map { case (id, (_, nv)) => nv } should contain theSameElementsAs
+      rows.map(_._3)
+    got shouldBe bruteQn(rows, "qid")
+    runQn(rows, "qid", parts = 1) shouldBe runQn(rows, "qid", parts = 13)
+    byId.size shouldBe 50
+  }
 }
