@@ -4253,7 +4253,7 @@ object SparkEntry {
         |  FROM f l JOIN f r ON l.doc_id = r.doc_id AND r.k = l.k + 1
         |  WHERE l.k % 11 < 10 AND l.v > r.v)
         |SELECT d.doc_id AS id,
-        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS phash
+        |       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS BIGINT) AS phash
         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY id""".stripMargin,
 
@@ -4270,7 +4270,7 @@ object SparkEntry {
         |  FROM f l JOIN f r ON l.doc_id = r.doc_id AND r.k = l.k + 1
         |  WHERE l.v > r.v)
         |SELECT d.doc_id AS id,
-        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS asig
+        |       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS BIGINT) AS asig
         |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
         |GROUP BY 1 ORDER BY id""".stripMargin,
 
@@ -4289,7 +4289,7 @@ object SparkEntry {
         |  WHERE l.k % 8 < 7 AND l.v > r.v),
         |fr AS (SELECT doc_id, unnest(range(4)) AS frame FROM documents)
         |SELECT fr.doc_id AS id, CAST(fr.frame AS BIGINT) AS frame,
-        |       COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS fsig
+        |       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS BIGINT) AS fsig
         |FROM fr LEFT JOIN p ON p.doc_id = fr.doc_id AND p.frame = fr.frame
         |GROUP BY 1, 2 ORDER BY id, frame""".stripMargin,
 
@@ -4435,7 +4435,9 @@ object SparkEntry {
     // moments value-exact, gaussian positions pinned via the determinism +
     // bound flag (the seeded draws aren't SQL-expressible)
     "q_init_moments" ->
-      """SELECT vec_id AS id, 0.0 AS s0, 0.0 AS s1, 1.0 AS g0, 1.0 AS g1,
+      """SELECT vec_id AS id,
+        |       CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+        |       CAST(1.0 AS DOUBLE) AS g0, CAST(1.0 AS DOUBLE) AS g1,
         |       CAST(1 AS BIGINT) AS init_ok
         |FROM embeddings ORDER BY id""".stripMargin,
 
