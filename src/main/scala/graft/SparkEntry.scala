@@ -4239,13 +4239,13 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
     // the dHash replayed from scratch: stub features
-    // v(k) = hash60(text‖'#'‖k)/2^60 on a 6-row × 11-col grid, bit
+    // v(k) = hash60(md5hex(text)‖'#'‖k)/2^60 on a 6-row × 11-col grid, bit
     // r·10+c set iff v(r,c) > v(r,c+1) — identical double division and
     // strict comparison on both engines
     "q_phash" ->
       """WITH f AS (
         |  SELECT doc_id, k,
-        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |         (('0x' || substr(md5(md5(text) || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
         |           / 1152921504606846976.0 AS v
         |  FROM documents CROSS JOIN generate_series(0, 65) t(k)),
         |p AS (
@@ -4262,7 +4262,7 @@ object SparkEntry {
     "q_audio_sig" ->
       """WITH f AS (
         |  SELECT doc_id, k,
-        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |         (('0x' || substr(md5(md5(text) || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
         |           / 1152921504606846976.0 AS v
         |  FROM documents CROSS JOIN generate_series(0, 60) t(k)),
         |p AS (
@@ -4279,7 +4279,7 @@ object SparkEntry {
     "q_video_sig" ->
       """WITH f AS (
         |  SELECT doc_id, k,
-        |         (('0x' || substr(md5(text || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |         (('0x' || substr(md5(md5(text) || '#' || CAST(k AS VARCHAR)), 1, 15))::BIGINT)
         |           / 1152921504606846976.0 AS v
         |  FROM documents CROSS JOIN generate_series(0, 255) t(k)),
         |p AS (
@@ -4295,13 +4295,13 @@ object SparkEntry {
 
     "q_multimodal_features" ->
       """SELECT doc_id AS id,
-        |  ROUND((('0x' || substr(md5(text || '#0'), 1, 15))::BIGINT)
+        |  ROUND((('0x' || substr(md5(md5(text) || '#0'), 1, 15))::BIGINT)
         |        / 1152921504606846976.0, 9) AS f0_r,
-        |  ROUND((('0x' || substr(md5(text || '#1'), 1, 15))::BIGINT)
+        |  ROUND((('0x' || substr(md5(md5(text) || '#1'), 1, 15))::BIGINT)
         |        / 1152921504606846976.0, 9) AS f1_r,
-        |  ROUND((('0x' || substr(md5(text || '#2'), 1, 15))::BIGINT)
+        |  ROUND((('0x' || substr(md5(md5(text) || '#2'), 1, 15))::BIGINT)
         |        / 1152921504606846976.0, 9) AS f2_r,
-        |  ROUND((('0x' || substr(md5(text || '#3'), 1, 15))::BIGINT)
+        |  ROUND((('0x' || substr(md5(md5(text) || '#3'), 1, 15))::BIGINT)
         |        / 1152921504606846976.0, 9) AS f3_r,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
         |  CAST(ascii(substr(text, CAST(floor(strlen(text) * 0 / 4) AS INT) + 1, 1)) AS BIGINT) AS s0,

@@ -38,6 +38,23 @@ object Hashing {
       ((h(6) & 0xFFL) << 8) | (h(7) & 0xFFL)) >>> 4
   }
 
+  /** Lowercase 32-char hex md5 of raw bytes — the JVM spelling of SQL
+    * `md5(x)` (Spark and DuckDB both emit lowercase hex), for chained
+    * hashing schemes like the stub decoder's digest-once-then-mix. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = localDigest.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((h(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(h(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   private val localDigest =
     new ThreadLocal[java.security.MessageDigest] {
       override def initialValue(): java.security.MessageDigest =

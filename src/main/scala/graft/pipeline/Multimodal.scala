@@ -45,16 +45,20 @@ object Multimodal {
         col("source").as("source")).as("meta"))
 
   /** STUB decode: `featureDim` doubles in [0, 1), each the scaled
-    * [[Hashing.hash60]] of (payload ‖ '#' ‖ featureIndex). Deterministic,
-    * engine-reproducible, and shaped exactly like an embedding a real
-    * encoder would emit. */
-  def decodeStub(featureDim: Int)(payload: Array[Byte]): Array[Double] =
+    * [[Hashing.hash60]] of (md5hex(payload) ‖ '#' ‖ featureIndex).
+    * Deterministic, engine-reproducible (SQL replay:
+    * `md5(md5(payload) || '#' || k)`), and shaped exactly like an
+    * embedding a real encoder would emit. The payload is digested ONCE
+    * and the per-feature hashes run over the 32-char digest — a real
+    * codec also reads the payload once, so the stub's cost shape matches
+    * (the previous per-feature full-payload digest made a 256-feature
+    * decode re-read the payload 256×). */
+  def decodeStub(featureDim: Int)(payload: Array[Byte]): Array[Double] = {
+    val digestHex = Hashing.md5Hex(payload)
     Array.tabulate(featureDim) { m =>
-      val suffix = s"#$m".getBytes("UTF-8")
-      val buf = java.util.Arrays.copyOf(payload, payload.length + suffix.length)
-      System.arraycopy(suffix, 0, buf, payload.length, suffix.length)
-      Hashing.hash60(buf).toDouble / (1L << Hashing.Bits).toDouble
+      Hashing.hash60(s"$digestHex#$m").toDouble / (1L << Hashing.Bits).toDouble
     }
+  }
 
   /** ImageIO's default stream cache is DISK-backed: reading an in-memory
     * byte stream would create+delete a temp file per image — per-record

@@ -47,6 +47,27 @@ class HashingSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     vals.foreach(v => got(v) shouldBe Hashing.hash60(v))
   }
 
+  it should "agree between md5Hex and the SQL md5 spelling" in {
+    val s = spark
+    import s.implicits._
+    val vals = Seq("", "x", "hello world", "é世界", "payload#3")
+    val got = vals.toDF("v")
+      .select(col("v"), md5(encode(col("v"), "UTF-8")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    vals.foreach(v => got(v) shouldBe Hashing.md5Hex(v.getBytes("UTF-8")))
+    // the chained stub scheme: hash60(md5Hex(payload) ‖ '#' ‖ k) must
+    // equal the SQL replay hash60(md5(payload) || '#' || k)
+    val sqlStub = vals.toDF("v")
+      .select(col("v"),
+        Hashing.hash60(concat(md5(encode(col("v"), "UTF-8")), lit("#7")))
+          .as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      sqlStub(v) shouldBe
+        Hashing.hash60(Hashing.md5Hex(v.getBytes("UTF-8")) + "#7")
+    }
+  }
+
   it should "be thread-safe under parallel use (per-thread digest)" in {
     val inputs = (0 until 1000).map(i => s"input-$i")
     val expect = inputs.map(s => hexReference(s.getBytes("UTF-8")))
