@@ -83,6 +83,21 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // O12 — COO→sparse-row assembly: the joint distribution grouped into
+    // per-row (js, ps) arrays sorted by j (ref Tsne.scala:119-129), then
+    // exploded back POSITIONALLY so both the array contents and the sort
+    // order are hash-checked — pos k must hold the k-th smallest j
+    "q_affinity_rows" -> ((s, dir) => {
+      val knn = Knn.bruteForce(IO.readEmbeddings(s, dir), 10, "sqeuclidean")
+      val rows = Affinities.toAffinityRows(Affinities.jointDistribution(knn))
+      rows.toDF()
+        .select(col("id").as("i"), posexplode(arrays_zip(col("js"), col("ps")))
+          .as(Seq("pos", "e")))
+        .select(col("i"), col("pos"), col("e.js").as("j"),
+          round(col("e.ps"), 12).as("p_r"))
+        .orderBy("i", "pos")
+    }),
+
     // O15 — centering through the library operator (groupBy-mean + 1-row
     // broadcast join; no unbounded WindowExec anywhere — VERDICT r1 #3),
     // verified in COO form
@@ -114,6 +129,27 @@ object SparkEntry {
       points.toDF()
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
         .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))
+        .orderBy("i", "j")
+    }),
+
+    // O3 — precomputed-distance-matrix CSV scan (ref Tsne.scala:155-159),
+    // exercised as a full sink→source roundtrip: COO triples derived from
+    // the embeddings table are written as CSV, read back through
+    // IO.readCoo (declared schema, no inference pass), and must reproduce
+    // every value — CSV double formatting round-trips exactly because
+    // Double.toString is the shortest form that parses back to the same
+    // bits. Oracle = the same triples derived straight from embeddings.
+    "q_distance_matrix_roundtrip" -> ((s, dir) => {
+      val df = IO.embeddingsDf(s, dir)
+      require(df.select(size(col("vec"))).head().getInt(0) == embeddingDim,
+        s"embeddings fixture width != $embeddingDim; update the oracle SQL")
+      val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_coo_$tag"
+      df.select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
+        .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+        .write.mode("overwrite").csv(out)
+      IO.readCoo(s, out).toDF()
+        .select(col("i"), col("j"), col("v").as("v_r"))
         .orderBy("i", "j")
     }),
 
@@ -4331,6 +4367,21 @@ object SparkEntry {
           |SELECT i, j, ROUND(v / (SELECT SUM(v) FROM sym), 12) AS p_r
           |FROM sym ORDER BY i, j""".stripMargin),
 
+    // O12: same joint distribution, plus the positional rank of j within
+    // each row — the sorted-by-j array assembly replayed relationally
+    "q_affinity_rows" ->
+      (knnSql +
+        """, sym AS (
+          |  SELECT i, j, SUM(dist) AS v FROM (
+          |    SELECT i, j, dist FROM knn WHERE rn <= 10
+          |    UNION ALL
+          |    SELECT j AS i, i AS j, dist FROM knn WHERE rn <= 10)
+          |  GROUP BY i, j)
+          |SELECT i,
+          |       CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY j) - 1 AS INT) AS pos,
+          |       j, ROUND(v / (SELECT SUM(v) FROM sym), 12) AS p_r
+          |FROM sym ORDER BY i, pos""".stripMargin),
+
     "q_center_embedding" ->
       """WITH coo AS (
         |  SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
@@ -4340,6 +4391,13 @@ object SparkEntry {
         |FROM coo ORDER BY i, j""".stripMargin,
 
     "q_coo_roundtrip" ->
+      """SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
+        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) AS v_r
+        |FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
+        |ORDER BY i, j""".stripMargin,
+
+    // O3: the CSV roundtrip must land exactly on the source-derived COO
+    "q_distance_matrix_roundtrip" ->
       """SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
         |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) AS v_r
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
