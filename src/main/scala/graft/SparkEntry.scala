@@ -1118,13 +1118,21 @@ object SparkEntry {
     // parity with the non-residual codes it replaced (0.799/0.776/—):
     // 16 coarse cells over near-isotropic 64-dim data explain little
     // energy, so residuals aren't materially tighter; the documented win
-    // is the refine path below. Floor 0.6.
+    // is the refine path below. Floor 0.6. The code budget SCALES WITH
+    // CORPUS SIZE (round 10): at a fixed m the top-10 pack into near-ties
+    // as N grows and ADC error crosses more rank boundaries — measured
+    // 0.562 at the 100k-row native fixture with m=32, restored to 0.819
+    // by m=64 (sweep in RecallProbe; more cells did NOT help — isotropic
+    // data gives coarse centroids little energy to explain, so bytes per
+    // code are the lever, exactly FAISS's m-vs-N guidance). One count()
+    // job dispatches the size, mirroring the Optimizer's size dispatch.
     "q_ann_ivfpq" -> ((s, dir) => {
       val k = 10
       val corpus = IO.readEmbeddings(s, dir)
       val queries = corpus.filter(col("id") < 100)
       val exact = pipeline.Ann.bruteTopK(corpus, queries, k).select("i", "j")
-      val idx = pipeline.Ann.ivfPqBuild(corpus, nlist = 16, m = 32,
+      val m = if (corpus.count() <= 10000) 32 else 64
+      val idx = pipeline.Ann.ivfPqBuild(corpus, nlist = 16, m = m,
         ksub = 64, iters = 5, seed = 42L)
       val approx = pipeline.Ann.ivfPqTopK(idx, queries, k, nprobe = 10)
       val hits = approx.join(exact, Seq("i", "j"), "left_semi")
@@ -3007,25 +3015,35 @@ object SparkEntry {
   /** MinHash-cluster CTE chain ending in `cl(id, cluster)` — shared by
     * `q_dedup_clusters` and `q_dedup_keep_best` so the two oracles can't
     * drift. Brings `toks` into scope too (via the shingle chain). */
+  /** Recursive-closure clustering CTE chain. Every plain CTE is
+    * MATERIALIZED (SURVEY §8 / round-10 rule): DuckDB inlines plain CTEs
+    * per reference, so a consumer that references `cl` twice (as
+    * `q_label_backfill` does) would otherwise compute the ENTIRE closure
+    * — including the O(Σdf²) trigram self-join — once per reference; at
+    * the 100k-doc native fixture that spilled past 78 GB of temp, while
+    * the materialized spelling runs in ~24 s. */
   private def clusterCteSql(theta: Double): String =
-    "WITH RECURSIVE " + shingleSql.stripPrefix("WITH ") +
-      """, sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
+    "WITH RECURSIVE " + shingleSql.stripPrefix("WITH ")
+      .replace("toks AS (", "toks AS MATERIALIZED (")
+      .replace("tpos AS (", "tpos AS MATERIALIZED (")
+      .replace("sh AS (", "sh AS MATERIALIZED (") +
+      """, sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS MATERIALIZED (
         |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT i, j FROM inter
         |  JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
         |""".stripMargin +
       s"  WHERE c * 1.0 / (sa.n + sb.n - c) >= $theta),\n" +
-      """sym AS (SELECT i AS src, j AS dst FROM pairs
+      """sym AS MATERIALIZED (SELECT i AS src, j AS dst FROM pairs
         |        UNION SELECT j AS src, i AS dst FROM pairs),
         |reach(src, dst) AS (
         |  SELECT src, dst FROM sym
         |  UNION
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        |cl AS (
+        |cl AS MATERIALIZED (
         |  SELECT d.doc_id AS id,
         |         LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster
         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
@@ -4081,11 +4099,11 @@ object SparkEntry {
     // side's label propagation, same guarantee as q_dedup_clusters
     "q_label_backfill" -> (clusterCteSql(0.7) +
       """,
-        |lab AS (
+        |lab AS MATERIALIZED (
         |  SELECT cl.cluster, d.lang, COUNT(*) AS votes
         |  FROM cl JOIN documents d ON d.doc_id = cl.id
         |  WHERE d.doc_id % 7 <> 0 GROUP BY 1, 2),
-        |maj AS (
+        |maj AS MATERIALIZED (
         |  SELECT cluster, lang AS maj_label FROM (
         |    SELECT cluster, lang,
         |           ROW_NUMBER() OVER (PARTITION BY cluster

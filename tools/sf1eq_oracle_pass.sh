@@ -13,14 +13,15 @@
 #     q_kmeans, q_ann_cosine, q_hard_negatives, q_ann_lsh, q_ann_sq,
 #     q_ann_ivfpq_refine, q_prototypes, q_pca — plus q_hits on the 2M-edge
 #     order->supplier graph).
-#   - q_ann_pq / q_ann_ivfpq / q_ann_rp / q_ann_pca: recall-floor checks
-#     whose floors (0.6-0.7) and capacity knobs (nlist=16, m=32,
-#     shortlist=256) were tuned at the driver fixture sizes. At 100k
-#     isotropic rows the ADC-only / fixed-shortlist recall@10 drops below
-#     them (measured 2026-08-15: ivfpq 0.562 vs floor 0.6) — more
-#     near-ties per query at 10-50x corpus size, same quantization /
-#     shortlist budget. This is the documented FAISS trade, and the
-#     engine's answer is in the pass and green at sf1eq:
+#   - q_ann_pq / q_ann_rp / q_ann_pca: recall-floor checks whose floors
+#     (0.6-0.7) and capacity knobs (m=32, shortlist=256) were tuned at the
+#     driver fixture sizes; at 100k isotropic rows the fixed-budget
+#     recall@10 drops below them — more near-ties per query at 10-50x
+#     corpus size, same quantization / shortlist budget (the documented
+#     FAISS trade). The scale answers ARE in the pass and green at sf1eq:
+#     q_ann_ivfpq (code budget scales with N since round 10 — m=64 above
+#     10k rows, measured ADC recall 0.819 at 100k vs 0.562 at m=32; more
+#     cells did NOT help, bytes/code is the lever on isotropic data),
 #     q_ann_ivfpq_refine (exact-rescore on the ADC shortlist) and q_ann_sq
 #     (near-lossless 8-bit codes). The fixed-budget floors remain covered
 #     at sf0.001/0.01/0.1.
@@ -41,18 +42,15 @@
 #   - q_fuzzy_join: its oracle is the all-pairs levenshtein
 #     (5e9 64-char DPs at 100k docs). The Spark side is sub-quadratic, but
 #     the DuckDB truth is not; sf0.1's oracle covers the lossless claim.
-#   - q_label_backfill: its oracle runs a RECURSIVE transitive closure over
-#     the trigram-hash self-join (O(sum df^2) candidate pairs); at 100k docs
-#     DuckDB's spill exceeded the machine's free disk (>78 GB temp) before
-#     erroring. The Spark side is the banded near-dup CC (covered at sf1eq
-#     by q_dedup_clusters + q_dup_cluster_sizes); the majority-vote label
-#     layer is hash-checked by sf0.1's oracle. Verified at sf1eq on
-#     2026-08-15: q_contamination_overlap PASS, q_source_overlap PASS,
-#     q_label_backfill ORACLE_ERROR (DuckDB out-of-disk, Spark side fine).
+#   - (resolved round 10) q_label_backfill is IN the pass: its >78 GB
+#     spill was DuckDB inlining the plain `cl` CTE once per reference —
+#     the whole recursive closure computed twice; with every CTE in
+#     clusterCteSql MATERIALIZED the full oracle runs in ~24 s at 100k
+#     docs (value-identical at sf0.01, verified).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-QUERIES=q_agg_lineitem,q_skew_distinct,q_salted_agg,q_sketch_distinct,q_sketch_quantiles,q_cube_lineitem,q_rollup_lineitem,q_topk_orders,q_rank_topk,q_dense_rank_topk,q_window_family,q_pivot_orders,q_text_stats,q_text_quality,q_lang_id,q_unigram_logprob,q_bigram_logprob,q_text_repetition,q_decontaminate,q_doc_fingerprint,q_text_redact,q_dedup_exact,q_dedup_normalized,q_dedup_jaccard,q_dedup_minhash,q_dedup_incremental,q_dedup_incremental_minhash,q_source_cap,q_dedup_clusters,q_dedup_keep_best,q_dedup_simhash,q_multimodal_features,q_sketch_topk_tokens,q_sample_uniform,q_sample_stratified,q_sample_token_budget,q_shard_assignment,q_pack_sequences,q_curation_e2e,q_pipeline_to_shards,q_pipeline_to_shards_skewed,q_set_ops,q_sample_temperature,q_quality_topfrac,q_doc_chunks,q_exact_quantiles,q_tfidf,q_semantic_dedup_text,q_substring_dedup,q_semi_anti,q_outer_join,q_join_agg,q_bucketed_join,q_salted_join,q_events_window,q_events_sessions,q_events_json,q_events_enrich,q_events_running_totals,q_asof_join,q_range_join,q_interval_join,q_inverted_index,q_index_probe,q_filter_funnel,q_datacard,q_events_rolling,q_sessions_capped,q_first_touch,q_sample_fixed_k,q_snapshot_diff,q_apply_changes,q_pmi_bigrams,q_decontaminate_bloom,q_retention,q_session_paths,q_profile_docs,q_histogram_chars,q_funnel,q_gap_fill,q_skipgram,q_split_assign,q_top_tokens_source,q_quality_winsor,q_minmax_scale,q_equidepth_hist,q_ols_trend,q_token_entropy,q_twa,q_basket_pairs,q_rolling_active,q_zorder_key,q_lang_mix,q_interarrival,q_hll_rollup,q_table_checksum,q_incremental_agg,q_conversion_latency,q_novelty,q_interval_join_outer,q_dup_cluster_sizes,q_substring_remove,q_jsonl_roundtrip,q_pagerank,q_ridge_quality,q_ridge_by_source,q_dsir_select,q_bpe_merges,q_bpe_segment,q_source_kl,q_zipf,q_events_sliding,q_ngram_diversity,q_quality_model_topk,q_ppr,q_weighted_sample,q_snapshot_drift,q_rate_anomaly,q_pct_rank,q_kll_rollup,q_theta_overlap,q_phash,q_triangles,q_clustering_coeff,q_ks_drift,q_cdc_chunks,q_source_signature,q_split_leakage_safe,q_kcore,q_loo_influence,q_cv_ridge,q_logistic_lang,q_bootstrap_mean,q_negative_pairs,q_cusum_drift,q_calibration,q_conformal,q_ab_test,q_pack_nosplit,q_conformal_mondrian,q_contamination_overlap,q_contamination_overlap_bloom,q_source_overlap,q_waterfill_budget,q_weighted_quantiles,q_audio_sig,q_video_sig,q_boilerplate_remove,q_kmeans,q_ann_cosine,q_hard_negatives,q_ann_lsh,q_ann_sq,q_ann_ivfpq_refine,q_prototypes,q_pca,q_hits,q_quantile_normalize
+QUERIES=q_agg_lineitem,q_skew_distinct,q_salted_agg,q_sketch_distinct,q_sketch_quantiles,q_cube_lineitem,q_rollup_lineitem,q_topk_orders,q_rank_topk,q_dense_rank_topk,q_window_family,q_pivot_orders,q_text_stats,q_text_quality,q_lang_id,q_unigram_logprob,q_bigram_logprob,q_text_repetition,q_decontaminate,q_doc_fingerprint,q_text_redact,q_dedup_exact,q_dedup_normalized,q_dedup_jaccard,q_dedup_minhash,q_dedup_incremental,q_dedup_incremental_minhash,q_source_cap,q_dedup_clusters,q_dedup_keep_best,q_dedup_simhash,q_multimodal_features,q_sketch_topk_tokens,q_sample_uniform,q_sample_stratified,q_sample_token_budget,q_shard_assignment,q_pack_sequences,q_curation_e2e,q_pipeline_to_shards,q_pipeline_to_shards_skewed,q_set_ops,q_sample_temperature,q_quality_topfrac,q_doc_chunks,q_exact_quantiles,q_tfidf,q_semantic_dedup_text,q_substring_dedup,q_semi_anti,q_outer_join,q_join_agg,q_bucketed_join,q_salted_join,q_events_window,q_events_sessions,q_events_json,q_events_enrich,q_events_running_totals,q_asof_join,q_range_join,q_interval_join,q_inverted_index,q_index_probe,q_filter_funnel,q_datacard,q_events_rolling,q_sessions_capped,q_first_touch,q_sample_fixed_k,q_snapshot_diff,q_apply_changes,q_pmi_bigrams,q_decontaminate_bloom,q_retention,q_session_paths,q_profile_docs,q_histogram_chars,q_funnel,q_gap_fill,q_skipgram,q_split_assign,q_top_tokens_source,q_quality_winsor,q_minmax_scale,q_equidepth_hist,q_ols_trend,q_token_entropy,q_twa,q_basket_pairs,q_rolling_active,q_zorder_key,q_lang_mix,q_interarrival,q_hll_rollup,q_table_checksum,q_incremental_agg,q_conversion_latency,q_novelty,q_interval_join_outer,q_dup_cluster_sizes,q_substring_remove,q_jsonl_roundtrip,q_pagerank,q_ridge_quality,q_ridge_by_source,q_dsir_select,q_bpe_merges,q_bpe_segment,q_source_kl,q_zipf,q_events_sliding,q_ngram_diversity,q_quality_model_topk,q_ppr,q_weighted_sample,q_snapshot_drift,q_rate_anomaly,q_pct_rank,q_kll_rollup,q_theta_overlap,q_phash,q_triangles,q_clustering_coeff,q_ks_drift,q_cdc_chunks,q_source_signature,q_split_leakage_safe,q_kcore,q_loo_influence,q_cv_ridge,q_logistic_lang,q_bootstrap_mean,q_negative_pairs,q_cusum_drift,q_calibration,q_conformal,q_ab_test,q_pack_nosplit,q_conformal_mondrian,q_contamination_overlap,q_contamination_overlap_bloom,q_source_overlap,q_waterfill_budget,q_weighted_quantiles,q_audio_sig,q_video_sig,q_boilerplate_remove,q_kmeans,q_ann_cosine,q_hard_negatives,q_ann_lsh,q_ann_sq,q_ann_ivfpq_refine,q_prototypes,q_pca,q_hits,q_quantile_normalize,q_ann_ivfpq,q_label_backfill
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
   "runMain graft.Verify target/sf1eq target/verify_sf1eq $QUERIES"
