@@ -1586,6 +1586,23 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    // Okapi BM25 top-k retrieval (doc-length-normalized lexical ranking,
+    // Lucene idf): queries are every 97th doc's first 5 tokens; each
+    // (query, term, doc) contribution is quantized to 1e-6-grid longs
+    // BEFORE summing so the score is an order-free integer sum, ranked by
+    // (score_u, doc_id) through the GroupedTopK bounded heap. The oracle
+    // replays idf, length norm, quantization, and the rank rule
+    // association-order-exactly.
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val queries = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(pipeline.TextOps.tokens(col("text")), 1, 5), " ")
+            .as("qtext"))
+      pipeline.TextOps.bm25TopK(docs, queries, k = 10)
+        .orderBy("query_id", "rn")
+    }),
+
     // EXACT per-source quantiles (nearest-rank, integer arithmetic) — the
     // exact counterpart of q_sketch_quantiles, through the two-phase
     // prefix scan + a broadcast target join instead of a one-task sort
@@ -5067,6 +5084,45 @@ object SparkEntry {
         |       ROUND(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS w_r
         |FROM tf JOIN df USING (bucket) CROSS JOIN n
         |ORDER BY doc_id, bucket""".stripMargin),
+
+    // BM25 replayed term-for-term: Lucene idf, k1=1.2 / b=0.75 length
+    // norm, per-contribution 1e-6 quantization (order-free long sum), and
+    // the (score_u DESC, doc_id) rank rule — the association order of
+    // every float op mirrors the Spark Column expression exactly
+    "q_bm25_topk" -> (tokSql +
+      """, dls AS MATERIALIZED (SELECT doc_id, len(t) AS dl FROM toks),
+        |st AS MATERIALIZED (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dls),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        |qt AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS query_id, unnest(t[1:5]) AS term
+        |  FROM toks WHERE doc_id % 97 = 0),
+        |dfs AS MATERIALIZED (
+        |  SELECT term, COUNT(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |co AS MATERIALIZED (
+        |  SELECT qt.query_id, tf.doc_id,
+        |         CAST(FLOOR(
+        |           ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dfs.df AS DOUBLE) + 0.5)
+        |                    / (CAST(dfs.df AS DOUBLE) + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * ((1.0 - 0.75)
+        |                          + 0.75 * (CAST(dls.dl AS DOUBLE)
+        |                                    / (CAST(st.total AS DOUBLE)
+        |                                       / CAST(st.n AS DOUBLE))))))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS cu
+        |  FROM qt JOIN tf USING (term) JOIN dfs USING (term)
+        |  JOIN dls ON dls.doc_id = tf.doc_id CROSS JOIN st),
+        |sc AS MATERIALIZED (
+        |  SELECT query_id, doc_id, CAST(SUM(cu) AS BIGINT) AS score_u
+        |  FROM co GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rn, doc_id, score_u FROM (
+        |  SELECT query_id, doc_id, score_u,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY score_u DESC, doc_id) AS rn
+        |  FROM sc) WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin),
 
     "q_exact_quantiles" ->
       """WITH h AS (

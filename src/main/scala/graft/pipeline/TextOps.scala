@@ -746,4 +746,71 @@ object TextOps {
         (size(col("__toks")) - size(col("__kept"))).cast("long")
           .as("n_removed"))
   }
+
+  /** Okapi BM25 top-k retrieval (Robertson/Sparck Jones; the Lucene
+    * non-negative idf `ln(1 + (N − df + 0.5)/(df + 0.5))`) — the lexical
+    * ranking primitive a curation pipeline uses to pull benchmark-like or
+    * topic-like documents out of a corpus, the doc-length-normalized
+    * upgrade of raw tf-idf. `queries` is `(query_id, qtext)`; each DISTINCT
+    * query token scores against the corpus and the per-(query, doc) score
+    * ranks top-k.
+    *
+    * Cross-engine determinism: each (query, term, doc) CONTRIBUTION is
+    * quantized to 1e-6-grid longs BEFORE summation, so the per-pair score
+    * is an order-free integer sum (float Σ order is partition-dependent;
+    * the per-term chain is deterministic IEEE ops plus one `ln`, the same
+    * parity the logprob rows pin). Ties rank by doc_id. Association order
+    * of the contribution expression is part of the contract — the oracle
+    * mirrors it token-for-token.
+    *
+    * 100 TB shape: ONE postings aggregation over the corpus (shuffle ∝
+    * distinct (doc, term) pairs — dl rides the same rows, no second text
+    * pass); query terms and their document frequencies are broadcast
+    * (∝ |query vocabulary|, tiny); the score aggregation shuffles only
+    * postings that MATCH a query term; ranking runs through the
+    * bounded-heap GroupedTopK rewrite, never a full sort. Corpus stats
+    * (N, avgdl) are one 1-row broadcast. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__t"))
+    val postings = toks
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("__t")).cast("long")).as("total_dl"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val dfs = postings
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // the contribution expression, spelled once; the oracle SQL mirrors
+    // this association order exactly (IEEE ops are deterministic but not
+    // associative)
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
+    val den = col("tf").cast("double") +
+      lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("dl").cast("double") / avgdl))
+    val contrib = floor(idf * (num / den) * lit(1000000.0) + lit(0.5))
+      .cast("long")
+    val scored = postings
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contrib.as("cu"))
+      .groupBy("query_id", "doc_id").agg(sum("cu").as("score_u"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("score_u"))
+  }
 }

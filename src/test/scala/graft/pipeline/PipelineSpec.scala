@@ -369,6 +369,58 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     out(3L) shouldBe "en" // all scores 0 → first in list order
   }
 
+  "TextOps.bm25TopK" should "match a plain-Scala BM25 replay and rank deterministically" in {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "spark engine query plan spark"),
+      (2L, "spark scala library"),
+      (3L, "query planner costs"),
+      (4L, "zebra topic entirely unrelated"),
+      (5L, "spark spark spark spark spark spark spark spark"))
+    val d = docs(corpus: _*)
+    val q = Seq((100L, "spark query"), (200L, "zebra")).toDF("query_id", "qtext")
+    val got = TextOps.bm25TopK(d, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // plain-Scala replay with the same association order
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.length).sum.toDouble / n
+    def contrib(term: String, id: Long): Long = {
+      val tf = toks.toMap.apply(id).count(_ == term).toDouble
+      if (tf == 0) 0L
+      else {
+        val df = toks.count(_._2.contains(term)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val dl = toks.toMap.apply(id).length.toDouble
+        val c = idf * ((tf * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+        math.floor(c * 1000000.0 + 0.5).toLong
+      }
+    }
+    val expect = Seq(100L -> Seq("spark", "query"), 200L -> Seq("zebra")).flatMap {
+      case (qid, terms) =>
+        corpus.map(_._1)
+          .map(id => (id, terms.map(t => contrib(t, id)).sum))
+          .filter(_._2 != 0L)
+          .sortBy { case (id, su) => (-su, id) }
+          .take(3).zipWithIndex
+          .map { case ((id, su), i) => (qid, (i + 1).toLong, id, su) }
+    }
+    got.toSeq.sorted shouldBe expect.sorted
+    // doc 5 is pure spark-spam but long; length norm must keep doc 1
+    // (two distinct matching terms) on top for query 100
+    got.filter(r => r._1 == 100L && r._2 == 1L).map(_._3).toSeq shouldBe Seq(1L)
+    // partition invariance
+    TextOps.bm25TopK(d.repartition(7), q.repartition(3), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted shouldBe got.toSeq.sorted
+    // ranking runs through the bounded-heap rewrite, not a full window sort
+    val plan = TextOps.bm25TopK(d, q, k = 3).queryExecution.executedPlan.toString
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
   "TextOps.tfidf" should "assemble vectors that scatter the long format and bridge text into cosine space" in {
     val s = spark
     import s.implicits._
