@@ -128,7 +128,7 @@ object SparkEntry {
         coo.select(col("i"), col("j"), col("v")).as[CooEntry], embeddingDim)
       points.toDF()
         .select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
-        .select(col("i"), col("j"), round(col("v"), 6).as("v_r"))
+        .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v_r"))
         .orderBy("i", "j")
     }),
 
@@ -146,7 +146,7 @@ object SparkEntry {
       val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_coo_$tag"
       df.select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
-        .select(col("i"), col("j"), round(col("v"), 6).as("v"))
+        .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
         .write.mode("overwrite").csv(out)
       IO.readCoo(s, out).toDF()
         .select(col("i"), col("j"), col("v").as("v_r"))
@@ -4427,14 +4427,14 @@ object SparkEntry {
 
     "q_coo_roundtrip" ->
       """SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
-        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) AS v_r
+        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) + 0.0 AS v_r
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
         |ORDER BY i, j""".stripMargin,
 
     // O3: the CSV roundtrip must land exactly on the source-derived COO
     "q_distance_matrix_roundtrip" ->
       """SELECT vec_id AS i, CAST(g AS INT) - 1 AS j,
-        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) AS v_r
+        |       ROUND(CAST(embedding[CAST(g AS INT)] AS DOUBLE), 6) + 0.0 AS v_r
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(g)
         |ORDER BY i, j""".stripMargin,
 
