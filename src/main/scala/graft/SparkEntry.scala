@@ -496,6 +496,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // checksum-validated PII (Luhn): the fixture text has no digits, so
+    // each doc is deterministically enriched with one synthetic 16-digit
+    // number — Luhn-VALID for doc_id % 5 == 0 (check digit computed by
+    // the operator's own luhnSum), check-digit-corrupted (+5 mod 10)
+    // otherwise — plus a second always-valid number for doc_id % 11 == 0.
+    // The detector must flag exactly the valid ones; the oracle replays
+    // generation AND validation, and PipelineSpec pins the Luhn rule on
+    // published test vectors so a shared-spelling error can't hide.
+    "q_pii_luhn" -> ((s, dir) => {
+      import pipeline.TextOps.luhnSum
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def body(mul: Long, add: Long) =
+        lpad(((col("doc_id") * mul + add) % 1000000000000000L).cast("string"),
+          15, "0")
+      def check(b: Column) =
+        (lit(10) - (luhnSum(concat(b, lit("0"))) % 10)) % 10
+      val b1 = body(7919L, 12345L)
+      val b2 = body(104729L, 54321L)
+      val d1 = concat(b1,
+        when(col("doc_id") % 5 === 0, check(b1))
+          .otherwise((check(b1) + 5) % 10).cast("string"))
+      val d2 = concat(b2, check(b2).cast("string"))
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"), lit(" "), d1,
+          when(col("doc_id") % 11 === 0, concat(lit(" "), d2))
+            .otherwise(lit(""))).as("text"))
+      pipeline.TextOps.luhnValidPii(enriched).orderBy("doc_id")
+    }),
+
     // exact dedup: canonical id per content hash
     // JSONL interchange round-trip: parquet truth → writeDocuments JSONL
     // → readDocuments (declared schema, PERMISSIVE quarantine) must
@@ -3074,6 +3103,16 @@ object SparkEntry {
   private def clusterOracle(theta: Double): String =
     clusterCteSql(theta) + "\nSELECT id, cluster FROM cl ORDER BY id"
 
+  /** DuckDB spelling of `TextOps.luhnSum` over SQL expression `x` —
+    * right-anchored double-every-second digit sum, pure integer. */
+  private def luhnSql(x: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> " +
+      s"CASE WHEN (len($x) - i) % 2 = 1 " +
+      s"THEN CASE WHEN (ascii(substr($x, i, 1)) - 48) * 2 > 9 " +
+      s"THEN (ascii(substr($x, i, 1)) - 48) * 2 - 9 " +
+      s"ELSE (ascii(substr($x, i, 1)) - 48) * 2 END " +
+      s"ELSE ascii(substr($x, i, 1)) - 48 END))"
+
   private val simhashSql = tokSql +
     """, th AS (
       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
@@ -3288,6 +3327,35 @@ object SparkEntry {
         |      '[EMAIL]', 'g'),
         |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '[NUM]', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // generation AND validation replayed: synthetic check digits from the
+    // same Luhn sum the detector uses (spelled independently here), the
+    // %5 corruption, the %11 second number, then candidate extraction +
+    // the checksum verdict per candidate
+    "q_pii_luhn" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |         lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000 AS VARCHAR), 15, '0') AS b1,
+         |         lpad(CAST((doc_id * 104729 + 54321) % 1000000000000000 AS VARCHAR), 15, '0') AS b2
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, b1, b2,
+         |         (10 - (${luhnSql("b1 || '0'")}) % 10) % 10 AS c1,
+         |         (10 - (${luhnSql("b2 || '0'")}) % 10) % 10 AS c2
+         |  FROM b),
+         |en AS (
+         |  SELECT doc_id,
+         |         text || ' ' || b1 ||
+         |           CAST(CASE WHEN doc_id % 5 = 0 THEN c1 ELSE (c1 + 5) % 10 END AS VARCHAR) ||
+         |           CASE WHEN doc_id % 11 = 0 THEN ' ' || b2 || CAST(c2 AS VARCHAR) ELSE '' END AS t
+         |  FROM c),
+         |cand AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{13,19}')) AS cd FROM en),
+         |v AS (SELECT doc_id, CASE WHEN (${luhnSql("cd")}) % 10 = 0 THEN 1 ELSE 0 END AS ok FROM cand),
+         |ag AS (SELECT doc_id, COUNT(*) AS nc, SUM(ok) AS nv FROM v GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(ag.nc, 0) AS BIGINT) AS n_candidates,
+         |       CAST(COALESCE(ag.nv, 0) AS BIGINT) AS n_luhn_valid,
+         |       CAST(CASE WHEN COALESCE(ag.nv, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_valid
+         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read

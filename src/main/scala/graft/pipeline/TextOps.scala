@@ -402,6 +402,42 @@ object TextOps {
         regexp_replace(col(textCol), EmailPattern, "[EMAIL]"),
         DigitRunPattern, "[NUM]"))
 
+  /** Luhn checksum sum of a digit-string Column (ISO/IEC 7812: from the
+    * RIGHT, double every second digit, subtract 9 past 9, sum) — pure
+    * integer Column arithmetic via nested higher-order functions, no UDF.
+    * `luhnSum(c) % 10 == 0` is validity; the check digit that makes a
+    * body valid is `(10 − luhnSum(body ‖ '0') % 10) % 10`. */
+  def luhnSum(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)), i => {
+        val d = ascii(c.substr(i, lit(1))) - lit(48)
+        when(((length(c) - i) % 2) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+
+  /** Checksum-validated PII detection (the presidio-style validator
+    * stage): digit runs of plausible card length are candidates, and only
+    * Luhn-valid ones count — the checksum is what separates an account
+    * number from a timestamp or order id, cutting the false-positive rate
+    * a bare digit-run regex (like [[redactPii]]'s `[NUM]` rule) pays.
+    * Emits per doc `(doc_id, n_candidates, n_luhn_valid, has_valid)`.
+    * Pure map-side Column work (regex extract + nested HOFs), integer
+    * throughout — no shuffle at all, embarrassingly parallel at 100 TB. */
+  def luhnValidPii(docs: DataFrame, minLen: Int = 13, maxLen: Int = 19,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(minLen >= 2 && maxLen >= minLen,
+      s"bad candidate length bounds [$minLen, $maxLen]")
+    val cands = regexp_extract_all(col(textCol),
+      lit(s"[0-9]{$minLen,$maxLen}"), lit(0))
+    val valid = filter(cands, c => luhnSum(c) % 10 === 0)
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_luhn_valid"),
+      (size(valid) > 0).cast("long").as("has_valid"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1's "repetition
     * removal" family, adapted to single-line documents): duplicate-token
     * fraction (1 − types/tokens), the most-frequent-bigram's share of all

@@ -369,6 +369,43 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     out(3L) shouldBe "en" // all scores 0 → first in list order
   }
 
+  "TextOps.luhnValidPii" should "validate candidates by the Luhn checksum on published vectors" in {
+    val s = spark
+    import s.implicits._
+    // 4111111111111111 / 5500005555555559 are classic valid test PANs;
+    // flipping the check digit must invalidate; runs outside [13,19]
+    // digits are not candidates at all
+    val d = docs(
+      (1L, "pay with 4111111111111111 now"),
+      (2L, "pay with 4111111111111112 now"),
+      (3L, "two cards 4111111111111111 and 5500005555555559"),
+      (4L, "short 411111 run and no other digits"),
+      (5L, "no digits at all"),
+      (6L, "a 25-digit run 1111111111111111111111111 is one overlong candidate"))
+    val out = TextOps.luhnValidPii(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe ((1L, 1L, 1L))
+    out(2L) shouldBe ((1L, 0L, 0L))
+    out(3L) shouldBe ((2L, 2L, 1L))
+    out(4L) shouldBe ((0L, 0L, 0L))
+    out(5L) shouldBe ((0L, 0L, 0L))
+    // the 25-digit run yields a greedy 19-digit candidate + a 6-digit
+    // remainder below minLen — one candidate, and 19 ones is Luhn-checked
+    // on its own merits (sum 1*10 + 2*9 = 28 → invalid)
+    out(6L) shouldBe ((1L, 0L, 0L))
+    // luhnSum Column agrees with a plain-Scala Luhn on random digit strings
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 50).map(_ =>
+      (1 to (13 + rnd.nextInt(7))).map(_ => rnd.nextInt(10)).mkString)
+    def scalaLuhn(v: String): Int =
+      v.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+    val got = cases.toDF("c").select(TextOps.luhnSum(col("c"))).as[Int].collect()
+    got.toSeq shouldBe cases.map(scalaLuhn)
+  }
+
   "TextOps.bm25TopK" should "match a plain-Scala BM25 replay and rank deterministically" in {
     val s = spark
     import s.implicits._
