@@ -504,26 +504,16 @@ object SparkEntry {
     // The detector must flag exactly the valid ones; the oracle replays
     // generation AND validation, and PipelineSpec pins the Luhn rule on
     // published test vectors so a shared-spelling error can't hide.
-    "q_pii_luhn" -> ((s, dir) => {
-      import pipeline.TextOps.luhnSum
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      def body(mul: Long, add: Long) =
-        lpad(((col("doc_id") * mul + add) % 1000000000000000L).cast("string"),
-          15, "0")
-      def check(b: Column) =
-        (lit(10) - (luhnSum(concat(b, lit("0"))) % 10)) % 10
-      val b1 = body(7919L, 12345L)
-      val b2 = body(104729L, 54321L)
-      val d1 = concat(b1,
-        when(col("doc_id") % 5 === 0, check(b1))
-          .otherwise((check(b1) + 5) % 10).cast("string"))
-      val d2 = concat(b2, check(b2).cast("string"))
-      val enriched = docs.select(col("doc_id"),
-        concat(col("text"), lit(" "), d1,
-          when(col("doc_id") % 11 === 0, concat(lit(" "), d2))
-            .otherwise(lit(""))).as("text"))
-      pipeline.TextOps.luhnValidPii(enriched).orderBy("doc_id")
-    }),
+    "q_pii_luhn" -> ((s, dir) =>
+      pipeline.TextOps.luhnValidPii(luhnEnrichedDocs(s, dir))
+        .orderBy("doc_id")),
+
+    // the masking companion: validated numbers masked to ****+last-4,
+    // checksum-failing runs untouched — precision redactPii's blanket
+    // [NUM] rule can't offer
+    "q_pii_luhn_mask" -> ((s, dir) =>
+      pipeline.TextOps.luhnMaskValid(luhnEnrichedDocs(s, dir))
+        .orderBy("doc_id")),
 
     // exact dedup: canonical id per content hash
     // JSONL interchange round-trip: parquet truth → writeDocuments JSONL
@@ -3103,6 +3093,52 @@ object SparkEntry {
   private def clusterOracle(theta: Double): String =
     clusterCteSql(theta) + "\nSELECT id, cluster FROM cl ORDER BY id"
 
+  /** The Luhn fixture enrichment shared by `q_pii_luhn` and
+    * `q_pii_luhn_mask` (the fixture text has no digits): doc_id % 5 gets
+    * a VALID 16-digit number — check digit computed by the operator's own
+    * [[pipeline.TextOps.luhnSum]] — others a +5-corrupted check digit,
+    * and doc_id % 11 a second always-valid number. */
+  private def luhnEnrichedDocs(s: SparkSession, dir: String): DataFrame = {
+    import pipeline.TextOps.luhnSum
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    def body(mul: Long, add: Long) =
+      lpad(((col("doc_id") * mul + add) % 1000000000000000L).cast("string"),
+        15, "0")
+    def check(b: Column) =
+      (lit(10) - (luhnSum(concat(b, lit("0"))) % 10)) % 10
+    val b1 = body(7919L, 12345L)
+    val b2 = body(104729L, 54321L)
+    val d1 = concat(b1,
+      when(col("doc_id") % 5 === 0, check(b1))
+        .otherwise((check(b1) + 5) % 10).cast("string"))
+    val d2 = concat(b2, check(b2).cast("string"))
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "), d1,
+        when(col("doc_id") % 11 === 0, concat(lit(" "), d2))
+          .otherwise(lit(""))).as("text"))
+  }
+
+  /** DuckDB spelling of [[luhnEnrichedDocs]] — shared by the two Luhn
+    * oracles so fixture generation cannot drift between them. Ends with
+    * `en(doc_id, t)`. */
+  private lazy val luhnEnrichSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |         lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000 AS VARCHAR), 15, '0') AS b1,
+       |         lpad(CAST((doc_id * 104729 + 54321) % 1000000000000000 AS VARCHAR), 15, '0') AS b2
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, b1, b2,
+       |         (10 - (${luhnSql("b1 || '0'")}) % 10) % 10 AS c1,
+       |         (10 - (${luhnSql("b2 || '0'")}) % 10) % 10 AS c2
+       |  FROM b),
+       |en AS (
+       |  SELECT doc_id,
+       |         text || ' ' || b1 ||
+       |           CAST(CASE WHEN doc_id % 5 = 0 THEN c1 ELSE (c1 + 5) % 10 END AS VARCHAR) ||
+       |           CASE WHEN doc_id % 11 = 0 THEN ' ' || b2 || CAST(c2 AS VARCHAR) ELSE '' END AS t
+       |  FROM c)""".stripMargin
+
   /** DuckDB spelling of `TextOps.luhnSum` over SQL expression `x` —
     * right-anchored double-every-second digit sum, pure integer. */
   private def luhnSql(x: String): String =
@@ -3333,29 +3369,32 @@ object SparkEntry {
     // %5 corruption, the %11 second number, then candidate extraction +
     // the checksum verdict per candidate
     "q_pii_luhn" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, text,
-         |         lpad(CAST((doc_id * 7919 + 12345) % 1000000000000000 AS VARCHAR), 15, '0') AS b1,
-         |         lpad(CAST((doc_id * 104729 + 54321) % 1000000000000000 AS VARCHAR), 15, '0') AS b2
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, text, b1, b2,
-         |         (10 - (${luhnSql("b1 || '0'")}) % 10) % 10 AS c1,
-         |         (10 - (${luhnSql("b2 || '0'")}) % 10) % 10 AS c2
-         |  FROM b),
-         |en AS (
-         |  SELECT doc_id,
-         |         text || ' ' || b1 ||
-         |           CAST(CASE WHEN doc_id % 5 = 0 THEN c1 ELSE (c1 + 5) % 10 END AS VARCHAR) ||
-         |           CASE WHEN doc_id % 11 = 0 THEN ' ' || b2 || CAST(c2 AS VARCHAR) ELSE '' END AS t
-         |  FROM c),
-         |cand AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{13,19}')) AS cd FROM en),
-         |v AS (SELECT doc_id, CASE WHEN (${luhnSql("cd")}) % 10 = 0 THEN 1 ELSE 0 END AS ok FROM cand),
-         |ag AS (SELECT doc_id, COUNT(*) AS nc, SUM(ok) AS nv FROM v GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(COALESCE(ag.nc, 0) AS BIGINT) AS n_candidates,
-         |       CAST(COALESCE(ag.nv, 0) AS BIGINT) AS n_luhn_valid,
-         |       CAST(CASE WHEN COALESCE(ag.nv, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_valid
-         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+      (luhnEnrichSql +
+        s""", cand AS (SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{13,19}')) AS cd FROM en),
+           |v AS (SELECT doc_id, CASE WHEN (${luhnSql("cd")}) % 10 = 0 THEN 1 ELSE 0 END AS ok FROM cand),
+           |ag AS (SELECT doc_id, COUNT(*) AS nc, SUM(ok) AS nv FROM v GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(ag.nc, 0) AS BIGINT) AS n_candidates,
+           |       CAST(COALESCE(ag.nv, 0) AS BIGINT) AS n_luhn_valid,
+           |       CAST(CASE WHEN COALESCE(ag.nv, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_valid
+           |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // the mask: a left-fold of literal replaces over the VALID candidate
+    // list in occurrence order — list_reduce has no init arg in this
+    // DuckDB, so the text is prepended as the fold's first element
+    "q_pii_luhn_mask" ->
+      (luhnEnrichSql +
+        s""", cand AS (
+           |  SELECT doc_id, t, unnest(regexp_extract_all(t, '[0-9]{13,19}')) AS cd,
+           |         generate_subscripts(regexp_extract_all(t, '[0-9]{13,19}'), 1) AS pos
+           |  FROM en),
+           |v AS (SELECT doc_id, cd, pos FROM cand WHERE (${luhnSql("cd")}) % 10 = 0),
+           |agg AS (SELECT doc_id, list(cd ORDER BY pos) AS vl FROM v GROUP BY doc_id)
+           |SELECT en.doc_id,
+           |       CASE WHEN agg.vl IS NULL THEN en.t
+           |            ELSE list_reduce(list_prepend(en.t, agg.vl),
+           |                   (acc, x) -> replace(acc, x,
+           |                     repeat('*', len(x) - 4) || right(x, 4))) END AS masked
+           |FROM en LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read

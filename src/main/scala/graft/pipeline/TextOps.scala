@@ -438,6 +438,30 @@ object TextOps {
       (size(valid) > 0).cast("long").as("has_valid"))
   }
 
+  /** Format-preserving masking of [[luhnValidPii]]'s VALIDATED numbers:
+    * each Luhn-valid candidate is replaced by `****…` + its last
+    * `keepLast` digits (the industry PAN-masking convention) while
+    * checksum-failing digit runs — timestamps, order ids — pass through
+    * untouched, which is exactly the precision [[redactPii]]'s blanket
+    * `[NUM]` rule can't offer. One left-fold of literal string
+    * replacements over the candidate list (occurrence order, both
+    * engines); map-side only, zero shuffle. */
+  def luhnMaskValid(docs: DataFrame, keepLast: Int = 4,
+                    minLen: Int = 13, maxLen: Int = 19,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(keepLast >= 0 && keepLast < minLen,
+      s"keepLast must be in [0, $minLen), got $keepLast")
+    val cands = regexp_extract_all(col(textCol),
+      lit(s"[0-9]{$minLen,$maxLen}"), lit(0))
+    val valid = filter(cands, c => luhnSum(c) % 10 === 0)
+    val masked = aggregate(valid, col(textCol), (acc, c) =>
+      call_function("replace", acc, c,
+        concat(call_function("repeat", lit("*"), length(c) - lit(keepLast)),
+          call_function("right", c, lit(keepLast)))))
+    docs.select(col(idCol), masked.as("masked"))
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1's "repetition
     * removal" family, adapted to single-line documents): duplicate-token
     * fraction (1 − types/tokens), the most-frequent-bigram's share of all

@@ -406,6 +406,17 @@ class PipelineSpec extends AnyFlatSpec with Matchers with Inspectors with SparkT
     got.toSeq shouldBe cases.map(scalaLuhn)
   }
 
+  it should "mask only the validated numbers, format-preserving" in {
+    val d = docs(
+      (1L, "pay 4111111111111111 or 4111111111111112 then 5500005555555559 ok"),
+      (2L, "no digits"))
+    val out = TextOps.luhnMaskValid(d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe
+      "pay ************1111 or 4111111111111112 then ************5559 ok"
+    out(2L) shouldBe "no digits"
+  }
+
   "TextOps.bm25TopK" should "match a plain-Scala BM25 replay and rank deterministically" in {
     val s = spark
     import s.implicits._
