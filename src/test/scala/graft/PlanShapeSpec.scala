@@ -617,6 +617,34 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "CartesianProduct"
   }
 
+  "q_bm25_topk" should "broadcast the query side and rank through the bounded heap" in {
+    val df = SparkEntry.queries("q_bm25_topk")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // query terms, per-term dfs, and the 1-row corpus stats all broadcast
+    // — the corpus-sized postings table must never shuffle for a join
+    plan should include("BroadcastHashJoin")
+    plan should include("BroadcastNestedLoopJoin") // 1-row stats
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // ranking rides the bounded heap, never a full per-query sort
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "TextOps.luhnValidPii" should "be a pure map-side plan with no exchange" in {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.pipeline.TextOps.luhnValidPii(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // checksum validation is embarrassingly parallel: regex extract +
+    // nested HOFs per row; any Exchange here means a regression
+    plan should not include "Exchange"
+    plan should not include "Sort"
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
