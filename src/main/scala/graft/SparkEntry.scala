@@ -1261,6 +1261,34 @@ object SparkEntry {
         .orderBy("id", "frame")
     }),
 
+    // MP4 container probe end-to-end: per doc a synthetic ISO BMFF file
+    // is assembled (3..7 samples of md5-derived ASCII bytes split into 2
+    // chunks), the REAL box-walk parser locates the strided samples, and
+    // the extracted bytes are emitted. The oracle predicts every value in
+    // CLOSED FORM — no parsing — so a mis-walked offset (wrong chunk run,
+    // wrong size sum) surfaces as a hash mismatch on the extracted text.
+    "q_mp4_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mm = ids.mapPartitions { it =>
+        it.map { id =>
+          val n = 3 + (id % 5).toInt
+          val samples = (0 until n).map { k =>
+            val len = 5 + ((k + id) % 7).toInt
+            pipeline.Hashing.md5Hex(s"$id#$k".getBytes("UTF-8"))
+              .substring(0, len).getBytes("ISO-8859-1")
+          }
+          val c1 = (n + 1) / 2
+          (id, pipeline.Multimodal.buildMp4(samples, Seq(c1, n - c1))._1)
+        }
+      }.toDF("id", "payload")
+      pipeline.Multimodal.mp4FrameProbe(mm, nFrames = 4)
+        .select(col("id").as("doc_id"), col("frame"), col("sample_index"),
+          col("sample_bytes").cast("string").as("sample_text"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
     // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
     "q_embed_neardup_lsh" -> ((s, dir) => {
@@ -4475,6 +4503,21 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CAST(1 AS BIGINT) << CAST(p.bit AS INT)), 0) AS BIGINT) AS fsig
         |FROM fr LEFT JOIN p ON p.doc_id = fr.doc_id AND p.frame = fr.frame
         |GROUP BY 1, 2 ORDER BY id, frame""".stripMargin,
+
+    // closed-form replay of the synthetic sample table: n = 3 + id%5
+    // samples, probe index floor(n·f/4), sample k's text = the first
+    // 5 + (k+id)%7 chars of md5(id‖'#'‖k) — no box parsing anywhere,
+    // so the Spark side's parser is checked against independent math
+    "q_mp4_probe" ->
+      """SELECT doc_id, f AS frame,
+        |       ((3 + doc_id % 5) * f) // 4 AS sample_index,
+        |       substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |                  CAST(((3 + doc_id % 5) * f) // 4 AS VARCHAR)),
+        |              1,
+        |              CAST(5 + (((3 + doc_id % 5) * f) // 4 + doc_id) % 7 AS INT))
+        |         AS sample_text
+        |FROM documents CROSS JOIN generate_series(0, 3) t(f)
+        |ORDER BY doc_id, frame""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS id,

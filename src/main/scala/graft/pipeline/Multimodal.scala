@@ -463,6 +463,58 @@ object Multimodal {
 
   // ---------------- MP4 container probe (no codec) -----------------------
 
+  /** Assemble a minimal ISO BMFF (MP4) file whose `mdat` carries
+    * `samples` laid out in `chunks` (sample counts per chunk, in order),
+    * with a consistent `stsc`/`stsz`/`stco` sample table — the WRITE side
+    * of the container layout [[mp4SampleRanges]] parses. Used by the
+    * driver fixture (`q_mp4_probe` synthesizes per-doc MP4s the oracle
+    * can predict in closed form) and `Mp4ProbeSpec` (which checks the
+    * parser against this builder's ground-truth offsets). Returns
+    * `(fileBytes, (offset, size) per sample)`. */
+  def buildMp4(samples: Seq[Array[Byte]],
+               chunks: Seq[Int]): (Array[Byte], Seq[(Long, Int)]) = {
+    require(chunks.sum == samples.length,
+      s"chunks ${chunks.sum} != samples ${samples.length}")
+    require(chunks.forall(_ > 0), "empty chunk")
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    def fullBox(t: String, payload: Array[Byte]*): Array[Byte] =
+      box(t, Array[Byte](0, 0, 0, 0) +: payload: _*)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0),
+      "isom".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", samples.flatten.toArray)
+    val mdatStart = ftyp.length + 8L
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val chunkStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var off = mdatStart
+    var s = 0
+    chunks.foreach { n =>
+      chunkStarts += off
+      (0 until n).foreach { _ =>
+        offsets += ((off, samples(s).length)); off += samples(s).length; s += 1
+      }
+    }
+    // one stsc entry per change in samples-per-chunk (run-extension rule)
+    val runs = chunks.zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc, (n, i)) =>
+        if (acc.nonEmpty && acc.last._2 == n) acc else acc :+ ((i + 1, n))
+    }
+    val stsc = fullBox("stsc", be32(runs.length),
+      runs.toArray.flatMap { case (first, n) => be32(first) ++ be32(n) ++ be32(1) })
+    val stsz = fullBox("stsz", be32(0), be32(samples.length),
+      samples.toArray.flatMap(x => be32(x.length)))
+    val stco = fullBox("stco", be32(chunkStarts.length),
+      chunkStarts.toArray.flatMap(be32))
+    val stbl = box("stbl", stsc, stsz, stco)
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    (ftyp ++ mdat ++ moov, offsets.toSeq)
+  }
+
   /** Parse an ISO BMFF (MP4) payload's sample table into per-sample
     * `(offset, size)` byte ranges — the CONTAINER half of video frame
     * sampling, which is the half a distributed pipeline owns: at 100 TB

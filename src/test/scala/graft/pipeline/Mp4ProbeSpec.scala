@@ -14,57 +14,7 @@ import graft.tsne.SparkTestBase
   * rather than trusting the parser's own reading of it. */
 class Mp4ProbeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
 
-  // ---- ISO BMFF assembly helpers (big-endian, size-prefixed boxes) ----
-  private def be32(v: Long): Array[Byte] =
-    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
-
-  private def box(t: String, payload: Array[Byte]*): Array[Byte] = {
-    val body = payload.flatten.toArray
-    be32(body.length + 8L) ++ t.getBytes("ISO-8859-1") ++ body
-  }
-
-  /** Full box: version(1) + flags(3) prefix. */
-  private def fullBox(t: String, payload: Array[Byte]*): Array[Byte] =
-    box(t, Array[Byte](0, 0, 0, 0) +: payload: _*)
-
-  /** Build an MP4 whose mdat carries `samples` laid out in `chunks`
-    * (sample counts per chunk, in order). Returns (fileBytes, expected
-    * (offset, size) per sample). */
-  private def buildMp4(samples: Seq[Array[Byte]],
-                       chunks: Seq[Int]): (Array[Byte], Seq[(Long, Int)]) = {
-    require(chunks.sum == samples.length)
-    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0),
-      "isom".getBytes("ISO-8859-1"))
-    val mdatBody = samples.flatten.toArray
-    val mdat = box("mdat", mdatBody)
-    val mdatStart = ftyp.length + 8L // samples start after mdat's header
-    // chunk offsets + per-sample ranges derive from the construction itself
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-    var off = mdatStart
-    val chunkStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var s = 0
-    chunks.foreach { n =>
-      chunkStarts += off
-      (0 until n).foreach { _ =>
-        offsets += ((off, samples(s).length)); off += samples(s).length; s += 1
-      }
-    }
-    // stsc runs: one entry per change in samples-per-chunk
-    val runs = chunks.zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
-      case (acc, (n, i)) =>
-        if (acc.nonEmpty && acc.last._2 == n) acc else acc :+ ((i + 1, n))
-    }
-    val stsc = fullBox("stsc", be32(runs.length),
-      runs.toArray.flatMap { case (first, n) => be32(first) ++ be32(n) ++ be32(1) })
-    val stsz = fullBox("stsz", be32(0), be32(samples.length),
-      samples.toArray.flatMap(x => be32(x.length)))
-    val stco = fullBox("stco", be32(chunkStarts.length),
-      chunkStarts.toArray.flatMap(be32))
-    val stbl = box("stbl", stsc, stsz, stco)
-    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
-    (ftyp ++ mdat ++ moov, offsets.toSeq)
-  }
+  import Multimodal.buildMp4
 
   behavior of "Multimodal.mp4SampleRanges"
 
@@ -74,7 +24,9 @@ class Mp4ProbeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val (bytes, expect) = buildMp4(samples, chunks = Seq(2, 3))
     val got = Multimodal.mp4SampleRanges(bytes)
     got.toSeq shouldBe expect
-    // and the ranges really do point at the planted bytes
+    // the builder's claimed ranges and the parser's agree — AND both
+    // really point at the planted bytes (an independent third check, so
+    // a shared builder/parser error cannot self-confirm)
     got.zip(samples).foreach { case ((off, len), planted) =>
       bytes.slice(off.toInt, off.toInt + len) shouldBe planted
     }
