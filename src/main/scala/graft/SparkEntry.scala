@@ -143,14 +143,21 @@ object SparkEntry {
       val df = IO.embeddingsDf(s, dir)
       require(df.select(size(col("vec"))).head().getInt(0) == embeddingDim,
         s"embeddings fixture width != $embeddingDim; update the oracle SQL")
-      val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toHexString
+      // key the temp path by fixture basename + this session's appId so
+      // concurrent harness runs (bench vs verify) and distinct fixture
+      // dirs can never race or cross-wire through a shared 32-bit hash
+      val base = new java.io.File(dir).getName
+      val tag = s"${base}_${s.sparkContext.applicationId}"
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_coo_$tag"
       df.select(col("id").as("i"), posexplode(col("vec")).as(Seq("j", "v")))
         .select(col("i"), col("j"), (round(col("v"), 6) + lit(0.0)).as("v"))
         .write.mode("overwrite").csv(out)
-      IO.readCoo(s, out).toDF()
+      val res = IO.readCoo(s, out).toDF()
         .select(col("i"), col("j"), col("v").as("v_r"))
         .orderBy("i", "j")
+        .localCheckpoint() // materialize before deleting the CSV under it
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      res
     }),
 
     // O4 — cosine metric exercised end-to-end (euclidean/cosine were dark
@@ -3092,10 +3099,16 @@ object SparkEntry {
     * the 100k-doc native fixture that spilled past 78 GB of temp, while
     * the materialized spelling runs in ~24 s. */
   private def clusterCteSql(theta: Double): String =
-    "WITH RECURSIVE " + shingleSql.stripPrefix("WITH ")
-      .replace("toks AS (", "toks AS MATERIALIZED (")
-      .replace("tpos AS (", "tpos AS MATERIALIZED (")
-      .replace("sh AS (", "sh AS MATERIALIZED (") +
+    "WITH RECURSIVE " + Seq("toks", "tpos", "sh").foldLeft(
+      shingleSql.stripPrefix("WITH ")) { (sql, cte) =>
+        // assert each substitution actually fired: if the shared CTE
+        // spelling ever drifts, a silent no-op here would resurrect the
+        // >78 GB q_label_backfill spill with no failing check
+        val out = sql.replace(s"$cte AS (", s"$cte AS MATERIALIZED (")
+        require(out != sql, s"shingleSql no longer spells '$cte AS (' — " +
+          "update clusterCteSql's MATERIALIZED rewrite")
+        out
+      } +
       """, sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         |inter AS MATERIALIZED (
         |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c

@@ -584,11 +584,20 @@ object Multimodal {
     require(nRuns > 0, "empty stsc")
     val runs = Array.tabulate(nRuns)(i =>
       (u32(stscS + 8 + 12L * i).toInt, u32(stscS + 12 + 12L * i).toInt))
-    val perChunk = Array.tabulate(nChunks) { c =>
-      val chunk1 = c + 1
-      runs.takeWhile(_._1 <= chunk1).lastOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"stsc has no run covering chunk $chunk1"))._2
+    // runs are spec-sorted by first_chunk, so one forward merge over
+    // (runs, chunk index) expands them in O(nRuns + nChunks) — a per-chunk
+    // scan of the run list would be quadratic on real long videos
+    val perChunk = new Array[Int](nChunks)
+    var run = 0
+    var cc = 0
+    while (cc < nChunks) {
+      val chunk1 = cc + 1
+      while (run + 1 < nRuns && runs(run + 1)._1 <= chunk1) run += 1
+      if (runs(run)._1 > chunk1)
+        throw new IllegalArgumentException(
+          s"stsc has no run covering chunk $chunk1")
+      perChunk(cc) = runs(run)._2
+      cc += 1
     }
     val out = new Array[(Long, Int)](nSamples)
     var s = 0
@@ -626,6 +635,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
           val ranges = mp4SampleRanges(payload)
+          // a structurally valid MP4 may declare sample_count = 0; fail
+          // loudly like every other malformed-box case instead of AIOOBE
+          if (ranges.isEmpty)
+            throw new IllegalArgumentException(s"$id: empty sample table")
           val total = ranges.length
           (0 until n).iterator.map { i =>
             val idx = (total.toLong * i / n).toInt

@@ -445,7 +445,16 @@ object TextOps {
     * untouched, which is exactly the precision [[redactPii]]'s blanket
     * `[NUM]` rule can't offer. One left-fold of literal string
     * replacements over the candidate list (occurrence order, both
-    * engines); map-side only, zero shuffle. */
+    * engines); map-side only, zero shuffle.
+    *
+    * Semantics note: each fold step is a GLOBAL literal `replace`, so
+    * every occurrence of a valid number's digit string is masked —
+    * including where it appears as a substring of a longer,
+    * checksum-failing run (a 17-digit invalid run containing a valid
+    * 16-digit PAN gets that embedded span masked). This errs toward
+    * over-masking, the right default for PII; span-anchored replacement
+    * would need per-match offsets, which neither engine's codegen'd
+    * string functions expose. The oracle folds identically. */
   def luhnMaskValid(docs: DataFrame, keepLast: Int = 4,
                     minLen: Int = 13, maxLen: Int = 19,
                     textCol: String = "text",
