@@ -522,6 +522,40 @@ object SparkEntry {
       pipeline.TextOps.luhnMaskValid(luhnEnrichedDocs(s, dir))
         .orderBy("doc_id")),
 
+    // URL canonicalization + registered-domain extraction (the front door
+    // of every web curation pipeline — C4/RefinedWeb/Dolma dedup on a
+    // canonical URL before any text op). The fixture has no URL column,
+    // so each doc gets one synthesized deterministically from doc_id
+    // (the Luhn-row enrichment pattern): mixed-case scheme/host, userinfo,
+    // default and non-default ports, %41/%7E/%42 escapes, tracking params,
+    // permuted param order, fragments. The oracle replays BOTH the
+    // synthesis and the full canonicalization algorithm in SQL;
+    // UrlOpsSpec pins every rule on hand-built URLs.
+    "q_url_canonical" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      en.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("url_canon"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-level exact dedup: cosmetic variants (case, default port,
+    // userinfo, tracking params, param order, escape spelling, fragment)
+    // of the same resource collapse to one canonical key — one hash
+    // aggregation, first-crawled (min doc_id) wins
+    "q_url_dedup" -> ((s, dir) =>
+      pipeline.UrlOps.dedupByUrl(urlEnrichedDocs(s, dir))
+        .orderBy("url_canon")),
+
+    // per-registered-domain quota (the domain-cap curation gate): at most
+    // 3 docs per pay-level domain, largest-first — the row_number+filter
+    // shape executes through GroupedTopKLimit, so no domain is ever
+    // fully sorted however many pages it contributed
+    "q_domain_cap" -> ((s, dir) =>
+      pipeline.UrlOps.domainCap(urlEnrichedDocs(s, dir), k = 3)
+        .orderBy("domain", "rn")),
+
     // exact dedup: canonical id per content hash
     // JSONL interchange round-trip: parquet truth → writeDocuments JSONL
     // → readDocuments (declared schema, PERMISSIVE quarantine) must
@@ -3190,6 +3224,149 @@ object SparkEntry {
       s"ELSE (ascii(substr($x, i, 1)) - 48) * 2 END " +
       s"ELSE ascii(substr($x, i, 1)) - 48 END))"
 
+  /** The URL fixture enrichment shared by the three URL-curation rows
+    * (the fixture has no URL column): each doc gets a URL synthesized
+    * deterministically from doc_id. `k = doc_id % 127` drives the
+    * SEMANTIC identity (scheme, host, non-default port, path, params),
+    * so docs congruent mod 127 reference the same resource; doc_id-only
+    * terms add COSMETIC variation the canonicalizer must erase —
+    * upper/lower case, userinfo, default ports, `%41`/`%7E`/`%42` escape
+    * spellings, tracking params, permuted param order, fragments. */
+  private def urlEnrichedDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val d = col("doc_id")
+    val k = d % 127
+    val scheme = when(k % 3 === 0, lit("https")).otherwise(lit("http"))
+    val schemeRaw = when(d % 2 === 1, upper(scheme)).otherwise(scheme)
+    val hostBase = when(k % 7 === 0, lit("example.com"))
+      .when(k % 7 === 1, lit("news.example.co.uk"))
+      .when(k % 7 === 2, lit("blog.sample.org"))
+      .when(k % 7 === 3, lit("data.net"))
+      .when(k % 7 === 4, lit("api.test.com.au"))
+      .when(k % 7 === 5, lit("cdn.example.com"))
+      .otherwise(concat(lit("w"), (k % 29).cast("string"),
+        lit(".site"), (k % 13).cast("string"), lit(".net")))
+    val hostRaw = when(d % 2 === 0, hostBase).otherwise(upper(hostBase))
+    val userinfo = when(d % 6 === 0, lit("user:pw@")).otherwise(lit(""))
+    val port = when(k % 4 === 1, lit(":8080"))
+      .when(d % 4 === 0,
+        when(scheme === "https", lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val path = when(k % 11 === 3, lit(""))
+      .otherwise(concat(
+        when(d % 2 === 1, lit("/p%41th/")).otherwise(lit("/pAth/")),
+        (k % 100).cast("string"),
+        when(k % 5 === 2,
+          when(d % 2 === 1, lit("/%7Euser")).otherwise(lit("/~user")))
+          .otherwise(lit(""))))
+    val qa = concat(lit("a="), (k % 10).cast("string"))
+    val qz = when(d % 2 === 1, lit("z=%42")).otherwise(lit("z=B"))
+    val qstr = when(k % 7 === 5, lit(""))
+      .otherwise(concat(lit("?"),
+        when(d % 2 === 0, concat(qa, lit("&"), qz))
+          .otherwise(concat(qz, lit("&"), qa)),
+        when(d % 3 === 0, lit("&utm_source=feed&gclid=g123"))
+          .otherwise(lit(""))))
+    val frag = when(d % 3 === 1, concat(lit("#sec-"), d.cast("string")))
+      .otherwise(lit(""))
+    docs.select(col("doc_id"), col("n_chars"),
+      concat(schemeRaw, lit("://"), userinfo, hostRaw, port, path, qstr,
+        frag).as("url"))
+  }
+
+  /** DuckDB spelling of [[urlEnrichedDocs]] — shared by the three URL
+    * oracles so fixture synthesis cannot drift. Ends with
+    * `en(doc_id, n_chars, url)`. */
+  private lazy val urlEnrichSql: String =
+    """WITH ub AS (
+      |  SELECT doc_id, n_chars, doc_id % 127 AS k,
+      |         CASE WHEN (doc_id % 127) % 3 = 0 THEN 'https' ELSE 'http' END AS sch
+      |  FROM documents),
+      |uh AS (
+      |  SELECT *,
+      |         CASE k % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'
+      |                    WHEN 2 THEN 'blog.sample.org' WHEN 3 THEN 'data.net'
+      |                    WHEN 4 THEN 'api.test.com.au' WHEN 5 THEN 'cdn.example.com'
+      |                    ELSE 'w' || CAST(k % 29 AS VARCHAR) || '.site' || CAST(k % 13 AS VARCHAR) || '.net' END AS hostb,
+      |         CASE WHEN doc_id % 2 = 1 THEN 'z=%42' ELSE 'z=B' END AS zz,
+      |         'a=' || CAST(k % 10 AS VARCHAR) AS aa
+      |  FROM ub),
+      |en AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 2 = 1 THEN upper(sch) ELSE sch END) || '://' ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN 'user:pw@' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN hostb ELSE upper(hostb) END) ||
+      |    (CASE WHEN k % 4 = 1 THEN ':8080'
+      |          WHEN doc_id % 4 = 0 THEN (CASE WHEN sch = 'https' THEN ':443' ELSE ':80' END)
+      |          ELSE '' END) ||
+      |    (CASE WHEN k % 11 = 3 THEN ''
+      |          ELSE (CASE WHEN doc_id % 2 = 1 THEN '/p%41th/' ELSE '/pAth/' END) ||
+      |               CAST(k % 100 AS VARCHAR) ||
+      |               (CASE WHEN k % 5 = 2 THEN (CASE WHEN doc_id % 2 = 1 THEN '/%7Euser' ELSE '/~user' END) ELSE '' END) END) ||
+      |    (CASE WHEN k % 7 = 5 THEN ''
+      |          ELSE '?' || (CASE WHEN doc_id % 2 = 0 THEN aa || '&' || zz ELSE zz || '&' || aa END) ||
+      |               (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&gclid=g123' ELSE '' END) END) ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN '#sec-' || CAST(doc_id AS VARCHAR) ELSE '' END) AS url
+      |  FROM uh)""".stripMargin
+
+  /** DuckDB hex-digit value of one-char SQL expression (−1 if not hex). */
+  private def urlHexSql(ch: String): String =
+    s"(strpos('0123456789ABCDEF', upper($ch)) - 1)"
+
+  /** DuckDB spelling of `UrlOps.percentDecodeUnreserved` over SQL
+    * expression `x`: split on `%`, decode each segment's two leading hex
+    * chars iff they spell an unreserved octet (single pass — no
+    * re-decoding), else re-attach the literal `%`. The trailing COALESCE
+    * matters: DuckDB's `array_to_string([], '')` is NULL where Spark's
+    * `array_join` is `''`. */
+  private def urlPctDecodeSql(x: String): String = {
+    val code = s"CAST((${urlHexSql("substr(seg, 1, 1)")} * 16 + " +
+      s"${urlHexSql("substr(seg, 2, 1)")}) AS INTEGER)"
+    s"((string_split($x, '%'))[1] || COALESCE(array_to_string(" +
+      s"list_transform((string_split($x, '%'))[2:], seg -> " +
+      s"CASE WHEN len(seg) >= 2 AND ${urlHexSql("substr(seg, 1, 1)")} >= 0 " +
+      s"AND ${urlHexSql("substr(seg, 2, 1)")} >= 0 " +
+      s"AND ($code BETWEEN 48 AND 57 OR $code BETWEEN 65 AND 90 " +
+      s"OR $code BETWEEN 97 AND 122 OR $code IN (45, 46, 95, 126)) " +
+      s"THEN chr($code) || substr(seg, 3) ELSE '%' || seg END), ''), ''))"
+  }
+
+  /** DuckDB spelling of the full `UrlOps.canonicalizeUrl` +
+    * `registeredDomain` algorithm as a CTE chain from `en(doc_id,
+    * n_chars, url)` to `canon(doc_id, n_chars, url_canon, domain)` —
+    * every rule replayed step for step (fragment, scheme/host case,
+    * userinfo, default ports, unreserved-escape decode, tracking-param
+    * strip, param sort, empty path). */
+  private lazy val urlCanonSql: String = {
+    val suffixes = pipeline.UrlOps.MultiLevelSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s""", us1 AS (SELECT doc_id, n_chars, split_part(url, '#', 1) AS u FROM en),
+       |us2 AS (SELECT *, lower(split_part(u, '://', 1)) AS sch,
+       |               substr(u, strpos(u, '://') + 3) AS rest FROM us1),
+       |us3 AS (SELECT *, regexp_extract(rest, '^[^/?]*') AS auth FROM us2),
+       |us4 AS (SELECT *, lower(regexp_extract(auth, '[^@]*$$')) AS hp,
+       |               substr(rest, len(auth) + 1) AS pq FROM us3),
+       |us5 AS (SELECT *, CASE WHEN sch = 'http' AND hp LIKE '%:80' THEN substr(hp, 1, len(hp) - 3)
+       |                       WHEN sch = 'https' AND hp LIKE '%:443' THEN substr(hp, 1, len(hp) - 4)
+       |                       ELSE hp END AS host FROM us4),
+       |us6 AS (SELECT *, ${urlPctDecodeSql("pq")} AS pqd FROM us5),
+       |us7 AS (SELECT *, split_part(pqd, '?', 1) AS path,
+       |               CASE WHEN strpos(pqd, '?') > 0 THEN substr(pqd, strpos(pqd, '?') + 1) ELSE '' END AS q FROM us6),
+       |us8 AS (SELECT *, list_sort(list_filter(string_split(q, '&'), p ->
+       |               len(p) > 0 AND NOT regexp_matches(p, '${pipeline.UrlOps.TrackingParamPattern}'))) AS params FROM us7),
+       |us9 AS (SELECT *, string_split(host, '.') AS ls FROM us8),
+       |canon AS (
+       |  SELECT doc_id, n_chars,
+       |         CASE WHEN strpos(u, '://') = 0 THEN u ELSE
+       |           sch || '://' || host || (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |           (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS url_canon,
+       |         CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ($suffixes)
+       |                THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+       |              WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+       |              ELSE host END AS domain
+       |  FROM us9)""".stripMargin
+  }
+
   private val simhashSql = tokSql +
     """, th AS (
       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
@@ -3436,6 +3613,30 @@ object SparkEntry {
            |                   (acc, x) -> replace(acc, x,
            |                     repeat('*', len(x) - 4) || right(x, 4))) END AS masked
            |FROM en LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // the three URL rows share one enrichment CTE (urlEnrichSql) and one
+    // canonicalization chain (urlCanonSql) replaying every rule of
+    // UrlOps.canonicalizeUrl + registeredDomain step for step
+    "q_url_canonical" ->
+      (urlEnrichSql + urlCanonSql +
+        "\nSELECT doc_id, url_canon, domain FROM canon ORDER BY doc_id"),
+
+    "q_url_dedup" ->
+      (urlEnrichSql + urlCanonSql +
+        """
+          |SELECT url_canon, MIN(doc_id) AS keeper,
+          |       CAST(COUNT(*) AS BIGINT) AS n_dups
+          |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin),
+
+    "q_domain_cap" ->
+      (urlEnrichSql + urlCanonSql +
+        """
+          |SELECT domain, doc_id, n_chars, rn FROM (
+          |  SELECT domain, doc_id, n_chars,
+          |         ROW_NUMBER() OVER (PARTITION BY domain
+          |                            ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM canon)
+          |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin),
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read

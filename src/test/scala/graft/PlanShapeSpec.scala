@@ -79,6 +79,25 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("GroupedTopKLimitFinal")
   }
 
+  "q_domain_cap" should "execute the per-domain quota through the top-k operator" in {
+    val df = SparkEntry.queries("q_domain_cap")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the domain cap must never sort whole domains — bounded heaps only
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+  }
+
+  "q_url_canonical" should "stay one whole-stage-codegen map over the scan (no shuffle before the output sort)" in {
+    val df = SparkEntry.queries("q_url_canonical")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("*(")
+    // canonicalization is a narrow map: exactly the one range exchange
+    // the deterministic output ordering needs, nothing hash-partitioned
+    plan should not include "Exchange hashpartitioning"
+  }
+
   "q_events_enrich" should "broadcast the dimension, never shuffle the event side for the join" in {
     val plan = formattedPlan("q_events_enrich")
     plan should include("BroadcastHashJoin")

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** URL canonicalization: every rule pinned on hand-built URLs, the
+  * percent-decoder's single-pass (no re-decode) contract, the PSL-lite
+  * registered-domain cases, and the dedup/cap operators. */
+class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def canon(urls: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    urls.toDF("url").select(UrlOps.canonicalizeUrl(col("url"))).as[String]
+      .collect().toSeq
+  }
+
+  "canonicalizeUrl" should "lowercase scheme and host, keep path case" in {
+    canon("HTTP://WWW.Example.COM/Path/File.HTML") shouldBe
+      Seq("http://www.example.com/Path/File.HTML")
+  }
+
+  it should "strip fragments, userinfo, and default ports" in {
+    canon(
+      "http://example.com:80/a#sec-2",
+      "https://user:pw@example.com:443/a",
+      "https://example.com:8443/a",
+      "http://example.com:8080/a?x=1#frag") shouldBe Seq(
+      "http://example.com/a",
+      "https://example.com/a",
+      "https://example.com:8443/a",
+      "http://example.com:8080/a?x=1")
+  }
+
+  it should "keep http :443 and https :80 (non-default for the scheme)" in {
+    canon("http://h.com:443/a", "https://h.com:80/a") shouldBe
+      Seq("http://h.com:443/a", "https://h.com:80/a")
+  }
+
+  it should "normalize an empty path to / (query with or without path)" in {
+    canon("http://h.com", "http://h.com?b=2&a=1", "http://h.com#f") shouldBe
+      Seq("http://h.com/", "http://h.com/?a=1&b=2", "http://h.com/")
+  }
+
+  it should "drop tracking params, sort the rest, drop an emptied query" in {
+    canon(
+      "http://h.com/p?z=9&utm_source=feed&a=1&gclid=g&fbclid=f",
+      "http://h.com/p?utm_campaign=x&utm_medium=y",
+      "http://h.com/p?b=2&&a=1") shouldBe Seq(
+      "http://h.com/p?a=1&z=9",
+      "http://h.com/p",
+      "http://h.com/p?a=1&b=2")
+  }
+
+  it should "decode unreserved escapes only, either hex case" in {
+    canon(
+      "http://h.com/p%41th/%7Euser?z=%42",
+      "http://h.com/a%2Fb?q=%3Fx",   // %2F %3F reserved — kept
+      "http://h.com/p%6ad",          // lowercase hex a-f
+      "http://h.com/p%4G%9/x") shouldBe Seq( // malformed — pass through
+      "http://h.com/pAth/~user?z=B",
+      "http://h.com/a%2Fb?q=%3Fx",
+      "http://h.com/pjd",
+      "http://h.com/p%4G%9/x")
+  }
+
+  it should "not re-decode: %2541 stays %41" in {
+    canon("http://h.com/a%2541b") shouldBe Seq("http://h.com/a%2541b")
+  }
+
+  it should "pass relative references through unchanged (minus fragment)" in {
+    canon("/local/path?b=2#f", "not a url") shouldBe
+      Seq("/local/path?b=2", "not a url")
+  }
+
+  "registeredDomain" should "handle PSL-lite multi-level suffixes" in {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "www.news.example.co.uk", "example.co.uk", "a.b.c.example.com",
+      "example.com", "localhost", "api.test.com.au")
+      .toDF("h").select(UrlOps.registeredDomain(col("h"))).as[String]
+      .collect().toSeq
+    got shouldBe Seq(
+      "example.co.uk", "example.co.uk", "example.com",
+      "example.com", "localhost", "test.com.au")
+  }
+
+  "dedupByUrl" should "collapse cosmetic variants to one keeper" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://Ex.COM:80/a?b=2&a=1#f"),
+      (2L, "http://ex.com/a?a=1&b=2"),
+      (3L, "http://u:p@ex.com/a?a=1&utm_source=s&b=2"),
+      (4L, "http://ex.com/other")).toDF("doc_id", "url")
+    val got = UrlOps.dedupByUrl(docs).orderBy("url_canon")
+      .as[(String, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("http://ex.com/a?a=1&b=2", 1L, 3L),
+      ("http://ex.com/other", 4L, 1L))
+  }
+
+  "domainCap" should "keep at most k per registered domain, largest-first" in {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "http://a.ex.com/1", 100),
+      (2L, "http://b.ex.com/2", 300),
+      (3L, "http://ex.com/3", 200),
+      (4L, "http://ex.com/4", 300), // ties with 2 → doc_id breaks
+      (5L, "http://other.org/5", 50)).toDF("doc_id", "url", "n_chars")
+    val got = UrlOps.domainCap(docs, k = 2).orderBy("domain", "rn")
+      .as[(String, Long, Int, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("ex.com", 2L, 300, 1L),
+      ("ex.com", 4L, 300, 2L),
+      ("other.org", 5L, 50, 1L))
+  }
+}
