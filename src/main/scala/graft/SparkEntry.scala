@@ -1330,6 +1330,43 @@ object SparkEntry {
         .orderBy("doc_id", "frame")
     }),
 
+    // WARC container probe end-to-end (ISO 28500 — the format crawls
+    // arrive in): per doc a 3-record `.warc.gz` is synthesized with
+    // member-per-record framing (warcinfo + request + response carrying
+    // the doc text), then the REAL walks run — gzip member split with
+    // CRC32/ISIZE verification, record-boundary walk by Content-Length
+    // arithmetic (never payload scanning) — and every extracted field is
+    // checked against a CLOSED-FORM oracle that predicts type, URI,
+    // octet count and payload text with no parsing anywhere, the
+    // q_mp4_probe method. WarcSpec pins offsets, the embedded-marker
+    // no-resync case, and the malformed-input failure modes.
+    "q_warc_probe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val warcs = docs.mapPartitions { it =>
+        it.map { case (id, text) =>
+          val uri = s"http://example.com/doc/$id"
+          val req = s"GET /doc/$id HTTP/1.1\r\nHost: example.com\r\n\r\n"
+          val recs = Seq(
+            sources.Warc.RecordSpec("warcinfo", None,
+              "software: graft\r\n".getBytes("UTF-8")),
+            sources.Warc.RecordSpec("request", Some(uri),
+              req.getBytes("UTF-8")),
+            sources.Warc.RecordSpec("response", Some(uri),
+              text.getBytes("UTF-8")))
+          (id, recs.flatMap(r =>
+            sources.Warc.gzipMember(sources.Warc.buildWarc(Seq(r))._1))
+            .toArray)
+        }
+      }.toDF("id", "payload")
+      sources.Warc.warcProbe(warcs, gzipped = true)
+        .select(col("id").as("doc_id"), col("rec"), col("rec_type"),
+          col("target_uri"), col("content_length"),
+          col("payload").cast("string").as("payload_text"))
+        .orderBy("doc_id", "rec")
+    }),
+
     // embedding near-dup, scale path: hyperplane-LSH blocking + exact
     // verify must recover the exact ≥θ pair set (oracle = all-pairs SQL)
     "q_embed_neardup_lsh" -> ((s, dir) => {
@@ -4732,6 +4769,27 @@ object SparkEntry {
         |         AS sample_text
         |FROM documents CROSS JOIN generate_series(0, 3) t(f)
         |ORDER BY doc_id, frame""".stripMargin,
+
+    // closed-form replay of the synthetic 3-record WARC: fixed warcinfo
+    // line, request string rebuilt from doc_id, response = the doc text;
+    // octet counts by string length arithmetic — no record parsing, no
+    // gzip anywhere, so the Spark side's member split + Content-Length
+    // walk is checked against independent math
+    "q_warc_probe" ->
+      """SELECT doc_id, r AS rec,
+        |       CASE r WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'request'
+        |              ELSE 'response' END AS rec_type,
+        |       CASE r WHEN 0 THEN ''
+        |              ELSE 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) END AS target_uri,
+        |       CAST(CASE r WHEN 0 THEN 17
+        |                   WHEN 1 THEN len('GET /doc/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1') + len('Host: example.com') + 6
+        |                   ELSE strlen(text) END AS BIGINT) AS content_length,
+        |       CASE r WHEN 0 THEN 'software: graft' || chr(13) || chr(10)
+        |              WHEN 1 THEN 'GET /doc/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1' || chr(13) || chr(10) ||
+        |                          'Host: example.com' || chr(13) || chr(10) || chr(13) || chr(10)
+        |              ELSE text END AS payload_text
+        |FROM documents CROSS JOIN generate_series(0, 2) t(r)
+        |ORDER BY doc_id, rec""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS id,

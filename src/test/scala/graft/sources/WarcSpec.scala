@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+/** WARC framing: build→parse roundtrip against builder ground truth,
+  * Content-Length discipline (no resync on embedded markers), loud
+  * failures on malformed input, and the gzip member walk that makes
+  * `.warc.gz` splittable. */
+class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def recs = Seq(
+    Warc.RecordSpec("warcinfo", None, "software: graft\r\n".getBytes(UTF_8)),
+    Warc.RecordSpec("request", Some("http://example.com/a"),
+      "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes(UTF_8)),
+    Warc.RecordSpec("response", Some("http://example.com/a"),
+      "hello warc payload".getBytes(UTF_8)))
+
+  "warcRecords" should "roundtrip the builder's records and offsets" in {
+    val (bytes, offsets) = Warc.buildWarc(recs)
+    val got = Warc.warcRecords(bytes)
+    got.map(_.offset) shouldBe offsets
+    got.map(_.warcType) shouldBe Seq("warcinfo", "request", "response")
+    got.map(_.targetUri) shouldBe
+      Seq("", "http://example.com/a", "http://example.com/a")
+    got.map(_.contentLength) shouldBe recs.map(_.payload.length.toLong)
+    got.map(r => new String(r.payload, UTF_8)) shouldBe
+      recs.map(r => new String(r.payload, UTF_8))
+  }
+
+  it should "not resync on a payload that EMBEDS a WARC version line" in {
+    val evil = "prefix\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nsuffix"
+    val (bytes, _) = Warc.buildWarc(Seq(
+      Warc.RecordSpec("response", None, evil.getBytes(UTF_8)),
+      Warc.RecordSpec("metadata", None, "after".getBytes(UTF_8))))
+    val got = Warc.warcRecords(bytes)
+    got.map(_.warcType) shouldBe Seq("response", "metadata")
+    new String(got.head.payload, UTF_8) shouldBe evil
+  }
+
+  it should "fail loudly on missing Content-Length, truncation, bad terminator" in {
+    val (bytes, _) = Warc.buildWarc(recs)
+    // strip the Content-Length line of the first record
+    val text = new String(bytes, ISO_8859_1)
+    val noLen = text.replaceFirst("Content-Length: \\d+\r\n", "")
+    (the[IllegalArgumentException] thrownBy
+      Warc.warcRecords(noLen.getBytes(ISO_8859_1)))
+      .getMessage should include("Content-Length")
+    (the[IllegalArgumentException] thrownBy
+      Warc.warcRecords(java.util.Arrays.copyOf(bytes, bytes.length - 3)))
+      .getMessage should include("malformed WARC")
+    val badTerm = bytes.clone()
+    badTerm(bytes.length - 1) = 'X' // corrupt the final CRLF CRLF
+    (the[IllegalArgumentException] thrownBy Warc.warcRecords(badTerm))
+      .getMessage should include("terminated")
+  }
+
+  "gzipMembers" should "split at member boundaries and verify CRC/ISIZE" in {
+    val datas = Seq("alpha", "beta-longer", "").map(_.getBytes(UTF_8))
+    val members = datas.map(Warc.gzipMember)
+    val stream = members.flatten.toArray
+    val got = Warc.gzipMembers(stream)
+    got.map(_._1) shouldBe
+      members.scanLeft(0L)((acc, m) => acc + m.length).init
+    got.map(m => new String(m._2, UTF_8)) shouldBe
+      datas.map(new String(_, UTF_8))
+    val corrupt = stream.clone()
+    corrupt(members.head.length - 5) = // inside member 0's CRC32 trailer
+      (corrupt(members.head.length - 5) ^ 0x01).toByte
+    (the[IllegalArgumentException] thrownBy Warc.gzipMembers(corrupt))
+      .getMessage should include("CRC32")
+  }
+
+  "warcProbe" should "emit one row per record in both framings" in {
+    val s = spark
+    import s.implicits._
+    val (plain, _) = Warc.buildWarc(recs)
+    val gz = recs.map(r => Warc.gzipMember(Warc.buildWarc(Seq(r))._1))
+      .flatten.toArray
+    val plainGot = Warc.warcProbe(
+        Seq((1L, plain)).toDF("id", "payload"), gzipped = false)
+      .orderBy("rec")
+      .select("rec_type", "content_length").as[(String, Long)].collect()
+    plainGot shouldBe recs.map(r => (r.warcType, r.payload.length.toLong))
+    val gzGot = Warc.warcProbe(
+        Seq((1L, gz)).toDF("id", "payload"), gzipped = true)
+      .orderBy("rec")
+      .select("rec_type", "content_length").as[(String, Long)].collect()
+    gzGot shouldBe plainGot
+  }
+
+  it should "reject a gzip member holding more than one record" in {
+    val s = spark
+    import s.implicits._
+    val twoInOne = Warc.gzipMember(Warc.buildWarc(recs)._1)
+    val ex = the[org.apache.spark.SparkException] thrownBy
+      Warc.warcProbe(Seq((7L, twoInOne)).toDF("id", "payload"),
+        gzipped = true).collect()
+    ex.getMessage should include("expected exactly 1")
+  }
+}
