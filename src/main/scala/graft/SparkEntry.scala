@@ -540,6 +540,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML→text extraction end-to-end: each doc's text is wrapped in a
+    // full synthetic page — head/title, style and script blocks with
+    // embedded '<', a nav link list, an h1, the escaped text in a <p>,
+    // and a link-dense footer — then Html.htmlToText must strip the
+    // markup, decode the entities, and drop every boilerplate line,
+    // leaving exactly the prose. The oracle replays only the
+    // jusText-lite LINE RULE on the raw text (integer arithmetic, both
+    // engines); the HTML pipeline itself is pinned by HtmlSpec on
+    // hand-built pages, so a markup bug surfaces as extracted ≠ text.
+    "q_html_extract" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (acc, (from, to)) =>
+          call_function("replace", acc, lit(from), lit(to))
+        }
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "),
+        col("doc_id").cast("string"),
+        lit("</title><style>body{color:#333} .nav{k:1}</style>" +
+          "<script>if(1<2){var nav=\"<div>\";}</script></head><body>" +
+          "<nav><ul><li><a href=\"/\">Home</a></li>" +
+          "<li><a href=\"/about\">About us</a></li></ul></nav>" +
+          "<div class=\"content\"><h1>Document "),
+        col("doc_id").cast("string"), lit("</h1><p>"), esc,
+        lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/privacy\">Privacy Policy</a> &copy; 2026</footer>" +
+          "</body></html>"))
+      docs.select(col("doc_id"),
+          pipeline.Html.htmlToText(page).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
     // URL-level exact dedup: cosmetic variants (case, default port,
     // userinfo, tracking params, param order, escape spelling, fragment)
     // of the same resource collapse to one canonical key — one hash
@@ -3650,6 +3682,19 @@ object SparkEntry {
            |                   (acc, x) -> replace(acc, x,
            |                     repeat('*', len(x) - 4) || right(x, 4))) END AS masked
            |FROM en LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // the jusText-lite line rule replayed on the raw text (the synthetic
+    // page's boilerplate lines all fail it; the prose line is the text
+    // itself, so extraction must return exactly trim(text) when the rule
+    // passes and '' when it doesn't — integer arithmetic only, no HTML
+    // anywhere in the oracle)
+    "q_html_extract" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(trim(text)) >= 25
+        |             AND len(string_split_regex(trim(text), '\s+')) >= 4
+        |             AND len(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g')) * 10 >= len(trim(text)) * 4
+        |            THEN trim(text) ELSE '' END AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the three URL rows share one enrichment CTE (urlEnrichSql) and one
     // canonicalization chain (urlCanonSql) replaying every rule of

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML→text extraction — the step between a crawl ([[graft.sources.Warc]])
+  * and every text operator: raw pages need tag stripping plus boilerplate
+  * (nav/footer/chrome) removal before quality scoring or dedup mean
+  * anything.
+  *
+  * Pipeline (all pure codegen'd Column work — regex passes + HOFs over
+  * the line array; a narrow map, no shuffle, embarrassingly parallel):
+  *   1. drop `<script>`/`<style>` blocks and comments wholesale (their
+  *      content is code, not text — and may contain `<` freely);
+  *   2. convert block-level tags to newlines, so DOM blocks become LINES
+  *      — the unit the boilerplate rule judges;
+  *   3. mark `<a>`…`</a>` spans with sentinel chars (so link density
+  *      survives tag stripping), strip all remaining tags;
+  *   4. decode the six ubiquitous entities (`&lt; &gt; &quot; &#39;
+  *      &nbsp;` first, `&amp;` LAST — the reverse order would re-decode
+  *      `&amp;lt;` into `<`);
+  *   5. keep a line iff it reads like prose (jusText-lite, integer
+  *      arithmetic only so the DuckDB oracle replays it exactly):
+  *      `len(trim) ≥ minChars`, `words ≥ minWords`, alphanumeric density
+  *      `alnum·10 ≥ len·4`, link density `linked·2 ≤ len`.
+  *
+  * The full jusText additionally uses stopword density and neighbor
+  * context; this lite rule is the deterministic core. `HtmlSpec` pins
+  * extraction on hand-built pages with known boilerplate; the
+  * `q_html_extract` driver row checks the line rule cross-engine.
+  */
+object Html {
+
+  private val LinkOpen = "\u0001"
+  private val LinkClose = "\u0002"
+
+  /** Steps 1–4: markup removal. Exposed for tests; [[htmlToText]] is the
+    * full pipeline. Link spans come out wrapped in the `U+0001`/`U+0002`
+    * sentinels for the density rule to measure. */
+  def stripMarkup(html: Column): Column = {
+    val c1 = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val c2 = regexp_replace(c1, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val c3 = regexp_replace(c2, "(?s)<!--.*?-->", " ")
+    val c4 = regexp_replace(c3,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|" +
+        "tbody|blockquote|pre|section|article|aside|header|footer|nav|" +
+        "form|title|hr)\\b[^>]*>", "\n")
+    val c5 = regexp_replace(c4, "(?i)<a\\b[^>]*>", LinkOpen)
+    val c6 = regexp_replace(c5, "(?i)</a\\s*>", LinkClose)
+    val c7 = regexp_replace(c6, "<[^>]*>", "")
+    // entity decode: named/numeric forms first, the ampersand itself last
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c7) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+  }
+
+  /** The jusText-lite keep rule on ONE already-stripped line (sentinels
+    * still in place). Integer arithmetic only — both engines replay it
+    * bit-for-bit. */
+  private def lineKeepAndText(line: Column, minChars: Int,
+                              minWords: Int): (Column, Column) = {
+    val clean = call_function("replace",
+      call_function("replace", line, lit(LinkOpen), lit("")),
+      lit(LinkClose), lit(""))
+    val t = trim(clean)
+    val total = length(t)
+    val alnum = length(regexp_replace(t, "[^A-Za-z0-9]", ""))
+    val words = when(total === 0, lit(0))
+      .otherwise(size(split(t, "\\s+", -1)))
+    // linked chars: in each post-U+0001 segment, the part before U+0002
+    val linked = aggregate(
+      transform(slice(split(line, LinkOpen, -1), lit(2),
+        size(split(line, LinkOpen, -1)) - 1),
+        seg => length(substring_index(seg, LinkClose, 1))),
+      lit(0), (acc, x) => acc + x)
+    val keep = total >= minChars && words >= minWords &&
+      alnum * 10 >= total * 4 && linked * 2 <= total
+    (keep, t)
+  }
+
+  /** Full extraction: markup removal + per-line boilerplate filter,
+    * kept lines re-joined with `\n`. Empty string when nothing reads
+    * like prose. */
+  def htmlToText(html: Column, minChars: Int = 25,
+                 minWords: Int = 4): Column = {
+    require(minChars > 0 && minWords > 0,
+      s"thresholds must be positive, got ($minChars, $minWords)")
+    val lines = split(stripMarkup(html), "\n", -1)
+    val assessed = transform(lines, l => {
+      val (keep, t) = lineKeepAndText(l, minChars, minWords)
+      struct(keep.as("k"), t.as("t"))
+    })
+    array_join(
+      transform(filter(assessed, s => s.getField("k")),
+        s => s.getField("t")), "\n")
+  }
+}

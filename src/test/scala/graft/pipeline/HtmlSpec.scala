@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+import graft.tsne.SparkTestBase
+
+/** HTML→text extraction pinned on hand-built pages with known
+  * boilerplate: script/style/comment removal (including embedded `<`),
+  * entity decoding order, and each arm of the jusText-lite line rule
+  * (length, words, alnum density, link density). */
+class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def extract(pages: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    pages.toDF("html").select(Html.htmlToText(col("html"))).as[String]
+      .collect().toSeq
+  }
+
+  private val prose =
+    "The quick brown fox jumps over the lazy dog near the river bank."
+  private val prose2 =
+    "A second paragraph long enough to count as prose for the filter."
+
+  "htmlToText" should "keep main prose and drop nav/footer/chrome" in {
+    val page =
+      s"""<!DOCTYPE html><html><head><title>Doc 1</title>
+         |<style>body{color:#333} .nav{k:1}</style>
+         |<script>if(1<2){var nav="<div>";}</script>
+         |</head><body>
+         |<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li></ul></nav>
+         |<div class="content"><h1>Document 1</h1>
+         |<p>$prose</p><p>$prose2</p></div>
+         |<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy Policy</a> &copy; 2026</footer>
+         |</body></html>""".stripMargin.replace("\n", "")
+    extract(page) shouldBe Seq(s"$prose\n$prose2")
+  }
+
+  it should "remove script/style blocks wholesale even with embedded tags" in {
+    extract(s"<script>var a = '<p>${prose}</p>';</script><p>$prose2</p>",
+      s"<style>p:after{content:'<'}</style><p>$prose</p>") shouldBe
+      Seq(prose2, prose)
+  }
+
+  it should "decode entities in the right order (no double decode)" in {
+    val page = "<p>Use &amp;lt; to spell &lt;tag&gt; and &quot;x&#39;s&quot; " +
+      "plus&nbsp;space in long enough prose here.</p>"
+    extract(page) shouldBe Seq(
+      "Use &lt; to spell <tag> and \"x's\" plus space in long enough prose here.")
+  }
+
+  it should "drop short, few-word, low-density, and link-dense lines" in {
+    val linkDense = "<p><a href=\"/a\">Click here for much more info</a> now</p>"
+    val lowDensity = "<p>== == == ?! ... %% $$ @@ ++ ~~ == == == ?! ...</p>"
+    val fewWords = "<p>Supercalifragilisticexpialidocious antidisestablishmentarianism</p>"
+    val short = "<p>Tiny line here</p>"
+    extract(
+      s"$linkDense<p>$prose</p>",
+      s"$lowDensity<p>$prose</p>",
+      s"$fewWords<p>$prose</p>",
+      s"$short<p>$prose</p>") shouldBe Seq(prose, prose, prose, prose)
+  }
+
+  it should "drop comments and return empty for all-boilerplate pages" in {
+    extract(
+      s"<!-- $prose hidden in a comment --><p>$prose2</p>",
+      "<nav><a href=\"/\">Home</a></nav><footer>c</footer>") shouldBe
+      Seq(prose2, "")
+  }
+}
