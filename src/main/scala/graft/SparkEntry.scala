@@ -1852,6 +1852,20 @@ object SparkEntry {
       pipeline.Bpe.segment(docs, m).orderBy("doc_id")
     }),
 
+    // WordPiece-style greedy longest-match segmentation (the counterpart
+    // of q_bpe_segment's merge-order replay — the two rules genuinely
+    // differ): vocab = top-24 frequent substrings (len 2..6, ties by
+    // unit), segmentation = a HOF fold advancing a cursor by the longest
+    // matching unit, once per DISTINCT word. seg_sig pins the exact
+    // piece sequence of every occurrence (order-free mod-sum of hash60),
+    // not just counts; the oracle replays learning + greedy matching via
+    // a recursive CTE with MAX(len(unit)) correlated matching
+    "q_wordpiece_segment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vocab = pipeline.Wordpiece.learnVocab(docs, k = 24, maxLen = 6)
+      pipeline.Wordpiece.segment(docs, vocab).orderBy("doc_id")
+    }),
+
     // fixed-size training chunks with stride overlap (64-token windows
     // every 48): pure generator expressions, fan-out ∝ tokens/stride —
     // the upstream neighbor of sequence packing
@@ -5725,6 +5739,62 @@ object SparkEntry {
     // BPE: the identical merge recurrence re-learned in SQL
     "q_bpe_merges" -> bpeMergesOracleSql(12),
     "q_bpe_segment" -> bpeSegmentOracleSql(12),
+
+    // vocab learning (top-24 substrings by weighted count, ties by unit)
+    // + greedy longest-match replayed as a recursive CTE. The longest
+    // match per (word, cursor) is precomputed NON-recursively into a
+    // materialized match table (same rule as the Spark side's
+    // longest-first when-chain: MAX(len(unit)) over matching units,
+    // single-char fallback), and the recursion is then a pure equi-join
+    // advancing the cursor — deliberately so: a correlated subquery
+    // against a MATERIALIZED CTE evaluates EMPTY in the first iteration
+    // of a DuckDB 1.0 recursive CTE (observed: every word's first match
+    // silently fell to the 1-char fallback), and a plain uv would inline
+    // the whole learning chain per probe (the q_label_backfill spill
+    // class). Every other CTE MATERIALIZED per repo convention
+    "q_wordpiece_segment" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS MATERIALIZED (SELECT w AS tok, COUNT(*) AS c FROM tk GROUP BY w),
+        |su AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS unit, c FROM (
+        |    SELECT tok, c, l, unnest(range(1, len(tok) - l + 2)) AS i
+        |    FROM (SELECT tok, c, unnest([2, 3, 4, 5, 6]) AS l FROM wc)
+        |    WHERE len(tok) >= l)),
+        |uv AS MATERIALIZED (
+        |  SELECT unit FROM (
+        |    SELECT unit, SUM(c) AS cnt FROM su GROUP BY unit
+        |    ORDER BY cnt DESC, unit LIMIT 24)),
+        |mt AS MATERIALIZED (
+        |  SELECT tok, i AS pos,
+        |         COALESCE(MAX(CASE WHEN substr(tok, CAST(i AS INT), len(unit)) = unit
+        |                           THEN len(unit) END), 1) AS L
+        |  FROM (SELECT tok, unnest(range(1, len(tok) + 1)) AS i FROM wc)
+        |  LEFT JOIN uv ON substr(tok, CAST(i AS INT), len(unit)) = unit
+        |  GROUP BY tok, i),
+        |sgr(tok, pos, seg) AS (
+        |  SELECT tok, CAST(1 AS BIGINT), '' FROM wc
+        |  UNION ALL
+        |  SELECT sgr.tok, sgr.pos + m.L,
+        |         sgr.seg || ' ' || substr(sgr.tok, CAST(sgr.pos AS INT), CAST(m.L AS INT))
+        |  FROM sgr JOIN mt m ON m.tok = sgr.tok AND m.pos = sgr.pos
+        |  WHERE sgr.pos <= len(sgr.tok)),
+        |sg AS MATERIALIZED (SELECT tok, trim(seg) AS seg FROM sgr WHERE pos > len(tok)),
+        |ws AS MATERIALIZED (
+        |  SELECT tok, len(string_split(seg, ' ')) AS n_sub,
+        |         ('0x' || substr(md5(seg), 1, 15))::BIGINT % 1000000007 AS sig
+        |  FROM sg),
+        |ag AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |              CAST(SUM(ws.n_sub) AS BIGINT) AS n_wp_tokens,
+        |              CAST(SUM(ws.sig) AS BIGINT) AS seg_sig
+        |       FROM tk JOIN ws ON tk.w = ws.tok GROUP BY tk.doc_id)
+        |SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens,
+        |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
+        |       COALESCE(ag.seg_sig, 0) AS seg_sig
+        |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_doc_chunks" -> (tokSql +
       """, st AS (
