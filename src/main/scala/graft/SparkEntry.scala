@@ -588,6 +588,53 @@ object SparkEntry {
       pipeline.UrlOps.domainCap(urlEnrichedDocs(s, dir), k = 3)
         .orderBy("domain", "rn")),
 
+    // graph × model composition (the RefinedWeb/TrustRank pattern: a
+    // domain-authority prior feeds the doc quality model): a
+    // deterministic domain link graph (residue class k links to
+    // k' = (31k+7) mod 127 — a permutation, so every domain
+    // participates and the DISTINCT edge set is identical at every
+    // scale) is PageRanked with the integer fixed-point operator, each
+    // doc joins its domain's rank as a feature, and ridge regresses
+    // quality micro-units on (n_chars, domain_rank). One query
+    // exercising UrlOps → Graph.pageRank → Fit.ridgeNormal end-to-end,
+    // like q_pipeline_to_shards for the curation chain.
+    "q_domain_prior_model" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withDom = urlEnrichedDocs(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        pipeline.UrlOps.registeredDomain(
+          pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+      val kdom = withDom
+        .select((col("doc_id") % 127).as("k"), col("domain")).distinct()
+      val edges = kdom
+        .join(kdom.select(col("k").as("k2"), col("domain").as("domain2")),
+          ((col("k") * 31 + 7) % 127) === col("k2"))
+        .select(pipeline.Hashing.hash60(col("domain")).as("src"),
+          pipeline.Hashing.hash60(col("domain2")).as("dst"))
+        .distinct()
+      val ranks = ops.Graph.pageRank(edges, iters = 5)
+      val qual = docs.select(col("doc_id"),
+        floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+      val feats = withDom
+        .select(col("doc_id"), col("n_chars").cast("long").as("x1"),
+          pipeline.Hashing.hash60(col("domain")).as("node"))
+        .join(broadcast(ranks), Seq("node"))
+        // micro-rank: the raw 1e12 fixed-point scale would overflow the
+        // x2² moment (5e10² ≫ 2⁶³); div 1e6 keeps the exact-integer
+        // moment pass inside a long at any corpus size
+        .select(col("doc_id"), col("x1"),
+          call_function("div", col("rank"), lit(1000000L)).as("x2"))
+        .join(qual, "doc_id")
+      val (n, w) = ops.Fit.ridgeNormal(feats, Seq("x1", "x2"), "y",
+        lambda = 1.0)
+      Seq((n, w(0), w(1), w(2))).toDF("n", "w0", "w1", "w2")
+        .select(col("n"),
+          (round(col("w0"), 6) + lit(0.0)).as("w0_r"),
+          (round(col("w1"), 6) + lit(0.0)).as("w1_r"),
+          (round(col("w2"), 6) + lit(0.0)).as("w2_r"))
+    }),
+
     // exact dedup: canonical id per content hash
     // JSONL interchange round-trip: parquet truth → writeDocuments JSONL
     // → readDocuments (declared schema, PERMISSIVE quarantine) must
@@ -3141,6 +3188,94 @@ object SparkEntry {
       s"\nSELECT node, CAST(r AS BIGINT) AS rank FROM r$iters ORDER BY node"
   }
 
+  /** Replay of `q_domain_prior_model`: the domain link graph (residue
+    * permutation k → (31k+7) mod 127 over the URL fixture's registered
+    * domains), the SAME integer PageRank recurrence as
+    * [[pageRankOracleSql]], then the SAME moments + Cramer ridge solve
+    * as the `q_ridge_quality` oracle with x2 = the doc's domain rank. */
+  private def domainPriorModelOracleSql(iters: Int): String = {
+    val canonMat = {
+      // canon is referenced twice here (kdom + feat): materialize it, and
+      // assert the substitution fired so a spelling drift can't silently
+      // re-inline the whole us-chain per reference
+      val out = urlCanonSql.replace("canon AS (", "canon AS MATERIALIZED (")
+      require(out != urlCanonSql,
+        "urlCanonSql no longer spells 'canon AS (' — update the rewrite")
+      out
+    }
+    val head = tokSql.trim + ",\n" + urlEnrichSql.stripPrefix("WITH ") +
+      canonMat + """,
+        |kdom AS MATERIALIZED (SELECT DISTINCT doc_id % 127 AS k, domain FROM canon),
+        |ke AS MATERIALIZED (
+        |  SELECT DISTINCT ('0x' || substr(md5(a.domain), 1, 15))::BIGINT AS src,
+        |         ('0x' || substr(md5(b.domain), 1, 15))::BIGINT AS dst
+        |  FROM kdom a JOIN kdom b ON b.k = (a.k * 31 + 7) % 127),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM ke UNION SELECT dst FROM ke),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM ke GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT ke.dst AS node, SUM(r.r // deg.deg) AS s
+         |       FROM ke JOIN r${i - 1} r ON ke.src = r.node
+         |       JOIN deg ON deg.src = ke.src
+         |       GROUP BY ke.dst),
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) AS dm
+         |       FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.src
+         |       WHERE deg.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT nodes.node,
+         |         (15 * (1000000000000 // (SELECT n FROM nn)) +
+         |          85 * (COALESCE(c$i.s, 0) +
+         |                (SELECT dm FROM d$i) // (SELECT n FROM nn))) // 100 AS r
+         |       FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s""",
+         |qual AS MATERIALIZED (
+         |  SELECT doc_id, ROUND($qualityExprSql,
+         |        6) AS q
+         |  FROM (
+         |  $qualityInnerSql)),
+         |feat AS MATERIALIZED (
+         |  SELECT c.doc_id, CAST(c.n_chars AS BIGINT) AS x1,
+         |         CAST(r$iters.r // 1000000 AS BIGINT) AS x2,
+         |         CAST(FLOOR(qual.q * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM canon c
+         |  JOIN r$iters ON r$iters.node = ('0x' || substr(md5(c.domain), 1, 15))::BIGINT
+         |  JOIN qual ON qual.doc_id = c.doc_id),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS g00,
+         |         SUM(x1) AS g01, SUM(x2) AS g02,
+         |         SUM(x1 * x1) AS g11, SUM(x1 * x2) AS g12,
+         |         SUM(x2 * x2) AS g22,
+         |         SUM(y) AS b0, SUM(x1 * y) AS b1, SUM(x2 * y) AS b2
+         |  FROM feat),
+         |a AS (
+         |  SELECT CAST(g00 AS BIGINT) AS n,
+         |         CAST(g00 AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01,
+         |         CAST(g02 AS DOUBLE) AS a02, CAST(g01 AS DOUBLE) AS a10,
+         |         CAST(g11 AS DOUBLE) + 1.0 AS a11, CAST(g12 AS DOUBLE) AS a12,
+         |         CAST(g02 AS DOUBLE) AS a20, CAST(g12 AS DOUBLE) AS a21,
+         |         CAST(g22 AS DOUBLE) + 1.0 AS a22,
+         |         CAST(b0 AS DOUBLE) AS c0, CAST(b1 AS DOUBLE) AS c1,
+         |         CAST(b2 AS DOUBLE) AS c2
+         |  FROM m)
+         |SELECT n,
+         |  ROUND((c0 * (a11 * a22 - a12 * a21) - a01 * (c1 * a22 - a12 * c2)
+         |           + a02 * (c1 * a21 - a11 * c2))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w0_r,
+         |  ROUND((a00 * (c1 * a22 - a12 * c2) - c0 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * c2 - c1 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w1_r,
+         |  ROUND((a00 * (a11 * c2 - c1 * a21) - a01 * (a10 * c2 - c1 * a20)
+         |           + c0 * (a10 * a21 - a11 * a20))
+         |        / (a00 * (a11 * a22 - a12 * a21) - a01 * (a10 * a22 - a12 * a20)
+         |           + a02 * (a10 * a21 - a11 * a20)), 6) + 0.0 AS w2_r
+         |FROM a""".stripMargin
+  }
+
   /** Personalized-PageRank unroll: same chained-CTE shape as
     * [[pageRankOracleSql]], with the restart vector on the seed set
     * (`node % 20 = 1` — every 10th supplier) and dangling mass returning
@@ -3733,6 +3868,8 @@ object SparkEntry {
           |                            ORDER BY n_chars DESC, doc_id) AS rn
           |  FROM canon)
           |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin),
+
+    "q_domain_prior_model" -> domainPriorModelOracleSql(5),
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read
