@@ -1348,6 +1348,39 @@ object SparkEntry {
       feats.join(samples, "id").join(asciiOk, "id").orderBy("id")
     }),
 
+    // JPEG re-encode invariance as a DRIVER row (the contract
+    // MultimodalPhashSpec pins in specs, machine-checked per scale):
+    // each doc renders a deterministic smooth grayscale scene seeded by
+    // doc_id, encoded once as lossless PNG and once as a
+    // brightness-shifted lossy JPEG — both through the REAL ImageIO
+    // codec; the dHash of the two encodings must land within Hamming 3.
+    // The oracle is the contract itself (within = 1 for every doc) —
+    // the flag is earned by real codec work, the gate-row pattern of
+    // q_ann_sq's recall floor.
+    "q_phash_invariance" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val pairs = ids.mapPartitions { it =>
+        it.map(id => (id, synthImageBytes(id, "png", brighten = 0),
+          synthImageBytes(id, "jpg", brighten = 10)))
+      }.toDF("id", "png", "jpg")
+      def mm(c: String) = pairs.select(col("id"),
+        lit("image").as("modality"), col(c).as("payload"),
+        struct(octet_length(col(c)).cast("long").as("byte_len"),
+          lit("synth").as("source")).as("meta"))
+      val dec = pipeline.Multimodal.decodeImageLumaGridFor(11, 6) _
+      val h1 = pipeline.Multimodal.perceptualHashes(mm("png"), 11, 6, dec)
+        .select(col("id"), col("phash").as("h1"))
+      val h2 = pipeline.Multimodal.perceptualHashes(mm("jpg"), 11, 6, dec)
+        .select(col("id"), col("phash").as("h2"))
+      h1.join(h2, "id")
+        .select(col("id").as("doc_id"),
+          (call_function("bit_count", col("h1").bitwiseXOR(col("h2"))) <= 3)
+            .cast("long").as("within"))
+        .orderBy("doc_id")
+    }),
+
     // perceptual image hashing (dHash) through the multimodal decode
     // seam: stub decoder so the DuckDB oracle replays decode + bit-pack
     // exactly; the REAL ImageIO path and the banded Hamming near-dup
@@ -3442,6 +3475,37 @@ object SparkEntry {
       s"ELSE (ascii(substr($x, i, 1)) - 48) * 2 END " +
       s"ELSE ascii(substr($x, i, 1)) - 48 END))"
 
+  /** Deterministic smooth grayscale test scene for `q_phash_invariance`
+    * (the spec's sine-pattern generator with doc_id-derived frequencies
+    * and phase instead of a Random), encoded through the REAL ImageIO
+    * codec as `fmt` (\"png\" lossless / \"jpg\" lossy). Smooth gradients
+    * are the regime dHash is designed for — its re-encode invariance
+    * contract holds there, not on per-pixel noise. */
+  private def synthImageBytes(id: Long, fmt: String, brighten: Int)
+      : Array[Byte] = {
+    val (w, h) = (64, 48)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val fx = 1 + (id % 3).toInt
+    val fy = 1 + ((id / 3) % 3).toInt
+    val phase = (id % 7).toDouble / 7.0 * math.Pi * 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 127.5 + 110.0 * math.sin(
+          phase + fx * math.Pi * x / w + fy * math.Pi * y / h)
+        val c = math.max(0, math.min(255, v.toInt + brighten))
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
   /** The URL fixture enrichment shared by the three URL-curation rows
     * (the fixture has no URL column): each doc gets a URL synthesized
     * deterministically from doc_id. `k = doc_id % 127` drives the
@@ -4895,6 +4959,13 @@ object SparkEntry {
     "q_ann_sq" ->
       """SELECT COUNT(*) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 100""".stripMargin,
+
+    // the invariance CONTRACT is the oracle: every doc's PNG and
+    // brightness-shifted JPEG encodings must dHash within Hamming 3 —
+    // the flag on the Spark side is earned by real ImageIO decode work
+    "q_phash_invariance" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS within
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the dHash replayed from scratch: stub features
     // v(k) = hash60(md5hex(text)‖'#'‖k)/2^60 on a 6-row × 11-col grid, bit
