@@ -551,24 +551,51 @@ object SparkEntry {
     // hand-built pages, so a markup bug surfaces as extracted ≠ text.
     "q_html_extract" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
-        .foldLeft(col("text")) { case (acc, (from, to)) =>
-          call_function("replace", acc, lit(from), lit(to))
-        }
-      val page = concat(
-        lit("<!DOCTYPE html><html><head><title>Doc "),
-        col("doc_id").cast("string"),
-        lit("</title><style>body{color:#333} .nav{k:1}</style>" +
-          "<script>if(1<2){var nav=\"<div>\";}</script></head><body>" +
-          "<nav><ul><li><a href=\"/\">Home</a></li>" +
-          "<li><a href=\"/about\">About us</a></li></ul></nav>" +
-          "<div class=\"content\"><h1>Document "),
-        col("doc_id").cast("string"), lit("</h1><p>"), esc,
-        lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
-          "<a href=\"/privacy\">Privacy Policy</a> &copy; 2026</footer>" +
-          "</body></html>"))
       docs.select(col("doc_id"),
-          pipeline.Html.htmlToText(page).as("extracted"))
+          pipeline.Html.htmlToText(synthHtmlPage).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // the crawl pipeline END TO END — the round-11 families composed the
+    // way a real ingest runs them: each doc's synthetic page rides a
+    // member-per-record .warc.gz under its enriched URL; the pipeline
+    // then does real work at every stage — gzip member split (CRC
+    // verified), Content-Length record walk, HTML→text extraction,
+    // URL canonicalization + registered domain from the WARC header,
+    // quality scoring on the extracted prose. The oracle replays NONE
+    // of the container/markup machinery: it predicts every output in
+    // closed form from the raw fixture (URL synthesis chain + quality
+    // on raw text — valid because extraction provably returns exactly
+    // the text, the q_html_extract contract), so a bug in ANY stage
+    // lands as a hash mismatch.
+    "q_crawl_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pages = docs
+        .join(urlEnrichedDocs(s, dir).select("doc_id", "url"), "doc_id")
+        .select(col("doc_id"), col("url"), synthHtmlPage.as("html"))
+        .as[(Long, String, String)]
+      val warcs = pages.mapPartitions { it =>
+        it.map { case (id, url, html) =>
+          val recs = Seq(
+            sources.Warc.RecordSpec("request", Some(url),
+              "GET / HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
+            sources.Warc.RecordSpec("response", Some(url),
+              html.getBytes("UTF-8")))
+          (id, recs.flatMap(r =>
+            sources.Warc.gzipMember(sources.Warc.buildWarc(Seq(r))._1))
+            .toArray)
+        }
+      }.toDF("id", "payload")
+      sources.Warc.warcProbe(warcs, gzipped = true)
+        .where(col("rec_type") === "response")
+        .select(col("id").as("doc_id"), col("target_uri"),
+          pipeline.Html.htmlToText(col("payload").cast("string")).as("text"))
+        .select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("target_uri")).as("url_canon"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("target_uri"))).as("domain"),
+          pipeline.TextOps.qualityExpr.as("q_r"))
         .orderBy("doc_id")
     }),
 
@@ -3475,6 +3502,31 @@ object SparkEntry {
       s"ELSE (ascii(substr($x, i, 1)) - 48) * 2 END " +
       s"ELSE ascii(substr($x, i, 1)) - 48 END))"
 
+  /** The synthetic crawl page shared by `q_html_extract` and
+    * `q_crawl_e2e`: the doc's text (entity-escaped) wrapped in a full
+    * page — head/title, style and script blocks with embedded `<`, a
+    * nav link list, an h1, and a link-dense footer. Every boilerplate
+    * line fails the jusText-lite rule, so extraction must return
+    * exactly the text. Over a `(doc_id, text)` projection. */
+  private def synthHtmlPage: Column = {
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(col("text")) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "),
+      col("doc_id").cast("string"),
+      lit("</title><style>body{color:#333} .nav{k:1}</style>" +
+        "<script>if(1<2){var nav=\"<div>\";}</script></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About us</a></li></ul></nav>" +
+        "<div class=\"content\"><h1>Document "),
+      col("doc_id").cast("string"), lit("</h1><p>"), esc,
+      lit("</p></div><footer><a href=\"/tos\">Terms of Service</a> " +
+        "<a href=\"/privacy\">Privacy Policy</a> &copy; 2026</footer>" +
+        "</body></html>"))
+  }
+
   /** Deterministic smooth grayscale test scene for `q_phash_invariance`
     * (the spec's sine-pattern generator with doc_id-derived frequencies
     * and phase instead of a Random), encoded through the REAL ImageIO
@@ -3934,6 +3986,23 @@ object SparkEntry {
           |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin),
 
     "q_domain_prior_model" -> domainPriorModelOracleSql(5),
+
+    // parse-free closed-form replay of the whole crawl chain: canonical
+    // URL + domain from the synthesis CTEs, quality from the RAW text
+    // (extraction provably returns exactly the text — q_html_extract's
+    // contract, re-checked per scale) — no gzip, no WARC walk, no HTML
+    // anywhere in the oracle
+    "q_crawl_e2e" ->
+      (tokSql.trim + ",\n" + urlEnrichSql.stripPrefix("WITH ") +
+        urlCanonSql +
+        s""",
+           |qual AS (
+           |  SELECT doc_id, ROUND($qualityExprSql,
+           |        6) AS q_r
+           |  FROM (
+           |  $qualityInnerSql))
+           |SELECT c.doc_id, c.url_canon, c.domain, qual.q_r
+           |FROM canon c JOIN qual USING (doc_id) ORDER BY c.doc_id""".stripMargin),
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read
