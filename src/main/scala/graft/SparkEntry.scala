@@ -628,10 +628,20 @@ object SparkEntry {
     "q_domain_prior_model" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // localCheckpoint at the consumed-many-times seam: registeredDomain
+      // ∘ canonicalHost expands to a large expression tree (each Column
+      // reference duplicates its subtree), and withDom feeds the edge
+      // build, the rank join AND the moment pass — materializing the
+      // slim 3-column result once keeps every downstream plan a
+      // LogicalRDD scan instead of re-analyzing the URL tree per action
+      // (the Dedup.duplicateClusters round-5 lesson; measured 15.3 s →
+      // 4.3 s warm at sf0.1 — the residue is the 5 supersteps × fixed
+      // job overhead, the same floor q_pagerank pays)
       val withDom = urlEnrichedDocs(s, dir).select(
         col("doc_id"), col("n_chars"),
         pipeline.UrlOps.registeredDomain(
           pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+        .localCheckpoint()
       val kdom = withDom
         .select((col("doc_id") % 127).as("k"), col("domain")).distinct()
       val edges = kdom
