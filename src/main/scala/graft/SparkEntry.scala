@@ -778,6 +778,16 @@ object SparkEntry {
         .orderBy("i", "j")
     }),
 
+    // C4-style GLOBAL line-level dedup (every distinct line keeps only
+    // its corpus-wide first occurrence — the cross-document rule that
+    // kills sitewide chrome per-doc dedup can't see): the single-line
+    // fixture is regrouped into 8-token lines, which repeat heavily
+    // across docs; the oracle replays the grouping, the packed-key
+    // first-occurrence rule, and the in-order rebuild of every
+    // surviving document
+    "q_line_dedup" -> ((s, dir) =>
+      pipeline.Dedup.dedupLines(multiLineDocs(s, dir)).orderBy("doc_id")),
+
     // per-source quota (a standard curation cap: no single source may
     // contribute more than k docs — largest-first, deterministic tiebreak).
     // The row_number + filter shape executes through the GroupedTopKLimit
@@ -3512,6 +3522,21 @@ object SparkEntry {
       s"ELSE (ascii(substr($x, i, 1)) - 48) * 2 END " +
       s"ELSE ascii(substr($x, i, 1)) - 48 END))"
 
+  /** Multi-line fixture for `q_line_dedup` (the single-line corpus can't
+    * exercise a LINE-level rule): each doc's tokens regrouped into
+    * 8-token lines joined by `\n`. The small fixture vocabulary makes
+    * lines repeat heavily across docs — exactly the C4 regime. */
+  private def multiLineDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val t = pipeline.TextOps.tokens(col("text"))
+    val nLines = ceil(size(t) / lit(8.0)).cast("int")
+    val lines = when(size(t) > 0,
+      transform(sequence(lit(0), nLines - 1),
+        j => array_join(slice(t, j * 8 + 1, lit(8)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
   /** The synthetic crawl page shared by `q_html_extract` and
     * `q_crawl_e2e`: the doc's text (entity-escaped) wrapped in a full
     * page — head/title, style and script blocks with embedded `<`, a
@@ -4020,6 +4045,35 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars,
         |       CAST(2 AS BIGINT) AS n_corrupt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // line regrouping + the packed-key (doc_id·2^20 + idx) global
+    // first-occurrence rule + ordered per-doc rebuild, replayed exactly
+    "q_line_dedup" -> (tokSql +
+      """, ln AS MATERIALIZED (
+        |  SELECT doc_id, j AS idx,
+        |         array_to_string(t[(j * 8 + 1):(j * 8 + 8)], ' ') AS line
+        |  FROM (SELECT doc_id, t,
+        |          unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS j
+        |        FROM toks)),
+        |lh AS MATERIALIZED (
+        |  SELECT doc_id, idx, line,
+        |         ('0x' || substr(md5(line), 1, 15))::BIGINT AS h,
+        |         doc_id * 1048576 + idx AS pk
+        |  FROM ln),
+        |fo AS MATERIALIZED (SELECT h, MIN(pk) AS fk FROM lh GROUP BY h),
+        |kp AS MATERIALIZED (
+        |  SELECT lh.doc_id, lh.idx, lh.line
+        |  FROM lh JOIN fo ON lh.h = fo.h AND lh.pk = fo.fk),
+        |ag AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |              string_agg(line, chr(10) ORDER BY idx) AS cleaned
+        |       FROM kp GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ag.cleaned, '') AS cleaned,
+        |       CAST(COALESCE(ag.n_kept, 0) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(tot.n_lines, 0) - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM documents d
+        |LEFT JOIN ag USING (doc_id) LEFT JOIN tot USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "q_dedup_exact" -> (canonSql + " ORDER BY doc_id"),
 

@@ -862,4 +862,50 @@ object Dedup {
         greatest(col("src_i"), col("src_j")).as("src_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  /** C4-style GLOBAL line-level dedup (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once", applied at line granularity like the public C4
+    * scripts): every distinct line keeps exactly its FIRST occurrence —
+    * smallest `(doc_id, line_index)` corpus-wide — and every later
+    * occurrence in ANY document is removed; each doc's survivors are
+    * re-joined in order. The cross-document rule is what kills sitewide
+    * chrome and license blurbs that per-doc dedup can't see.
+    *
+    * Scale shape: one positional explode (rows ∝ total lines), the
+    * first-occurrence winner as ONE map-side-combinable `min` of the
+    * packed key `doc_id·2²⁰ + idx` (no window, no sort), one
+    * hash-co-partitioned join back, and one per-doc rebuild
+    * aggregation. Docs must have < 2²⁰ lines (a million-line "doc" is
+    * a concatenation bug; guarded). Emits
+    * `(doc_id, cleaned, n_kept, n_dropped)`; fully-deduped docs keep
+    * their row with an empty `cleaned`. */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val split_ = split(col(textCol), "\n", -1)
+    val lines = docs
+      .select(col(idCol), posexplode(split_).as(Seq("idx", "line")))
+    val hashed = lines
+      .withColumn("h", Hashing.hash60(col("line")))
+      .withColumn("pk",
+        when(col("idx") >= (1L << 20),
+          raise_error(lit("dedupLines: doc has >= 2^20 lines")).cast("long"))
+          .otherwise(col(idCol) * (1L << 20) + col("idx")))
+    val first = hashed.groupBy("h").agg(min(col("pk")).as("fk"))
+    val kept = hashed.join(first, "h").where(col("pk") === col("fk"))
+    val rebuilt = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("cleaned"))
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(totals, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
 }
