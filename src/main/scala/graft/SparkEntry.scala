@@ -615,6 +615,38 @@ object SparkEntry {
       pipeline.UrlOps.domainCap(urlEnrichedDocs(s, dir), k = 3)
         .orderBy("domain", "rn")),
 
+    // robots.txt gate (RFC 9309 — the crawl-politeness front gate): per
+    // domain a synthetic robots.txt is generated with a decoy
+    // `User-agent: bad-bot` group (must be IGNORED), a `*` group whose
+    // Disallow/Allow rules derive from the domain string (so
+    // Allow: /pAth/XY overrides Disallow: /pAth/X only on the longer
+    // match — real longest-match exercise), an empty `Disallow:` (the
+    // RFC's nothing-disallowed spelling, skipped) and an unknown
+    // Crawl-delay field. The Spark side PARSES the text with the
+    // Column state machine and gates every URL; the oracle derives the
+    // rules in closed form (parse-free) and replays only the
+    // score = 2·len + allowBit matching rule.
+    "q_robots_gate" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      // materialize the slim domain projection before distinct(): the
+      // expression tree otherwise fuses into the aggregate's codegen
+      // stage past janino's method limit (same seam as robotsGate's
+      // internal checkpoint)
+      val doms = en.select(pipeline.UrlOps.registeredDomain(
+          pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+        .localCheckpoint().distinct()
+      val d0 = (length(col("domain")) % 10).cast("string")
+      val d1 = ((length(col("domain")) + 3) % 10).cast("string")
+      val robots = doms.select(col("domain"), concat(
+        lit("# synthetic robots\nUser-agent: bad-bot\nDisallow: /\n\n"),
+        lit("User-agent: *\nDisallow: /pAth/"), d0,
+        lit("\nAllow: /pAth/"), d0, d1,
+        lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private\n"))
+        .as("robots_txt"))
+      val rules = pipeline.UrlOps.parseRobots(robots)
+      pipeline.UrlOps.robotsGate(en, rules).orderBy("doc_id")
+    }),
+
     // graph × model composition (the RefinedWeb/TrustRank pattern: a
     // domain-authority prior feeds the doc quality model): a
     // deterministic domain link graph (residue class k links to
@@ -3273,18 +3305,20 @@ object SparkEntry {
     * domains), the SAME integer PageRank recurrence as
     * [[pageRankOracleSql]], then the SAME moments + Cramer ridge solve
     * as the `q_ridge_quality` oracle with x2 = the doc's domain rank. */
+  /** [[urlCanonSql]] with `canon` MATERIALIZED — for oracles that
+    * reference it more than once (DuckDB re-inlines a plain CTE's whole
+    * upstream chain per reference); the require() asserts the rewrite
+    * fired so a spelling drift can't silently reintroduce that. */
+  private lazy val urlCanonMatSql: String = {
+    val out = urlCanonSql.replace("canon AS (", "canon AS MATERIALIZED (")
+    require(out != urlCanonSql,
+      "urlCanonSql no longer spells 'canon AS (' — update the rewrite")
+    out
+  }
+
   private def domainPriorModelOracleSql(iters: Int): String = {
-    val canonMat = {
-      // canon is referenced twice here (kdom + feat): materialize it, and
-      // assert the substitution fired so a spelling drift can't silently
-      // re-inline the whole us-chain per reference
-      val out = urlCanonSql.replace("canon AS (", "canon AS MATERIALIZED (")
-      require(out != urlCanonSql,
-        "urlCanonSql no longer spells 'canon AS (' — update the rewrite")
-      out
-    }
     val head = tokSql.trim + ",\n" + urlEnrichSql.stripPrefix("WITH ") +
-      canonMat + """,
+      urlCanonMatSql + """,
         |kdom AS MATERIALIZED (SELECT DISTINCT doc_id % 127 AS k, domain FROM canon),
         |ke AS MATERIALIZED (
         |  SELECT DISTINCT ('0x' || substr(md5(a.domain), 1, 15))::BIGINT AS src,
@@ -4021,6 +4055,40 @@ object SparkEntry {
           |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin),
 
     "q_domain_prior_model" -> domainPriorModelOracleSql(5),
+
+    // the robots rules derived in CLOSED FORM from the domain string
+    // (no robots.txt text, no parsing anywhere in the oracle — the
+    // Spark side earns its answer by actually parsing), then the RFC
+    // 9309 longest-match/allow-ties decision replayed as one MAX over
+    // score = 2·len(rule) + allowBit
+    "q_robots_gate" ->
+      (urlEnrichSql + urlCanonMatSql +
+        """,
+          |rdom AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
+          |rr AS MATERIALIZED (
+          |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
+          |         FALSE AS allow FROM rdom
+          |  UNION ALL
+          |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
+          |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
+          |         TRUE FROM rdom
+          |  UNION ALL
+          |  SELECT domain, '/private', FALSE FROM rdom),
+          |pth AS MATERIALIZED (
+          |  SELECT doc_id, domain,
+          |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
+          |  FROM canon),
+          |sc AS (
+          |  SELECT p.doc_id, p.domain,
+          |         MAX(CASE WHEN r.rule_path IS NOT NULL
+          |                   AND starts_with(p.path, r.rule_path)
+          |                  THEN len(r.rule_path) * 2 +
+          |                       CASE WHEN r.allow THEN 1 ELSE 0 END
+          |                  ELSE -1 END) AS s
+          |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)
+          |SELECT doc_id, domain,
+          |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
+          |FROM sc ORDER BY doc_id""".stripMargin),
 
     // parse-free closed-form replay of the whole crawl chain: canonical
     // URL + domain from the synthesis CTEs, quality from the RAW text

@@ -157,6 +157,80 @@ object UrlOps {
       .groupBy("url_canon")
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dups"))
 
+  /** Parse robots.txt (RFC 9309) into `(domain, rule_path, allow)` rows
+    * — the `User-agent: *` group's Allow/Disallow rules only, which is
+    * what a generic crawler obeys. A pure-Column line-fold state
+    * machine (no UDF): consecutive `User-agent:` lines accumulate into
+    * one group (a UA line after rules starts a fresh group, per the
+    * RFC's grouping), rules outside a `*` group are skipped, empty rule
+    * values (the RFC's "Disallow:" = nothing disallowed) are skipped,
+    * and unknown fields (`Crawl-delay:`, comments, blanks) are ignored.
+    * The robots table is per-domain — tiny next to the corpus — so the
+    * fold runs once per domain and the result broadcasts. */
+  def parseRobots(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt"): DataFrame = {
+    val lines = split(col(txtCol), "\n", -1)
+    val init = struct(lit(false).as("star"), lit(false).as("ua"),
+      array().cast("array<struct<path:string,allow:boolean>>").as("rules"))
+    val folded = aggregate(lines, init, (acc, raw) => {
+      val l = trim(raw)
+      val low = lower(l)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAl = low.startsWith("allow:")
+      val value = trim(call_function("substr", l,
+        call_function("instr", l, lit(":")) + 1))
+      val star = when(isUa,
+        when(acc.getField("ua"), acc.getField("star") || (value === "*"))
+          .otherwise(value === "*"))
+        .otherwise(acc.getField("star"))
+      val rules = when((isDis || isAl) && acc.getField("star") &&
+          length(value) > 0,
+        array_append(acc.getField("rules"),
+          struct(value.as("path"), isAl.as("allow"))))
+        .otherwise(acc.getField("rules"))
+      struct(star.as("star"), isUa.as("ua"), rules.as("rules"))
+    }, acc => acc.getField("rules"))
+    robots.select(col(domainCol).as("domain"), explode(folded).as("r"))
+      .select(col("domain"), col("r.path").as("rule_path"),
+        col("r.allow").as("allow"))
+  }
+
+  /** Gate URLs through parsed robots rules with RFC 9309 matching: the
+    * LONGEST rule whose path is a prefix of the URL's canonical path
+    * decides; on a length tie the least restrictive (Allow) wins; no
+    * matching rule (or no rules for the domain) means allowed. The tie
+    * rule rides one integer: `score = 2·len(rule) + allowBit`, so a
+    * single map-side-combinable `max` per doc IS the RFC decision — no
+    * window, no sort. Rules broadcast (per-domain table); the corpus
+    * side is one narrow map + one grouped max. Emits
+    * `(doc_id, domain, allowed)`. */
+  def robotsGate(urls: DataFrame, rules: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    // localCheckpoint the slim (id, domain, path) projection before the
+    // join+aggregate: the canonicalization tree (each Column reference
+    // duplicates its subtree) otherwise fuses into the agg's codegen
+    // stage and blows janino's method limit (interpreted fallback), and
+    // would be re-analyzed per downstream action — the same internal
+    // materialization pageRank does for its edge table
+    val withPath = urls.select(col(idCol),
+      registeredDomain(canonicalHost(col(urlCol))).as("domain"),
+      regexp_extract(canon, "://[^/]*(/[^?]*)", 1).as("path"))
+      .localCheckpoint()
+    withPath.join(broadcast(rules), Seq("domain"), "left")
+      .select(col(idCol), col("domain"),
+        when(col("rule_path").isNotNull &&
+            col("path").startsWith(col("rule_path")),
+          length(col("rule_path")) * 2 + col("allow").cast("int"))
+          .otherwise(lit(-1)).as("score"))
+      .groupBy(idCol, "domain")
+      .agg(max("score").as("s"))
+      .select(col(idCol), col("domain"),
+        when(col("s") < 0, lit(1L))
+          .otherwise((col("s") % 2).cast("long")).as("allowed"))
+  }
+
   /** Per-registered-domain quota: keep at most `k` docs per domain,
     * largest-first with a deterministic id tiebreak — the row_number +
     * filter shape that executes through the GroupedTopKLimit plan

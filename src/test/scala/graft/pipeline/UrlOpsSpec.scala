@@ -105,6 +105,48 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       ("http://ex.com/other", 4L, 1L))
   }
 
+  "parseRobots" should "honor RFC 9309 grouping: * group only, empty rules skipped, unknown fields ignored" in {
+    val s = spark
+    import s.implicits._
+    val txt = "# c\nUser-agent: bad-bot\nDisallow: /\n\n" +
+      "User-agent: googlebot\nUser-agent: *\nDisallow: /a\nAllow: /a/b\n" +
+      "Disallow:\nCrawl-delay: 5\n\nUser-agent: other\nDisallow: /c"
+    val got = UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String, Boolean)].collect().toSeq
+    // bad-bot's and other's rules ignored; the googlebot+* group's two
+    // non-empty rules kept in order
+    got shouldBe Seq(("d.com", "/a", false), ("d.com", "/a/b", true))
+  }
+
+  it should "start a fresh group at a User-agent line after rules" in {
+    val s = spark
+    import s.implicits._
+    // '*' group closes when 'other' opens — /c belongs to other only
+    val txt = "User-agent: *\nDisallow: /a\nUser-agent: other\nDisallow: /c"
+    val got = UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String, Boolean)].collect().toSeq
+    got shouldBe Seq(("d.com", "/a", false))
+  }
+
+  "robotsGate" should "decide by longest match, allow on ties, allow when unmatched" in {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      ("ex.com", "/a", false), ("ex.com", "/a/b", true),
+      ("ex.com", "/t", false), ("ex.com", "/t", true)) // exact tie
+      .toDF("domain", "rule_path", "allow")
+    val urls = Seq(
+      (1L, "http://ex.com/a/x"),    // /a disallows
+      (2L, "http://ex.com/a/b/x"),  // longer /a/b allows
+      (3L, "http://ex.com/zzz"),    // unmatched
+      (4L, "http://ex.com/t/q"),    // tie -> allow wins
+      (5L, "http://other.net/a/x")) // no rules for domain
+      .toDF("doc_id", "url")
+    val got = UrlOps.robotsGate(urls, rules).orderBy("doc_id")
+      .select("doc_id", "allowed").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+  }
+
   "domainCap" should "keep at most k per registered domain, largest-first" in {
     val s = spark
     import s.implicits._
