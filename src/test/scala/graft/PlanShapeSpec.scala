@@ -98,6 +98,16 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Exchange hashpartitioning"
   }
 
+  "q_robots_gate" should "broadcast the rules and decide in one hash aggregate (no sort)" in {
+    val df = SparkEntry.queries("q_robots_gate")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // the RFC decision is a plain MAX — never a window or per-group sort
+    plan should not include "Window"
+  }
+
   "q_events_enrich" should "broadcast the dimension, never shuffle the event side for the join" in {
     val plan = formattedPlan("q_events_enrich")
     plan should include("BroadcastHashJoin")
