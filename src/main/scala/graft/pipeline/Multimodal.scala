@@ -316,19 +316,25 @@ object Multimodal {
     require(bits <= 60, s"frame signature width $bits exceeds 60 bits")
     val perFrame = side * side
     val feats = decodeFeatures(mm, nFrames * perFrame, decoder)
-    val frameSigs = (0 until nFrames).map { f =>
-      val base = f * perFrame
-      val sig = (0 until side).flatMap { r =>
-        (0 until side - 1).map { c =>
-          when(col("features")(base + r * side + c) >
-               col("features")(base + r * side + c + 1),
-            lit(1L << (r * (side - 1) + c))).otherwise(lit(0L))
-        }
-      }.reduce(_ + _)
-      struct(lit(f).cast("long").as("frame"), sig.as("fsig"))
-    }
-    feats.select(col("id"), explode(array(frameSigs: _*)).as("fs"))
-      .select(col("id"), col("fs.frame").as("frame"), col("fs.fsig").as("fsig"))
+    // explode into per-frame feature slices FIRST, then bit-pack one
+    // frame's signature: packing all nFrames · side·(side−1) comparisons
+    // before the explode fused 4× the dHash expression into the generate
+    // stage and overflowed janino's 64 KB method limit — a SILENT
+    // whole-stage interpreted fallback since round 9 (caught round 11 by
+    // grepping Verify logs for 'Failed to compile'). Per-slice the
+    // expression is exactly [[perceptualHashes]]'s size, which compiles.
+    val frames = feats.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(nFrames - 1)),
+        f => slice(col("features"), f * perFrame + 1, lit(perFrame))))
+      .as(Seq("frame", "ff")))
+    val sig = (0 until side).flatMap { r =>
+      (0 until side - 1).map { c =>
+        when(col("ff")(r * side + c) > col("ff")(r * side + c + 1),
+          lit(1L << (r * (side - 1) + c))).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+    frames.select(col("id"), col("frame").cast("long").as("frame"),
+      sig.as("fsig"))
   }
 
   /** Video near-duplicate pairs: two payloads are near-dups when at least
