@@ -38,9 +38,13 @@ object Html {
     * full pipeline. Link spans come out wrapped in the `U+0001`/`U+0002`
     * sentinels for the density rule to measure. */
   def stripMarkup(html: Column): Column = {
-    val c1 = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
-    val c2 = regexp_replace(c1, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-    val c3 = regexp_replace(c2, "(?s)<!--.*?-->", " ")
+    // one pass for all three block classes — each alternative is a
+    // COMPLETE pattern (a shared `</(script|style)>` tail would let a
+    // script block terminate at `</style>`; RE2-style alternation of
+    // full alternatives cannot)
+    val c3 = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>|<!--.*?-->",
+      " ")
     val c4 = regexp_replace(c3,
       "(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|" +
         "tbody|blockquote|pre|section|article|aside|header|footer|nav|" +
@@ -66,7 +70,11 @@ object Html {
       lit(LinkClose), lit(""))
     val t = trim(clean)
     val total = length(t)
-    val alnum = length(regexp_replace(t, "[^A-Za-z0-9]", ""))
+    // alnum count as length minus translate-removal — a plain string
+    // expression, much cheaper per line than a regex pass; value-equal
+    // to the oracle's regexp_replace('[^A-Za-z0-9]') spelling
+    val alnum = total - length(translate(t,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789", ""))
     val words = when(total === 0, lit(0))
       .otherwise(size(split(t, "\\s+", -1)))
     // linked chars: in each post-U+0001 segment, the part before U+0002
