@@ -647,6 +647,54 @@ object SparkEntry {
       pipeline.UrlOps.robotsGate(en, rules).orderBy("doc_id")
     }),
 
+    // sitemap probe (sitemaps.org XML — the crawl-SCHEDULING input,
+    // completing the trio: robots = may fetch, WARC = what arrived,
+    // sitemap = what to fetch next): per domain a real sitemap.xml is
+    // synthesized listing each distinct canonical URL, with <lastmod>
+    // derived from the residue class (absent for k % 6 == 0 — the spec
+    // makes it optional); the Spark side PARSES the XML, joins the
+    // entries against a per-doc crawl snapshot, and decides re-crawl =
+    // unknown-or-newer. The oracle predicts every row in CLOSED FORM
+    // from doc_id alone — no XML, no dates (epoch-day integers per the
+    // repo's timestamp rule), no join — so a canonicalization drift, an
+    // XML roundtrip corruption, or a date-arithmetic slip all surface
+    // as a lastmod/recrawl mismatch.
+    "q_sitemap_probe" -> ((s, dir) => {
+      val base = urlEnrichedDocs(s, dir).select(col("doc_id"),
+          (col("doc_id") % 127).as("k"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("url"))).as("domain"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("loc"))
+        .localCheckpoint() // slim seam, as in q_domain_prior_model
+      // one entry per DISTINCT (domain, loc) — a sitemap lists each URL
+      // once; residues that collide on a canonical URL (47 and 124 do:
+      // both empty-path empty-query on cdn.example.com) contribute the
+      // LATEST lastmod, unknown only if all colliding residues are
+      val lmday = when(col("k") % 6 === 0, lit(-1L))
+        .otherwise(lit(19000L) + (col("k") * 3) % 150)
+      val entries = base.select(col("domain"), col("loc"), lmday.as("lmd0"))
+        .groupBy("domain", "loc").agg(max("lmd0").as("lmd"))
+        .select(col("domain"), concat(
+          lit("  <url>\n    <loc>"), col("loc"), lit("</loc>"),
+          when(col("lmd") < 0, lit(""))
+            .otherwise(concat(lit("\n    <lastmod>"),
+              date_format(date_add(to_date(lit("1970-01-01")),
+                col("lmd").cast("int")), "yyyy-MM-dd"),
+              lit("</lastmod>"))),
+          lit("\n  </url>\n")).as("entry"))
+      val xml = entries.groupBy("domain").agg(concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        array_join(sort_array(collect_list(col("entry"))), ""),
+        lit("</urlset>\n")).as("sitemap_xml"))
+      val snapshot = base.select(col("doc_id"), col("domain"), col("loc"),
+        (lit(19000L) + col("doc_id") % 97).as("crawled_day"))
+      sources.Sitemap.recrawlCandidates(snapshot,
+          sources.Sitemap.parseSitemap(xml))
+        .select(col("doc_id"), col("lastmod_day"), col("recrawl"))
+        .orderBy("doc_id")
+    }),
+
     // graph × model composition (the RefinedWeb/TrustRank pattern: a
     // domain-authority prior feeds the doc quality model): a
     // deterministic domain link graph (residue class k links to
@@ -4055,6 +4103,31 @@ object SparkEntry {
           |WHERE rn <= 3 ORDER BY domain, rn""".stripMargin),
 
     "q_domain_prior_model" -> domainPriorModelOracleSql(5),
+
+    // lastmod = MAX over the residues sharing a canonical URL (a
+    // sitemap lists each URL once; 47 and 124 genuinely collide),
+    // crawl snapshot day = 19000 + doc_id mod 97, recrawl =
+    // unknown-or-newer — no XML and no date parsing anywhere in the
+    // oracle (epoch-day integers throughout); the Spark side earns the
+    // values by synthesizing, PARSING and JOINING real sitemap.xml
+    "q_sitemap_probe" ->
+      (urlEnrichSql + urlCanonMatSql +
+        """,
+          |kd AS MATERIALIZED (
+          |  SELECT DISTINCT domain, url_canon, doc_id % 127 AS k FROM canon),
+          |lm AS MATERIALIZED (
+          |  SELECT domain, url_canon,
+          |         MAX(CASE WHEN k % 6 = 0 THEN -1
+          |                  ELSE 19000 + (k * 3) % 150 END) AS lmd
+          |  FROM kd GROUP BY 1, 2),
+          |sn AS (
+          |  SELECT c.doc_id, lm.lmd, 19000 + c.doc_id % 97 AS crawled
+          |  FROM canon c
+          |  JOIN lm ON lm.domain = c.domain AND lm.url_canon = c.url_canon)
+          |SELECT doc_id, CAST(lmd AS BIGINT) AS lastmod_day,
+          |       CAST(CASE WHEN lmd = -1 OR lmd > crawled
+          |                 THEN 1 ELSE 0 END AS BIGINT) AS recrawl
+          |FROM sn ORDER BY doc_id""".stripMargin),
 
     // the robots rules derived in CLOSED FORM from the domain string
     // (no robots.txt text, no parsing anywhere in the oracle — the
