@@ -695,6 +695,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // anchor extraction → link graph (how a crawl DISCOVERS the web
+    // graph the centrality operators then rank): each doc's page embeds
+    // two absolute outbound links — raw synthetic URLs of target
+    // residues (31k+7)%127 and (17k+3)%127, full cosmetic noise (case,
+    // userinfo, default ports, escapes, tracking params, fragments) —
+    // plus relative nav/footer chrome; the Spark side extracts every
+    // href with Html.extractLinks, keeps the absolute ones, and
+    // canonicalizes BOTH endpoints down to registered-domain edges with
+    // distinct-target counts. The oracle predicts the edge list in
+    // CLOSED FORM from doc_id alone (no HTML, no extraction, no
+    // canonicalizer — the canonical URL of residue k is a closed
+    // expression), so an extraction slip, a quote-form bug, or any
+    // canonicalization drift lands as an edge/count mismatch.
+    "q_link_graph" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val d = col("doc_id")
+      val k = d % 127
+      val href1 = synthUrl((k * 31 + 7) % 127, d)
+      val href2 = synthUrl((k * 17 + 3) % 127, d + 5)
+      val page = concat(
+        lit("<html><head><title>L</title></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href='/about'>About</a></nav>" +
+          "<p>Further reading: <a href=\""), href1,
+        lit("\">the first source</a> and <a href=\""), href2,
+        lit("\">the second</a> for details.</p>" +
+          "<footer><a href=/tos>ToS</a></footer></body></html>"))
+      // slim seam before explode+agg: the two synthUrl trees plus the
+      // source-side canonicalization otherwise fuse into one codegen
+      // stage past janino's limit (the robotsGate lesson)
+      val pages = en.select(col("doc_id"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("url"))).as("src_domain"),
+          page.as("html"))
+        .localCheckpoint()
+      pages.select(col("src_domain"),
+          explode(pipeline.Html.extractLinks(col("html"))).as("href"))
+        .where(col("href").contains("://"))
+        .select(col("src_domain"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("href"))).as("dst_domain"),
+          pipeline.UrlOps.canonicalizeUrl(col("href")).as("u"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("u")).as("n_targets"))
+        .orderBy("src_domain", "dst_domain")
+    }),
+
     // graph × model composition (the RefinedWeb/TrustRank pattern: a
     // domain-authority prior feeds the doc quality model): a
     // deterministic domain link graph (residue class k links to
@@ -3686,7 +3733,15 @@ object SparkEntry {
   private def urlEnrichedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val d = col("doc_id")
-    val k = d % 127
+    docs.select(col("doc_id"), col("n_chars"), synthUrl(d % 127, d).as("url"))
+  }
+
+  /** One synthetic URL: `k` (a residue mod 127) drives the SEMANTIC
+    * identity (scheme, host, non-default port, path, params), `d` the
+    * COSMETIC variation the canonicalizer must erase. Shared by
+    * [[urlEnrichedDocs]] (k = doc_id % 127, d = doc_id) and the
+    * `q_link_graph` hrefs (k = a target residue, d shifts). */
+  private def synthUrl(k: Column, d: Column): Column = {
     val scheme = when(k % 3 === 0, lit("https")).otherwise(lit("http"))
     val schemeRaw = when(d % 2 === 1, upper(scheme)).otherwise(scheme)
     val hostBase = when(k % 7 === 0, lit("example.com"))
@@ -3720,9 +3775,7 @@ object SparkEntry {
           .otherwise(lit(""))))
     val frag = when(d % 3 === 1, concat(lit("#sec-"), d.cast("string")))
       .otherwise(lit(""))
-    docs.select(col("doc_id"), col("n_chars"),
-      concat(schemeRaw, lit("://"), userinfo, hostRaw, port, path, qstr,
-        frag).as("url"))
+    concat(schemeRaw, lit("://"), userinfo, hostRaw, port, path, qstr, frag)
   }
 
   /** DuckDB spelling of [[urlEnrichedDocs]] — shared by the three URL
@@ -4128,6 +4181,61 @@ object SparkEntry {
           |       CAST(CASE WHEN lmd = -1 OR lmd > crawled
           |                 THEN 1 ELSE 0 END AS BIGINT) AS recrawl
           |FROM sn ORDER BY doc_id""".stripMargin),
+
+    // the link graph predicted in CLOSED FORM from doc_id alone — no
+    // HTML, no href extraction, no canonicalizer anywhere in the
+    // oracle: the registered domain and canonical URL of residue k are
+    // closed expressions of k, so the oracle enumerates both target
+    // residues per doc and aggregates; the Spark side earns every cell
+    // by extracting hrefs from real markup (three quote forms) and
+    // canonicalizing raw cosmetic-noise URLs
+    "q_link_graph" -> {
+      // registeredDomain(canonicalHost(·)) carries a non-default port
+      // through (the URL family's convention, oracle-checked since r11's
+      // q_url_canonical): with ':8080' attached the multi-level-suffix
+      // string match can't fire, so the ported co.uk/com.au hosts
+      // collapse to 'co.uk:8080'/'com.au:8080'
+      def domSql(x: String) = {
+        val base =
+          s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'" +
+            s" WHEN 2 THEN 'sample.org' WHEN 3 THEN 'data.net'" +
+            s" WHEN 4 THEN 'test.com.au' WHEN 5 THEN 'example.com'" +
+            s" ELSE 'site' || CAST(($x) % 13 AS VARCHAR) || '.net' END"
+        s"CASE WHEN ($x) % 4 = 1 THEN (CASE ($x) % 7 WHEN 1 THEN 'co.uk'" +
+          s" WHEN 4 THEN 'com.au' ELSE $base END) || ':8080'" +
+          s" ELSE $base END"
+      }
+      def hostSql(x: String) =
+        s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'" +
+          s" WHEN 2 THEN 'blog.sample.org' WHEN 3 THEN 'data.net'" +
+          s" WHEN 4 THEN 'api.test.com.au' WHEN 5 THEN 'cdn.example.com'" +
+          s" ELSE 'w' || CAST(($x) % 29 AS VARCHAR) || '.site' ||" +
+          s" CAST(($x) % 13 AS VARCHAR) || '.net' END"
+      def canonSql(x: String) =
+        s"(CASE WHEN ($x) % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||" +
+          s" (${hostSql(x)}) ||" +
+          s" (CASE WHEN ($x) % 4 = 1 THEN ':8080' ELSE '' END) ||" +
+          s" (CASE WHEN ($x) % 11 = 3 THEN '/'" +
+          s"  ELSE '/pAth/' || CAST(($x) % 100 AS VARCHAR) ||" +
+          s"   (CASE WHEN ($x) % 5 = 2 THEN '/~user' ELSE '' END) END) ||" +
+          s" (CASE WHEN ($x) % 7 = 5 THEN ''" +
+          s"  ELSE '?a=' || CAST(($x) % 10 AS VARCHAR) || '&z=B' END)"
+      s"""WITH lk AS (
+         |  SELECT doc_id % 127 AS k,
+         |         ((doc_id % 127) * 31 + 7) % 127 AS k1,
+         |         ((doc_id % 127) * 17 + 3) % 127 AS k2
+         |  FROM documents),
+         |e AS (SELECT k, unnest([k1, k2]) AS kt FROM lk),
+         |d AS (
+         |  SELECT ${domSql("k")} AS src_domain,
+         |         ${domSql("kt")} AS dst_domain,
+         |         ${canonSql("kt")} AS u
+         |  FROM e)
+         |SELECT src_domain, dst_domain,
+         |       CAST(COUNT(*) AS BIGINT) AS n_links,
+         |       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_targets
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // the robots rules derived in CLOSED FORM from the domain string
     // (no robots.txt text, no parsing anywhere in the oracle — the

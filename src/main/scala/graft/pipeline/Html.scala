@@ -34,6 +34,33 @@ object Html {
   private val LinkOpen = "\u0001"
   private val LinkClose = "\u0002"
 
+  /** Decode the six ubiquitous entities (`&amp;` LAST — the reverse
+    * order would re-decode `&amp;lt;` into `<`). Shared by the text
+    * pipeline and [[extractLinks]]. */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+
+  /** All `href` targets of `<a>` tags, in document order — the edge
+    * source of every link-graph build (anchor extraction is how a crawl
+    * discovers the web graph PageRank then ranks). Handles the three
+    * attribute spellings HTML allows (double-quoted, single-quoted,
+    * unquoted) and decodes the ubiquitous entities (`&amp;` — the
+    * REQUIRED escape of `&` inside attribute values). Relative
+    * references come out as written; callers filter or resolve. One
+    * `regexp_extract_all` + a small HOF — pure map-side Column work. */
+  def extractLinks(html: Column): Column = {
+    val raw = regexp_extract_all(html,
+      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+      lit(1))
+    transform(raw, v => decodeEntities(
+      when(v.startsWith("\"") || v.startsWith("'"),
+        substring(v, lit(2), length(v) - 2)).otherwise(v)))
+  }
+
   /** Steps 1–4: markup removal. Exposed for tests; [[htmlToText]] is the
     * full pipeline. Link spans come out wrapped in the `U+0001`/`U+0002`
     * sentinels for the density rule to measure. */
@@ -53,11 +80,7 @@ object Html {
     val c6 = regexp_replace(c5, "(?i)</a\\s*>", LinkClose)
     val c7 = regexp_replace(c6, "<[^>]*>", "")
     // entity decode: named/numeric forms first, the ampersand itself last
-    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(c7) { case (acc, (from, to)) =>
-        call_function("replace", acc, lit(from), lit(to))
-      }
+    decodeEntities(c7)
   }
 
   /** The jusText-lite keep rule on ONE already-stripped line (sentinels

@@ -70,4 +70,35 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       "<nav><a href=\"/\">Home</a></nav><footer>c</footer>") shouldBe
       Seq(prose2, "")
   }
+
+  private def links(pages: String*): Seq[Seq[String]] = {
+    val s = spark
+    import s.implicits._
+    pages.toDF("html").select(Html.extractLinks(col("html")))
+      .as[Seq[String]].collect().toSeq
+  }
+
+  "extractLinks" should "extract hrefs in document order across all three quote forms" in {
+    links(
+      """<a href="http://a.com/x">one</a> mid <a href='http://b.com/y?q=1'>two</a>
+        |<a class="z" href=/rel>three</a>""".stripMargin) shouldBe
+      Seq(Seq("http://a.com/x", "http://b.com/y?q=1", "/rel"))
+  }
+
+  it should "decode &amp; in attribute values and skip anchors without href" in {
+    links(
+      "<a href=\"http://a.com/?x=1&amp;y=2\">q</a><a name=\"no-target\">n</a>",
+      "no anchors at all") shouldBe
+      Seq(Seq("http://a.com/?x=1&y=2"), Seq())
+  }
+
+  it should "not read past a quoted value or swallow following markup" in {
+    links("<a href=\"http://a.com\">t</a><p>x</p><a href=''>empty</a>") shouldBe
+      Seq(Seq("http://a.com", ""))
+  }
+
+  it should "match href case-insensitively and tolerate spaces around =" in {
+    links("<A HREF = \"http://up.example.com/p\">U</A>") shouldBe
+      Seq(Seq("http://up.example.com/p"))
+  }
 }
