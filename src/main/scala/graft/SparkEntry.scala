@@ -628,23 +628,7 @@ object SparkEntry {
     // score = 2·len + allowBit matching rule.
     "q_robots_gate" -> ((s, dir) => {
       val en = urlEnrichedDocs(s, dir)
-      // materialize the slim domain projection before distinct(): the
-      // expression tree otherwise fuses into the aggregate's codegen
-      // stage past janino's method limit (same seam as robotsGate's
-      // internal checkpoint)
-      val doms = en.select(pipeline.UrlOps.registeredDomain(
-          pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
-        .localCheckpoint().distinct()
-      val d0 = (length(col("domain")) % 10).cast("string")
-      val d1 = ((length(col("domain")) + 3) % 10).cast("string")
-      val robots = doms.select(col("domain"), concat(
-        lit("# synthetic robots\nUser-agent: bad-bot\nDisallow: /\n\n"),
-        lit("User-agent: *\nDisallow: /pAth/"), d0,
-        lit("\nAllow: /pAth/"), d0, d1,
-        lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private\n"))
-        .as("robots_txt"))
-      val rules = pipeline.UrlOps.parseRobots(robots)
-      pipeline.UrlOps.robotsGate(en, rules).orderBy("doc_id")
+      pipeline.UrlOps.robotsGate(en, synthRobotsRules(en)).orderBy("doc_id")
     }),
 
     // sitemap probe (sitemaps.org XML — the crawl-SCHEDULING input,
@@ -659,40 +643,33 @@ object SparkEntry {
     // repo's timestamp rule), no join — so a canonicalization drift, an
     // XML roundtrip corruption, or a date-arithmetic slip all surface
     // as a lastmod/recrawl mismatch.
-    "q_sitemap_probe" -> ((s, dir) => {
-      val base = urlEnrichedDocs(s, dir).select(col("doc_id"),
-          (col("doc_id") % 127).as("k"),
-          pipeline.UrlOps.registeredDomain(
-            pipeline.UrlOps.canonicalHost(col("url"))).as("domain"),
-          pipeline.UrlOps.canonicalizeUrl(col("url")).as("loc"))
-        .localCheckpoint() // slim seam, as in q_domain_prior_model
-      // one entry per DISTINCT (domain, loc) — a sitemap lists each URL
-      // once; residues that collide on a canonical URL (47 and 124 do:
-      // both empty-path empty-query on cdn.example.com) contribute the
-      // LATEST lastmod, unknown only if all colliding residues are
-      val lmday = when(col("k") % 6 === 0, lit(-1L))
-        .otherwise(lit(19000L) + (col("k") * 3) % 150)
-      val entries = base.select(col("domain"), col("loc"), lmday.as("lmd0"))
-        .groupBy("domain", "loc").agg(max("lmd0").as("lmd"))
-        .select(col("domain"), concat(
-          lit("  <url>\n    <loc>"), col("loc"), lit("</loc>"),
-          when(col("lmd") < 0, lit(""))
-            .otherwise(concat(lit("\n    <lastmod>"),
-              date_format(date_add(to_date(lit("1970-01-01")),
-                col("lmd").cast("int")), "yyyy-MM-dd"),
-              lit("</lastmod>"))),
-          lit("\n  </url>\n")).as("entry"))
-      val xml = entries.groupBy("domain").agg(concat(
-        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
-          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
-        array_join(sort_array(collect_list(col("entry"))), ""),
-        lit("</urlset>\n")).as("sitemap_xml"))
-      val snapshot = base.select(col("doc_id"), col("domain"), col("loc"),
-        (lit(19000L) + col("doc_id") % 97).as("crawled_day"))
-      sources.Sitemap.recrawlCandidates(snapshot,
-          sources.Sitemap.parseSitemap(xml))
+    "q_sitemap_probe" -> ((s, dir) =>
+      sitemapRecrawlFixture(s, dir)
         .select(col("doc_id"), col("lastmod_day"), col("recrawl"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // the crawl SCHEDULE assembled from the trio (the composition a real
+    // frontier runs every cycle): fetch a URL iff robots ALLOWS it and
+    // the sitemap says unknown-or-newer, then apply a per-domain
+    // politeness quota of 2 per cycle, freshest lastmod first — the
+    // row_number+filter shape executes through GroupedTopKLimit, so no
+    // domain's candidate list is ever fully sorted. Both inputs are the
+    // SAME fixtures q_robots_gate / q_sitemap_probe check piecewise (one
+    // shared builder each — no drift); the oracle replays both
+    // closed-form derivations plus the quota ranking, so the hash pins
+    // the composition.
+    "q_crawl_frontier" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val gate = pipeline.UrlOps.robotsGate(en, synthRobotsRules(en))
+      val sched = gate.where(col("allowed") === 1L)
+        .join(sitemapRecrawlFixture(s, dir).where(col("recrawl") === 1L)
+          .select("doc_id", "lastmod_day"), "doc_id")
+      val w = Window.partitionBy("domain")
+        .orderBy(col("lastmod_day").desc, col("doc_id"))
+      sched.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 2)
+        .select(col("domain"), col("doc_id"), col("lastmod_day"), col("rn"))
+        .orderBy("domain", "rn")
     }),
 
     // anchor extraction → link graph (how a crawl DISCOVERS the web
@@ -3411,6 +3388,50 @@ object SparkEntry {
     out
   }
 
+  /** The robots closed-form CTE chain (rules derived from the domain
+    * string, RFC 9309 longest-match score as one MAX) from `canon` to
+    * `sc(doc_id, domain, s)` — shared by `q_robots_gate` and
+    * `q_crawl_frontier`. */
+  private lazy val robotsCtesSql: String =
+    """rdom AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
+      |rr AS MATERIALIZED (
+      |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
+      |         FALSE AS allow FROM rdom
+      |  UNION ALL
+      |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
+      |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
+      |         TRUE FROM rdom
+      |  UNION ALL
+      |  SELECT domain, '/private', FALSE FROM rdom),
+      |pth AS MATERIALIZED (
+      |  SELECT doc_id, domain,
+      |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
+      |  FROM canon),
+      |sc AS MATERIALIZED (
+      |  SELECT p.doc_id, p.domain,
+      |         MAX(CASE WHEN r.rule_path IS NOT NULL
+      |                   AND starts_with(p.path, r.rule_path)
+      |                  THEN len(r.rule_path) * 2 +
+      |                       CASE WHEN r.allow THEN 1 ELSE 0 END
+      |                  ELSE -1 END) AS s
+      |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)""".stripMargin
+
+  /** The sitemap closed-form CTE chain (distinct-URL MAX-lastmod, the
+    * crawl snapshot day) from `canon` to `sn(doc_id, lmd, crawled)` —
+    * shared by `q_sitemap_probe` and `q_crawl_frontier`. */
+  private lazy val sitemapCtesSql: String =
+    """kd AS MATERIALIZED (
+      |  SELECT DISTINCT domain, url_canon, doc_id % 127 AS k FROM canon),
+      |lm AS MATERIALIZED (
+      |  SELECT domain, url_canon,
+      |         MAX(CASE WHEN k % 6 = 0 THEN -1
+      |                  ELSE 19000 + (k * 3) % 150 END) AS lmd
+      |  FROM kd GROUP BY 1, 2),
+      |sn AS MATERIALIZED (
+      |  SELECT c.doc_id, lm.lmd, 19000 + c.doc_id % 97 AS crawled
+      |  FROM canon c
+      |  JOIN lm ON lm.domain = c.domain AND lm.url_canon = c.url_canon)""".stripMargin
+
   private def domainPriorModelOracleSql(iters: Int): String = {
     val head = tokSql.trim + ",\n" + urlEnrichSql.stripPrefix("WITH ") +
       urlCanonMatSql + """,
@@ -3776,6 +3797,68 @@ object SparkEntry {
     val frag = when(d % 3 === 1, concat(lit("#sec-"), d.cast("string")))
       .otherwise(lit(""))
     concat(schemeRaw, lit("://"), userinfo, hostRaw, port, path, qstr, frag)
+  }
+
+  /** The per-domain synthetic robots.txt, parsed — shared by
+    * `q_robots_gate` and `q_crawl_frontier` so the fixture cannot drift:
+    * a decoy `bad-bot` group (must be ignored), a `*` group whose
+    * Disallow/Allow derive from the domain string (longer Allow
+    * overrides shorter Disallow — real longest-match), an empty
+    * `Disallow:` and an unknown `Crawl-delay:` field. The slim domain
+    * projection is checkpointed before `distinct()`: the
+    * canonicalization tree otherwise fuses into the aggregate's codegen
+    * stage past janino's method limit. */
+  private def synthRobotsRules(en: DataFrame): DataFrame = {
+    val doms = en.select(pipeline.UrlOps.registeredDomain(
+        pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+      .localCheckpoint().distinct()
+    val d0 = (length(col("domain")) % 10).cast("string")
+    val d1 = ((length(col("domain")) + 3) % 10).cast("string")
+    val robots = doms.select(col("domain"), concat(
+      lit("# synthetic robots\nUser-agent: bad-bot\nDisallow: /\n\n"),
+      lit("User-agent: *\nDisallow: /pAth/"), d0,
+      lit("\nAllow: /pAth/"), d0, d1,
+      lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private\n"))
+      .as("robots_txt"))
+    pipeline.UrlOps.parseRobots(robots)
+  }
+
+  /** The sitemap fixture + recrawl decision shared by `q_sitemap_probe`
+    * and `q_crawl_frontier`: per domain a real sitemap.xml listing each
+    * DISTINCT canonical URL once (residues 47/124 genuinely collide on
+    * one URL and contribute the LATEST lastmod), `<lastmod>` derived
+    * from the residue class and absent for k % 6 == 0 (the spec makes
+    * it optional); the Spark side PARSES the XML and joins a per-doc
+    * crawl snapshot, recrawl = unknown-or-newer. Returns
+    * `(doc_id, domain, loc, crawled_day, lastmod_day, recrawl)`. */
+  private def sitemapRecrawlFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = urlEnrichedDocs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 127).as("k"),
+        pipeline.UrlOps.registeredDomain(
+          pipeline.UrlOps.canonicalHost(col("url"))).as("domain"),
+        pipeline.UrlOps.canonicalizeUrl(col("url")).as("loc"))
+      .localCheckpoint() // slim seam, as in q_domain_prior_model
+    val lmday = when(col("k") % 6 === 0, lit(-1L))
+      .otherwise(lit(19000L) + (col("k") * 3) % 150)
+    val entries = base.select(col("domain"), col("loc"), lmday.as("lmd0"))
+      .groupBy("domain", "loc").agg(max("lmd0").as("lmd"))
+      .select(col("domain"), concat(
+        lit("  <url>\n    <loc>"), col("loc"), lit("</loc>"),
+        when(col("lmd") < 0, lit(""))
+          .otherwise(concat(lit("\n    <lastmod>"),
+            date_format(date_add(to_date(lit("1970-01-01")),
+              col("lmd").cast("int")), "yyyy-MM-dd"),
+            lit("</lastmod>"))),
+        lit("\n  </url>\n")).as("entry"))
+    val xml = entries.groupBy("domain").agg(concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      array_join(sort_array(collect_list(col("entry"))), ""),
+      lit("</urlset>\n")).as("sitemap_xml"))
+    val snapshot = base.select(col("doc_id"), col("domain"), col("loc"),
+      (lit(19000L) + col("doc_id") % 97).as("crawled_day"))
+    sources.Sitemap.recrawlCandidates(snapshot,
+      sources.Sitemap.parseSitemap(xml))
   }
 
   /** DuckDB spelling of [[urlEnrichedDocs]] — shared by the three URL
@@ -4164,23 +4247,34 @@ object SparkEntry {
     // oracle (epoch-day integers throughout); the Spark side earns the
     // values by synthesizing, PARSING and JOINING real sitemap.xml
     "q_sitemap_probe" ->
-      (urlEnrichSql + urlCanonMatSql +
-        """,
-          |kd AS MATERIALIZED (
-          |  SELECT DISTINCT domain, url_canon, doc_id % 127 AS k FROM canon),
-          |lm AS MATERIALIZED (
-          |  SELECT domain, url_canon,
-          |         MAX(CASE WHEN k % 6 = 0 THEN -1
-          |                  ELSE 19000 + (k * 3) % 150 END) AS lmd
-          |  FROM kd GROUP BY 1, 2),
-          |sn AS (
-          |  SELECT c.doc_id, lm.lmd, 19000 + c.doc_id % 97 AS crawled
-          |  FROM canon c
-          |  JOIN lm ON lm.domain = c.domain AND lm.url_canon = c.url_canon)
+      (urlEnrichSql + urlCanonMatSql + ",\n" + sitemapCtesSql +
+        """
           |SELECT doc_id, CAST(lmd AS BIGINT) AS lastmod_day,
           |       CAST(CASE WHEN lmd = -1 OR lmd > crawled
           |                 THEN 1 ELSE 0 END AS BIGINT) AS recrawl
           |FROM sn ORDER BY doc_id""".stripMargin),
+
+    // the frontier composition replayed end-to-end: closed-form robots
+    // decision (sc) × closed-form sitemap freshness (sn) × the quota
+    // ranking — both CTE chains are the SAME vals the piecewise oracles
+    // use, so the three rows cannot drift apart
+    "q_crawl_frontier" ->
+      (urlEnrichSql + urlCanonMatSql + ",\n" + robotsCtesSql + ",\n" +
+        sitemapCtesSql +
+        """,
+          |fr AS (
+          |  SELECT s.domain, s.doc_id, sn.lmd AS lastmod_day
+          |  FROM sc s JOIN sn ON sn.doc_id = s.doc_id
+          |  WHERE (CASE WHEN s.s < 0 THEN 1 ELSE s.s % 2 END) = 1
+          |    AND (sn.lmd = -1 OR sn.lmd > sn.crawled)),
+          |rk AS (
+          |  SELECT domain, doc_id, lastmod_day,
+          |         ROW_NUMBER() OVER (PARTITION BY domain
+          |                            ORDER BY lastmod_day DESC, doc_id) AS rn
+          |  FROM fr)
+          |SELECT domain, doc_id, CAST(lastmod_day AS BIGINT) AS lastmod_day,
+          |       CAST(rn AS BIGINT) AS rn
+          |FROM rk WHERE rn <= 2 ORDER BY domain, rn""".stripMargin),
 
     // the link graph predicted in CLOSED FORM from doc_id alone — no
     // HTML, no href extraction, no canonicalizer anywhere in the
@@ -4243,30 +4337,8 @@ object SparkEntry {
     // 9309 longest-match/allow-ties decision replayed as one MAX over
     // score = 2·len(rule) + allowBit
     "q_robots_gate" ->
-      (urlEnrichSql + urlCanonMatSql +
-        """,
-          |rdom AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
-          |rr AS MATERIALIZED (
-          |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
-          |         FALSE AS allow FROM rdom
-          |  UNION ALL
-          |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
-          |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
-          |         TRUE FROM rdom
-          |  UNION ALL
-          |  SELECT domain, '/private', FALSE FROM rdom),
-          |pth AS MATERIALIZED (
-          |  SELECT doc_id, domain,
-          |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
-          |  FROM canon),
-          |sc AS (
-          |  SELECT p.doc_id, p.domain,
-          |         MAX(CASE WHEN r.rule_path IS NOT NULL
-          |                   AND starts_with(p.path, r.rule_path)
-          |                  THEN len(r.rule_path) * 2 +
-          |                       CASE WHEN r.allow THEN 1 ELSE 0 END
-          |                  ELSE -1 END) AS s
-          |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)
+      (urlEnrichSql + urlCanonMatSql + ",\n" + robotsCtesSql +
+        """
           |SELECT doc_id, domain,
           |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
           |FROM sc ORDER BY doc_id""".stripMargin),

@@ -108,6 +108,19 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "q_crawl_frontier" should "execute the politeness quota through the top-k operator" in {
+    val df = SparkEntry.queries("q_crawl_frontier")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-domain quota must never sort whole candidate lists; the
+    // gate⋈sitemap doc_id equi-join may sort-merge (both sides are
+    // corpus-sized — broadcasting either would be wrong at scale) but
+    // must never cross-product
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+    plan should not include "Cartesian"
+  }
+
   "q_events_enrich" should "broadcast the dimension, never shuffle the event side for the join" in {
     val plan = formattedPlan("q_events_enrich")
     plan should include("BroadcastHashJoin")
