@@ -2097,6 +2097,18 @@ object SparkEntry {
       pipeline.Wordpiece.segment(docs, vocab).orderBy("doc_id")
     }),
 
+    // the tokenizer trio's third member: unigram-LM Viterbi min-cost
+    // segmentation (SentencePiece's inference rule) over a
+    // frequency-scored vocabulary — searches ALL segmentations by DP
+    // where BPE replays merge order and WordPiece commits greedily; the
+    // per-word best cost and the exact piece sequence of every word ride
+    // the output (cost sum + hashed segmentation signature)
+    "q_unigram_segment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = pipeline.Unigram.learnModel(docs, k = 24, maxLen = 6)
+      pipeline.Unigram.segment(docs, model).orderBy("doc_id")
+    }),
+
     // fixed-size training chunks with stride overlap (64-token windows
     // every 48): pure generator expressions, fan-out ∝ tokens/stride —
     // the upstream neighbor of sequence packing
@@ -6455,6 +6467,78 @@ object SparkEntry {
         |       FROM tk JOIN ws ON tk.w = ws.tok GROUP BY tk.doc_id)
         |SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens,
         |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
+        |       COALESCE(ag.seg_sig, 0) AS seg_sig
+        |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the whole Viterbi replayed in SQL: unit counts (lengths 1..6,
+    // word-frequency weighted), the ilog2 cost rule via bin(), the
+    // forward DP as a recursive CTE carrying the best-cost LIST (the
+    // per-position candidates pre-grouped into pci — a 1:1 join per
+    // step, no correlated subquery), the smallest-l backpointer table,
+    // and the backward cursor walk — bit-identical to the Spark HOFs
+    "q_unigram_segment" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, unnest(t) AS w FROM toks),
+        |wc AS MATERIALIZED (SELECT w AS tok, COUNT(*) AS c FROM tk GROUP BY w),
+        |su AS MATERIALIZED (
+        |  SELECT substr(tok, CAST(i AS INT), CAST(l AS INT)) AS unit, c FROM (
+        |    SELECT tok, c, l, unnest(range(1, len(tok) - l + 2)) AS i
+        |    FROM (SELECT tok, c, unnest([1, 2, 3, 4, 5, 6]) AS l FROM wc)
+        |    WHERE len(tok) >= l)),
+        |uc AS MATERIALIZED (SELECT unit, CAST(SUM(c) AS BIGINT) AS cnt FROM su GROUP BY unit),
+        |uv AS MATERIALIZED (
+        |  SELECT unit, 64 - (len(bin(cnt)) - 1) AS cost FROM uc WHERE len(unit) = 1
+        |  UNION ALL
+        |  SELECT unit, 64 - (len(bin(cnt)) - 1) FROM (
+        |    SELECT unit, cnt FROM uc WHERE len(unit) >= 2
+        |    ORDER BY cnt DESC, unit LIMIT 24)),
+        |pc AS MATERIALIZED (
+        |  SELECT g.tok, g.i, g.l, v.cost
+        |  FROM (SELECT tok, i, unnest([1, 2, 3, 4, 5, 6]) AS l
+        |        FROM (SELECT tok, unnest(range(1, len(tok) + 1)) AS i FROM wc)) g
+        |  JOIN uv v ON g.l <= g.i AND v.unit = substr(g.tok, CAST(g.i - g.l + 1 AS INT), CAST(g.l AS INT))),
+        |pci AS MATERIALIZED (
+        |  SELECT tok, i, list(struct_pack(l := l, cost := cost)) AS cands
+        |  FROM pc GROUP BY tok, i),
+        |fbr(tok, i, bests) AS (
+        |  SELECT tok, 0, [CAST(0 AS BIGINT)] FROM wc
+        |  UNION ALL
+        |  SELECT f.tok, f.i + 1,
+        |         list_append(f.bests, list_min(list_transform(c.cands,
+        |           x -> f.bests[f.i + 2 - x.l] + x.cost)))
+        |  FROM fbr f JOIN pci c ON c.tok = f.tok AND c.i = f.i + 1
+        |  WHERE f.i < len(f.tok)),
+        |fb AS MATERIALIZED (SELECT tok, bests FROM fbr WHERE i = len(tok)),
+        |bp AS MATERIALIZED (
+        |  SELECT p.tok, p.i AS pos, MIN(p.l) AS l
+        |  FROM pc p JOIN fb f ON f.tok = p.tok
+        |  WHERE f.bests[p.i + 1] = f.bests[p.i - p.l + 1] + p.cost
+        |  GROUP BY p.tok, p.i),
+        |sgr(tok, pos, seg) AS (
+        |  SELECT tok, CAST(len(tok) AS BIGINT), '' FROM wc
+        |  UNION ALL
+        |  SELECT s.tok, s.pos - b.l,
+        |         substr(s.tok, CAST(s.pos - b.l + 1 AS INT), CAST(b.l AS INT)) ||
+        |         CASE WHEN s.seg = '' THEN '' ELSE ' ' END || s.seg
+        |  FROM sgr s JOIN bp b ON b.tok = s.tok AND b.pos = s.pos
+        |  WHERE s.pos > 0),
+        |sg AS MATERIALIZED (SELECT tok, seg FROM sgr WHERE pos = 0),
+        |ws AS MATERIALIZED (
+        |  SELECT sg.tok, len(string_split(sg.seg, ' ')) AS n_sub,
+        |         f.bests[len(sg.tok) + 1] AS cost,
+        |         ('0x' || substr(md5(sg.seg), 1, 15))::BIGINT % 1000000007 AS sig
+        |  FROM sg JOIN fb f ON f.tok = sg.tok),
+        |ag AS (SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |              CAST(SUM(ws.n_sub) AS BIGINT) AS n_uni_tokens,
+        |              CAST(SUM(ws.cost) AS BIGINT) AS uni_cost,
+        |              CAST(SUM(ws.sig) AS BIGINT) AS seg_sig
+        |       FROM tk JOIN ws ON tk.w = ws.tok GROUP BY tk.doc_id)
+        |SELECT d.doc_id, COALESCE(ag.n_tokens, 0) AS n_tokens,
+        |       COALESCE(ag.n_uni_tokens, 0) AS n_uni_tokens,
+        |       COALESCE(ag.uni_cost, 0) AS uni_cost,
         |       COALESCE(ag.seg_sig, 0) AS seg_sig
         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
 
