@@ -1512,21 +1512,24 @@ object SparkEntry {
       import s.implicits._
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
-      val pairs = ids.mapPartitions { it =>
-        it.map(id => (id, synthImageBytes(id, "png", brighten = 0),
-          synthImageBytes(id, "jpg", brighten = 10)))
-      }.toDF("id", "png", "jpg")
-      def mm(c: String) = pairs.select(col("id"),
-        lit("image").as("modality"), col(c).as("payload"),
-        struct(octet_length(col(c)).cast("long").as("byte_len"),
-          lit("synth").as("source")).as("meta"))
+      // ONE pass: the two encodings ride as two rows (kind bit in the
+      // id) through a single decode+hash, then pair up in one map-side-
+      // combinable aggregate — the two-branch spelling re-ran the
+      // synthesis+encode per branch and paid a join (r11: 7.6 s → the
+      // minimum 2 encodes + 2 decodes per doc)
+      val mm = ids.flatMap { id => Seq(
+          (id * 2, synthImageBytes(id, "png", brighten = 0)),
+          (id * 2 + 1, synthImageBytes(id, "jpg", brighten = 10)))
+        }.toDF("id", "payload")
+        .select(col("id"), lit("image").as("modality"), col("payload"),
+          struct(octet_length(col("payload")).cast("long").as("byte_len"),
+            lit("synth").as("source")).as("meta"))
       val dec = pipeline.Multimodal.decodeImageLumaGridFor(11, 6) _
-      val h1 = pipeline.Multimodal.perceptualHashes(mm("png"), 11, 6, dec)
-        .select(col("id"), col("phash").as("h1"))
-      val h2 = pipeline.Multimodal.perceptualHashes(mm("jpg"), 11, 6, dec)
-        .select(col("id"), col("phash").as("h2"))
-      h1.join(h2, "id")
-        .select(col("id").as("doc_id"),
+      pipeline.Multimodal.perceptualHashes(mm, 11, 6, dec)
+        .groupBy(shiftright(col("id"), 1).as("doc_id"))
+        .agg(max(when(col("id") % 2 === 0, col("phash"))).as("h1"),
+          max(when(col("id") % 2 === 1, col("phash"))).as("h2"))
+        .select(col("doc_id"),
           (call_function("bit_count", col("h1").bitwiseXOR(col("h2"))) <= 3)
             .cast("long").as("within"))
         .orderBy("doc_id")
