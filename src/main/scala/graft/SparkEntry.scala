@@ -2100,6 +2100,25 @@ object SparkEntry {
       pipeline.Wordpiece.segment(docs, vocab).orderBy("doc_id")
     }),
 
+    // the Gopher rule gate (Rae et al. 2021 §A1.1; reused by Dolma /
+    // FineWeb) — the NAMED pre-filter rule set, as seven per-rule flags
+    // + the conjunction, every ratio an integer cross-multiplication.
+    // Runs over the multi-line regrouping (line rules need lines) with
+    // deterministic enrichment so every rule arm actually fires in the
+    // fixture: doc_id%7 gets bullet lines, %5==3 an ellipsis line,
+    // %11==4 hash symbols — the Luhn-row pattern
+    "q_gopher_rules" -> ((s, dir) => {
+      val enriched = multiLineDocs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- item alpha\n- item beta")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 3,
+            lit("\nto be continued...")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 4,
+            lit("\nhash ## tags #x")).otherwise(lit(""))).as("text"))
+      pipeline.TextOps.gopherRules(enriched).orderBy("doc_id")
+    }),
+
     // the tokenizer trio's third member: unigram-LM Viterbi min-cost
     // segmentation (SentencePiece's inference rule) over a
     // frequency-scored vocabulary — searches ALL segmentations by DP
@@ -6472,6 +6491,67 @@ object SparkEntry {
         |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
         |       COALESCE(ag.seg_sig, 0) AS seg_sig
         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // multi-line regroup + enrichment + all seven Gopher verdicts
+    // replayed integer-for-integer (cross-multiplied ratios, bullet /
+    // ellipsis line scans, translate-based alpha-word count)
+    "q_gopher_rules" -> (tokSql +
+      """, ml AS MATERIALIZED (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS mtext
+        |  FROM (SELECT doc_id, j AS idx,
+        |          array_to_string(t[(j * 8 + 1):(j * 8 + 8)], ' ') AS line
+        |        FROM (SELECT doc_id, t,
+        |                unnest(range(0, CAST(ceil(len(t) / 8.0) AS INT))) AS j
+        |              FROM toks))
+        |  GROUP BY doc_id),
+        |en AS MATERIALIZED (
+        |  SELECT d.doc_id, COALESCE(ml.mtext, '') ||
+        |    (CASE WHEN d.doc_id % 7 = 0 THEN chr(10) || '- item alpha' || chr(10) || '- item beta' ELSE '' END) ||
+        |    (CASE WHEN d.doc_id % 5 = 3 THEN chr(10) || 'to be continued...' ELSE '' END) ||
+        |    (CASE WHEN d.doc_id % 11 = 4 THEN chr(10) || 'hash ## tags #x' ELSE '' END) AS text
+        |  FROM documents d LEFT JOIN ml USING (doc_id)),
+        |m AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS words,
+        |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS total_chars,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |    list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
+        |    CAST(len(list_filter(t, x -> len(x) > len(translate(x,
+        |      'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', '')))) AS BIGINT) AS alpha_words,
+        |    (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'be') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'to') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'of') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'and') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'that') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'have') THEN 1 ELSE 0 END +
+        |     CASE WHEN list_contains(t, 'with') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |        FROM en)),
+        |r AS MATERIALIZED (
+        |  SELECT doc_id, words, total_chars, n_hash, n_ell, alpha_words, stop_hits,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '-')
+        |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS ell_lines
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN words >= 50 AND words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+        |    CAST(CASE WHEN total_chars >= words * 3 AND total_chars <= words * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+        |    CAST(CASE WHEN (n_hash + n_ell) * 10 <= words THEN 1 ELSE 0 END AS BIGINT) AS r_symbol,
+        |    CAST(CASE WHEN bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+        |    CAST(CASE WHEN ell_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+        |    CAST(CASE WHEN alpha_words * 5 >= words * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |    CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+        |  FROM r)
+        |SELECT doc_id, r_words, r_meanlen, r_symbol, r_bullet, r_ellipsis,
+        |       r_alpha, r_stop,
+        |       CAST(r_words * r_meanlen * r_symbol * r_bullet * r_ellipsis *
+        |            r_alpha * r_stop AS BIGINT) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin),
 
     // the whole Viterbi replayed in SQL: unit counts (lengths 1..6,
     // word-frequency weighted), the ilog2 cost rule via bin(), the

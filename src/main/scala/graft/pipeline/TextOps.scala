@@ -882,4 +882,71 @@ object TextOps {
       .select(col("query_id"), col("rn").cast("long").as("rn"),
         col("doc_id"), col("score_u"))
   }
+
+  /** The Gopher stop-word set (Rae et al. 2021 §A1.1 rule 7) — distinct
+    * from [[stopwords]] (the quality-score fluency list): the rule counts
+    * how many of THESE appear at least once. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val Letters =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+  /** The Gopher quality rule set (Rae et al. 2021 §A1.1; reused by
+    * Dolma/FineWeb) — the NAMED document gate every web-scale pipeline
+    * applies before model-based filtering, as seven per-rule flags plus
+    * the conjunction:
+    *   1. word count in [minWords, maxWords] (paper: 50..100,000);
+    *   2. mean word length in [3, 10] characters;
+    *   3. symbol-to-word ratio (`#` or `...`) ≤ 0.1;
+    *   4. ≤ 90% of lines start with a bullet (`-`/`*`/`•`);
+    *   5. ≤ 30% of lines end with an ellipsis;
+    *   6. ≥ 80% of words contain at least one alphabetic character;
+    *   7. at least 2 of the 8 [[gopherStopwords]] appear.
+    * Every ratio rides as an integer cross-multiplication (`10·sym ≤
+    * words`, `5·alpha ≥ 4·words`, …) — no float anywhere, so both
+    * engines replay the verdicts bit-identically. One narrow projection
+    * over the text column: no shuffle, no UDF, embarrassingly parallel
+    * at 100 TB. Emits the seven flags and `gopher_pass` as longs. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    require(0 < minWords && minWords <= maxWords,
+      s"bad word-count bounds [$minWords, $maxWords]")
+    val text = col("text")
+    val toks = tokens(text)
+    val words = size(toks).cast("long")
+    val totalChars = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nHash = (length(text) -
+      length(call_function("replace", text, lit("#"), lit("")))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(call_function("replace", text, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val lines = transform(split(text, "\n", -1), l => trim(l))
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+      .cast("long")
+    val alphaWords = size(filter(toks, t =>
+      length(t) > length(translate(t, Letters, "")))).cast("long")
+    val stopHits = gopherStopwords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    def flag(c: Column) = c.cast("long")
+    docs.select(col("doc_id"),
+      flag(words >= minWords && words <= maxWords).as("r_words"),
+      flag(totalChars >= words * 3 && totalChars <= words * 10)
+        .as("r_meanlen"),
+      flag((nHash + nEllipsis) * 10 <= words).as("r_symbol"),
+      flag(bulletLines * 10 <= nLines * 9).as("r_bullet"),
+      flag(ellipsisLines * 10 <= nLines * 3).as("r_ellipsis"),
+      flag(alphaWords * 5 >= words * 4).as("r_alpha"),
+      flag(stopHits >= 2).as("r_stop"))
+      .withColumn("gopher_pass",
+        (col("r_words") * col("r_meanlen") * col("r_symbol") *
+          col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
+          col("r_stop")).cast("long"))
+  }
 }
