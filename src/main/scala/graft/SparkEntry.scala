@@ -2119,6 +2119,23 @@ object SparkEntry {
       pipeline.TextOps.gopherRules(enriched).orderBy("doc_id")
     }),
 
+    // DoReMi-lite mixture solving (Xie et al. 2023): per-domain hardness
+    // (a bytes-per-token compression proxy, one hash agg over the
+    // corpus) drives 5 rounds of integer multiplicative weights — the
+    // step that decides HOW MUCH of each source enters the training
+    // blend after curation decided WHAT may enter
+    "q_mixture_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t = pipeline.TextOps.tokens(col("text"))
+      val per = docs.select(col("source").as("domain"),
+        length(col("text")).cast("long").as("nc"),
+        size(t).cast("long").as("nt"))
+      val losses = per.groupBy("domain").agg(
+        call_function("div", sum(col("nc")) * lit(1000000L),
+          greatest(sum(col("nt")), lit(1L))).as("loss_u"))
+      pipeline.Mixture.mixtureWeights(losses).orderBy("domain")
+    }),
+
     // the tokenizer trio's third member: unigram-LM Viterbi min-cost
     // segmentation (SentencePiece's inference rule) over a
     // frequency-scored vocabulary — searches ALL segmentations by DP
@@ -6491,6 +6508,44 @@ object SparkEntry {
         |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
         |       COALESCE(ag.seg_sig, 0) AS seg_sig
         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the 5 multiplicative-weights rounds unrolled as CTE pairs (the
+    // pageRank oracle discipline): weighted mean by integer div, the
+    // clamped linearized multiplier, the L1 re-normalize — every SUM
+    // cast back to BIGINT so `//` matches Spark's `div` exactly
+    "q_mixture_weights" -> {
+      val head =
+        """WITH l AS MATERIALIZED (
+          |  SELECT source AS domain,
+          |         (CAST(SUM(len(text)) AS BIGINT) * 1000000) //
+          |         GREATEST(CAST(SUM(len(list_filter(
+          |           regexp_split_to_array(text, '\s+'),
+          |           x -> len(x) > 0))) AS BIGINT), 1) AS loss_u
+          |  FROM documents GROUP BY source),
+          |w0 AS MATERIALIZED (
+          |  SELECT domain, loss_u,
+          |         1000000 // (SELECT COUNT(*) FROM l) AS w
+          |  FROM l)""".stripMargin
+      val rounds = (1 to 5).map { r =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT CAST(SUM(w) AS BIGINT) AS sw,
+           |         CAST(SUM(w * loss_u) AS BIGINT) AS swl FROM w${r - 1}),
+           |u$r AS MATERIALIZED (
+           |  SELECT domain, loss_u,
+           |         (w * GREATEST(1, LEAST(2000000,
+           |            1000000 + ((loss_u - (SELECT swl // sw FROM s$r)) * 1) // 4)))
+           |           // 1000000 AS u
+           |  FROM w${r - 1}),
+           |w$r AS MATERIALIZED (
+           |  SELECT domain, loss_u,
+           |         (u * 1000000) //
+           |         GREATEST((SELECT CAST(SUM(u) AS BIGINT) FROM u$r), 1) AS w
+           |  FROM u$r)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + rounds +
+        "\nSELECT domain, loss_u, CAST(w AS BIGINT) AS weight_u " +
+        "FROM w5 ORDER BY domain"
+    },
 
     // multi-line regroup + enrichment + all seven Gopher verdicts
     // replayed integer-for-integer (cross-multiplied ratios, bullet /
