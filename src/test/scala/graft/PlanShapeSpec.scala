@@ -108,6 +108,26 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "q_gopher_rules" should "stay one codegen map over the scan (no shuffle before the output sort)" in {
+    val df = SparkEntry.queries("q_gopher_rules")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("*(")
+    // all seven verdicts are narrow Column work over the regrouped text:
+    // exactly the one range exchange the output ordering needs
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  "q_unigram_segment" should "run the DP once per distinct word and join back (no cartesian)" in {
+    val df = SparkEntry.queries("q_unigram_segment")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the Viterbi fold lives behind a distinct-words aggregate; the
+    // corpus side re-joins by token equality — never a cross product
+    plan should include("HashAggregate")
+    plan should not include "Cartesian"
+  }
+
   "q_crawl_frontier" should "execute the politeness quota through the top-k operator" in {
     val df = SparkEntry.queries("q_crawl_frontier")(spark, dir)
     df.collect() // finalize adaptive plan
