@@ -719,6 +719,53 @@ object SparkEntry {
         .orderBy("src_domain", "dst_domain")
     }),
 
+    // anchor-text profile per target domain (the label the linking page
+    // gives the target — the classic web-search relevance signal; the
+    // edges' text complement of q_link_graph): anchors carry inner
+    // MARKUP and an &amp; entity the extractor must strip/decode, a
+    // no-href <a name=...> must be skipped, then tokens aggregate per
+    // canonicalized target domain. Oracle predicts every (domain, term)
+    // cell in closed form from doc_id — no HTML anywhere.
+    "q_anchor_text" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val d = col("doc_id")
+      val k = d % 127
+      val href1 = synthUrl((k * 31 + 7) % 127, d)
+      val href2 = synthUrl((k * 17 + 3) % 127, d + 5)
+      val page = concat(
+        lit("<p>See <a href=\""), href1,
+        lit("\"><b>First</b> &amp; best source</a> and <a href=\""), href2,
+        lit("\">the second</a><a name=\"x\">not a link</a></p>"))
+      val pages = en.select(d, page.as("html")).localCheckpoint()
+      pages.select(explode(pipeline.Html.extractAnchors(col("html"))).as("a"))
+        .where(col("a.href").contains("://"))
+        .select(pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("a.href"))).as("dst_domain"),
+          explode(pipeline.TextOps.tokens(lower(col("a.anchor")))).as("term"))
+        .groupBy("dst_domain", "term").agg(count(lit(1)).as("n"))
+        .orderBy("dst_domain", "term")
+    }),
+
+    // NFKC-lite normalization — the pre-hash cleanup (CCNet/Dolma) that
+    // collapses cosmetically-different encodings before dedup: the
+    // fixture is ASCII, so docs are enriched deterministically with
+    // typographic quotes, soft hyphens and dashes, fullwidth ASCII +
+    // ligatures, exotic spaces, and a control char + tab — every rule
+    // class fires on its residue and the oracle replays enrichment AND
+    // the full replace/translate/regex chain
+    "q_text_normalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val enriched = concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(NormEnrich1)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 2, lit(NormEnrich2)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 4, lit(NormEnrich3)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 5, lit(NormEnrich4)).otherwise(lit("")),
+        when(col("doc_id") % 11 === 6, lit(NormEnrich5)).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          pipeline.TextOps.nfkcLite(enriched).as("norm"))
+        .orderBy("doc_id")
+    }),
+
     // graph × model composition (the RefinedWeb/TrustRank pattern: a
     // domain-authority prior feeds the doc quality model): a
     // deterministic domain link graph (residue class k links to
@@ -3439,6 +3486,74 @@ object SparkEntry {
     out
   }
 
+  /** The `q_text_normalize` enrichment strings (explicit escapes — no
+    * invisible characters in source), shared by the Spark query and the
+    * oracle's SQL-literal builder so enrichment cannot drift. */
+  private val NormEnrich1 = " “fancy” ‘q’"
+  private val NormEnrich2 = " a­b c–d e—f"
+  private val NormEnrich3 = " ＨｉＸ２ ﬁﬂ"
+  private val NormEnrich4 = " x y　z​w"
+  private val NormEnrich5 = " bell\tt"
+
+  /** A Scala string as a DuckDB literal: quotes doubled, control chars
+    * via chr()||, so the JSON sidecar and the SQL parser both stay
+    * happy whatever the enrichment contains. */
+  private def sqlLit(s: String): String = {
+    // build runs of printable chars between control-char breaks
+    val sb = new StringBuilder
+    var run = new StringBuilder
+    def flushRun(): Unit = {
+      if (run.nonEmpty) {
+        if (sb.nonEmpty) sb.append(" || ")
+        sb.append("'").append(run.toString.replace("'", "''")).append("'")
+        run = new StringBuilder
+      }
+    }
+    s.foreach { c =>
+      if (c < ' ') { flushRun(); if (sb.nonEmpty) sb.append(" || ")
+        sb.append(s"chr(${c.toInt})") }
+      else run.append(c)
+    }
+    flushRun()
+    if (sb.isEmpty) "''" else sb.toString
+  }
+
+  /** Closed-form registered domain of link residue `x` — shared by the
+    * `q_link_graph`/`q_anchor_text` oracles. registeredDomain ∘
+    * canonicalHost carries a non-default port through (the URL family's
+    * convention, oracle-checked by q_url_canonical): with ':8080'
+    * attached the multi-level-suffix string match can't fire, so the
+    * ported co.uk/com.au hosts collapse to 'co.uk:8080'/'com.au:8080'. */
+  private def linkDomSql(x: String): String = {
+    val base =
+      s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'" +
+        s" WHEN 2 THEN 'sample.org' WHEN 3 THEN 'data.net'" +
+        s" WHEN 4 THEN 'test.com.au' WHEN 5 THEN 'example.com'" +
+        s" ELSE 'site' || CAST(($x) % 13 AS VARCHAR) || '.net' END"
+    s"CASE WHEN ($x) % 4 = 1 THEN (CASE ($x) % 7 WHEN 1 THEN 'co.uk'" +
+      s" WHEN 4 THEN 'com.au' ELSE $base END) || ':8080'" +
+      s" ELSE $base END"
+  }
+
+  private def linkHostSql(x: String): String =
+    s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'" +
+      s" WHEN 2 THEN 'blog.sample.org' WHEN 3 THEN 'data.net'" +
+      s" WHEN 4 THEN 'api.test.com.au' WHEN 5 THEN 'cdn.example.com'" +
+      s" ELSE 'w' || CAST(($x) % 29 AS VARCHAR) || '.site' ||" +
+      s" CAST(($x) % 13 AS VARCHAR) || '.net' END"
+
+  /** Closed-form canonical URL of link residue `x` (cosmetic terms all
+    * erase; only the k-driven semantic identity survives). */
+  private def linkCanonSql(x: String): String =
+    s"(CASE WHEN ($x) % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||" +
+      s" (${linkHostSql(x)}) ||" +
+      s" (CASE WHEN ($x) % 4 = 1 THEN ':8080' ELSE '' END) ||" +
+      s" (CASE WHEN ($x) % 11 = 3 THEN '/'" +
+      s"  ELSE '/pAth/' || CAST(($x) % 100 AS VARCHAR) ||" +
+      s"   (CASE WHEN ($x) % 5 = 2 THEN '/~user' ELSE '' END) END) ||" +
+      s" (CASE WHEN ($x) % 7 = 5 THEN ''" +
+      s"  ELSE '?a=' || CAST(($x) % 10 AS VARCHAR) || '&z=B' END)"
+
   /** The robots closed-form CTE chain (rules derived from the domain
     * string, RFC 9309 longest-match score as one MAX) from `canon` to
     * `sc(doc_id, domain, s)` — shared by `q_robots_gate` and
@@ -4334,37 +4449,7 @@ object SparkEntry {
     // residues per doc and aggregates; the Spark side earns every cell
     // by extracting hrefs from real markup (three quote forms) and
     // canonicalizing raw cosmetic-noise URLs
-    "q_link_graph" -> {
-      // registeredDomain(canonicalHost(·)) carries a non-default port
-      // through (the URL family's convention, oracle-checked since r11's
-      // q_url_canonical): with ':8080' attached the multi-level-suffix
-      // string match can't fire, so the ported co.uk/com.au hosts
-      // collapse to 'co.uk:8080'/'com.au:8080'
-      def domSql(x: String) = {
-        val base =
-          s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'" +
-            s" WHEN 2 THEN 'sample.org' WHEN 3 THEN 'data.net'" +
-            s" WHEN 4 THEN 'test.com.au' WHEN 5 THEN 'example.com'" +
-            s" ELSE 'site' || CAST(($x) % 13 AS VARCHAR) || '.net' END"
-        s"CASE WHEN ($x) % 4 = 1 THEN (CASE ($x) % 7 WHEN 1 THEN 'co.uk'" +
-          s" WHEN 4 THEN 'com.au' ELSE $base END) || ':8080'" +
-          s" ELSE $base END"
-      }
-      def hostSql(x: String) =
-        s"CASE ($x) % 7 WHEN 0 THEN 'example.com' WHEN 1 THEN 'news.example.co.uk'" +
-          s" WHEN 2 THEN 'blog.sample.org' WHEN 3 THEN 'data.net'" +
-          s" WHEN 4 THEN 'api.test.com.au' WHEN 5 THEN 'cdn.example.com'" +
-          s" ELSE 'w' || CAST(($x) % 29 AS VARCHAR) || '.site' ||" +
-          s" CAST(($x) % 13 AS VARCHAR) || '.net' END"
-      def canonSql(x: String) =
-        s"(CASE WHEN ($x) % 3 = 0 THEN 'https' ELSE 'http' END) || '://' ||" +
-          s" (${hostSql(x)}) ||" +
-          s" (CASE WHEN ($x) % 4 = 1 THEN ':8080' ELSE '' END) ||" +
-          s" (CASE WHEN ($x) % 11 = 3 THEN '/'" +
-          s"  ELSE '/pAth/' || CAST(($x) % 100 AS VARCHAR) ||" +
-          s"   (CASE WHEN ($x) % 5 = 2 THEN '/~user' ELSE '' END) END) ||" +
-          s" (CASE WHEN ($x) % 7 = 5 THEN ''" +
-          s"  ELSE '?a=' || CAST(($x) % 10 AS VARCHAR) || '&z=B' END)"
+    "q_link_graph" ->
       s"""WITH lk AS (
          |  SELECT doc_id % 127 AS k,
          |         ((doc_id % 127) * 31 + 7) % 127 AS k1,
@@ -4372,15 +4457,32 @@ object SparkEntry {
          |  FROM documents),
          |e AS (SELECT k, unnest([k1, k2]) AS kt FROM lk),
          |d AS (
-         |  SELECT ${domSql("k")} AS src_domain,
-         |         ${domSql("kt")} AS dst_domain,
-         |         ${canonSql("kt")} AS u
+         |  SELECT ${linkDomSql("k")} AS src_domain,
+         |         ${linkDomSql("kt")} AS dst_domain,
+         |         ${linkCanonSql("kt")} AS u
          |  FROM e)
          |SELECT src_domain, dst_domain,
          |       CAST(COUNT(*) AS BIGINT) AS n_links,
          |       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_targets
-         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // anchor TEXT is predicted the same closed-form way: each doc labels
+    // dom(k1) with 'first & best source' (markup stripped, &amp; decoded,
+    // lowercased) and dom(k2) with 'the second'; the Spark side earns the
+    // cells by parsing real anchor elements
+    "q_anchor_text" ->
+      s"""WITH lk AS (
+         |  SELECT ((doc_id % 127) * 31 + 7) % 127 AS k1,
+         |         ((doc_id % 127) * 17 + 3) % 127 AS k2
+         |  FROM documents),
+         |e AS (
+         |  SELECT ${linkDomSql("k1")} AS dst_domain,
+         |         unnest(['first', '&', 'best', 'source']) AS term
+         |  FROM lk
+         |  UNION ALL
+         |  SELECT ${linkDomSql("k2")}, unnest(['the', 'second']) FROM lk)
+         |SELECT dst_domain, term, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the robots rules derived in CLOSED FORM from the domain string
     // (no robots.txt text, no parsing anywhere in the oracle — the
@@ -6508,6 +6610,33 @@ object SparkEntry {
         |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
         |       COALESCE(ag.seg_sig, 0) AS seg_sig
         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // enrichment AND the whole normalize chain replayed from the SAME
+    // Scala constants (sqlLit renders them as DuckDB literals, control
+    // chars via chr()), so neither the fixture nor a rule can drift
+    "q_text_normalize" -> {
+      val repl = pipeline.TextOps.NormalizePairs.foldLeft("t") {
+        case (acc, (f, to)) => s"replace($acc, ${sqlLit(f)}, ${sqlLit(to)})"
+      }
+      s"""WITH en AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 4 = 1 THEN ${sqlLit(NormEnrich1)} ELSE '' END) ||
+         |    (CASE WHEN doc_id % 6 = 2 THEN ${sqlLit(NormEnrich2)} ELSE '' END) ||
+         |    (CASE WHEN doc_id % 9 = 4 THEN ${sqlLit(NormEnrich3)} ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 5 THEN ${sqlLit(NormEnrich4)} ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 6 THEN ${sqlLit(NormEnrich5)} ELSE '' END) AS t
+         |  FROM documents),
+         |n1 AS (SELECT doc_id, translate($repl,
+         |    ${sqlLit(pipeline.TextOps.FullwidthChars)},
+         |    ${sqlLit(pipeline.TextOps.AsciiChars)}) AS t FROM en),
+         |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+         |    '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+         |    '[ \\t]+', ' ', 'g') AS t FROM n1)
+         |SELECT doc_id,
+         |       array_to_string(list_transform(string_split(t, chr(10)),
+         |         l -> trim(l)), chr(10)) AS norm
+         |FROM n2 ORDER BY doc_id""".stripMargin
+    },
 
     // the 5 multiplicative-weights rounds unrolled as CTE pairs (the
     // pageRank oracle discipline): weighted mean by integer div, the

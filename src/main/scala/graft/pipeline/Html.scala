@@ -61,6 +61,32 @@ object Html {
         substring(v, lit(2), length(v) - 2)).otherwise(v)))
   }
 
+  /** `(href, anchor)` pairs of every `<a>` element, in document order —
+    * anchor TEXT is the label the linking page gives the target, the
+    * classic web-search relevance signal ([[extractLinks]] gives the
+    * edges; this gives their labels). The href follows the same
+    * three-quote-form rule; the anchor is the element's inner markup
+    * with tags stripped, entities decoded, and whitespace trimmed.
+    * Anchors without an href are skipped (they link nowhere). One
+    * `regexp_extract_all` over full elements + per-element extracts —
+    * pure map-side Column work. */
+  def extractAnchors(html: Column): Column = {
+    val elems = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*\\bhref\\s*=[^>]*>.*?</a\\s*>"), lit(0))
+    transform(elems, e => {
+      val rawHref = regexp_extract(e,
+        "(?is)\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+      val href = decodeEntities(
+        when(rawHref.startsWith("\"") || rawHref.startsWith("'"),
+          substring(rawHref, lit(2), length(rawHref) - 2))
+          .otherwise(rawHref))
+      val inner = regexp_extract(e, "(?is)>(.*)</a\\s*>$", 1)
+      val anchor = trim(decodeEntities(
+        regexp_replace(regexp_replace(inner, "<[^>]*>", " "), "\\s+", " ")))
+      struct(href.as("href"), anchor.as("anchor"))
+    })
+  }
+
   /** Steps 1–4: markup removal. Exposed for tests; [[htmlToText]] is the
     * full pipeline. Link spans come out wrapped in the `U+0001`/`U+0002`
     * sentinels for the density rule to measure. */

@@ -883,6 +883,49 @@ object TextOps {
         col("doc_id"), col("score_u"))
   }
 
+  /** NFKC-lite text normalization — the canonical pre-hash cleanup every
+    * curation pipeline (CCNet, Dolma) runs before dedup/fingerprinting so
+    * cosmetically-different encodings of the same text collapse:
+    *   - typographic quotes → straight (`“”` → `"`, `‘’` → `'`);
+    *   - en/em dashes and the minus sign → `-`;
+    *   - the fi/fl ligatures expanded;
+    *   - fullwidth ASCII letters/digits → ASCII (one `translate`);
+    *   - NBSP / thin / ideographic spaces → space, zero-width space and
+    *     soft hyphen removed;
+    *   - control characters (except `\n` and `\t`) removed;
+    *   - space/tab runs collapsed to one space, line structure KEPT,
+    *     lines trimmed.
+    * Full NFKC needs the Unicode tables; this is the deterministic
+    * high-frequency subset, spelled as a replace/translate/regex chain
+    * both engines replay byte-identically. Pure map-side Column work —
+    * zero shuffle at 100 TB. */
+  /** [[nfkcLite]]'s replace table — public so the driver oracle
+    * builds its SQL replace chain from the SAME pairs (no drift). */
+  val NormalizePairs: Seq[(String, String)] = Seq(
+    "\u201C" -> "\"", "\u201D" -> "\"", "\u2018" -> "'", "\u2019" -> "'",
+    "\u2013" -> "-", "\u2014" -> "-", "\u2212" -> "-",
+    "\uFB01" -> "fi", "\uFB02" -> "fl",
+    "\u00A0" -> " ", "\u2009" -> " ", "\u3000" -> " ",
+    "\u200B" -> "", "\u00AD" -> "")
+
+  /** Fullwidth→ASCII translate alphabet, shared with the oracle. */
+  val FullwidthChars: String = ('\uFF10' to '\uFF19').mkString +
+    ('\uFF21' to '\uFF3A').mkString + ('\uFF41' to '\uFF5A').mkString
+  val AsciiChars: String = ('0' to '9').mkString +
+    ('A' to 'Z').mkString + ('a' to 'z').mkString
+
+  def nfkcLite(text: Column): Column = {
+    val replaced = NormalizePairs
+      .foldLeft(text) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+    val t2 = translate(replaced, FullwidthChars, AsciiChars)
+    val t3 = regexp_replace(t2, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val t4 = regexp_replace(t3, "[ \\t]+", " ")
+    // trim each line, keeping the line structure
+    array_join(transform(split(t4, "\n", -1), l => trim(l)), "\n")
+  }
+
   /** The Gopher stop-word set (Rae et al. 2021 §A1.1 rule 7) — distinct
     * from [[stopwords]] (the quality-score fluency list): the rule counts
     * how many of THESE appear at least once. */

@@ -101,4 +101,29 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     links("<A HREF = \"http://up.example.com/p\">U</A>") shouldBe
       Seq(Seq("http://up.example.com/p"))
   }
+
+  private def anchors(page: String): Seq[(String, String)] = {
+    val s = spark
+    import s.implicits._
+    Seq(page).toDF("html")
+      .select(explode(Html.extractAnchors(col("html"))).as("a"))
+      .select("a.href", "a.anchor").as[(String, String)].collect().toSeq
+  }
+
+  "extractAnchors" should "pair each href with its tag-stripped, entity-decoded label" in {
+    anchors("""<a href="http://a.com"><b>First</b> &amp; best</a>
+              | mid <a href='http://b.com'>the
+              |second</a>""".stripMargin) shouldBe
+      Seq(("http://a.com", "First & best"), ("http://b.com", "the second"))
+  }
+
+  it should "skip anchors without an href" in {
+    anchors("<a name=\"x\">label only</a><a href=/rel>rel</a>") shouldBe
+      Seq(("/rel", "rel"))
+  }
+
+  it should "handle empty labels and nested markup" in {
+    anchors("<a href=\"u://x\"></a><a href=\"u://y\"><i><u>deep</u></i>!</a>") shouldBe
+      Seq(("u://x", ""), ("u://y", "deep !"))
+  }
 }
