@@ -631,6 +631,40 @@ object SparkEntry {
       pipeline.UrlOps.robotsGate(en, synthRobotsRules(en)).orderBy("doc_id")
     }),
 
+    // sitemap DISCOVERY — the missing hop between the robots gate and
+    // the sitemap probe: a crawler learns where a site's sitemap lives
+    // from the global `Sitemap:` directive in robots.txt (RFC 9309
+    // §2.3). The directive sits inside the gate rows' fixture, so the
+    // group parser's ignore-unknown-fields contract is exercised on
+    // production data at the same time
+    "q_sitemap_discovery" -> ((s, dir) =>
+      pipeline.UrlOps.sitemapDirectives(
+        synthRobotsTxt(urlEnrichedDocs(s, dir))).orderBy("domain")),
+
+    // HTTP response framing (RFC 9110) — what a WARC `response` record's
+    // payload actually is: status code, media type (parameters
+    // stripped), and the body after the blank line; non-HTTP payloads
+    // route to status 0 with the whole payload as body. Every arm fires
+    // on its residue class; the oracle predicts all four columns in
+    // closed form with no parsing anywhere
+    "q_http_probe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val status = when(k % 17 === 3, lit("404 Not Found"))
+        .otherwise(lit("200 OK"))
+      val ctype = when(k % 9 === 2, lit("application/json"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val payload = when(k % 23 === 7, col("text"))
+        .otherwise(concat(lit("HTTP/1.1 "), status,
+          lit("\r\nServer: synth\r\nContent-Type: "), ctype,
+          lit("\r\n\r\n"), col("text")))
+      docs.select(col("doc_id"),
+          sources.Warc.httpResponseParts(payload).as("h"))
+        .select(col("doc_id"), col("h.status"), col("h.content_type"),
+          length(col("h.body")).cast("long").as("body_len"))
+        .orderBy("doc_id")
+    }),
+
     // sitemap probe (sitemaps.org XML — the crawl-SCHEDULING input,
     // completing the trio: robots = may fetch, WARC = what arrived,
     // sitemap = what to fetch next): per domain a real sitemap.xml is
@@ -3974,19 +4008,26 @@ object SparkEntry {
     * projection is checkpointed before `distinct()`: the
     * canonicalization tree otherwise fuses into the aggregate's codegen
     * stage past janino's method limit. */
-  private def synthRobotsRules(en: DataFrame): DataFrame = {
+  private def synthRobotsRules(en: DataFrame): DataFrame =
+    pipeline.UrlOps.parseRobots(synthRobotsTxt(en))
+
+  /** The raw per-domain robots.txt of [[synthRobotsRules]] — also fed to
+    * `q_sitemap_discovery`, whose `Sitemap:` directive the GROUP parser
+    * must ignore (it is global, not group-scoped) for the gate rows to
+    * stay green. */
+  private def synthRobotsTxt(en: DataFrame): DataFrame = {
     val doms = en.select(pipeline.UrlOps.registeredDomain(
         pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
       .localCheckpoint().distinct()
     val d0 = (length(col("domain")) % 10).cast("string")
     val d1 = ((length(col("domain")) + 3) % 10).cast("string")
-    val robots = doms.select(col("domain"), concat(
+    doms.select(col("domain"), concat(
       lit("# synthetic robots\nUser-agent: bad-bot\nDisallow: /\n\n"),
+      lit("Sitemap: https://"), col("domain"), lit("/sitemap.xml\n"),
       lit("User-agent: *\nDisallow: /pAth/"), d0,
       lit("\nAllow: /pAth/"), d0, d1,
       lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private\n"))
       .as("robots_txt"))
-    pipeline.UrlOps.parseRobots(robots)
   }
 
   /** The sitemap fixture + recrawl decision shared by `q_sitemap_probe`
@@ -6610,6 +6651,30 @@ object SparkEntry {
         |       COALESCE(ag.n_wp_tokens, 0) AS n_wp_tokens,
         |       COALESCE(ag.seg_sig, 0) AS seg_sig
         |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the sitemap location is a closed function of the domain — no
+    // robots.txt text or parsing anywhere in the oracle
+    "q_sitemap_discovery" ->
+      (urlEnrichSql + urlCanonMatSql + """,
+        |rdom AS (SELECT DISTINCT domain FROM canon)
+        |SELECT domain,
+        |       'https://' || domain || '/sitemap.xml' AS sitemap_url
+        |FROM rdom ORDER BY domain""".stripMargin),
+
+    // all four columns in closed form from doc_id (body_len = len(text)
+    // in EVERY arm: the blank-line split hands back exactly the body,
+    // and the non-HTTP arm passes the whole payload through)
+    "q_http_probe" ->
+      """WITH k AS (SELECT doc_id, doc_id % 127 AS k, len(text) AS n
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN k % 23 = 7 THEN 0
+        |                 WHEN k % 17 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
+        |       CASE WHEN k % 23 = 7 THEN ''
+        |            WHEN k % 9 = 2 THEN 'application/json'
+        |            ELSE 'text/html' END AS content_type,
+        |       CAST(n AS BIGINT) AS body_len
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // enrichment AND the whole normalize chain replayed from the SAME
     // Scala constants (sqlLit renders them as DuckDB literals, control

@@ -196,6 +196,29 @@ object UrlOps {
         col("r.allow").as("allow"))
   }
 
+  /** `Sitemap:` directives from robots.txt (RFC 9309 §2.3 / sitemaps.org
+    * discovery): how a crawler FINDS a site's sitemap in the first place
+    * — the missing hop between the robots gate and the sitemap probe.
+    * Directives are global (not group-scoped) and may repeat, so this is
+    * a plain line filter, not part of the group state machine: every
+    * line whose field name is `sitemap` (case-insensitive) yields its
+    * value verbatim (sitemap URLs contain `:`, so the split is on the
+    * FIRST colon only). Emits `(domain, sitemap_url)`, one row per
+    * directive, in file order. */
+  def sitemapDirectives(robots: DataFrame, domainCol: String = "domain",
+                        txtCol: String = "robots_txt"): DataFrame = {
+    val urls = filter(
+      transform(split(col(txtCol), "\n", -1), raw => {
+        val l = trim(raw)
+        when(lower(substring_index(l, ":", 1)) === "sitemap",
+          trim(call_function("substr", l,
+            call_function("instr", l, lit(":")) + 1)))
+      }),
+      v => v.isNotNull && length(v) > 0)
+    robots.select(col(domainCol).as("domain"),
+      explode(urls).as("sitemap_url"))
+  }
+
   /** Gate URLs through parsed robots rules with RFC 9309 matching: the
     * LONGEST rule whose path is a prefix of the URL's canonical path
     * decides; on a length tie the least restrictive (Allow) wins; no

@@ -225,4 +225,28 @@ object Warc {
       .toDF("id", "rec", "offset", "rec_type", "target_uri",
         "content_length", "payload")
   }
+
+  /** Split an HTTP/1.1 response message (what a WARC `response` record's
+    * payload actually is — RFC 9110 framing) into the crawl-relevant
+    * parts: status code from the status line, media type from the
+    * `Content-Type` header (parameters like `; charset=` stripped,
+    * lowercased), and the body after the first blank line. Pure Column
+    * work over the payload-as-string — the downstream gate that routes
+    * 200/text-html to extraction and everything else to quarantine.
+    * Non-HTTP payloads yield status 0, empty type, whole-payload body. */
+  def httpResponseParts(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val statusStr = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val status = when(length(statusStr) > 0, statusStr.cast("long"))
+      .otherwise(lit(0L))
+    val headers = substring_index(payload, "\r\n\r\n", 1)
+    val ctype = lower(trim(regexp_extract(headers,
+      "(?im)^content-type:\\s*([^;\\r\\n]*)", 1)))
+    val blank = call_function("instr", payload, lit("\r\n\r\n"))
+    val body = when(status === 0L, payload)
+      .when(blank > 0, call_function("substr", payload, blank + 4))
+      .otherwise(lit(""))
+    struct(status.as("status"), ctype.as("content_type"), body.as("body"))
+  }
 }

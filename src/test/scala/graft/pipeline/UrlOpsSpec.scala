@@ -163,4 +163,33 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       ("ex.com", 4L, 300, 2L),
       ("other.org", 5L, 50, 1L))
   }
+
+  "sitemapDirectives" should "extract global Sitemap: lines, case-insensitive, first-colon split" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: *\nDisallow: /a\n" +
+      "Sitemap: https://d.com/sitemap.xml\n" +
+      "sitemap:https://d.com/s2.xml\nSITEMAP:   https://d.com/s3.xml  \n" +
+      "NotASitemap: https://x.com/no\nDisallow: /b"
+    val got = UrlOps.sitemapDirectives(
+      Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String)].collect().toSeq
+    got shouldBe Seq(
+      ("d.com", "https://d.com/sitemap.xml"),
+      ("d.com", "https://d.com/s2.xml"),
+      ("d.com", "https://d.com/s3.xml"))
+  }
+
+  it should "emit nothing when no directive exists and not disturb group parsing" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: *\nSitemap: https://d.com/s.xml\nDisallow: /a"
+    UrlOps.sitemapDirectives(Seq(("d.com", "User-agent: *\nDisallow: /a"))
+      .toDF("domain", "robots_txt")).count() shouldBe 0L
+    // the directive inside a group is STILL global — and ignored by the
+    // group parser (unknown field), so rules are unchanged
+    UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String, Boolean)].collect().toSeq shouldBe
+      Seq(("d.com", "/a", false))
+  }
 }

@@ -102,4 +102,24 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         gzipped = true).collect()
     ex.getMessage should include("expected exactly 1")
   }
+
+  "httpResponseParts" should "split status, media type, and body" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      "Server: x\r\n\r\n<html>body</html>"
+    val notFound = "HTTP/1.0 404 Not Found\r\ncontent-type: application/json\r\n\r\n{}"
+    val raw = "just plain text, no protocol"
+    val headerOnly = "HTTP/1.1 204 No Content\r\nServer: x\r\n\r\n"
+    val got = Seq(ok, notFound, raw, headerOnly).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.status", "h.content_type", "h.body")
+      .as[(Long, String, String)].collect().toSeq
+    got shouldBe Seq(
+      (200L, "text/html", "<html>body</html>"),
+      (404L, "application/json", "{}"),
+      (0L, "", raw),
+      (204L, "", ""))
+  }
 }
