@@ -428,6 +428,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // interpolated Kneser-Ney upgrade of the raw-MLE bigram filter —
+    // absolute discount + continuation-probability backoff, the KenLM
+    // smoothing CCNet-style perplexity filters actually use
+    "q_kneser_ney" -> ((s, dir) => {
+      pipeline.TextOps.kneserNeyLogProb(
+        s.read.parquet(s"$dir/documents.parquet")).orderBy("doc_id")
+    }),
+
     "q_text_repetition" -> ((s, dir) => {
       pipeline.TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")
@@ -4288,6 +4296,37 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
         |       ag.mean_logp_r
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // the KN terms from the same bigram-type table (c1 and N1+ in one
+    // grouped pass), the one float expression with the IDENTICAL
+    // parenthesization, 1e-6 rounding absorbing the last ulp
+    "q_kneser_ney" -> (tposSql +
+      """, bg AS MATERIALIZED (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tpos a JOIN tpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |lft AS MATERIALIZED (
+        |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+        |cont AS MATERIALIZED (
+        |  SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
+        |ncc AS (SELECT COUNT(*) AS ncc FROM c12),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |         ln((GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) +
+        |             0.75 * CAST(n1p AS DOUBLE) * CAST(ncont AS DOUBLE) /
+        |               CAST(ncc.ncc AS DOUBLE)) / CAST(c1 AS DOUBLE)) AS logp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN lft USING (w1)
+        |  JOIN cont USING (w2) CROSS JOIN ncc),
+        |ag AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         ROUND(AVG(logp), 6) + 0.0 AS mean_kn_logp_r
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+        |       ag.mean_kn_logp_r
         |FROM documents d LEFT JOIN ag USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
 

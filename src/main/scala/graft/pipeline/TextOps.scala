@@ -136,6 +136,52 @@ object TextOps {
         col("mean_logp_r"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the canonical n-gram
+    * smoothing (Kneser & Ney 1995; what KenLM builds and CCNet filters
+    * with), upgrading [[bigramLogProb]]'s raw MLE: absolute discount
+    * D = 0.75 off every seen bigram, the freed mass λ(w1) = D·N1+(w1·)/c(w1·)
+    * backed off to the CONTINUATION probability `p_cont(w2) =
+    * N1+(·w2)/N1+(··)` — "how many contexts does w2 complete", the
+    * correction that keeps high-frequency-but-one-context words (the
+    * "San Francisco" effect) from leaking probability:
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + λ(w1)·p_cont(w2).
+    * Every count is exact-integer from two aggregates over the bigram
+    * table; the one float expression has a FIXED parenthesization
+    * mirrored in the oracle, and the per-doc mean rounds at 1e-6 (the
+    * [[bigramLogProb]] convention). Shuffle ∝ tokens — count tables are
+    * one row per (bi)gram, no pairwise term. Docs with < 2 tokens:
+    * `(0, NULL)`. */
+  def kneserNeyLogProb(docs: DataFrame): DataFrame = {
+    val tp = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val a = tp.select(col("doc_id"), col("pos"), col("tok").as("w1"))
+    val b = tp.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("tok").as("w2"))
+    val bigrams = a.join(b,
+      col("doc_id") === col("doc_b") && col("pos_b") === col("pos") + 1)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c(w1·) and N1+(w1·) in ONE pass over the bigram-type table
+    val left = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val ncc = c12.agg(count(lit(1)).as("ncc"))
+    val p = (greatest(col("c12").cast("double") - 0.75, lit(0.0)) +
+      lit(0.75) * col("n1p").cast("double") * col("ncont").cast("double") /
+        col("ncc").cast("double")) / col("c1").cast("double")
+    val scored = bigrams.join(c12, Seq("w1", "w2")).join(left, Seq("w1"))
+      .join(cont, Seq("w2")).crossJoin(broadcast(ncc))
+      .select(col("doc_id"), log(p).as("logp"))
+    docs.select("doc_id").join(
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          (round(avg("logp"), 6) + 0.0).as("mean_kn_logp_r")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_kn_logp_r"))
+  }
+
   /** Collocation mining: pointwise mutual information over adjacent token
     * pairs — `pmi(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b)))` with all counts
     * taken over the corpus's bigram events (N = total bigrams, `c(a,·)` =
