@@ -583,13 +583,23 @@ object SparkEntry {
         .join(urlEnrichedDocs(s, dir).select("doc_id", "url"), "doc_id")
         .select(col("doc_id"), col("url"), synthHtmlPage.as("html"))
         .as[(Long, String, String)]
+      // response records carry REAL HTTP/1.1 framing (status + headers +
+      // body — what a crawl response record actually holds, round 11):
+      // residue k%17==3 serves a 404 error page the status gate must
+      // quarantine before extraction ever runs
       val warcs = pages.mapPartitions { it =>
         it.map { case (id, url, html) =>
+          val notFound = (id % 127) % 17 == 3
+          val http = (if (notFound)
+            "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+              "<html><body><p>404 page not found here sorry</p></body></html>"
+          else
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
+              html).getBytes("UTF-8")
           val recs = Seq(
             sources.Warc.RecordSpec("request", Some(url),
               "GET / HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
-            sources.Warc.RecordSpec("response", Some(url),
-              html.getBytes("UTF-8")))
+            sources.Warc.RecordSpec("response", Some(url), http))
           (id, recs.flatMap(r =>
             sources.Warc.gzipMember(sources.Warc.buildWarc(Seq(r))._1))
             .toArray)
@@ -598,7 +608,12 @@ object SparkEntry {
       sources.Warc.warcProbe(warcs, gzipped = true)
         .where(col("rec_type") === "response")
         .select(col("id").as("doc_id"), col("target_uri"),
-          pipeline.Html.htmlToText(col("payload").cast("string")).as("text"))
+          sources.Warc.httpResponseParts(col("payload").cast("string"))
+            .as("h"))
+        .where(col("h.status") === 200L &&
+          col("h.content_type") === "text/html")
+        .select(col("doc_id"), col("target_uri"),
+          pipeline.Html.htmlToText(col("h.body")).as("text"))
         .select(col("doc_id"),
           pipeline.UrlOps.canonicalizeUrl(col("target_uri")).as("url_canon"),
           pipeline.UrlOps.registeredDomain(
@@ -4591,7 +4606,9 @@ object SparkEntry {
            |  FROM (
            |  $qualityInnerSql))
            |SELECT c.doc_id, c.url_canon, c.domain, qual.q_r
-           |FROM canon c JOIN qual USING (doc_id) ORDER BY c.doc_id""".stripMargin),
+           |FROM canon c JOIN qual USING (doc_id)
+           |WHERE (c.doc_id % 127) % 17 != 3
+           |ORDER BY c.doc_id""".stripMargin),
 
     // the round-trip must land exactly on the parquet truth; the corrupt
     // count is the two injected lines, quarantined rather than read
