@@ -4322,24 +4322,26 @@ object SparkEntry {
         |  SELECT a.doc_id, a.w AS w1, b.w AS w2
         |  FROM tpos a JOIN tpos b
         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |dbg AS MATERIALIZED (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS cd FROM bg GROUP BY 1, 2, 3),
         |c12 AS MATERIALIZED (
-        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |  SELECT w1, w2, SUM(cd) AS c12 FROM dbg GROUP BY w1, w2),
         |lft AS MATERIALIZED (
         |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
         |cont AS MATERIALIZED (
         |  SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
         |ncc AS (SELECT COUNT(*) AS ncc FROM c12),
-        |sc AS (
-        |  SELECT bg.doc_id,
+        |ts AS MATERIALIZED (
+        |  SELECT w1, w2,
         |         ln((GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0) +
         |             0.75 * CAST(n1p AS DOUBLE) * CAST(ncont AS DOUBLE) /
         |               CAST(ncc.ncc AS DOUBLE)) / CAST(c1 AS DOUBLE)) AS logp
-        |  FROM bg JOIN c12 USING (w1, w2) JOIN lft USING (w1)
-        |  JOIN cont USING (w2) CROSS JOIN ncc),
+        |  FROM c12 JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN ncc),
         |ag AS (
-        |  SELECT doc_id, COUNT(*) AS n_bigrams,
-        |         ROUND(AVG(logp), 6) + 0.0 AS mean_kn_logp_r
-        |  FROM sc GROUP BY doc_id)
+        |  SELECT dbg.doc_id, CAST(SUM(cd) AS BIGINT) AS n_bigrams,
+        |         ROUND(SUM(CAST(cd AS DOUBLE) * logp) /
+        |               SUM(CAST(cd AS DOUBLE)), 6) + 0.0 AS mean_kn_logp_r
+        |  FROM dbg JOIN ts USING (w1, w2) GROUP BY dbg.doc_id)
         |SELECT d.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
         |       ag.mean_kn_logp_r
         |FROM documents d LEFT JOIN ag USING (doc_id)
