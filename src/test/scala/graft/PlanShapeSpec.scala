@@ -128,6 +128,23 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Cartesian"
   }
 
+  "q_kneser_ney" should "aggregate to types before joining (no cartesian, no per-occurrence join)" in {
+    val df = SparkEntry.queries("q_kneser_ney")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("HashAggregate")
+    // the only nested-loop join allowed is the 1-row broadcast ncc
+    plan should not include "CartesianProduct"
+  }
+
+  "q_mixture_weights" should "broadcast every per-round statistic (no sort-merge, no cartesian)" in {
+    val df = SparkEntry.queries("q_mixture_weights")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
   "q_crawl_frontier" should "execute the politeness quota through the top-k operator" in {
     val df = SparkEntry.queries("q_crawl_frontier")(spark, dir)
     df.collect() // finalize adaptive plan
