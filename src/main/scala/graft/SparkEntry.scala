@@ -664,12 +664,137 @@ object SparkEntry {
       pipeline.UrlOps.sitemapDirectives(
         synthRobotsTxt(urlEnrichedDocs(s, dir))).orderBy("domain")),
 
+    // RFC 9309 §2.2.1 GROUP SELECTION (round 12): a crawler identifying
+    // as a product token must obey the most specific matching group —
+    // the union of all groups naming its token — and fall back to `*`
+    // only when none does (Common Crawl's CCBot hits this constantly).
+    // Even-length domains publish two `graftbot` groups (one shared
+    // with `other-bot` — multi-UA headers accumulate; one at the end —
+    // the RFC's combine-matching-groups clause) whose rules differ from
+    // the `*` group by an Allow carve-out, so a parser that ignores
+    // token groups flips `allowed` on every carve-out path; odd-length
+    // domains have only `*`, exercising the fallback. Token case
+    // differs between file (`GraftBot`) and crawler (`graftbot`) — the
+    // match is case-insensitive. Oracle: rules in closed form from the
+    // domain string (parse-free), RFC longest-match as one MAX.
+    "q_robots_ua" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      pipeline.UrlOps.robotsGate(en,
+        pipeline.UrlOps.parseRobots(synthRobotsTxtUa(en),
+          agent = "graftbot")).orderBy("doc_id")
+    }),
+
+    // sitemap INDEX + gzipped members (round 12): real large sites
+    // front a <sitemapindex> of .xml.gz children (the sitemaps.org
+    // 50k-URL cap per file forces it). The Spark side does the real
+    // walk a crawler does: per domain the entries are SPLIT across two
+    // child urlsets, each gzipped (Warc.gzipMember — CRC'd), an index
+    // XML names the children; then parseSitemapIndex discovers the
+    // children, a join fetches their blobs, gunzipSitemaps sniffs the
+    // magic and inflates (CRC32/ISIZE verified), and parseSitemap
+    // yields the entries. The oracle predicts the final entry table in
+    // CLOSED FORM from doc_id (no XML, no gzip, no index anywhere), so
+    // a bug in ANY hop — index parse, loc join, member inflate, child
+    // split — lands as a missing/corrupt entry.
+    "q_sitemap_index" -> ((s, dir) => {
+      import s.implicits._
+      val base = urlEnrichedDocs(s, dir).select(
+          (col("doc_id") % 127).as("k"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("url"))).as("domain"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("loc"))
+        .localCheckpoint() // slim seam (the sitemapRecrawlFixture lesson)
+      val lmday = when(col("k") % 6 === 0, lit(-1L))
+        .otherwise(lit(19000L) + (col("k") * 3) % 150)
+      val entries = base.select(col("domain"), col("loc"), lmday.as("lmd0"))
+        .groupBy("domain", "loc").agg(max("lmd0").as("lmd"))
+      val entryXml = concat(
+        lit("  <url>\n    <loc>"), col("loc"), lit("</loc>"),
+        when(col("lmd") < 0, lit(""))
+          .otherwise(concat(lit("\n    <lastmod>"),
+            date_format(date_add(to_date(lit("1970-01-01")),
+              col("lmd").cast("int")), "yyyy-MM-dd"),
+            lit("</lastmod>"))),
+        lit("\n  </url>\n"))
+      // child assignment must be oracle-free (the oracle never sees the
+      // split): parity of the canonical URL's length
+      val childXml = entries
+        .withColumn("child", pmod(length(col("loc")), lit(2)))
+        .select(col("domain"), col("child"), entryXml.as("entry"))
+        .groupBy("domain", "child").agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          array_join(sort_array(collect_list(col("entry"))), ""),
+          lit("</urlset>\n")).as("xml"))
+        .withColumn("loc", concat(lit("https://"), col("domain"),
+          lit("/sitemap-"), col("child").cast("string"), lit(".xml.gz")))
+      val childBlobs = childXml.select(col("domain"), col("loc"), col("xml"))
+        .as[(String, String, String)]
+        .mapPartitions(_.map { case (domain, loc, xml) =>
+          (domain, loc, sources.Warc.gzipMember(
+            xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        })
+        .toDF("domain", "loc", "blob")
+      val indexXml = childXml.select(col("domain"), concat(
+          lit("  <sitemap>\n    <loc>"), col("loc"), lit("</loc>"),
+          when(col("child") === 0,
+            lit("\n    <lastmod>2022-04-18</lastmod>")).otherwise(lit("")),
+          lit("\n  </sitemap>\n")).as("m"))
+        .groupBy("domain").agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          array_join(sort_array(collect_list(col("m"))), ""),
+          lit("</sitemapindex>\n")).as("index_xml"))
+      val children = sources.Sitemap.parseSitemapIndex(indexXml)
+        .select(col("domain"), col("child_loc").as("loc"))
+      val fetched = children.join(childBlobs, Seq("domain", "loc"))
+      sources.Sitemap.parseSitemap(sources.Sitemap.gunzipSitemaps(fetched))
+        .select(col("domain"), col("loc"), col("lastmod_day"))
+        .orderBy("domain", "loc")
+    }),
+
+    // full-PSL registered domain (round 12 — the swap-in path the
+    // PSL-lite documents, now exercised): the publicsuffix.org
+    // algorithm with all three rule forms over a broadcast rule table —
+    // normal (`co.uk`), wildcard (`*.ck`, `*.kawasaki.jp`), exception
+    // (`!www.ck`, `!city.kawasaki.jp` — the PSL's own canonical
+    // examples) — plus 64 padding rules that never match (the probe is
+    // a JOIN: list size costs nothing per host). Hosts: every enriched
+    // canonical host (cross-checking PSL-lite agreement on the plain
+    // cases) plus residue-driven hosts firing each rule form, the
+    // no-match default, and the host-IS-suffix edge. Oracle replays
+    // candidate explosion + probe join + prevailing-rule max in SQL.
+    "q_psl_domain" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val k = col("doc_id") % 127
+      val extra = when(k % 5 === 0,
+        concat(lit("shop"), (k % 7).cast("string"), lit(".web.ck")))
+        .when(k % 5 === 1, lit("sub.www.ck"))
+        .when(k % 5 === 2, lit("a.b.city.kawasaki.jp"))
+        .when(k % 5 === 3,
+          concat(lit("x"), (k % 11).cast("string"), lit(".mall.kawasaki.jp")))
+        .otherwise(lit("co.uk"))
+      val hosts = en.select(pipeline.UrlOps.canonicalHost(col("url"))
+          .as("host"))
+        .union(en.select(extra.as("host")))
+        .localCheckpoint() // slim seam before the explode+join
+      pipeline.UrlOps.registeredDomainPsl(hosts, pslRules(s))
+        .orderBy("host")
+    }),
+
     // HTTP response framing (RFC 9110) — what a WARC `response` record's
     // payload actually is: status code, media type (parameters
     // stripped), and the body after the blank line; non-HTTP payloads
-    // route to status 0 with the whole payload as body. Every arm fires
-    // on its residue class; the oracle predicts all four columns in
-    // closed form with no parsing anywhere
+    // route to status 0 with the whole payload as body. Round 12 adds
+    // the two real-world framings Heritrix-style WARCs preserve: a
+    // `Transfer-Encoding: chunked` arm (the stored payload keeps the
+    // chunk-size lines — the parser must de-chunk) and a bare-LF arm (a
+    // lenient server framing the whole message with \n — the parser
+    // falls back to the \n\n separator). Every arm fires on its residue
+    // class; the oracle predicts all four columns in closed form with
+    // no parsing anywhere — body_len = len(text) in EVERY arm is
+    // exactly the claim that de-chunking and LF fallback hand back the
+    // body verbatim.
     "q_http_probe" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val k = col("doc_id") % 127
@@ -678,6 +803,13 @@ object SparkEntry {
       val ctype = when(k % 9 === 2, lit("application/json"))
         .otherwise(lit("text/html; charset=UTF-8"))
       val payload = when(k % 23 === 7, col("text"))
+        .when(k % 13 === 5, concat(lit("HTTP/1.1 "), status,
+          lit("\r\nServer: synth\r\nTransfer-Encoding: chunked" +
+            "\r\nContent-Type: "), ctype,
+          lit("\r\n\r\n"), sources.Warc.chunkEncode(col("text"))))
+        .when(k % 13 === 8, concat(lit("HTTP/1.1 "), status,
+          lit("\nServer: synth\nContent-Type: "), ctype,
+          lit("\n\n"), col("text")))
         .otherwise(concat(lit("HTTP/1.1 "), status,
           lit("\r\nServer: synth\r\nContent-Type: "), ctype,
           lit("\r\n\r\n"), col("text")))
@@ -750,7 +882,11 @@ object SparkEntry {
       val href2 = synthUrl((k * 17 + 3) % 127, d + 5)
       val page = concat(
         lit("<html><head><title>L</title></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href='/about'>About</a></nav>" +
+          // data-href is a decoy: an attribute NAME ending in href is
+          // not a navigation target — with \b-style matching it would
+          // leak an absolute edge to decoy.invalid (oracle mismatch)
+          "<nav><a data-href=\"http://decoy.invalid/x\" href=\"/\">Home</a>" +
+          " <a href='/about'>About</a></nav>" +
           "<p>Further reading: <a href=\""), href1,
         lit("\">the first source</a> and <a href=\""), href2,
         lit("\">the second</a> for details.</p>" +
@@ -792,7 +928,10 @@ object SparkEntry {
       val page = concat(
         lit("<p>See <a href=\""), href1,
         lit("\"><b>First</b> &amp; best source</a> and <a href=\""), href2,
-        lit("\">the second</a><a name=\"x\">not a link</a></p>"))
+        lit("\">the second</a><a name=\"x\" " +
+          // decoy: an <a> whose ONLY href-like attribute is data-href
+          // links nowhere — it must be skipped like the bare <a name>
+          "data-href=\"http://decoy.invalid/y\">not a link</a></p>"))
       val pages = en.select(d, page.as("html")).localCheckpoint()
       pages.select(explode(pipeline.Html.extractAnchors(col("html"))).as("a"))
         .where(col("a.href").contains("://"))
@@ -2219,7 +2358,9 @@ object SparkEntry {
           when(col("doc_id") % 5 === 3,
             lit("\nto be continued...")).otherwise(lit("")),
           when(col("doc_id") % 11 === 4,
-            lit("\nhash ## tags #x")).otherwise(lit(""))).as("text"))
+            lit("\nhash ## tags #x")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 6,
+            lit("\nwait for it…")).otherwise(lit(""))).as("text"))
       pipeline.TextOps.gopherRules(enriched).orderBy("doc_id")
     }),
 
@@ -4037,7 +4178,12 @@ object SparkEntry {
   /** The raw per-domain robots.txt of [[synthRobotsRules]] — also fed to
     * `q_sitemap_discovery`, whose `Sitemap:` directive the GROUP parser
     * must ignore (it is global, not group-scoped) for the gate rows to
-    * stay green. */
+    * stay green. Round-12 decoys: the Sitemap directive carries a
+    * trailing `#` comment (RFC 9309 allows them anywhere — the value
+    * must come out clean), a bare colonless `sitemap` line must yield
+    * NO directive (substring_index would otherwise hand the whole line
+    * back as the value), and the final Disallow rule carries a comment
+    * the group parser must strip before the path is matched. */
   private def synthRobotsTxt(en: DataFrame): DataFrame = {
     val doms = en.select(pipeline.UrlOps.registeredDomain(
         pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
@@ -4046,11 +4192,60 @@ object SparkEntry {
     val d1 = ((length(col("domain")) + 3) % 10).cast("string")
     doms.select(col("domain"), concat(
       lit("# synthetic robots\nUser-agent: bad-bot\nDisallow: /\n\n"),
-      lit("Sitemap: https://"), col("domain"), lit("/sitemap.xml\n"),
+      lit("Sitemap: https://"), col("domain"),
+      lit("/sitemap.xml # primary\nsitemap\n"),
       lit("User-agent: *\nDisallow: /pAth/"), d0,
       lit("\nAllow: /pAth/"), d0, d1,
-      lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private\n"))
+      lit("\nDisallow:\nCrawl-delay: 5\nDisallow: /private # legacy\n"))
       .as("robots_txt"))
+  }
+
+  /** The UA-selection robots.txt of `q_robots_ua`: even-length domains
+    * address `graftbot` directly in TWO groups (one sharing its header
+    * with `other-bot`, one trailing — their union must apply, per RFC
+    * 9309's combine-matching-groups clause) whose rules differ from the
+    * `*` group by the Allow carve-out; odd-length domains have only the
+    * decoy and `*` groups (fallback). File spells the token `GraftBot`;
+    * the crawler identifies as `graftbot` — case-insensitive match. */
+  private def synthRobotsTxtUa(en: DataFrame): DataFrame = {
+    val doms = en.select(pipeline.UrlOps.registeredDomain(
+        pipeline.UrlOps.canonicalHost(col("url"))).as("domain"))
+      .localCheckpoint().distinct()
+    val d0 = (length(col("domain")) % 10).cast("string")
+    val d1 = ((length(col("domain")) + 3) % 10).cast("string")
+    val even = length(col("domain")) % 2 === 0
+    doms.select(col("domain"), concat(
+      lit("# ua-selection synthetic\nUser-agent: bad-bot\nDisallow: /\n\n"),
+      when(even, concat(
+        lit("User-agent: GraftBot\nUser-agent: other-bot\nAllow: /pAth/"),
+        d0, d1, lit("\nDisallow: /pAth/"), d0, lit("\n\n")))
+        .otherwise(lit("")),
+      lit("User-agent: *\nDisallow: /pAth/"), d0,
+      lit("\nDisallow: /private\n"),
+      when(even, lit("\nUser-agent: graftbot\nDisallow: /secret\n"))
+        .otherwise(lit("")))
+      .as("robots_txt"))
+  }
+
+  /** The synthetic PSL of `q_psl_domain`, shared verbatim with its
+    * oracle builder: the multi-level suffixes the PSL-lite knows, their
+    * single-label parents, the PSL's own wildcard/exception examples
+    * (`*.ck`/`!www.ck`, `*.kawasaki.jp`/`!city.kawasaki.jp`), a `//`
+    * comment line the loader must skip — plus 64 generated padding
+    * rules that never match (the probe is a broadcast JOIN, so list
+    * size is free per host). */
+  private val PslBaseRules: Seq[String] = Seq(
+    "// synthetic publicsuffix.org excerpt") ++
+    Seq("com", "org", "net", "uk", "au", "jp", "in", "kr", "br", "cn",
+      "mx", "nz", "site") ++
+    pipeline.UrlOps.MultiLevelSuffixes ++
+    Seq("*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp")
+
+  private def pslRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PslBaseRules.toDF("rule")
+      .union(s.range(64).select(
+        concat(lit("pad"), col("id").cast("string"), lit(".zz")).as("rule")))
   }
 
   /** The sitemap fixture + recrawl decision shared by `q_sitemap_probe`
@@ -4592,6 +4787,114 @@ object SparkEntry {
           |SELECT doc_id, domain,
           |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
           |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the UA-selected rule set in closed form from the domain string
+    // (even-length domains: the graftbot groups' union — Allow
+    // carve-out + base Disallow + /secret; odd: the `*` fallback pair),
+    // then the same RFC longest-match MAX as q_robots_gate — no
+    // robots.txt text, no group parsing anywhere in the oracle
+    "q_robots_ua" ->
+      (urlEnrichSql + urlCanonMatSql + """,
+        |rdom AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
+        |rr AS MATERIALIZED (
+        |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
+        |         FALSE AS allow FROM rdom
+        |  UNION ALL
+        |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
+        |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
+        |         TRUE FROM rdom WHERE len(domain) % 2 = 0
+        |  UNION ALL
+        |  SELECT domain, '/secret', FALSE FROM rdom WHERE len(domain) % 2 = 0
+        |  UNION ALL
+        |  SELECT domain, '/private', FALSE FROM rdom WHERE len(domain) % 2 = 1),
+        |pth AS MATERIALIZED (
+        |  SELECT doc_id, domain,
+        |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
+        |  FROM canon),
+        |sc AS MATERIALIZED (
+        |  SELECT p.doc_id, p.domain,
+        |         MAX(CASE WHEN r.rule_path IS NOT NULL
+        |                   AND starts_with(p.path, r.rule_path)
+        |                  THEN len(r.rule_path) * 2 +
+        |                       CASE WHEN r.allow THEN 1 ELSE 0 END
+        |                  ELSE -1 END) AS s
+        |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)
+        |SELECT doc_id, domain,
+        |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
+        |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the walked index's entry table is exactly the flat closed-form
+    // lastmod derivation (lm of sitemapCtesSql) — no index XML, no
+    // gzip, no child split anywhere in the oracle; every hop of the
+    // Spark walk has to reassemble it byte-for-byte
+    "q_sitemap_index" ->
+      (urlEnrichSql + urlCanonMatSql + ",\n" + sitemapCtesSql +
+        """
+          |SELECT domain, url_canon AS loc, CAST(lmd AS BIGINT) AS lastmod_day
+          |FROM lm ORDER BY domain, loc""".stripMargin),
+
+    // the publicsuffix.org algorithm replayed relationally: candidate
+    // suffixes per host (literal + `*.` spelling), probe-join against
+    // the SAME rule list (PslBaseRules renders the VALUES — no drift),
+    // prevailing rule by exception-beats-all then most-labels, default
+    // `*` fallback — mirroring UrlOps.registeredDomainPsl hop for hop
+    "q_psl_domain" -> {
+      val ruleValues = PslBaseRules
+        .map(r => s"('${r.replace("'", "''")}')").mkString(", ")
+      urlEnrichSql + urlCanonMatSql + s""",
+        |hosts AS MATERIALIZED (
+        |  SELECT DISTINCT host FROM (
+        |    SELECT regexp_extract(url_canon, '://([^/]*)', 1) AS host FROM canon
+        |    UNION ALL
+        |    SELECT CASE (doc_id % 127) % 5
+        |             WHEN 0 THEN 'shop' || CAST((doc_id % 127) % 7 AS VARCHAR) || '.web.ck'
+        |             WHEN 1 THEN 'sub.www.ck'
+        |             WHEN 2 THEN 'a.b.city.kawasaki.jp'
+        |             WHEN 3 THEN 'x' || CAST((doc_id % 127) % 11 AS VARCHAR) || '.mall.kawasaki.jp'
+        |             ELSE 'co.uk' END
+        |    FROM documents)
+        |  WHERE len(host) > 0),
+        |rules0 AS (
+        |  SELECT trim(r) AS r FROM (VALUES $ruleValues) t(r)
+        |  UNION ALL
+        |  SELECT 'pad' || CAST(i AS VARCHAR) || '.zz' FROM range(64) t(i)),
+        |rules AS MATERIALIZED (
+        |  SELECT CASE WHEN starts_with(r, '!') THEN substr(r, 2) ELSE r END AS rule_key,
+        |         starts_with(r, '!') AS exc,
+        |         len(string_split(CASE WHEN starts_with(r, '!') THEN substr(r, 2) ELSE r END, '.')) AS rule_nl
+        |  FROM rules0 WHERE len(r) > 0 AND NOT starts_with(r, '//')),
+        |hl AS MATERIALIZED (
+        |  SELECT host, string_split(host, '.') AS parts,
+        |         len(string_split(host, '.')) AS n
+        |  FROM hosts),
+        |cand AS MATERIALIZED (
+        |  SELECT host,
+        |         array_to_string(parts[(n - j + 1):n], '.') AS suffix,
+        |         CASE WHEN j >= 2
+        |              THEN '*.' || array_to_string(parts[(n - j + 2):n], '.') END AS wild
+        |  FROM (SELECT host, parts, n, unnest(range(1, n + 1)) AS j FROM hl)),
+        |probe AS (
+        |  SELECT host, suffix, suffix AS p FROM cand
+        |  UNION ALL
+        |  SELECT host, suffix, wild FROM cand WHERE wild IS NOT NULL),
+        |m AS MATERIALIZED (
+        |  SELECT pr.host, pr.suffix, r.rule_nl, r.exc,
+        |         (CASE WHEN r.exc THEN 1000 ELSE 0 END) + r.rule_nl AS pri
+        |  FROM probe pr JOIN rules r ON pr.p = r.rule_key),
+        |best AS MATERIALIZED (
+        |  SELECT host, suffix, rule_nl, exc FROM m
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY host ORDER BY pri DESC) = 1)
+        |SELECT h.host,
+        |       CASE WHEN b.host IS NULL THEN
+        |              CASE WHEN h.n >= 2
+        |                   THEN array_to_string(h.parts[(h.n - 1):h.n], '.')
+        |                   ELSE h.host END
+        |            WHEN b.exc THEN b.suffix
+        |            WHEN h.n > b.rule_nl
+        |            THEN array_to_string(h.parts[(h.n - b.rule_nl):h.n], '.')
+        |            ELSE h.host END AS registered_domain
+        |FROM hl h LEFT JOIN best b USING (host) ORDER BY host""".stripMargin
+    },
 
     // parse-free closed-form replay of the whole crawl chain: canonical
     // URL + domain from the synthesis CTEs, quality from the RAW text
@@ -6785,7 +7088,7 @@ object SparkEntry {
            |u$r AS MATERIALIZED (
            |  SELECT domain, loss_u,
            |         (w * GREATEST(1, LEAST(2000000,
-           |            1000000 + ((loss_u - (SELECT swl // sw FROM s$r)) * 1) // 4)))
+           |            1000000 + ((loss_u - (SELECT swl // GREATEST(sw, 1) FROM s$r)) * 1) // 4)))
            |           // 1000000 AS u
            |  FROM w${r - 1}),
            |w$r AS MATERIALIZED (
@@ -6815,14 +7118,16 @@ object SparkEntry {
         |  SELECT d.doc_id, COALESCE(ml.mtext, '') ||
         |    (CASE WHEN d.doc_id % 7 = 0 THEN chr(10) || '- item alpha' || chr(10) || '- item beta' ELSE '' END) ||
         |    (CASE WHEN d.doc_id % 5 = 3 THEN chr(10) || 'to be continued...' ELSE '' END) ||
-        |    (CASE WHEN d.doc_id % 11 = 4 THEN chr(10) || 'hash ## tags #x' ELSE '' END) AS text
+        |    (CASE WHEN d.doc_id % 11 = 4 THEN chr(10) || 'hash ## tags #x' ELSE '' END) ||
+        |    (CASE WHEN d.doc_id % 13 = 6 THEN chr(10) || 'wait for it…' ELSE '' END) AS text
         |  FROM documents d LEFT JOIN ml USING (doc_id)),
         |m AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(len(t) AS BIGINT) AS words,
         |    CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS total_chars,
         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 +
+        |         (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS n_ell,
         |    list_transform(string_split(text, chr(10)), l -> trim(l)) AS lines,
         |    CAST(len(list_filter(t, x -> len(x) > len(translate(x,
         |      'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz', '')))) AS BIGINT) AS alpha_words,
@@ -6842,7 +7147,8 @@ object SparkEntry {
         |    CAST(len(lines) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(lines, l -> starts_with(l, '-')
         |      OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT) AS bullet_lines,
-        |    CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) AS ell_lines
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+      OR ends_with(l, '…'))) AS BIGINT) AS ell_lines
         |  FROM m),
         |f AS (
         |  SELECT doc_id,

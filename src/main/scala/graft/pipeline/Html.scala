@@ -51,10 +51,13 @@ object Html {
     * unquoted) and decodes the ubiquitous entities (`&amp;` — the
     * REQUIRED escape of `&` inside attribute values). Relative
     * references come out as written; callers filter or resolve. One
-    * `regexp_extract_all` + a small HOF — pure map-side Column work. */
+    * `regexp_extract_all` + a small HOF — pure map-side Column work.
+    * The char before `href` must be whitespace or a quote — `\b` alone
+    * also matches after `-`, which would read `data-href=` (a styling
+    * convention, not a navigation target) as the link. */
   def extractLinks(html: Column): Column = {
     val raw = regexp_extract_all(html,
-      lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+      lit("(?i)<a\\b[^>]*?[\\s\"']href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
       lit(1))
     transform(raw, v => decodeEntities(
       when(v.startsWith("\"") || v.startsWith("'"),
@@ -72,10 +75,10 @@ object Html {
     * pure map-side Column work. */
   def extractAnchors(html: Column): Column = {
     val elems = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*\\bhref\\s*=[^>]*>.*?</a\\s*>"), lit(0))
+      lit("(?is)<a\\b[^>]*[\\s\"']href\\s*=[^>]*>.*?</a\\s*>"), lit(0))
     transform(elems, e => {
       val rawHref = regexp_extract(e,
-        "(?is)\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+        "(?is)[\\s\"']href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
       val href = decodeEntities(
         when(rawHref.startsWith("\"") || rawHref.startsWith("'"),
           substring(rawHref, lit(2), length(rawHref) - 2))

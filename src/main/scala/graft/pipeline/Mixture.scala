@@ -45,6 +45,12 @@ object Mixture {
       .localCheckpoint()
     val nD = base.count()
     require(nD > 0, "mixtureWeights needs at least one domain")
+    // with nD > scale the initial weight scale/nD truncates to 0 for
+    // EVERY domain and the weighted mean's divisor goes to 0 — refuse
+    // up front rather than emit all-null weights
+    require(nD <= scale,
+      s"mixtureWeights needs nDomains <= scale, got $nD > $scale " +
+        "(raise scale so per-domain weights stay >= 1)")
     // Σ w·loss ≤ scale·max(loss) because Σ w ≤ scale — one tiny bounds
     // job keeps every product provably inside a long
     val Array(lo, hi) = base.agg(min("loss_u"), max("loss_u")).head() match {
@@ -57,7 +63,12 @@ object Mixture {
     for (_ <- 1 to rounds) {
       val stats = w.agg(sum("w").as("sw"),
         sum(col("w") * col("loss_u")).as("swl"))
-      val mean = div(col("swl"), col("sw"))
+      // guarded like the re-normalize divisor below: sw=0 is unreachable
+      // while nD <= scale holds (the max-u domain re-normalizes to
+      // w >= scale/nD >= 1 every round), but an unguarded div would turn
+      // any future drift into silent NULL weights vs a DuckDB crash —
+      // engine divergence, the worst failure mode
+      val mean = div(col("swl"), greatest(col("sw"), lit(1L)))
       val mult = greatest(lit(1L), least(lit(2 * scale),
         lit(scale) + div((col("loss_u") - mean) * etaNum, lit(etaDen))))
       val up = w.crossJoin(broadcast(stats))

@@ -961,7 +961,7 @@ object TextOps {
     * builds its SQL replace chain from the SAME pairs (no drift). */
   val NormalizePairs: Seq[(String, String)] = Seq(
     "\u201C" -> "\"", "\u201D" -> "\"", "\u2018" -> "'", "\u2019" -> "'",
-    "\u2013" -> "-", "\u2014" -> "-", "\u2212" -> "-",
+    "\u2013" -> "-", "\u2014" -> "-", "\u2212" -> "-", "\u2026" -> "...",
     "\uFB01" -> "fi", "\uFB02" -> "fl",
     "\u00A0" -> " ", "\u2009" -> " ", "\u3000" -> " ",
     "\u200B" -> "", "\u00AD" -> "")
@@ -1020,16 +1020,21 @@ object TextOps {
       lit(0L), (a, x) => a + x)
     val nHash = (length(text) -
       length(call_function("replace", text, lit("#"), lit("")))).cast("long")
-    val nEllipsis = ((length(text) -
-      length(call_function("replace", text, lit("..."), lit("")))) / 3)
+    // the paper's ellipsis rule covers both the ASCII spelling and the
+    // U+2026 single-char form ([[nfkcLite]] also folds the latter into
+    // the former, but gopherRules must not assume normalized input)
+    val nEllipsis = (((length(text) -
+      length(call_function("replace", text, lit("..."), lit("")))) / 3) +
+      (length(text) -
+        length(call_function("replace", text, lit("…"), lit("")))))
       .cast("long")
     val lines = transform(split(text, "\n", -1), l => trim(l))
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l =>
       l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
       .cast("long")
-    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
-      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
     val alphaWords = size(filter(toks, t =>
       length(t) > length(translate(t, Letters, "")))).cast("long")
     val stopHits = gopherStopwords

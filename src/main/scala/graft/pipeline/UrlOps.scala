@@ -146,6 +146,78 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** Registered domain against a FULL public-suffix list (the
+    * publicsuffix.org algorithm, all three rule forms) — the swap-in
+    * scale path [[registeredDomain]]'s PSL-lite documents: normal rules
+    * (`co.uk`), wildcard rules (`*.ck` — any single label below), and
+    * exception rules (`!www.ck` — carves a registrable domain out of a
+    * wildcard). Prevailing rule per the spec: an exception beats
+    * everything, otherwise the rule with the most labels; no match
+    * falls back to the implicit `*` rule (suffix = last label). The
+    * registered domain is one label below the prevailing suffix — for
+    * an exception, the exception's own domain; a host that IS its
+    * public suffix (no registrable domain) returns unchanged, matching
+    * [[registeredDomain]]'s convention.
+    *
+    * Scale shape — list-size-INDEPENDENT per host: each host explodes
+    * into `labels` candidate suffixes (bounded by hostname depth, ~5),
+    * each probed in its literal and `*.`-wildcard spelling against the
+    * BROADCAST rule table (~9k rows for the real Mozilla list), then one
+    * map-side-combinable `max` per host picks the prevailing rule — no
+    * per-row scan of the list, no sort, one hash aggregation keyed by
+    * the (high-cardinality) host.
+    *
+    * `psl` holds one rule per row in the PSL text form (column `rule`);
+    * `//` comment lines and blanks are tolerated, so the real file
+    * loads verbatim. Emits `(host, registered_domain)`, one row per
+    * distinct input host. */
+  def registeredDomainPsl(hosts: DataFrame, psl: DataFrame,
+                          hostCol: String = "host"): DataFrame = {
+    val rules = psl.select(trim(col("rule")).as("r"))
+      .where(length(col("r")) > 0 && !col("r").startsWith("//"))
+      .select(
+        when(col("r").startsWith("!"),
+          call_function("substr", col("r"), lit(2))).otherwise(col("r"))
+          .as("rule_key"),
+        col("r").startsWith("!").as("exc"))
+      .withColumn("rule_nl", size(split(col("rule_key"), "\\.", -1)))
+    val h = hosts.select(col(hostCol).as("host")).where(length(col("host")) > 0)
+      .distinct()
+    val labels = split(col("host"), "\\.", -1)
+    val n = size(labels)
+    // candidate suffix of j labels, plus its wildcard spelling (j >= 2:
+    // the leftmost label replaced by `*`) — both probe the rule table
+    val cands = h.select(col("host"), explode(transform(
+        sequence(lit(1), n), j => {
+          val suf = array_join(slice(labels, n - j + 1, j), ".")
+          val wild = when(j >= 2, concat(lit("*."),
+            array_join(slice(labels, n - j + 2, j - 1), ".")))
+          struct(suf.as("suffix"), suf.as("p1"), wild.as("p2"))
+        })).as("c"))
+      .select(col("host"), col("c.suffix").as("suffix"),
+        explode(array(col("c.p1"), col("c.p2"))).as("probe"))
+      .where(col("probe").isNotNull)
+    val best = cands.join(broadcast(rules),
+        cands("probe") === rules("rule_key"))
+      .groupBy("host")
+      .agg(max(struct(
+        (when(col("exc"), lit(1000)).otherwise(lit(0)) + col("rule_nl"))
+          .as("p"),
+        col("rule_nl").as("nl"), col("exc").as("e"),
+        col("suffix").as("suffix"))).as("b"))
+    h.join(best, Seq("host"), "left")
+      .select(col("host"),
+        when(col("b").isNull,
+          // implicit `*` rule: suffix = last label, registered = last 2
+          when(n >= 2, concat(element_at(labels, -2), lit("."),
+            element_at(labels, -1))).otherwise(col("host")))
+          .when(col("b.e"), col("b.suffix"))
+          .when(n > col("b.nl"),
+            array_join(slice(labels, n - col("b.nl"), col("b.nl") + 1), "."))
+          .otherwise(col("host"))
+          .as("registered_domain"))
+  }
+
   /** URL-level exact dedup: group by canonical URL, keep the smallest id
     * (the standard first-crawled-wins rule), report group size. One hash
     * aggregation on the canonical key — map-side combinable, and the key
@@ -158,39 +230,67 @@ object UrlOps {
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dups"))
 
   /** Parse robots.txt (RFC 9309) into `(domain, rule_path, allow)` rows
-    * — the `User-agent: *` group's Allow/Disallow rules only, which is
-    * what a generic crawler obeys. A pure-Column line-fold state
-    * machine (no UDF): consecutive `User-agent:` lines accumulate into
-    * one group (a UA line after rules starts a fresh group, per the
-    * RFC's grouping), rules outside a `*` group are skipped, empty rule
-    * values (the RFC's "Disallow:" = nothing disallowed) are skipped,
-    * and unknown fields (`Crawl-delay:`, comments, blanks) are ignored.
-    * The robots table is per-domain — tiny next to the corpus — so the
-    * fold runs once per domain and the result broadcasts. */
+    * — the Allow/Disallow rules the crawler identified by `agent` must
+    * obey. Group selection per RFC 9309 §2.2.1: if ANY group's
+    * `User-agent:` line names the crawler's product token exactly
+    * (case-insensitive), the union of those groups' rules applies (the
+    * RFC's combine-matching-groups clause); otherwise the `User-agent:
+    * *` groups' rules apply; otherwise everything is allowed (no rows).
+    * The default `agent = "*"` is the generic-crawler behavior — both
+    * selectors coincide, so it degenerates to the `*` group exactly.
+    *
+    * A pure-Column line-fold state machine (no UDF): consecutive
+    * `User-agent:` lines accumulate into one group (a UA line after
+    * rules starts a fresh group, per the RFC's grouping), the fold
+    * carries BOTH candidate rule sets (token-matched and `*`) plus a
+    * saw-token flag and picks at the end, `#` comments are stripped
+    * (RFC 9309 §2.2 allows them anywhere), empty rule values (the RFC's
+    * "Disallow:" = nothing disallowed) are skipped, and unknown fields
+    * (`Crawl-delay:`, blanks) are ignored. The robots table is
+    * per-domain — tiny next to the corpus — so the fold runs once per
+    * domain and the result broadcasts. */
   def parseRobots(robots: DataFrame, domainCol: String = "domain",
-                  txtCol: String = "robots_txt"): DataFrame = {
+                  txtCol: String = "robots_txt",
+                  agent: String = "*"): DataFrame = {
+    require(agent.nonEmpty && !agent.contains("\n"),
+      s"agent must be a product token or '*', got '$agent'")
     val lines = split(col(txtCol), "\n", -1)
-    val init = struct(lit(false).as("star"), lit(false).as("ua"),
-      array().cast("array<struct<path:string,allow:boolean>>").as("rules"))
+    val emptyRules =
+      array().cast("array<struct<path:string,allow:boolean>>")
+    val init = struct(lit(false).as("ua"), lit(false).as("star"),
+      lit(false).as("mine"), lit(false).as("sawMine"),
+      emptyRules.as("starRules"), emptyRules.as("mineRules"))
     val folded = aggregate(lines, init, (acc, raw) => {
-      val l = trim(raw)
+      val l = trim(regexp_replace(raw, "#.*$", ""))
       val low = lower(l)
       val isUa = low.startsWith("user-agent:")
       val isDis = low.startsWith("disallow:")
       val isAl = low.startsWith("allow:")
       val value = trim(call_function("substr", l,
         call_function("instr", l, lit(":")) + 1))
+      val isStarTok = value === "*"
+      val isMineTok = lower(value) === lit(agent.toLowerCase)
       val star = when(isUa,
-        when(acc.getField("ua"), acc.getField("star") || (value === "*"))
-          .otherwise(value === "*"))
+        when(acc.getField("ua"), acc.getField("star") || isStarTok)
+          .otherwise(isStarTok))
         .otherwise(acc.getField("star"))
-      val rules = when((isDis || isAl) && acc.getField("star") &&
-          length(value) > 0,
-        array_append(acc.getField("rules"),
-          struct(value.as("path"), isAl.as("allow"))))
-        .otherwise(acc.getField("rules"))
-      struct(star.as("star"), isUa.as("ua"), rules.as("rules"))
-    }, acc => acc.getField("rules"))
+      val mine = when(isUa,
+        when(acc.getField("ua"), acc.getField("mine") || isMineTok)
+          .otherwise(isMineTok))
+        .otherwise(acc.getField("mine"))
+      val isRule = (isDis || isAl) && length(value) > 0
+      val rule = struct(value.as("path"), isAl.as("allow"))
+      val starRules = when(isRule && star,
+        array_append(acc.getField("starRules"), rule))
+        .otherwise(acc.getField("starRules"))
+      val mineRules = when(isRule && mine,
+        array_append(acc.getField("mineRules"), rule))
+        .otherwise(acc.getField("mineRules"))
+      struct(isUa.as("ua"), star.as("star"), mine.as("mine"),
+        (acc.getField("sawMine") || mine).as("sawMine"),
+        starRules.as("starRules"), mineRules.as("mineRules"))
+    }, acc => when(acc.getField("sawMine"), acc.getField("mineRules"))
+      .otherwise(acc.getField("starRules")))
     robots.select(col(domainCol).as("domain"), explode(folded).as("r"))
       .select(col("domain"), col("r.path").as("rule_path"),
         col("r.allow").as("allow"))
@@ -201,16 +301,20 @@ object UrlOps {
     * — the missing hop between the robots gate and the sitemap probe.
     * Directives are global (not group-scoped) and may repeat, so this is
     * a plain line filter, not part of the group state machine: every
-    * line whose field name is `sitemap` (case-insensitive) yields its
-    * value verbatim (sitemap URLs contain `:`, so the split is on the
-    * FIRST colon only). Emits `(domain, sitemap_url)`, one row per
-    * directive, in file order. */
+    * line whose field name is `sitemap` (case-insensitive) AND that has
+    * a colon yields its value (sitemap URLs contain `:`, so the split is
+    * on the FIRST colon only; a bare `sitemap` line has no value and is
+    * skipped — without the colon check `substring_index` would hand the
+    * whole line back as both field and value). Trailing `#` comments
+    * are stripped per RFC 9309 before the value is read. Emits
+    * `(domain, sitemap_url)`, one row per directive, in file order. */
   def sitemapDirectives(robots: DataFrame, domainCol: String = "domain",
                         txtCol: String = "robots_txt"): DataFrame = {
     val urls = filter(
       transform(split(col(txtCol), "\n", -1), raw => {
-        val l = trim(raw)
-        when(lower(substring_index(l, ":", 1)) === "sitemap",
+        val l = trim(regexp_replace(raw, "#.*$", ""))
+        when(lower(substring_index(l, ":", 1)) === "sitemap" &&
+            call_function("instr", l, lit(":")) > 0,
           trim(call_function("substr", l,
             call_function("instr", l, lit(":")) + 1)))
       }),

@@ -226,6 +226,73 @@ object Warc {
         "content_length", "payload")
   }
 
+  /** Serialize a body Column with `Transfer-Encoding: chunked` framing
+    * (RFC 9112 §7.1): hex chunk-size line CRLF, data, CRLF, repeated,
+    * then the `0` last-chunk + final CRLF. `nChunks` fixed-size slices
+    * regardless of body length — the write-side fixture counterpart of
+    * the de-chunking in [[httpResponseParts]], kept N-independent so the
+    * decode fold's iteration bound holds at any document size. Pure
+    * Column work (`sequence` + `transform`). */
+  def chunkEncode(body: org.apache.spark.sql.Column,
+                  nChunks: Int = 5): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(nChunks >= 1, s"need at least one chunk, got $nChunks")
+    val n = length(body)
+    // ceil division; empty body degenerates to just the last-chunk line
+    val csz = greatest(ceil(n / lit(nChunks.toDouble)).cast("int"), lit(1))
+    val chunks = when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(n / csz.cast("double")).cast("int") - 1),
+        i => {
+          val piece = call_function("substr", body, i * csz + 1, csz)
+          concat(lower(conv(length(piece).cast("string"), 10, 16)),
+            lit(Crlf), piece, lit(Crlf))
+        }))
+    concat(array_join(chunks, ""), lit("0"), lit(Crlf), lit(Crlf))
+  }
+
+  /** Maximum chunks [[httpResponseParts]] will decode — a per-row
+    * codegen bound, not a data bound: writers that emit more chunks than
+    * this per message leave the tail undecoded, so fixture writers use
+    * [[chunkEncode]]'s N-independent slicing. */
+  val MaxDecodedChunks = 16
+
+  /** Decode a chunked transfer coding (RFC 9112 §7.1): sequentially read
+    * the hex size line (chunk extensions after `;` ignored, per spec),
+    * take that many chars, expect CRLF, repeat until the `0` last-chunk.
+    * Offset-chasing is inherently sequential, so it rides a bounded
+    * `aggregate` fold over [[MaxDecodedChunks]] steps — still pure
+    * codegen'd Column work, one loop per row, no UDF. A malformed size
+    * line stops the decode (returning what accumulated — the quarantine
+    * row keeps partial evidence rather than throwing mid-query). */
+  def dechunk(body: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val init = struct(body.as("rem"), lit("").as("out"),
+      lit(false).as("done"))
+    val folded = aggregate(
+      sequence(lit(1), lit(MaxDecodedChunks)), init, (acc, _) => {
+        val rem = acc.getField("rem")
+        val out = acc.getField("out")
+        val sizeLine = substring_index(rem, Crlf, 1)
+        val szStr = trim(substring_index(sizeLine, ";", 1))
+        // ≤7 hex digits keeps the size safely inside an int (a single
+        // chunk >256 MB in one row is out of scope at any scale)
+        val valid = szStr.rlike("^[0-9a-fA-F]{1,7}$") &&
+          call_function("instr", rem, lit(Crlf)) > 0
+        val sz = conv(szStr, 16, 10).cast("int")
+        val data = call_function("substr", rem,
+          length(sizeLine) + 3, sz)
+        val nextRem = call_function("substr", rem,
+          length(sizeLine) + 2 + sz + 2 + 1)
+        when(acc.getField("done") || !valid || sz === 0,
+          struct(rem.as("rem"), out.as("out"), lit(true).as("done")))
+          .otherwise(struct(nextRem.as("rem"),
+            concat(out, data).as("out"), lit(false).as("done")))
+      }, acc => acc.getField("out"))
+    folded
+  }
+
   /** Split an HTTP/1.1 response message (what a WARC `response` record's
     * payload actually is — RFC 9110 framing) into the crawl-relevant
     * parts: status code from the status line, media type from the
@@ -233,20 +300,36 @@ object Warc {
     * lowercased), and the body after the first blank line. Pure Column
     * work over the payload-as-string — the downstream gate that routes
     * 200/text-html to extraction and everything else to quarantine.
-    * Non-HTTP payloads yield status 0, empty type, whole-payload body. */
+    * Non-HTTP payloads yield status 0, empty type, whole-payload body.
+    *
+    * Framing tolerances real WARC payloads need (Heritrix stores bytes
+    * as received): a lenient server that framed the whole message with
+    * bare LF is honored by taking the EARLIER of `\r\n\r\n` and `\n\n`
+    * as the header/body separator (in a CRLF message the first `\n\n`
+    * can only occur inside the body, so CRLF still wins there); and a
+    * `Transfer-Encoding: chunked` response is de-chunked ([[dechunk]]),
+    * since the stored payload keeps the chunk framing as received. */
   def httpResponseParts(payload: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val statusStr = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
     val status = when(length(statusStr) > 0, statusStr.cast("long"))
       .otherwise(lit(0L))
-    val headers = substring_index(payload, "\r\n\r\n", 1)
+    val blankCrlf = call_function("instr", payload, lit("\r\n\r\n"))
+    val blankLf = call_function("instr", payload, lit("\n\n"))
+    val useCrlf = blankCrlf > 0 && (blankLf === 0 || blankCrlf <= blankLf)
+    val blank = when(useCrlf, blankCrlf).otherwise(blankLf)
+    val skip = when(useCrlf, lit(4)).otherwise(lit(2))
+    val headers = when(blank > 0,
+      call_function("substr", payload, lit(1), blank - 1)).otherwise(payload)
     val ctype = lower(trim(regexp_extract(headers,
       "(?im)^content-type:\\s*([^;\\r\\n]*)", 1)))
-    val blank = call_function("instr", payload, lit("\r\n\r\n"))
-    val body = when(status === 0L, payload)
-      .when(blank > 0, call_function("substr", payload, blank + 4))
+    val chunked = headers.rlike("(?im)^transfer-encoding:\\s*chunked\\s*$")
+    val rawBody = when(status === 0L, payload)
+      .when(blank > 0, call_function("substr", payload, blank + skip))
       .otherwise(lit(""))
+    val body = when(status > 0L && chunked, dechunk(rawBody))
+      .otherwise(rawBody)
     struct(status.as("status"), ctype.as("content_type"), body.as("body"))
   }
 }

@@ -108,6 +108,27 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Window"
   }
 
+  "q_robots_ua" should "keep the gate shape under UA group selection (broadcast rules, no sort)" in {
+    val df = SparkEntry.queries("q_robots_ua")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
+  "q_psl_domain" should "probe the rule table via broadcast join (list-size-independent per host)" in {
+    val df = SparkEntry.queries("q_psl_domain")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the PSL probe is a JOIN against the broadcast rule table — never a
+    // per-row scan of the list, never a cross product
+    plan should include("BroadcastHashJoin")
+    plan should not include "Cartesian"
+    // prevailing rule = one map-side-combinable max per host
+    plan should include("HashAggregate")
+  }
+
   "q_gopher_rules" should "stay one codegen map over the scan (no shuffle before the output sort)" in {
     val df = SparkEntry.queries("q_gopher_rules")(spark, dir)
     df.collect()

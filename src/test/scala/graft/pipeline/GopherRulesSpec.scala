@@ -57,6 +57,18 @@ class GopherRulesSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     flags("r_ellipsis", 1, fourEll, threeEll) shouldBe Seq(0L, 1L)
   }
 
+  it should "count the Unicode ellipsis … like the ASCII spelling in both rules" in {
+    // symbol ratio: one '…' per 10 words = 0.1 → pass; two → fail
+    flags("r_symbol", 1, "a… b c d e f g h i j",
+      "a… b… c d e f g h i j") shouldBe Seq(1L, 0L)
+    // line-ending rule: 4 of 10 lines ending '…' → fail; 3 of 10 → pass
+    val fourEll = ((1 to 4).map(i => s"line $i…") ++
+      (5 to 10).map(i => s"line $i")).mkString("\n")
+    val threeEll = ((1 to 3).map(i => s"line $i…") ++
+      (4 to 10).map(i => s"line $i")).mkString("\n")
+    flags("r_ellipsis", 1, fourEll, threeEll) shouldBe Seq(0L, 1L)
+  }
+
   it should "require 80% of words to contain a letter" in {
     // 4 of 5 alpha → pass exactly; 3 of 5 → fail
     flags("r_alpha", 1, "aa bb cc dd 11", "aa bb cc 11 22") shouldBe

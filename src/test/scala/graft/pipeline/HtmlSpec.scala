@@ -85,6 +85,13 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       Seq(Seq("http://a.com/x", "http://b.com/y?q=1", "/rel"))
   }
 
+  it should "not read data-href (or any *-href attribute) as the link target" in {
+    links(
+      "<a data-href=\"http://decoy.invalid/x\" href=\"/real\">a</a>" +
+        "<a data-href=\"http://decoy.invalid/y\">no real href</a>") shouldBe
+      Seq(Seq("/real"))
+  }
+
   it should "decode &amp; in attribute values and skip anchors without href" in {
     links(
       "<a href=\"http://a.com/?x=1&amp;y=2\">q</a><a name=\"no-target\">n</a>",
@@ -115,6 +122,12 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
               | mid <a href='http://b.com'>the
               |second</a>""".stripMargin) shouldBe
       Seq(("http://a.com", "First & best"), ("http://b.com", "the second"))
+  }
+
+  it should "skip an <a> whose only href-like attribute is data-href" in {
+    anchors("<a name=\"x\" data-href=\"http://decoy.invalid/y\">not a link</a>" +
+      "<a data-href=\"http://decoy.invalid/z\" href=\"http://real.com\">ok</a>") shouldBe
+      Seq(("http://real.com", "ok"))
   }
 
   it should "skip anchors without an href" in {

@@ -76,4 +76,15 @@ class MixtureSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       solve(Seq(("a", Long.MaxValue / 1000L)))
   }
+
+  it should "reject more domains than scale units (all-zero initial weights)" in {
+    val s = spark
+    import s.implicits._
+    // scale/nD would truncate to 0 per domain → silent null weights;
+    // the bounds check refuses instead
+    an[IllegalArgumentException] should be thrownBy
+      Mixture.mixtureWeights(
+        (0 until 5).map(i => (s"d$i", 10L)).toDF("domain", "loss_u"),
+        scale = 4L)
+  }
 }

@@ -42,4 +42,8 @@ class NfkcLiteSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     val clean = "plain ascii text, 123 (ok)."
     norm(clean) shouldBe Seq(clean)
   }
+
+  it should "fold the Unicode ellipsis to the ASCII spelling" in {
+    norm("wait for it… done") shouldBe Seq("wait for it... done")
+  }
 }

@@ -192,4 +192,137 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .as[(String, String, Boolean)].collect().toSeq shouldBe
       Seq(("d.com", "/a", false))
   }
+
+  it should "skip a bare colonless 'sitemap' line and strip trailing comments" in {
+    val s = spark
+    import s.implicits._
+    val txt = "sitemap\n" + // no colon: no value, must NOT echo the line
+      "Sitemap: https://d.com/s.xml # primary\n" +
+      "# Sitemap: https://d.com/commented-out.xml\n" +
+      "Sitemap: https://d.com/s2.xml"
+    val got = UrlOps.sitemapDirectives(
+      Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String)].collect().toSeq
+    got shouldBe Seq(
+      ("d.com", "https://d.com/s.xml"),
+      ("d.com", "https://d.com/s2.xml"))
+  }
+
+  "parseRobots (UA selection)" should "prefer the matching token group over *, case-insensitive" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: GraftBot\nDisallow: /bot-only\n\n" +
+      "User-agent: *\nDisallow: /generic"
+    val mine = UrlOps.parseRobots(Seq(("d.com", txt))
+        .toDF("domain", "robots_txt"), agent = "graftbot")
+      .as[(String, String, Boolean)].collect().toSeq
+    mine shouldBe Seq(("d.com", "/bot-only", false))
+    // the generic crawler still gets the * group
+    val star = UrlOps.parseRobots(Seq(("d.com", txt))
+        .toDF("domain", "robots_txt"))
+      .as[(String, String, Boolean)].collect().toSeq
+    star shouldBe Seq(("d.com", "/generic", false))
+  }
+
+  it should "fall back to * when no group names the token" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: other-bot\nDisallow: /o\n\n" +
+      "User-agent: *\nDisallow: /generic"
+    UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"),
+        agent = "graftbot")
+      .as[(String, String, Boolean)].collect().toSeq shouldBe
+      Seq(("d.com", "/generic", false))
+  }
+
+  it should "combine ALL groups naming the token (RFC 9309 §2.2.1) and multi-UA headers" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: graftbot\nUser-agent: other\nDisallow: /a\n\n" +
+      "User-agent: *\nDisallow: /star\n\n" +
+      "User-agent: GRAFTBOT\nAllow: /a/b"
+    UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"),
+        agent = "graftbot")
+      .as[(String, String, Boolean)].collect().toSeq shouldBe
+      Seq(("d.com", "/a", false), ("d.com", "/a/b", true))
+  }
+
+  it should "treat a zero-rule token group as everything-allowed (not fallback)" in {
+    val s = spark
+    import s.implicits._
+    // a matching group EXISTS (with no rules) — per the RFC that means
+    // nothing is disallowed for this crawler; * must not apply
+    val txt = "User-agent: graftbot\nDisallow:\n\n" +
+      "User-agent: *\nDisallow: /"
+    UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"),
+        agent = "graftbot").count() shouldBe 0L
+  }
+
+  it should "strip # comments from rule lines before reading the value" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: * # applies to everyone\n" +
+      "Disallow: /a # legacy area\n" +
+      "# Disallow: /commented-out"
+    UrlOps.parseRobots(Seq(("d.com", txt)).toDF("domain", "robots_txt"))
+      .as[(String, String, Boolean)].collect().toSeq shouldBe
+      Seq(("d.com", "/a", false))
+  }
+
+  private def pslOf(hosts: Seq[String], rules: Seq[String])
+      : Map[String, String] = {
+    val s = spark
+    import s.implicits._
+    UrlOps.registeredDomainPsl(hosts.toDF("host"), rules.toDF("rule"))
+      .as[(String, String)].collect().toMap
+  }
+
+  private val TestPsl = Seq("// comment line", "com", "uk", "co.uk", "jp",
+    "*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp")
+
+  "registeredDomainPsl" should "pick the most-labels rule (publicsuffix.org normal rules)" in {
+    pslOf(Seq("news.example.co.uk", "a.b.example.com"), TestPsl) shouldBe
+      Map("news.example.co.uk" -> "example.co.uk",
+        "a.b.example.com" -> "example.com")
+  }
+
+  it should "match wildcard rules one label below and honor exceptions" in {
+    pslOf(Seq(
+      "shop.web.ck",          // *.ck → suffix web.ck → one more label
+      "sub.www.ck",           // !www.ck beats *.ck → the exception itself
+      "a.city.kawasaki.jp",   // !city.kawasaki.jp
+      "x.mall.kawasaki.jp"),  // *.kawasaki.jp → suffix mall.kawasaki.jp
+      TestPsl) shouldBe Map(
+      "shop.web.ck" -> "shop.web.ck",
+      "sub.www.ck" -> "www.ck",
+      "a.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "x.mall.kawasaki.jp" -> "x.mall.kawasaki.jp")
+  }
+
+  it should "fall back to the implicit * rule and keep suffix-only hosts unchanged" in {
+    pslOf(Seq(
+      "deep.sub.example.zz",  // no rule → last two labels
+      "single",               // one label → unchanged
+      "co.uk",                // host IS its public suffix → unchanged
+      "web.ck"),              // wildcard suffix with no label below → unchanged
+      TestPsl) shouldBe Map(
+      "deep.sub.example.zz" -> "example.zz",
+      "single" -> "single",
+      "co.uk" -> "co.uk",
+      "web.ck" -> "web.ck")
+  }
+
+  it should "agree with the PSL-lite on its own suffix list" in {
+    val s = spark
+    import s.implicits._
+    val hosts = Seq("news.example.co.uk", "api.test.com.au", "a.b.cdn.ex.com",
+      "blog.sample.org", "data.net", "x.site3.net")
+    val liteRules = Seq("com", "org", "net", "uk", "au") ++
+      UrlOps.MultiLevelSuffixes
+    val psl = pslOf(hosts, liteRules)
+    val lite = hosts.toDF("host")
+      .select(col("host"), UrlOps.registeredDomain(col("host")))
+      .as[(String, String)].collect().toMap
+    psl shouldBe lite
+  }
 }

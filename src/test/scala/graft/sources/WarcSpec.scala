@@ -122,4 +122,60 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       (0L, "", raw),
       (204L, "", ""))
   }
+
+  it should "honor bare-LF framing (lenient servers) without stealing CRLF bodies" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val lfOnly = "HTTP/1.1 200 OK\nContent-Type: text/plain\n\nlf body"
+    // CRLF framing whose BODY contains \n\n — the earlier separator
+    // (the real CRLF header end) must win
+    val crlfWithLf =
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\npara1\n\npara2"
+    val got = Seq(lfOnly, crlfWithLf).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.status", "h.content_type", "h.body")
+      .as[(Long, String, String)].collect().toSeq
+    got shouldBe Seq(
+      (200L, "text/plain", "lf body"),
+      (200L, "text/plain", "para1\n\npara2"))
+  }
+
+  it should "decode chunked transfer coding, with extensions and uneven sizes" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-framed: sizes in hex (one with a ;ext the decoder must drop),
+    // data containing \r\n, then the 0 last-chunk
+    val msg = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Type: text/plain\r\n\r\n" +
+      "4\r\nWiki\r\n6;name=x\r\npedia \r\nb\r\nin\r\nchunks.\r\n0\r\n\r\n"
+    val got = Seq(msg).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.status", "h.body").as[(Long, String)].collect().head
+    got shouldBe ((200L, "Wikipedia in\r\nchunks."))
+  }
+
+  it should "roundtrip chunkEncode → dechunk, including the empty body" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val bodies = Seq("", "x", "hello chunked world " * 20)
+    val got = bodies.toDF("b")
+      .select(col("b"), Warc.dechunk(Warc.chunkEncode(col("b"))).as("d"))
+      .as[(String, String)].collect().toSeq
+    got.foreach { case (b, d) => d shouldBe b }
+  }
+
+  it should "stop decoding at a malformed chunk-size line, keeping what accumulated" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val msg = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "3\r\nabc\r\nzz!\r\nrest"
+    val got = Seq(msg).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.body").as[String].collect().head
+    got shouldBe "abc"
+  }
 }
