@@ -753,6 +753,76 @@ object SparkEntry {
         .orderBy("domain", "loc")
     }),
 
+    // CDX capture index (round 12): the SURT key (Sort-friendly URI
+    // Reordering Transform — OpenWayback/Common Crawl's index key) over
+    // every canonical URL, grouped into capture counts: one domain's
+    // captures sort contiguously, and cosmetic URL variants collapse to
+    // one key. The oracle replays the reversal/port/path assembly in
+    // SQL from the closed-form canonical URL.
+    "q_cdx_index" -> ((s, dir) =>
+      urlEnrichedDocs(s, dir)
+        .select(col("doc_id"), pipeline.UrlOps.surtKey(
+          pipeline.UrlOps.canonicalizeUrl(col("url"))).as("surt_key"))
+        .groupBy("surt_key")
+        .agg(count(lit(1)).as("n_captures"), min("doc_id").as("first_doc"))
+        .orderBy("surt_key")),
+
+    // politeness-budgeted frontier (round 12): Crawl-delay parsed from
+    // the UA-SELECTED robots group (the de-facto field Bing/Yandex
+    // honor) → per-domain fetch budget = clamp(60 div delay, 1, 4) →
+    // the UA gate × sitemap freshness schedule re-ranked under the
+    // VARIABLE budget. The scalable quota shape: a CONSTANT rn <= 4
+    // pre-cap first (GroupedTopKLimit bounded heap — no domain's list
+    // fully sorted), then the per-domain budget refine as a plain
+    // filter on the survivors.
+    "q_crawl_budget" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val txt = synthRobotsTxtUa(en)
+      val gate = pipeline.UrlOps.robotsGate(en,
+        pipeline.UrlOps.parseRobots(txt, agent = "graftbot"))
+      val budget = greatest(lit(1L), least(lit(4L),
+        call_function("div", lit(60L), greatest(col("delay_s"), lit(1L)))))
+      val delays = pipeline.UrlOps.crawlDelays(txt, agent = "graftbot")
+        .select(col("domain"), budget.as("budget"))
+      val sched = gate.where(col("allowed") === 1L)
+        .join(sitemapRecrawlFixture(s, dir).where(col("recrawl") === 1L)
+          .select("doc_id", "lastmod_day"), "doc_id")
+        .join(broadcast(delays), Seq("domain"), "left")
+        .withColumn("budget", coalesce(col("budget"), lit(4L)))
+      val w = Window.partitionBy("domain")
+        .orderBy(col("lastmod_day").desc, col("doc_id"))
+      sched.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 4)
+        .where(col("rn") <= col("budget"))
+        .select(col("domain"), col("doc_id"), col("lastmod_day"),
+          col("budget"), col("rn"))
+        .orderBy("domain", "rn")
+    }),
+
+    // WARC revisit records (round 12): the ISO 28500 §6.7.2 mechanism —
+    // a crawler stores a slim `revisit` record instead of re-storing an
+    // unchanged payload. Same-residue docs carry byte-identical bodies
+    // through REAL record framing; the first capture (smallest doc_id)
+    // per payload digest is the response, later ones are revisits. The
+    // oracle is digest-free closed form (original = min doc_id of the
+    // residue class).
+    "q_warc_revisit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pages = docs.select(col("doc_id"),
+          concat(lit("shared page body for residue "),
+            (col("doc_id") % 127).cast("string")).as("body"))
+        .as[(Long, String)]
+      val warcs = pages.mapPartitions(_.map { case (id, body) =>
+        (id, sources.Warc.buildWarc(Seq(sources.Warc.RecordSpec(
+          "response", Some(s"urn:residue"), body.getBytes("UTF-8"))))._1)
+      }).toDF("id", "payload")
+      sources.Warc.revisitClassify(
+          sources.Warc.warcProbe(warcs, gzipped = false))
+        .select(col("id").as("doc_id"), col("kind"))
+        .orderBy("doc_id")
+    }),
+
     // full-PSL registered domain (round 12 — the swap-in path the
     // PSL-lite documents, now exercised): the publicsuffix.org
     // algorithm with all three rule forms over a broadcast rule table —
@@ -3780,6 +3850,37 @@ object SparkEntry {
       |                  ELSE -1 END) AS s
       |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)""".stripMargin
 
+  /** The UA-selected robots closed-form CTE chain (rules from the
+    * graftbot groups on even-length domains, the `*` fallback pair on
+    * odd — parse-free) from `canon` to `scua(doc_id, domain, s)` —
+    * shared by `q_robots_ua` and `q_crawl_budget`. CTE names carry the
+    * `ua` suffix so the chain composes next to [[robotsCtesSql]]. */
+  private lazy val robotsUaCtesSql: String =
+    """rdomua AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
+      |rrua AS MATERIALIZED (
+      |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
+      |         FALSE AS allow FROM rdomua
+      |  UNION ALL
+      |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
+      |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
+      |         TRUE FROM rdomua WHERE len(domain) % 2 = 0
+      |  UNION ALL
+      |  SELECT domain, '/secret', FALSE FROM rdomua WHERE len(domain) % 2 = 0
+      |  UNION ALL
+      |  SELECT domain, '/private', FALSE FROM rdomua WHERE len(domain) % 2 = 1),
+      |pthua AS MATERIALIZED (
+      |  SELECT doc_id, domain,
+      |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
+      |  FROM canon),
+      |scua AS MATERIALIZED (
+      |  SELECT p.doc_id, p.domain,
+      |         MAX(CASE WHEN r.rule_path IS NOT NULL
+      |                   AND starts_with(p.path, r.rule_path)
+      |                  THEN len(r.rule_path) * 2 +
+      |                       CASE WHEN r.allow THEN 1 ELSE 0 END
+      |                  ELSE -1 END) AS s
+      |  FROM pthua p LEFT JOIN rrua r USING (domain) GROUP BY 1, 2)""".stripMargin
+
   /** The sitemap closed-form CTE chain (distinct-URL MAX-lastmod, the
     * crawl snapshot day) from `canon` to `sn(doc_id, lmd, crawled)` —
     * shared by `q_sitemap_probe` and `q_crawl_frontier`. */
@@ -4214,6 +4315,12 @@ object SparkEntry {
     val d0 = (length(col("domain")) % 10).cast("string")
     val d1 = ((length(col("domain")) + 3) % 10).cast("string")
     val even = length(col("domain")) % 2 === 0
+    // politeness delays for q_crawl_budget, published in the group the
+    // UA selection picks (graftbot's trailing group on even domains, the
+    // * group on odd) — parseRobots ignores the unknown field, so the
+    // q_robots_ua rules are untouched
+    val delayMine = ((length(col("domain")) % 3 + 1) * 20).cast("string")
+    val delayStar = ((length(col("domain")) % 4 + 1) * 12).cast("string")
     doms.select(col("domain"), concat(
       lit("# ua-selection synthetic\nUser-agent: bad-bot\nDisallow: /\n\n"),
       when(even, concat(
@@ -4221,8 +4328,10 @@ object SparkEntry {
         d0, d1, lit("\nDisallow: /pAth/"), d0, lit("\n\n")))
         .otherwise(lit("")),
       lit("User-agent: *\nDisallow: /pAth/"), d0,
-      lit("\nDisallow: /private\n"),
-      when(even, lit("\nUser-agent: graftbot\nDisallow: /secret\n"))
+      lit("\nDisallow: /private\nCrawl-delay: "), delayStar, lit("\n"),
+      when(even, concat(
+        lit("\nUser-agent: graftbot\nDisallow: /secret\nCrawl-delay: "),
+        delayMine, lit("\n")))
         .otherwise(lit("")))
       .as("robots_txt"))
   }
@@ -4794,34 +4903,73 @@ object SparkEntry {
     // then the same RFC longest-match MAX as q_robots_gate — no
     // robots.txt text, no group parsing anywhere in the oracle
     "q_robots_ua" ->
+      (urlEnrichSql + urlCanonMatSql + ",\n" + robotsUaCtesSql +
+        """
+          |SELECT doc_id, domain,
+          |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
+          |FROM scua ORDER BY doc_id""".stripMargin),
+
+    // delay → budget → quota, all closed form: the per-domain delay is a
+    // parity function of the domain string (the fixture publishes it in
+    // the group the UA selection picks), budget = clamp(60 div delay, 1,
+    // 4), and the schedule is the UA-gate × sitemap-freshness join the
+    // frontier row already pins, re-ranked under the VARIABLE budget
+    "q_crawl_budget" ->
+      (urlEnrichSql + urlCanonMatSql + ",\n" + robotsUaCtesSql + ",\n" +
+        sitemapCtesSql +
+        """,
+          |dl AS (
+          |  SELECT domain,
+          |         CASE WHEN len(domain) % 2 = 0 THEN (len(domain) % 3 + 1) * 20
+          |              ELSE (len(domain) % 4 + 1) * 12 END AS delay_s
+          |  FROM rdomua),
+          |bg AS (
+          |  SELECT domain,
+          |         GREATEST(1, LEAST(4, 60 // GREATEST(delay_s, 1))) AS budget
+          |  FROM dl),
+          |fr AS (
+          |  SELECT s.domain, s.doc_id, sn.lmd AS lastmod_day, bg.budget
+          |  FROM scua s JOIN sn ON sn.doc_id = s.doc_id JOIN bg USING (domain)
+          |  WHERE (CASE WHEN s.s < 0 THEN 1 ELSE s.s % 2 END) = 1
+          |    AND (sn.lmd = -1 OR sn.lmd > sn.crawled)),
+          |rk AS (
+          |  SELECT domain, doc_id, lastmod_day, budget,
+          |         ROW_NUMBER() OVER (PARTITION BY domain
+          |                            ORDER BY lastmod_day DESC, doc_id) AS rn
+          |  FROM fr)
+          |SELECT domain, doc_id, CAST(lastmod_day AS BIGINT) AS lastmod_day,
+          |       CAST(budget AS BIGINT) AS budget, CAST(rn AS BIGINT) AS rn
+          |FROM rk WHERE rn <= budget AND rn <= 4 ORDER BY domain, rn""".stripMargin),
+
+    // payload-digest revisit classification in closed form: same-residue
+    // docs carry byte-identical payloads, so the original is simply the
+    // smallest doc_id of the residue class — no WARC, no digest anywhere
+    // in the oracle; the Spark side earns it through real framing + md5
+    "q_warc_revisit" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 127)
+        |            THEN 'response' ELSE 'revisit' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the SURT transform replayed in SQL from the canonical URL (host
+    // reversed comma-joined, port kept, ')' + path+query) — captures
+    // per key are exactly the canonical-URL dedup groups under the
+    // sort-friendly spelling
+    "q_cdx_index" ->
       (urlEnrichSql + urlCanonMatSql + """,
-        |rdom AS MATERIALIZED (SELECT DISTINCT domain FROM canon),
-        |rr AS MATERIALIZED (
-        |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR) AS rule_path,
-        |         FALSE AS allow FROM rdom
-        |  UNION ALL
-        |  SELECT domain, '/pAth/' || CAST(len(domain) % 10 AS VARCHAR)
-        |                          || CAST((len(domain) + 3) % 10 AS VARCHAR),
-        |         TRUE FROM rdom WHERE len(domain) % 2 = 0
-        |  UNION ALL
-        |  SELECT domain, '/secret', FALSE FROM rdom WHERE len(domain) % 2 = 0
-        |  UNION ALL
-        |  SELECT domain, '/private', FALSE FROM rdom WHERE len(domain) % 2 = 1),
-        |pth AS MATERIALIZED (
-        |  SELECT doc_id, domain,
-        |         regexp_extract(url_canon, '://[^/]*(/[^?]*)', 1) AS path
-        |  FROM canon),
-        |sc AS MATERIALIZED (
-        |  SELECT p.doc_id, p.domain,
-        |         MAX(CASE WHEN r.rule_path IS NOT NULL
-        |                   AND starts_with(p.path, r.rule_path)
-        |                  THEN len(r.rule_path) * 2 +
-        |                       CASE WHEN r.allow THEN 1 ELSE 0 END
-        |                  ELSE -1 END) AS s
-        |  FROM pth p LEFT JOIN rr r USING (domain) GROUP BY 1, 2)
-        |SELECT doc_id, domain,
-        |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
-        |FROM sc ORDER BY doc_id""".stripMargin),
+        |srt AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_reverse(string_split(
+        |           string_split(regexp_extract(url_canon, '://([^/]*)', 1), ':')[1],
+        |           '.')), ',')
+        |         || (CASE WHEN instr(regexp_extract(url_canon, '://([^/]*)', 1), ':') > 0
+        |                  THEN ':' || string_split(regexp_extract(url_canon, '://([^/]*)', 1), ':')[2]
+        |                  ELSE '' END)
+        |         || ')' || regexp_extract(url_canon, '://[^/]*(.*)$', 1) AS surt_key
+        |  FROM canon)
+        |SELECT surt_key, CAST(COUNT(*) AS BIGINT) AS n_captures,
+        |       MIN(doc_id) AS first_doc
+        |FROM srt GROUP BY surt_key ORDER BY surt_key""".stripMargin),
 
     // the walked index's entry table is exactly the flat closed-form
     // lastmod derivation (lm of sitemapCtesSql) — no index XML, no

@@ -146,6 +146,80 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform — the key format
+    * of OpenWayback/Common Crawl CDX capture indexes): scheme dropped,
+    * host labels REVERSED and comma-joined (so one domain's captures
+    * sort contiguously and a range scan covers a whole subtree), port
+    * kept, then `)` + path + query verbatim. Expects an
+    * already-canonical URL ([[canonicalizeUrl]] first — SURT's own
+    * lowercase/strip steps are the canonicalizer's job); non-URLs (no
+    * `://`) pass through unchanged. A pure Column — zero shuffle; the
+    * index build downstream is one hash aggregation on the key. */
+  def surtKey(canonUrl: Column): Column = {
+    val rest = call_function("substr", canonUrl,
+      call_function("instr", canonUrl, lit("://")) + 3)
+    val auth = regexp_extract(rest, "^[^/]*", 0)
+    val pathq = call_function("substr", rest, length(auth) + 1)
+    val hostOnly = substring_index(auth, ":", 1)
+    val port = when(call_function("instr", auth, lit(":")) > 0,
+      concat(lit(":"), substring_index(auth, ":", -1))).otherwise(lit(""))
+    val rev = array_join(reverse(split(hostOnly, "\\.", -1)), ",")
+    when(call_function("instr", canonUrl, lit("://")) === 0, canonUrl)
+      .otherwise(concat(rev, port, lit(")"), pathq))
+  }
+
+  /** Per-domain `Crawl-delay` (the de-facto politeness field Bing and
+    * Yandex honor; not in RFC 9309 but ubiquitous in published
+    * robots.txt) with the SAME group selection as [[parseRobots]]: the
+    * delay comes from the groups naming `agent`'s product token, falling
+    * back to the `*` groups; several matching groups keep the MAX (the
+    * conservative politeness choice). Non-numeric values are ignored.
+    * Emits `(domain, delay_s)` — only domains that declare one; callers
+    * apply their default elsewhere. Same fold/broadcast scale shape as
+    * the rule parser. */
+  def crawlDelays(robots: DataFrame, domainCol: String = "domain",
+                  txtCol: String = "robots_txt",
+                  agent: String = "*"): DataFrame = {
+    require(agent.nonEmpty && !agent.contains("\n"),
+      s"agent must be a product token or '*', got '$agent'")
+    val lines = split(col(txtCol), "\n", -1)
+    val init = struct(lit(false).as("ua"), lit(false).as("star"),
+      lit(false).as("mine"), lit(false).as("sawMine"),
+      lit(-1L).as("starDelay"), lit(-1L).as("mineDelay"))
+    val folded = aggregate(lines, init, (acc, raw) => {
+      val l = trim(regexp_replace(raw, "#.*$", ""))
+      val low = lower(l)
+      val isUa = low.startsWith("user-agent:")
+      val isDelay = low.startsWith("crawl-delay:")
+      val value = trim(call_function("substr", l,
+        call_function("instr", l, lit(":")) + 1))
+      val isStarTok = value === "*"
+      val isMineTok = lower(value) === lit(agent.toLowerCase)
+      val star = when(isUa,
+        when(acc.getField("ua"), acc.getField("star") || isStarTok)
+          .otherwise(isStarTok))
+        .otherwise(acc.getField("star"))
+      val mine = when(isUa,
+        when(acc.getField("ua"), acc.getField("mine") || isMineTok)
+          .otherwise(isMineTok))
+        .otherwise(acc.getField("mine"))
+      val num = when(isDelay && value.rlike("^[0-9]{1,9}$"),
+        value.cast("long")).otherwise(lit(-1L))
+      val starDelay = when(num >= 0 && star,
+        greatest(acc.getField("starDelay"), num))
+        .otherwise(acc.getField("starDelay"))
+      val mineDelay = when(num >= 0 && mine,
+        greatest(acc.getField("mineDelay"), num))
+        .otherwise(acc.getField("mineDelay"))
+      struct(isUa.as("ua"), star.as("star"), mine.as("mine"),
+        (acc.getField("sawMine") || mine).as("sawMine"),
+        starDelay.as("starDelay"), mineDelay.as("mineDelay"))
+    }, acc => when(acc.getField("sawMine"), acc.getField("mineDelay"))
+      .otherwise(acc.getField("starDelay")))
+    robots.select(col(domainCol).as("domain"), folded.as("delay_s"))
+      .where(col("delay_s") >= 0L)
+  }
+
   /** Registered domain against a FULL public-suffix list (the
     * publicsuffix.org algorithm, all three rule forms) — the swap-in
     * scale path [[registeredDomain]]'s PSL-lite documents: normal rules

@@ -73,24 +73,39 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
   private def rankBound(cond: Expression, rank: Attribute): Option[(Int, Seq[Expression])] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    val (onRank, residual) = conjuncts.partition(_.references.contains(rank))
-    // bound computed in Long so `rn < Int.MinValue` can't wrap positive,
-    // and capped below Int.MaxValue so downstream k+1 arithmetic is safe
-    val bound: Option[Long] = onRank match {
-      case Seq(LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
+    val (onRank, offRank) = conjuncts.partition(_.references.contains(rank))
+    // one rank conjunct with a LITERAL bound drives the heap; every other
+    // rank conjunct (e.g. a per-group VARIABLE quota `rn <= budget` — the
+    // politeness-budget frontier shape: constant pre-cap bounds the heap,
+    // the variable refine filters the survivors) stays residual, which is
+    // sound because GroupedTopKLimit emits the rank attribute. Bounds
+    // computed in Long so `rn < Int.MinValue` can't wrap positive, and
+    // capped below Int.MaxValue so downstream k+1 arithmetic is safe.
+    def litBound(e: Expression): Option[Long] = e match {
+      case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType)) if r.semanticEquals(rank) =>
         Some(v.toLong)
-      case Seq(LessThan(r: Attribute, Literal(v: Int, IntegerType))) if r.semanticEquals(rank) =>
+      case LessThan(r: Attribute, Literal(v: Int, IntegerType)) if r.semanticEquals(rank) =>
         Some(v.toLong - 1L)
       // the argmax-per-group idiom: `rn = 1` ⇔ `rn <= 1` for ranks that
       // start at 1 (row_number AND rank — rank's top tie group all have
-      // rank 1). `rn = k` for k > 1 is NOT a prefix — abstain.
-      case Seq(EqualTo(r: Attribute, Literal(1, IntegerType))) if r.semanticEquals(rank) =>
+      // rank 1). `rn = k` for k > 1 is NOT a prefix — abstain. Only safe
+      // to DROP from the residual when it is the chosen k=1 bound.
+      case EqualTo(r: Attribute, Literal(1, IntegerType)) if r.semanticEquals(rank) =>
         Some(1L)
-      case Seq(EqualTo(Literal(1, IntegerType), r: Attribute)) if r.semanticEquals(rank) =>
+      case EqualTo(Literal(1, IntegerType), r: Attribute) if r.semanticEquals(rank) =>
         Some(1L)
       case _ => None
     }
-    bound.collect { case k if k > 0 && k < Int.MaxValue => (k.toInt, residual) }
+    val withBounds = onRank.map(e => (e, litBound(e)))
+    val literalBounds = withBounds.collect { case (_, Some(b)) => b }
+    if (literalBounds.isEmpty) None
+    else {
+      val k = literalBounds.min
+      // literal rank conjuncts are all implied by the min bound the
+      // operator enforces; non-literal rank conjuncts survive as residual
+      val residual = offRank ++ withBounds.collect { case (e, None) => e }
+      if (k > 0 && k < Int.MaxValue) Some((k.toInt, residual)) else None
+    }
   }
 
   /** Spark's NormalizeFloatingNumbers batch runs *after* this rule and

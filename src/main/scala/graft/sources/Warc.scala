@@ -226,6 +226,29 @@ object Warc {
         "content_length", "payload")
   }
 
+  /** Classify captures into originals vs revisits by payload digest —
+    * the WARC `revisit` mechanism (ISO 28500 §6.7.2; Common Crawl and
+    * the Internet Archive write a slim revisit record instead of
+    * re-storing an unchanged payload, routinely saving ~20% of a crawl):
+    * the FIRST capture of each distinct payload (smallest id) is the
+    * `response`, every later identical capture is a `revisit`. Digest =
+    * `md5(payload)` (as the grouping key only — never emitted, so the
+    * hash choice is free); winner = one map-side-combinable `min` per
+    * digest, then one hash-co-partitioned join back — the
+    * [[graft.pipeline.Dedup]] keeper discipline, no window, no sort.
+    * Emits the input's id column + `kind` (`response`/`revisit`). */
+  def revisitClassify(records: DataFrame, idCol: String = "id",
+                      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val digested = records.select(col(idCol),
+      md5(col(payloadCol).cast("binary")).as("digest"))
+    val first = digested.groupBy("digest").agg(min(idCol).as("first_id"))
+    digested.join(first, "digest")
+      .select(col(idCol),
+        when(col(idCol) === col("first_id"), lit("response"))
+          .otherwise(lit("revisit")).as("kind"))
+  }
+
   /** Serialize a body Column with `Transfer-Encoding: chunked` framing
     * (RFC 9112 §7.1): hex chunk-size line CRLF, data, CRLF, repeated,
     * then the `0` last-chunk + final CRLF. `nChunks` fixed-size slices

@@ -129,6 +129,17 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should include("HashAggregate")
   }
 
+  "q_crawl_budget" should "bound the quota with the constant-cap heap and refine residually" in {
+    val df = SparkEntry.queries("q_crawl_budget")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the variable per-domain budget must NOT force the window back in:
+    // rn <= 4 drives the bounded heap, rn <= budget filters above it
+    plan should include("GroupedTopKLimitPartial")
+    plan should include("GroupedTopKLimitFinal")
+    plan should not include "Window"
+  }
+
   "q_gopher_rules" should "stay one codegen map over the scan (no shuffle before the output sort)" in {
     val df = SparkEntry.queries("q_gopher_rules")(spark, dir)
     df.collect()

@@ -269,6 +269,60 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       Seq(("d.com", "/a", false))
   }
 
+  "surtKey" should "reverse host labels, keep the port, and append )path?query" in {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "http://news.example.co.uk/pAth/5?a=1",
+      "https://example.com:8443/",
+      "http://single/x",
+      "not a url").toDF("u")
+      .select(UrlOps.surtKey(col("u"))).as[String].collect().toSeq
+    got shouldBe Seq(
+      "uk,co,example,news)/pAth/5?a=1",
+      "com,example:8443)/",
+      "single)/x",
+      "not a url")
+  }
+
+  it should "collapse cosmetic variants once composed with the canonicalizer" in {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "HTTP://User:pw@Example.COM:80/a?z=2&a=1#frag",
+      "http://example.com/a?a=1&z=2").toDF("u")
+      .select(UrlOps.surtKey(UrlOps.canonicalizeUrl(col("u"))))
+      .as[String].collect().toSeq
+    got.distinct shouldBe Seq("com,example)/a?a=1&z=2")
+  }
+
+  "crawlDelays" should "take the delay from the UA-selected group, max across groups" in {
+    val s = spark
+    import s.implicits._
+    val txt = "User-agent: graftbot\nDisallow: /a\nCrawl-delay: 7\n\n" +
+      "User-agent: *\nCrawl-delay: 3\n\n" +
+      "User-agent: GraftBot\nCrawl-delay: 11 # seconds"
+    val mine = UrlOps.crawlDelays(Seq(("d.com", txt))
+        .toDF("domain", "robots_txt"), agent = "graftbot")
+      .as[(String, Long)].collect().toSeq
+    mine shouldBe Seq(("d.com", 11L))
+    val star = UrlOps.crawlDelays(Seq(("d.com", txt))
+      .toDF("domain", "robots_txt")).as[(String, Long)].collect().toSeq
+    star shouldBe Seq(("d.com", 3L))
+  }
+
+  it should "emit nothing when the selected group declares no delay or the value is junk" in {
+    val s = spark
+    import s.implicits._
+    // token group exists without a delay: * must NOT leak in
+    val t1 = "User-agent: graftbot\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 3"
+    UrlOps.crawlDelays(Seq(("d.com", t1)).toDF("domain", "robots_txt"),
+      agent = "graftbot").count() shouldBe 0L
+    val t2 = "User-agent: *\nCrawl-delay: fast\nCrawl-delay: -2"
+    UrlOps.crawlDelays(Seq(("d.com", t2)).toDF("domain", "robots_txt"))
+      .count() shouldBe 0L
+  }
+
   private def pslOf(hosts: Seq[String], rules: Seq[String])
       : Map[String, String] = {
     val s = spark

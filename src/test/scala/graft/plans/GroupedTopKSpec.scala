@@ -66,6 +66,30 @@ class GroupedTopKSpec extends AnyFlatSpec with Matchers with Inspectors with Spa
     forAll(rows.toSeq) { r => r.getInt(3) should be <= 3 }
   }
 
+  it should "drive the heap from the literal bound and keep a variable rank quota residual" in {
+    val s = spark
+    import s.implicits._
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    // per-group variable quota (the politeness-budget frontier shape):
+    // the constant rn <= 3 pre-cap bounds the heap, rn <= quota refines
+    val quotas = (0L until 40L).map(g => (g, 1L + g % 3)).toDF("g", "quota")
+    val df = sampleDf.join(broadcast(quotas), "g")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3 && col("rn") <= col("quota"))
+    planOf(df) should include("GroupedTopKLimit")
+    planOf(df) should not include "!GroupedTopKLimit"
+    val rows = df.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (g, rs) =>
+      rs.length.toLong should be <= (1L + g % 3)
+      forAll(rs.toSeq) { r => r.getAs[Long]("rn") should be <= (1L + g % 3) }
+    }
+    // two literal bounds: the tighter one wins, both drop from the plan
+    val df2 = sampleDf.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5 && col("rn") <= 2)
+    planOf(df2) should include("GroupedTopKLimit")
+    df2.collect().groupBy(_.getLong(0)).values.foreach(_.length should be <= 2)
+  }
+
   it should "rewrite rank() with exact tie semantics (groups straddling k survive whole)" in {
     val s = spark
     import s.implicits._

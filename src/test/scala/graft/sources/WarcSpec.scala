@@ -167,6 +167,21 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     got.foreach { case (b, d) => d shouldBe b }
   }
 
+  "revisitClassify" should "keep the first capture per payload digest, mark the rest revisits" in {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      (1L, "page A".getBytes("UTF-8")),
+      (2L, "page B".getBytes("UTF-8")),
+      (3L, "page A".getBytes("UTF-8")), // identical to 1 → revisit
+      (4L, "page A".getBytes("UTF-8")), // identical to 1 → revisit
+      (5L, "page C".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Warc.revisitClassify(recs).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    got shouldBe Seq((1L, "response"), (2L, "response"),
+      (3L, "revisit"), (4L, "revisit"), (5L, "response"))
+  }
+
   it should "stop decoding at a malformed chunk-size line, keeping what accumulated" in {
     val s = spark
     import s.implicits._
