@@ -823,6 +823,82 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail (round 12): the NAMED curation recipe
+    // behind LLaMA's CommonCrawl slice — a per-language Kneser–Ney LM
+    // trained on the trusted src0 slice scores EVERY doc (train/score
+    // split with the standard unseen-event floors, unlike q_kneser_ney's
+    // train≡score), then each language splits into exact nearest-rank
+    // perplexity tertiles. The oracle replays the lang-keyed counts,
+    // every floor branch, the 1e-6 quantization, and the per-lang
+    // cutoff ranks in SQL.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      pipeline.TextOps.ccnetBuckets(docs).orderBy("doc_id")
+    }),
+
+    // WET export (round 12): Common Crawl's extracted-text sidecar —
+    // one WARC `conversion` record per page whose payload is the
+    // HTML→text extraction. The Spark side runs the real chain
+    // (synthetic page → htmlToText → ISO 28500 conversion-record framing
+    // → record walk back); the oracle predicts the payload in closed
+    // form from the raw text (the q_html_extract line-rule contract),
+    // so a framing slip or an extraction drift both land as mismatches.
+    "q_wet_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pages = docs
+        .join(urlEnrichedDocs(s, dir).select("doc_id", "url"), "doc_id")
+        .select(col("doc_id"), col("url"),
+          pipeline.Html.htmlToText(synthHtmlPage).as("wet"))
+        .as[(Long, String, String)]
+      val wetWarcs = pages.mapPartitions(_.map { case (id, url, wet) =>
+        (id, sources.Warc.buildWarc(Seq(sources.Warc.RecordSpec(
+          "conversion", Some(url), wet.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))))._1)
+      }).toDF("id", "payload")
+      sources.Warc.warcProbe(wetWarcs, gzipped = false)
+        .select(col("id").as("doc_id"), col("rec_type"),
+          col("payload").cast("string").as("wet_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode-script profile (round 12): the pre-language-ID routing
+    // signal — five script-block counts + a fixed-order dominant argmax.
+    // The ASCII fixture is enriched per residue with Cyrillic/CJK/
+    // Greek/Arabic runs (repeated so CJK can actually dominate short
+    // docs); the oracle replays enrichment and every count
+    "q_script_detect" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val enriched = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(ScriptEnrichCyr)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, lit(ScriptEnrichCjk)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(ScriptEnrichGrk)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 5, lit(ScriptEnrichAra)).otherwise(lit("")))
+        .as("text"))
+      pipeline.TextOps.scriptProfile(enriched).orderBy("doc_id")
+    }),
+
+    // shard manifest (round 12): the dataloader-facing summary a
+    // training job reads before it opens a single shard — per shard the
+    // doc count, token mass, byte mass, and source breadth, one hash
+    // aggregation over the existing epoch-shuffle assignment. Oracle
+    // replays the hash-order rank, the shard arithmetic, and the
+    // aggregates.
+    "q_shard_manifest" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(pipeline.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+      ops.Sharding.assignShards(docs, "doc_id", shardSize = 32L,
+          salt = "epoch0")
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens"),
+          sum("n_chars").as("bytes"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("shard")
+    }),
+
     // full-PSL registered domain (round 12 — the swap-in path the
     // PSL-lite documents, now exercised): the publicsuffix.org
     // algorithm with all three rule forms over a broadcast rule table —
@@ -3757,6 +3833,13 @@ object SparkEntry {
   /** The `q_text_normalize` enrichment strings (explicit escapes — no
     * invisible characters in source), shared by the Spark query and the
     * oracle's SQL-literal builder so enrichment cannot drift. */
+  /** The `q_script_detect` enrichment runs, shared with the oracle via
+    * [[sqlLit]] like the normalize enrichments. */
+  private val ScriptEnrichCyr = " привет мир как дела"
+  private val ScriptEnrichCjk = " 你好世界歡迎光臨謝謝再見"
+  private val ScriptEnrichGrk = " γειά σου κόσμε"
+  private val ScriptEnrichAra = " مرحبا بالعالم"
+
   private val NormEnrich1 = " “fancy” ‘q’"
   private val NormEnrich2 = " a­b c–d e—f"
   private val NormEnrich3 = " ＨｉＸ２ ﬁﬂ"
@@ -4896,6 +4979,135 @@ object SparkEntry {
           |SELECT doc_id, domain,
           |       CAST(CASE WHEN s < 0 THEN 1 ELSE s % 2 END AS BIGINT) AS allowed
           |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the whole CCNet chain replayed in SQL: lang-keyed reference counts
+    // (source = 'src0' only), the extended KN expression with every
+    // unseen-event floor branch, the 1e-6 quantization, per-lang
+    // nearest-rank tertile cutoffs (the exact integer ceil the Spark
+    // machinery computes), and the comparison labels
+    "q_ccnet_buckets" -> (tposSql +
+      """, bgl AS MATERIALIZED (
+        |  SELECT a.doc_id, d.lang, d.source, a.w AS w1, b.w AS w2
+        |  FROM tpos a JOIN tpos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN documents d ON d.doc_id = a.doc_id),
+        |rc12 AS MATERIALIZED (
+        |  SELECT lang, w1, w2, COUNT(*) AS c12 FROM bgl
+        |  WHERE source = 'src0' GROUP BY 1, 2, 3),
+        |rlft AS MATERIALIZED (
+        |  SELECT lang, w1, SUM(c12) AS c1, COUNT(*) AS n1p
+        |  FROM rc12 GROUP BY 1, 2),
+        |rcont AS MATERIALIZED (
+        |  SELECT lang, w2, COUNT(*) AS ncont FROM rc12 GROUP BY 1, 2),
+        |rncc AS MATERIALIZED (
+        |  SELECT lang, COUNT(*) AS ncc FROM rc12 GROUP BY 1),
+        |dbg AS MATERIALIZED (
+        |  SELECT doc_id, lang, w1, w2, COUNT(*) AS cd
+        |  FROM bgl GROUP BY 1, 2, 3, 4),
+        |ct AS MATERIALIZED (SELECT DISTINCT lang, w1, w2 FROM dbg),
+        |ts AS MATERIALIZED (
+        |  SELECT ct.lang, ct.w1, ct.w2,
+        |         ln(GREATEST(
+        |           CASE WHEN l.c1 IS NOT NULL THEN
+        |             (GREATEST(CAST(COALESCE(c.c12, 0) AS DOUBLE) - 0.75, 0.0) +
+        |              0.75 * CAST(l.n1p AS DOUBLE) *
+        |                CAST(COALESCE(co.ncont, 0) AS DOUBLE) /
+        |                CAST(n.ncc AS DOUBLE)) / CAST(l.c1 AS DOUBLE)
+        |           ELSE CAST(COALESCE(co.ncont, 0) AS DOUBLE) /
+        |                CAST(n.ncc AS DOUBLE) END,
+        |           1.0 / (CAST(n.ncc AS DOUBLE) + 1.0))) AS logp
+        |  FROM ct
+        |  LEFT JOIN rc12 c ON c.lang = ct.lang AND c.w1 = ct.w1 AND c.w2 = ct.w2
+        |  LEFT JOIN rlft l ON l.lang = ct.lang AND l.w1 = ct.w1
+        |  LEFT JOIN rcont co ON co.lang = ct.lang AND co.w2 = ct.w2
+        |  JOIN rncc n ON n.lang = ct.lang),
+        |ag AS MATERIALIZED (
+        |  SELECT dbg.doc_id, CAST(SUM(cd) AS BIGINT) AS n_bigrams,
+        |         ROUND(SUM(CAST(cd AS DOUBLE) * ts.logp) /
+        |               SUM(CAST(cd AS DOUBLE)), 6) + 0.0 AS score_r
+        |  FROM dbg JOIN ts
+        |    ON ts.lang = dbg.lang AND ts.w1 = dbg.w1 AND ts.w2 = dbg.w2
+        |  GROUP BY 1),
+        |sc2 AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+        |         ag.score_r,
+        |         CAST(FLOOR(ag.score_r * 1000000.0 + 0.5) AS BIGINT) AS score_u
+        |  FROM documents d LEFT JOIN ag USING (doc_id)),
+        |rkd AS MATERIALIZED (
+        |  SELECT lang, score_u,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_u) AS r,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc2 WHERE score_u IS NOT NULL),
+        |cut AS MATERIALIZED (
+        |  SELECT lang,
+        |         MAX(CASE WHEN r = GREATEST(1, (n * 1 + 2) // 3)
+        |                  THEN score_u END) AS v33,
+        |         MAX(CASE WHEN r = GREATEST(1, (n * 2 + 2) // 3)
+        |                  THEN score_u END) AS v67
+        |  FROM rkd GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.n_bigrams, s.score_r,
+        |       CASE WHEN s.score_u IS NULL THEN 'tail'
+        |            WHEN s.score_u <= cut.v33 THEN 'tail'
+        |            WHEN s.score_u <= cut.v67 THEN 'middle'
+        |            ELSE 'head' END AS bucket
+        |FROM sc2 s LEFT JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
+
+    // the WET payload in closed form: 'conversion' framing + the
+    // q_html_extract line-rule contract on the raw text — no WARC and
+    // no HTML anywhere in the oracle
+    "q_wet_roundtrip" ->
+      """SELECT doc_id, 'conversion' AS rec_type,
+        |       CASE WHEN len(trim(text)) >= 25
+        |             AND len(string_split_regex(trim(text), '\s+')) >= 4
+        |             AND len(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g')) * 10 >= len(trim(text)) * 4
+        |            THEN trim(text) ELSE '' END AS wet_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // enrichment + the five script counts + the fixed-order argmax,
+    // ranges rendered from the SAME ScriptRanges constants
+    "q_script_detect" -> {
+      val counts = pipeline.TextOps.ScriptRanges.map { case (name, re) =>
+        s"CAST(len(text) - len(regexp_replace(text, '$re', '', 'g')) AS BIGINT) AS n_$name"
+      }.mkString(",\n        |  ")
+      val names = pipeline.TextOps.ScriptRanges.map(_._1)
+      val gmax = names.map(n => s"n_$n").mkString("GREATEST(", ", ", ")")
+      val argmax = names.map(n =>
+        s"WHEN n_$n = $gmax THEN '$n'").mkString("\n        |            ")
+      s"""WITH en AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 4 = 1 THEN ${sqlLit(ScriptEnrichCyr)} ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 2 THEN ${sqlLit(ScriptEnrichCjk)} ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 3 THEN ${sqlLit(ScriptEnrichGrk)} ELSE '' END) ||
+        |    (CASE WHEN doc_id % 9 = 5 THEN ${sqlLit(ScriptEnrichAra)} ELSE '' END) AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |  $counts
+        |  FROM en)
+        |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")},
+        |       CASE WHEN $gmax = 0 THEN 'none'
+        |            $argmax
+        |            ELSE 'none' END AS dominant
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // the epoch-shuffle rank replayed (the q_shard_assignment spelling)
+    // + the per-shard aggregates
+    "q_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), 'null') || '#epoch0'), 1, 15))::BIGINT,
+        |                    doc_id) - 1 AS rnk
+        |  FROM documents)
+        |SELECT CAST(rnk // 32 AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // the UA-selected rule set in closed form from the domain string
     // (even-length domains: the graftbot groups' union — Allow

@@ -1055,4 +1055,157 @@ object TextOps {
           col("r_bullet") * col("r_ellipsis") * col("r_alpha") *
           col("r_stop")).cast("long"))
   }
+
+  /** A per-language Kneser–Ney bigram model learned from a REFERENCE
+    * slice — the train/score split [[kneserNeyLogProb]] (train ≡ score)
+    * doesn't have, and the half CCNet actually needs: the LM is fitted
+    * on trusted text (Wikipedia in the paper) and applied to the whole
+    * crawl. Four count tables, all keyed by language and
+    * vocabulary-bounded; `c12` is checkpointed once and the marginals
+    * derive from it, so the reference corpus is tokenized exactly once. */
+  final case class KneserNeyModel(c12: DataFrame, left: DataFrame,
+                                  cont: DataFrame, ncc: DataFrame)
+
+  def kneserNeyModel(ref: DataFrame, langCol: String = "lang")
+      : KneserNeyModel = {
+    val t = tokens(col("text"))
+    val pairs = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bigrams = ref
+      .select(col(langCol).as("lang"), explode(pairs).as("bg"))
+      .where(col("bg.w2").isNotNull)
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
+    val left = c12.groupBy("lang", "w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy("lang", "w2").agg(count(lit(1)).as("ncont"))
+    val ncc = c12.groupBy("lang").agg(count(lit(1)).as("ncc"))
+    KneserNeyModel(c12, left, cont, ncc)
+  }
+
+  /** Score docs against a reference [[KneserNeyModel]] — unlike
+    * [[kneserNeyLogProb]], unseen events are the NORMAL case here, so
+    * the interpolated form is extended with the standard floors, every
+    * branch spelled with a fixed parenthesization the oracle replays:
+    *   - seen context w1: p = (max(c12−D,0) + D·N1+(w1·)·P_cont(w2)) / c(w1·)
+    *     (an unseen w2 just zeroes the continuation term);
+    *   - unseen context:  p = P_cont(w2) (pure backoff);
+    *   - everything-unseen floor: p ≥ 1/(N1+(··)+1), so log p is always
+    *     finite and a fully-OOV doc scores the floor, not −∞.
+    * Scoring touches each DISTINCT (lang, w1, w2) of the scored corpus
+    * once (one type table joined against the model's), then one per-doc
+    * weighted mean — shuffle ∝ tokens, joins ∝ types. Docs of a
+    * language absent from the reference (or with < 2 tokens) score
+    * NULL. Emits `(doc_id, lang, n_bigrams, score_r)`. */
+  def kneserNeyScore(docs: DataFrame, model: KneserNeyModel,
+                     langCol: String = "lang"): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val docBg = docs
+      .select(col("doc_id"), col(langCol).as("lang"), explode(pairs).as("bg"))
+      .where(col("bg.w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "lang", "w1", "w2").agg(count(lit(1)).as("cd"))
+      .localCheckpoint() // consumed twice: type extraction + the re-join
+    val ctypes = docBg.select("lang", "w1", "w2").distinct()
+    val joined = ctypes
+      .join(model.c12, Seq("lang", "w1", "w2"), "left")
+      .join(model.left, Seq("lang", "w1"), "left")
+      .join(model.cont, Seq("lang", "w2"), "left")
+      .join(model.ncc, Seq("lang"), "left")
+    val nccd = col("ncc").cast("double")
+    val ncontd = coalesce(col("ncont"), lit(0L)).cast("double")
+    val cand = when(col("c1").isNotNull,
+      (greatest(coalesce(col("c12"), lit(0L)).cast("double") - 0.75,
+        lit(0.0)) +
+        lit(0.75) * col("n1p").cast("double") * ncontd / nccd) /
+        col("c1").cast("double"))
+      .otherwise(ncontd / nccd)
+    val ts = joined.select(col("lang"), col("w1"), col("w2"),
+      when(col("ncc").isNotNull,
+        log(greatest(cand, lit(1.0) / (nccd + 1.0)))).as("logp"))
+    docs.select(col("doc_id"), col(langCol).as("lang")).join(
+        docBg.join(ts, Seq("lang", "w1", "w2"))
+          .where(col("logp").isNotNull)
+          .groupBy("doc_id").agg(
+            sum("cd").as("n_bigrams"),
+            (round(sum(col("cd").cast("double") * col("logp")) /
+              sum(col("cd").cast("double")), 6) + 0.0).as("score_r")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("score_r"))
+  }
+
+  /** The CCNet head/middle/tail split (Wenzek et al. 2020 — the NAMED
+    * curation recipe behind LLaMA's CommonCrawl slice): a per-language
+    * reference LM ([[kneserNeyModel]] on the trusted `refSource` slice)
+    * scores every document, and each language's documents split into
+    * perplexity tertiles — `head` (most reference-like third), `middle`,
+    * `tail`. Cutoffs are EXACT per-language nearest-rank tertiles of the
+    * 1e-6-quantized score through the two-phase prefix-scan machinery
+    * ([[graft.ops.Sketches.exactQuantilesPerStratum]] — never a one-task
+    * window, language skew can't hurt), labels by comparison against the
+    * two broadcast cutoffs. Unscorable docs (< 2 tokens, or a language
+    * the reference doesn't cover) land in `tail` — CCNet's conservative
+    * default. Emits `(doc_id, lang, n_bigrams, score_r, bucket)`. */
+  def ccnetBuckets(docs: DataFrame, refSource: String = "src0",
+                   langCol: String = "lang",
+                   sourceCol: String = "source"): DataFrame = {
+    val model = kneserNeyModel(docs.where(col(sourceCol) === refSource),
+      langCol)
+    val scored = kneserNeyScore(docs, model, langCol)
+      .withColumn("score_u",
+        floor(col("score_r") * 1e6 + 0.5).cast("long"))
+      .localCheckpoint() // consumed twice: cutoff scan + the label pass
+    val cuts = graft.ops.Sketches.exactQuantilesPerStratum(
+        scored.where(col("score_u").isNotNull), "doc_id", "lang",
+        "score_u", Map("q33" -> (1L, 3L), "q67" -> (2L, 3L)),
+        salt = "ccnet")
+      .groupBy("lang").agg(
+        max(when(col("quantile") === "q33", col("score_u"))).as("v33"),
+        max(when(col("quantile") === "q67", col("score_u"))).as("v67"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("score_r"),
+        when(col("score_u").isNull, lit("tail"))
+          .when(col("score_u") <= col("v33"), lit("tail"))
+          .when(col("score_u") <= col("v67"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
+  /** Unicode-script profile + dominant script — the pre-language-ID
+    * routing signal (fastText's lang-id uses script priors; a curation
+    * pipeline routes CJK and Arabic text to different tokenizers before
+    * any model runs): per doc the character counts of five major script
+    * blocks (Latin, Cyrillic, Greek, CJK Unified, Arabic), counted as
+    * length-minus-removal with one regex class per script — a narrow
+    * codegen map, zero shuffle — and the dominant script as a fixed-
+    * order argmax (first maximal count in the listed order, so ties are
+    * deterministic and cross-engine). Block ranges are the BMP cores —
+    * supplementary planes are out of scope for a profile signal. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]")
+
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val counts = ScriptRanges.map { case (name, re) =>
+      (length(text) - length(regexp_replace(text, re, "")))
+        .cast("long").as(s"n_$name")
+    }
+    val maxCount = ScriptRanges.map { case (name, _) => col(s"n_$name") }
+      .reduce((a, b) => greatest(a, b))
+    val dominant = ScriptRanges.foldRight(lit("none")) {
+      case ((name, _), rest) =>
+        when(maxCount > 0 && col(s"n_$name") === maxCount, lit(name))
+          .otherwise(rest)
+    }
+    docs.select(col("doc_id") +: counts: _*)
+      .withColumn("dominant", dominant)
+  }
 }
