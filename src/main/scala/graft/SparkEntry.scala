@@ -564,6 +564,236 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the full jusText neighbor pass over the SAME page (round 12): the
+    // h1 heading is SHORT (prose-like but under the size gates) and sits
+    // between BAD nav chrome and the doc's paragraph, so it is rescued
+    // exactly when the paragraph is GOOD — the oracle replays only that
+    // closed-form decision; title (next non-short is link-dense nav) and
+    // footer must still drop
+    "q_justext_context" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          pipeline.Html.htmlToTextContext(synthHtmlPage).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // page-level metadata extraction (round 12): title/description/
+    // lang/canonical/robots from real head markup — entity decode in the
+    // title, BOTH attribute orders for the description meta, all three
+    // quote forms, each field optionally absent; the oracle predicts
+    // every field in closed form from doc_id
+    "q_html_meta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          pipeline.Html.pageMeta(synthMetaPage).as("m"))
+        .select(col("doc_id"), col("m.title").as("title"),
+          col("m.description").as("description"), col("m.lang").as("lang"),
+          col("m.canonical").as("canonical"), col("m.robots").as("robots"))
+        .orderBy("doc_id")
+    }),
+
+    // RFC 3986 §5 reference resolution (round 12): each page carries 9
+    // hrefs covering every resolution branch (dot-segment climbs, `./`,
+    // rooted, bare-relative, query-only, network-path, absolute with
+    // dots, mid-path dots, fragment-only); the resolver must earn each
+    // absolute URL from real markup while the oracle concatenates the
+    // expected strings in closed form
+    "q_url_resolve" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val base = concat(lit("http://h"), (k % 10).cast("string"),
+        lit(".example.com/dir"), (k % 5).cast("string"),
+        lit("/sub/page.html"))
+      val page = concat(
+        lit("<html><body><p>Links: <a href=\"../up/x"), k.cast("string"),
+        lit(".html\">a</a><a href='./same.html?v=2'>b</a>" +
+          "<a href=\"/rooted/r.html\">c</a><a href=img/p"),
+        (k % 9).cast("string"),
+        lit(".png>d</a><a href=\"?page=2\">e</a>" +
+          "<a href=\"//cdn.example.org/lib.js\">f</a>" +
+          "<a href=\"https://other.net/a/../abs"), (k % 7).cast("string"),
+        lit("\">g</a><a href=\"a/../b/./c.html\">h</a>" +
+          "<a href=\"#frag\">i</a></p></body></html>"))
+      // slim seam before the explode: the base/page builders plus the
+      // resolver's branch tree otherwise fuse past janino's limit
+      val pages = docs.select(col("doc_id"), base.as("base"),
+          pipeline.Html.extractLinks(page).as("hrefs"))
+        .localCheckpoint()
+      pages.select(col("doc_id"), col("base"),
+          posexplode(col("hrefs")).as(Seq("idx", "href")))
+        .select(col("doc_id"), col("idx"),
+          pipeline.UrlOps.resolveReference(col("base"), col("href"))
+            .as("resolved"))
+        .orderBy("doc_id", "idx")
+    }),
+
+    // rel=canonical dedup (round 12) — the page's own dedup-key claim,
+    // the mechanism that collapses print/mobile/tracking variants even
+    // when their URLs differ: docs whose pages declare a canonical link
+    // group under the DECLARED target (resolved against the page URL,
+    // then canonicalized); the rest group under their own canonical URL.
+    // One hash aggregation on the target key — dedupByUrl's shape
+    "q_canonical_dedup" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val slim = en.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("base"),
+          pipeline.Html.pageMeta(synthMetaPage).getField("canonical")
+            .as("canon_href"))
+        .localCheckpoint()
+      slim.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(
+            pipeline.UrlOps.resolveReference(col("base"), col("canon_href")))
+            .as("target"))
+        .groupBy("target")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
+        .orderBy("target")
+    }),
+
+    // robots-meta / X-Robots-Tag gate (round 12): the IN-band opt-out
+    // channel (q_robots_gate covers the out-of-band robots.txt): the
+    // meta directives come from real page markup, the header directives
+    // from the synthesized response, and a directive in either channel
+    // applies — noindex/none drop the text, nofollow/none cut the links
+    "q_noindex_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d = col("doc_id")
+      val header = when(d % 7 === 0, lit("noindex"))
+        .when(d % 7 === 1, lit("NOARCHIVE, nofollow"))
+        .otherwise(lit(""))
+      docs.select(d,
+          pipeline.Html.pageMeta(synthMetaPage).getField("robots").as("mr"),
+          header.as("hdr"))
+        .localCheckpoint()
+        .select(col("doc_id"),
+          pipeline.Html.noindexGate(col("mr"), col("hdr")).as("g"))
+        .select(col("doc_id"),
+          col("g.indexable").cast("long").as("indexable"),
+          col("g.followable").cast("long").as("followable"))
+        .orderBy("doc_id")
+    }),
+
+    // encoding sniff ladder (round 12) over REAL bytes: BOM payloads,
+    // conflicting header-vs-meta declarations, both meta forms, alias
+    // folding, and the no-declaration default — each residue class
+    // exercises one rung and the oracle predicts (encoding, via) closed
+    // form; payload synthesis needs raw BOM bytes, hence mapPartitions
+    "q_charset_detect" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val rows = ids.mapPartitions { it =>
+        it.map { id =>
+          def b(x: String) = x.getBytes("ISO-8859-1")
+          val bomU8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+          (id % 5) match {
+            case 0 => (id, bomU8 ++ b("<html><meta charset=koi8-r></html>"),
+              "text/html; charset=iso-8859-1")
+            case 1 => (id, b("<html><meta charset='windows-1251'></html>"),
+              "text/html; charset=Shift_JIS")
+            case 2 => (id, b("<html><head><meta charset=\"KOI8-R\"></head>"),
+              "text/html")
+            case 3 => (id, b("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=windows-1251\">"), "")
+            case _ => (id, b("<html><p>plain page</p></html>"), "text/plain")
+          }
+        }
+      }.toDF("doc_id", "payload", "ct")
+      rows.select(col("doc_id"),
+          pipeline.Charset.sniff(col("payload"), col("ct")).as("r"))
+        .select(col("doc_id"), col("r.encoding").as("encoding"),
+          col("r.via").as("via"))
+        .orderBy("doc_id")
+    }),
+
+    // RSS/Atom feed probe (round 12) — the recency discovery channel:
+    // per doc a 2-entry feed (format by residue) with a CDATA title, an
+    // element-text vs href-attribute link, and a date only on the fresh
+    // entry; the parser earns every field from real XML while the
+    // oracle concatenates them closed form
+    "q_feed_probe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val ks = k.cast("string")
+      val l0 = concat(lit("http://f"), (k % 13).cast("string"),
+        lit(".example.com/p"), ks, lit("/0"))
+      val l1 = concat(lit("http://f"), (k % 13).cast("string"),
+        lit(".example.com/p"), ks, lit("/1"))
+      val dateIso = date_format(date_add(lit("1970-01-01").cast("date"),
+        (lit(19800) + k % 97).cast("int")), "yyyy-MM-dd")
+      val rssXml = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+          "<title>C</title><link>http://site.example/</link><item><title>Post A"),
+        ks, lit("</title><link>"), l0, lit("</link><pubDate>"), dateIso,
+        lit("</pubDate></item><item><title><![CDATA[Post B"), ks,
+        lit("]]></title><link>"), l1, lit("</link></item></channel></rss>"))
+      val atomXml = concat(
+        lit("<?xml version=\"1.0\"?>" +
+          "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>F</title>" +
+          "<link href=\"http://site.example/\"/><entry><title>Post A"),
+        ks, lit("</title><link href=\""), l0, lit("\"/><updated>"), dateIso,
+        lit("T00:00:00Z</updated></entry><entry><title>Post B"), ks,
+        lit("</title><link rel=\"alternate\" href='"), l1,
+        lit("'/></entry></feed>"))
+      val feeds = docs.select(col("doc_id"),
+          when(k % 2 === 0, rssXml).otherwise(atomXml).as("feed_xml"))
+        .localCheckpoint()
+      sources.Feed.parseFeed(feeds, domainCol = "doc_id")
+        .select(col("domain").as("doc_id"), col("fmt"), col("idx"),
+          col("title"), col("link"), col("pub_day"))
+        .orderBy("doc_id", "idx")
+    }),
+
+    // C4 bad-words gate (round 12): residues plant a clean hit, a
+    // double hit, a CASE variant hit, and the Scunthorpe decoy (the
+    // listed token embedded inside a longer one — must NOT fire);
+    // token-exact matching is the whole point of the rule
+    "q_blocklist_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d = col("doc_id")
+      val extra = when(d % 26 === 0, lit(" zzcontraband nearby zzcontraband"))
+        .when(d % 13 === 0, lit(" zzcontraband"))
+        .when(d % 13 === 5, lit(" prezzcontrabandpost"))
+        .when(d % 13 === 7, lit(" ZZContraband"))
+        .otherwise(lit(""))
+      pipeline.TextOps.blocklistFilter(
+        docs.select(d, concat(col("text"), extra).as("text")),
+        Seq("zzcontraband", "zzunused"))
+        .orderBy("doc_id")
+    }),
+
+    // EXIF probe (round 12): real JPEG marker walk + real TIFF IFD walk
+    // over synthesized-but-conforming Exif segments in BOTH byte orders
+    // (II and MM), with an out-of-line ASCII Make value and a no-Exif
+    // residue the walk must classify as absence, not error; the oracle
+    // predicts every field closed form
+    "q_exif_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mm = ids.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 11 == 10)
+              // a JPEG with a COM segment but no APP1: exercises the
+              // marker walk's skip-by-declared-length path
+              Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+                0xFE.toByte, 0, 4, 'a'.toByte, 'b'.toByte,
+                0xFF.toByte, 0xD9.toByte)
+            else pipeline.Multimodal.buildExifJpeg(
+              64 + (id % 32).toInt, 48 + (id % 16).toInt,
+              1 + (id % 8).toInt, "Cam" + (id % 5),
+              bigEndian = id % 2 == 0)
+          (id, payload)
+        }
+      }.toDF("id", "payload")
+      pipeline.Multimodal.exifProbe(mm)
+        .select(col("id").as("doc_id"),
+          col("exif_found").cast("long").as("exif_found"),
+          col("big_endian").cast("long").as("big_endian"),
+          col("width"), col("height"), col("orientation"), col("make"))
+        .orderBy("doc_id")
+    }),
+
     // the crawl pipeline END TO END — the round-11 families composed the
     // way a real ingest runs them: each doc's synthetic page rides a
     // member-per-record .warc.gz under its enriched URL; the pipeline
@@ -4260,6 +4490,37 @@ object SparkEntry {
         "</body></html>"))
   }
 
+  /** Fixture page for the metadata rows (`q_html_meta`,
+    * `q_canonical_dedup`, `q_noindex_gate`): every head field varies by
+    * residue so each extraction arm fires — entity in the title, BOTH
+    * attribute orders for the description meta, quoted/unquoted values,
+    * each of lang/canonical/robots optionally absent. The canonical
+    * link (k%4==0) points OFF-page to a shared target whose k%50 key
+    * collides across residues, so canonical-target dedup has real
+    * multi-member groups. Over a `doc_id` projection. */
+  private def synthMetaPage: Column = {
+    val k = col("doc_id") % 127
+    val desc = concat(lit("Summary "), (k % 11).cast("string"))
+    val descMeta = when(col("doc_id") % 2 === 0,
+      concat(lit("<meta name=\"description\" content=\""), desc, lit("\">")))
+      .otherwise(
+        concat(lit("<meta content='"), desc, lit("' name='description'>")))
+    val langAttr = when(k % 3 === 0, lit(" lang=\"en-US\""))
+      .when(k % 3 === 1, lit(" lang='fr'"))
+      .otherwise(lit(""))
+    val canonical = when(k % 4 === 0,
+      concat(lit("<link rel=\"canonical\" href=\"https://canon.example.com/c"),
+        (k % 50).cast("string"), lit("\">"))).otherwise(lit(""))
+    val robots =
+      when(k % 5 === 0, lit("<meta name=\"robots\" content=\"NOINDEX, follow\">"))
+        .when(k % 5 === 1, lit("<meta name=robots content=nofollow>"))
+        .when(k % 5 === 2, lit("<meta name='robots' content='none'>"))
+        .otherwise(lit(""))
+    concat(lit("<html"), langAttr, lit("><head><title>Page "),
+      k.cast("string"), lit(" &amp; more</title>"), descMeta, canonical,
+      robots, lit("</head><body><p>body text here</p></body></html>"))
+  }
+
   /** Deterministic smooth grayscale test scene for `q_phash_invariance`
     * (the spec's sine-pattern generator with doc_id-derived frequencies
     * and phase instead of a Random), encoded through the REAL ImageIO
@@ -4862,6 +5123,132 @@ object SparkEntry {
         |             AND len(string_split_regex(trim(text), '\s+')) >= 4
         |             AND len(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g')) * 10 >= len(trim(text)) * 4
         |            THEN trim(text) ELSE '' END AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the context pass adds exactly one closed-form decision on this
+    // page: the SHORT h1 ('Document <id>') is rescued iff the paragraph
+    // is GOOD; title and chrome drop either way
+    "q_justext_context" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(trim(text)) >= 25
+        |             AND len(string_split_regex(trim(text), '\s+')) >= 4
+        |             AND len(regexp_replace(trim(text), '[^A-Za-z0-9]', '', 'g')) * 10 >= len(trim(text)) * 4
+        |            THEN 'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || trim(text)
+        |            ELSE '' END AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every head field predicted in closed form from the residue — the
+    // Spark side earns them from real markup (entity decode, attribute
+    // orders, three quote forms, absent fields)
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |       'Page ' || CAST(doc_id % 127 AS VARCHAR) || ' & more' AS title,
+        |       'Summary ' || CAST((doc_id % 127) % 11 AS VARCHAR) AS description,
+        |       CASE (doc_id % 127) % 3 WHEN 0 THEN 'en-us' WHEN 1 THEN 'fr' ELSE '' END AS lang,
+        |       CASE WHEN (doc_id % 127) % 4 = 0
+        |            THEN 'https://canon.example.com/c' || CAST((doc_id % 127) % 50 AS VARCHAR)
+        |            ELSE '' END AS canonical,
+        |       CASE (doc_id % 127) % 5 WHEN 0 THEN 'noindex, follow'
+        |            WHEN 1 THEN 'nofollow' WHEN 2 THEN 'none' ELSE '' END AS robots
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // all nine resolution branches concatenated in closed form — no URL
+    // algebra anywhere in the oracle
+    "q_url_resolve" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 127 AS k,
+        |         'http://h' || CAST((doc_id % 127) % 10 AS VARCHAR) || '.example.com' AS hostp,
+        |         '/dir' || CAST((doc_id % 127) % 5 AS VARCHAR) AS dir
+        |  FROM documents)
+        |SELECT doc_id, idx, resolved FROM (
+        |  SELECT doc_id, CAST(0 AS INTEGER) AS idx, hostp || dir || '/up/x' || CAST(k AS VARCHAR) || '.html' AS resolved FROM b
+        |  UNION ALL SELECT doc_id, 1, hostp || dir || '/sub/same.html?v=2' FROM b
+        |  UNION ALL SELECT doc_id, 2, hostp || '/rooted/r.html' FROM b
+        |  UNION ALL SELECT doc_id, 3, hostp || dir || '/sub/img/p' || CAST(k % 9 AS VARCHAR) || '.png' FROM b
+        |  UNION ALL SELECT doc_id, 4, hostp || dir || '/sub/page.html?page=2' FROM b
+        |  UNION ALL SELECT doc_id, 5, 'http://cdn.example.org/lib.js' FROM b
+        |  UNION ALL SELECT doc_id, 6, 'https://other.net/abs' || CAST(k % 7 AS VARCHAR) FROM b
+        |  UNION ALL SELECT doc_id, 7, hostp || dir || '/sub/b/c.html' FROM b
+        |  UNION ALL SELECT doc_id, 8, hostp || dir || '/sub/page.html' FROM b)
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    // group key = the declared canonical target when the page claims
+    // one, else the page's own canonical URL (urlCanonSql closed form)
+    "q_canonical_dedup" ->
+      (urlEnrichSql + urlCanonSql +
+        """,
+          |tgt AS (
+          |  SELECT doc_id,
+          |         CASE WHEN (doc_id % 127) % 4 = 0
+          |              THEN 'https://canon.example.com/c' || CAST((doc_id % 127) % 50 AS VARCHAR)
+          |              ELSE url_canon END AS target
+          |  FROM canon)
+          |SELECT target, MIN(doc_id) AS keeper,
+          |       CAST(COUNT(*) AS BIGINT) AS n_members
+          |FROM tgt GROUP BY target ORDER BY target""".stripMargin),
+
+    // meta channel: noindex when k%5 in (0,2), nofollow when k%5 in
+    // (1,2); header channel: noindex when id%7=0, nofollow when id%7=1
+    "q_noindex_gate" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN (doc_id % 127) % 5 IN (0, 2) OR doc_id % 7 = 0
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS indexable,
+        |       CAST(CASE WHEN (doc_id % 127) % 5 IN (1, 2) OR doc_id % 7 = 1
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS followable
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the sniff ladder's decision per residue class, no byte inspection
+    // anywhere in the oracle
+    "q_charset_detect" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'shift_jis'
+        |            WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'windows-1251'
+        |            ELSE 'utf-8' END AS encoding,
+        |       CASE doc_id % 5 WHEN 0 THEN 'bom' WHEN 1 THEN 'header'
+        |            WHEN 2 THEN 'meta' WHEN 3 THEN 'meta'
+        |            ELSE 'default' END AS via
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // two entries per doc predicted closed form: the fresh entry carries
+    // the epoch-day directly (no date algebra in the oracle), the stale
+    // one -1
+    "q_feed_probe" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 127 AS k,
+        |         CASE WHEN (doc_id % 127) % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+        |         'http://f' || CAST((doc_id % 127) % 13 AS VARCHAR) ||
+        |           '.example.com/p' || CAST(doc_id % 127 AS VARCHAR) AS lp
+        |  FROM documents)
+        |SELECT doc_id, fmt, idx, title, link, pub_day FROM (
+        |  SELECT doc_id, fmt, CAST(0 AS INTEGER) AS idx,
+        |         'Post A' || CAST(k AS VARCHAR) AS title, lp || '/0' AS link,
+        |         CAST(19800 + k % 97 AS BIGINT) AS pub_day FROM b
+        |  UNION ALL
+        |  SELECT doc_id, fmt, 1, 'Post B' || CAST(k AS VARCHAR), lp || '/1',
+        |         CAST(-1 AS BIGINT) FROM b)
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    // hit counts predicted from the residue plan alone: the base corpus
+    // never contains the planted token and the decoy must not fire
+    "q_blocklist_filter" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 26 = 0 THEN 2
+        |                 WHEN doc_id % 13 = 0 THEN 1
+        |                 WHEN doc_id % 13 = 7 THEN 1 ELSE 0 END AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN doc_id % 26 = 0 OR doc_id % 13 = 0 OR doc_id % 13 = 7
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every EXIF field closed form; the no-Exif residue zeroes them
+    "q_exif_probe" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 1 END AS BIGINT) AS exif_found,
+        |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0
+        |                 WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS big_endian,
+        |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 64 + doc_id % 32 END AS BIGINT) AS width,
+        |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 48 + doc_id % 16 END AS BIGINT) AS height,
+        |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation,
+        |       CASE WHEN doc_id % 11 = 10 THEN '' ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the three URL rows share one enrichment CTE (urlEnrichSql) and one

@@ -112,6 +112,78 @@ object Html {
     decodeEntities(c7)
   }
 
+  /** Per-line class for the context-aware rule: 2 = GOOD (passes the
+    * full jusText-lite rule), 1 = SHORT (non-empty, prose-like density
+    * and link ratio, but under the size gates — jusText's "short"
+    * class, eligible for neighbor rescue), 0 = BAD (empty, symbol-heavy,
+    * or link-dense — never rescued). Integer arithmetic only. */
+  private def lineClassAndText(line: Column, minChars: Int,
+                               minWords: Int): (Column, Column) = {
+    val (keep, t) = lineKeepAndText(line, minChars, minWords)
+    val total = length(t)
+    val alnum = total - length(translate(t,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789", ""))
+    val linked = aggregate(
+      transform(slice(split(line, LinkOpen, -1), lit(2),
+        size(split(line, LinkOpen, -1)) - 1),
+        seg => length(substring_index(seg, LinkClose, 1))),
+      lit(0), (acc, x) => acc + x)
+    val proseLike = total > 0 && alnum * 10 >= total * 4 &&
+      linked * 2 <= total
+    (when(keep, lit(2)).when(proseLike, lit(1)).otherwise(lit(0)), t)
+  }
+
+  /** For each position, whether the NEAREST preceding non-SHORT line is
+    * GOOD (document start counts as BAD). One forward `aggregate` scan
+    * building the flag array — `array_append` copies, so the fold is
+    * O(lines²) per document, fine at the tens-of-lines scale a real
+    * page strips down to, and still a zero-shuffle narrow map. */
+  private def prevNonShortGood(cls: Column): Column =
+    aggregate(cls,
+      struct(array().cast("array<boolean>").as("a"), lit(false).as("g")),
+      (acc, c) => struct(
+        array_append(acc.getField("a"), acc.getField("g")).as("a"),
+        when(c === 1, acc.getField("g")).otherwise(c === 2).as("g")),
+      acc => acc.getField("a"))
+
+  /** Context-aware extraction — the full jusText neighbor pass on top of
+    * the [[htmlToText]] line rule: a GOOD line is always kept, a BAD
+    * line never, and a SHORT line (headings, captions, list lead-ins —
+    * prose-like but under the size gates) is RESCUED iff its nearest
+    * non-SHORT neighbor on either side is GOOD (jusText's
+    * short-between-good rescue; document boundaries count as BAD, so an
+    * isolated short line in a sea of chrome stays dropped). Two scans
+    * of the class array (forward, and forward-over-reversed for the
+    * following-neighbor flag) — still one narrow map over the page,
+    * zero shuffle, zero UDF. */
+  def htmlToTextContext(html: Column, minChars: Int = 25,
+                        minWords: Int = 4): Column = {
+    require(minChars > 0 && minWords > 0,
+      s"thresholds must be positive, got ($minChars, $minWords)")
+    val lines = split(stripMarkup(html), "\n", -1)
+    // whitespace-only lines are adjacent-block-tag artifacts, not
+    // content blocks — jusText segments by block, so they must not
+    // stand between a short line and its rescuing neighbor
+    val assessed = filter(
+      transform(lines, l => {
+        val (cls, t) = lineClassAndText(l, minChars, minWords)
+        struct(cls.as("c"), t.as("t"))
+      }),
+      s => length(s.getField("t")) > 0)
+    val cls = transform(assessed, s => s.getField("c"))
+    val prevG = prevNonShortGood(cls)
+    val nextG = reverse(prevNonShortGood(reverse(cls)))
+    val kept = filter(
+      transform(assessed, (s, i) => {
+        val c = s.getField("c")
+        val keep = c === 2 || (c === 1 &&
+          (element_at(prevG, i + 1) || element_at(nextG, i + 1)))
+        when(keep, s.getField("t"))
+      }),
+      t => t.isNotNull)
+    array_join(kept, "\n")
+  }
+
   /** The jusText-lite keep rule on ONE already-stripped line (sentinels
     * still in place). Integer arithmetic only — both engines replay it
     * bit-for-bit. */
@@ -155,5 +227,85 @@ object Html {
     array_join(
       transform(filter(assessed, s => s.getField("k")),
         s => s.getField("t")), "\n")
+  }
+
+  /** Unquote an attribute value captured in any of HTML's three forms
+    * (double-quoted, single-quoted, unquoted) and decode entities. */
+  private def attrValue(raw: Column): Column =
+    decodeEntities(
+      when(raw.startsWith("\"") || raw.startsWith("'"),
+        substring(raw, lit(2), length(raw) - 2)).otherwise(raw))
+
+  /** The `content` attribute of the first element matched by
+    * `elemPattern` (which must locate the whole tag). Handles either
+    * attribute order (name-then-content, content-then-name) because the
+    * element is located first and `content` is pulled from the match.
+    * Empty string when the element or the attribute is absent. */
+  private def elemAttr(html: Column, elemPattern: String,
+                       attr: String): Column = {
+    val elem = regexp_extract(html, elemPattern, 0)
+    attrValue(regexp_extract(elem,
+      "(?is)[\\s\"']" + attr + "\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
+  }
+
+  private def namedMetaContent(html: Column, name: String): Column =
+    elemAttr(html,
+      s"(?is)<meta\\b[^>]*[\\s\"']name\\s*=\\s*[\"']?$name\\b[^>]*>",
+      "content")
+
+  /** Page-level metadata every crawl indexer extracts before (or
+    * instead of) full text: `<title>`, `<meta name=description>`, the
+    * `<html lang>` attribute (lowercased — BCP 47 tags are
+    * case-insensitive), `<link rel=canonical href>` (the page's OWN
+    * dedup key claim — see the canonical-target dedup row), and
+    * `<meta name=robots content>` (lowercased; the in-band opt-out
+    * channel the robots.txt gate cannot see). All fields come back as
+    * empty strings when absent. Pure regex Columns over the raw page —
+    * zero shuffle, zero UDF, rides the extraction map. */
+  def pageMeta(html: Column): Column = {
+    val title = trim(decodeEntities(regexp_replace(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title", 1),
+      "\\s+", " ")))
+    val desc = trim(regexp_replace(
+      namedMetaContent(html, "description"), "\\s+", " "))
+    val lang = lower(attrValue(regexp_extract(html,
+      "(?is)<html\\b[^>]*?[\\s\"']lang\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)",
+      1)))
+    val canonical = elemAttr(html,
+      "(?is)<link\\b[^>]*[\\s\"']rel\\s*=\\s*[\"']?canonical\\b[^>]*>",
+      "href")
+    val robots = lower(trim(namedMetaContent(html, "robots")))
+    struct(title.as("title"), desc.as("description"), lang.as("lang"),
+      canonical.as("canonical"), robots.as("robots"))
+  }
+
+  /** Split a robots directive value (`<meta name=robots>` content or an
+    * `X-Robots-Tag` header) into its comma-separated directive tokens,
+    * trimmed and lowercased. Parameterized directives
+    * (`unavailable_after: <date>`) keep only the directive name —
+    * matching how indexers test for a directive's presence. */
+  def robotsDirectiveTokens(value: Column): Column =
+    filter(
+      transform(split(lower(coalesce(value, lit(""))), ",", -1),
+        t => trim(substring_index(t, ":", 1))),
+      t => length(t) > 0)
+
+  /** The REP in-band opt-out decision (Google's robots-meta semantics,
+    * the de-facto standard): combine the page's `<meta name=robots>`
+    * content with the response's `X-Robots-Tag` header — a directive in
+    * EITHER channel applies — and emit
+    * `struct(indexable, followable)`: `noindex`/`none` forbid indexing
+    * (for a corpus: the page's text must not be kept), `nofollow`/`none`
+    * forbid following (its links must not feed the frontier). Absent
+    * directives default to allowed. A narrow map — composes with
+    * [[graft.pipeline.UrlOps.robotsGate]], which handles the OUT-of-band
+    * (robots.txt) channel. */
+  def noindexGate(metaRobots: Column, xRobotsTag: Column): Column = {
+    val toks = concat(robotsDirectiveTokens(metaRobots),
+      robotsDirectiveTokens(xRobotsTag))
+    val has = (d: String) => exists(toks, t => t === d)
+    struct(
+      (!(has("noindex") || has("none"))).as("indexable"),
+      (!(has("nofollow") || has("none"))).as("followable"))
   }
 }

@@ -656,4 +656,162 @@ object Multimodal {
       }
       .toDF("id", "frame", "sample_index", "sample_bytes")
   }
+
+  /** Build a minimal JPEG carrying a real Exif APP1 segment (CIPA
+    * DC-008 / TIFF 6.0): SOI, APP1 (`Exif\0\0` + a TIFF block with one
+    * IFD0), EOI. The TIFF block honors `bigEndian` (`MM` vs `II`
+    * headers — both byte orders exist in the wild, split roughly by
+    * camera vendor) and carries the four tags a corpus pipeline
+    * actually reads: ImageWidth (0x0100, LONG), ImageLength (0x0101,
+    * LONG), Make (0x010F, ASCII — stored out-of-line after the IFD, as
+    * the spec requires once the value exceeds the 4-byte inline slot),
+    * and Orientation (0x0112, SHORT — the field that decides whether
+    * pixels need rotating before any visual hash). Returns the full
+    * JPEG byte stream. */
+  def buildExifJpeg(width: Int, height: Int, orientation: Int,
+                    make: String, bigEndian: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1-8, got $orientation")
+    val order = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+    else java.nio.ByteOrder.LITTLE_ENDIAN
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    // TIFF block: 8-byte header, IFD0 with 4 entries; the Make value is
+    // inline iff it fits the 4-byte slot (TIFF 6.0 §2), else after IFD0
+    val inlineMake = makeBytes.length <= 4
+    val nEntries = 4
+    val ifdStart = 8
+    val makeOff = ifdStart + 2 + nEntries * 12 + 4
+    val tiff = java.nio.ByteBuffer
+      .allocate(if (inlineMake) makeOff else makeOff + makeBytes.length)
+      .order(order)
+    tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    tiff.putShort(42).putInt(ifdStart)
+    tiff.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(value: => Unit): Unit = {
+      tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val before = tiff.position()
+      value
+      // the value slot is exactly 4 bytes, zero-padded on the right
+      while (tiff.position() < before + 4) tiff.put(0.toByte)
+    }
+    entry(0x0100, 4, 1)(tiff.putInt(width))
+    entry(0x0101, 4, 1)(tiff.putInt(height))
+    entry(0x010F, 2, makeBytes.length)(
+      if (inlineMake) tiff.put(makeBytes) else tiff.putInt(makeOff))
+    entry(0x0112, 3, 1)(tiff.putShort(orientation.toShort))
+    tiff.putInt(0) // no IFD1
+    if (!inlineMake) tiff.put(makeBytes)
+    val exifBody = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.array()
+    val app1Len = exifBody.length + 2
+    Array[Byte](0xFF.toByte, 0xD8.toByte, // SOI
+      0xFF.toByte, 0xE1.toByte, // APP1 marker
+      ((app1Len >> 8) & 0xFF).toByte, (app1Len & 0xFF).toByte) ++
+      exifBody ++ Array[Byte](0xFF.toByte, 0xD9.toByte) // EOI
+  }
+
+  /** Parse one JPEG's Exif IFD0 into
+    * `(found, bigEndian, width, height, orientation, make)` — the
+    * CONTAINER half of image metadata extraction, same philosophy as
+    * [[mp4SampleRanges]]: a real JPEG marker walk (skip entropy-free
+    * segments by their declared lengths — never by scanning pixels)
+    * finds APP1, then a real TIFF IFD walk (byte order from the
+    * `II`/`MM` header, 12-byte entries, inline-vs-offset values by the
+    * type's byte width) reads the tags. JPEGs without an Exif APP1
+    * return `found = false` with zeroed fields — absence is data, not an
+    * error. Malformed TIFF structures inside a present APP1 fail loudly,
+    * the [[mp4SampleRanges]] rule. */
+  def exifIfd0(payload: Array[Byte])
+      : (Boolean, Boolean, Long, Long, Long, String) = {
+    require(payload.length >= 4 &&
+      (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8,
+      "not a JPEG: missing SOI")
+    // marker walk: find APP1 with the Exif\0\0 signature
+    var pos = 2
+    var tiffStart = -1
+    var tiffEnd = -1
+    while (tiffStart < 0 && pos + 4 <= payload.length &&
+      (payload(pos) & 0xFF) == 0xFF) {
+      val marker = payload(pos + 1) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) pos = payload.length // EOI/SOS
+      else {
+        val segLen = ((payload(pos + 2) & 0xFF) << 8) | (payload(pos + 3) & 0xFF)
+        require(segLen >= 2 && pos + 2 + segLen <= payload.length,
+          s"malformed JPEG segment 0x${marker.toHexString} at $pos")
+        if (marker == 0xE1 && segLen >= 8 &&
+          new String(payload, pos + 4, 4, "US-ASCII") == "Exif") {
+          tiffStart = pos + 10
+          tiffEnd = pos + 2 + segLen
+        }
+        pos += 2 + segLen
+      }
+    }
+    if (tiffStart < 0) (false, false, 0L, 0L, 0L, "")
+    else {
+      val bb = java.nio.ByteBuffer.wrap(payload, tiffStart,
+        tiffEnd - tiffStart).slice()
+      val bom = new String(payload, tiffStart, 2, "US-ASCII")
+      require(bom == "II" || bom == "MM", s"bad TIFF byte order '$bom'")
+      val big = bom == "MM"
+      bb.order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bb.getShort(2) == 42, "bad TIFF magic")
+      val ifd = bb.getInt(4)
+      val n = bb.getShort(ifd) & 0xFFFF
+      var (w, h, o) = (0L, 0L, 0L)
+      var make = ""
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        val tag = bb.getShort(e) & 0xFFFF
+        val typ = bb.getShort(e + 2) & 0xFFFF
+        val count = bb.getInt(e + 4)
+        // inline when the value fits the 4-byte slot (TIFF 6.0 §2)
+        def long1: Long = typ match {
+          case 3 => (bb.getShort(e + 8) & 0xFFFF).toLong // SHORT
+          case 4 => bb.getInt(e + 8) & 0xFFFFFFFFL // LONG
+          case t => throw new IllegalArgumentException(
+            s"tag 0x${tag.toHexString}: unsupported numeric type $t")
+        }
+        tag match {
+          case 0x0100 => w = long1
+          case 0x0101 => h = long1
+          case 0x0112 => o = long1
+          case 0x010F =>
+            require(typ == 2, s"Make: expected ASCII, got type $typ")
+            val off = if (count <= 4) e + 8 else bb.getInt(e + 8)
+            require(off >= 0 && off + count <= bb.capacity(),
+              s"Make value out of TIFF bounds: $off+$count")
+            val raw = new Array[Byte](count)
+            var j = 0
+            while (j < count) { raw(j) = bb.get(off + j); j += 1 }
+            // ASCII values are NUL-terminated per the spec
+            val z = raw.indexOf(0.toByte)
+            make = new String(raw, 0, if (z < 0) count else z, "US-ASCII")
+          case _ => // unknown tags are skipped, per every real reader
+        }
+        i += 1
+      }
+      (true, big, w, h, o, make)
+    }
+  }
+
+  /** EXIF probe over a `(id, payload)` frame: one row per JPEG with
+    * `(id, exif_found, big_endian, width, height, orientation, make)`.
+    * Partition-batched byte math like every decode path — zero shuffle,
+    * O(segment count) per payload, never scans entropy-coded data. */
+  def exifProbe(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (found, big, w, h, o, make) = exifIfd0(payload)
+          (id, found, big, w, h, o, make)
+        }
+      }
+      .toDF("id", "exif_found", "big_endian", "width", "height",
+        "orientation", "make")
+  }
 }

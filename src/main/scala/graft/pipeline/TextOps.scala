@@ -1208,4 +1208,32 @@ object TextOps {
     docs.select(col("doc_id") +: counts: _*)
       .withColumn("dominant", dominant)
   }
+
+  /** Token blocklist filter — the C4 "bad words" rule (Raffel et al.
+    * 2020 §2.2 drop any page containing a listed word; Dolma and
+    * RefinedWeb keep variants of the same gate): a doc is flagged when
+    * ANY of its whitespace tokens equals a blocklist entry,
+    * case-insensitively and TOKEN-EXACT — a listed word embedded inside
+    * a longer token does not fire (the classic Scunthorpe false
+    * positive this rule deliberately avoids).
+    *
+    * The list rides the plan as a literal array and the match is one
+    * `aggregate` fold over the token array — a zero-shuffle narrow map.
+    * That is the right shape for the real lists too (C4's is ~400
+    * entries): at 100 TB the cost is one in-set probe per token,
+    * embarrassingly parallel; only a list too large for a task binary
+    * (millions of entries — by then it is a dictionary, not a
+    * blocklist) would justify the broadcast-join spelling instead.
+    * Emits `(doc_id, n_hits, blocked)` — the count supports
+    * threshold-k policies, the flag is the C4 any-hit rule. */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val listed = blocklist.map(_.toLowerCase).distinct
+    val toks = tokens(lower(col(textCol)))
+    val hits = aggregate(toks, lit(0L),
+      (acc, t) => acc + when(t.isin(listed: _*), 1L).otherwise(0L))
+    docs.select(col("doc_id"), hits.as("n_hits"))
+      .withColumn("blocked", (col("n_hits") > 0).cast("long"))
+  }
 }

@@ -168,6 +168,100 @@ object UrlOps {
       .otherwise(concat(rev, port, lit(")"), pathq))
   }
 
+  /** RFC 3986 §5.2.4 `remove_dot_segments` over an already-merged path.
+    * One `aggregate` fold over the `/`-split segment array: `.` is
+    * dropped, `..` pops the last pushed segment (but never the leading
+    * root marker, so `/../g` resolves to `/g` exactly as the RFC's
+    * abnormal examples require), anything else — including the empty
+    * segments genuine `//` runs produce — is pushed verbatim. A
+    * trailing `.` or `..` leaves the RFC's trailing slash. Empty input
+    * normalizes to `/` (the repo-wide empty-path convention shared with
+    * [[canonicalizeUrl]]). Pure codegen Column work, O(segments). */
+  def removeDotSegments(path: Column): Column = {
+    val segs = split(path, "/", -1)
+    val stack = aggregate(segs, array().cast("array<string>"),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1))
+              .otherwise(acc))
+          .otherwise(array_append(acc, s)))
+    val withTrail = when(element_at(segs, -1).isin(".", ".."),
+      array_append(stack, lit(""))).otherwise(stack)
+    val joined = array_join(withTrail, "/")
+    when(joined === "", lit("/")).otherwise(joined)
+  }
+
+  /** RFC 3986 §5.2 reference resolution: the hop between
+    * [[graft.pipeline.Html.extractLinks]] (which returns hrefs AS
+    * WRITTEN — mostly relative on real pages) and anything that needs an
+    * absolute URL (the link graph, the frontier, canonical-target
+    * dedup). Implements the strict algorithm over a hierarchical
+    * `scheme://` base:
+    *
+    *   - a ref with a scheme but no authority (`mailto:`, `urn:`,
+    *     `http:g` strict) passes through unchanged;
+    *   - a ref with `://` is already absolute — only its path gets
+    *     dot-segment removal;
+    *   - `//host/x` (network-path) takes the base's scheme;
+    *   - `""` and `#frag` resolve to the base itself (query kept);
+    *   - `?y` keeps the base path, replaces the query;
+    *   - `/rooted` keeps the base authority;
+    *   - anything else merges onto the base path's directory
+    *     (RFC §5.2.3) and removes dot segments.
+    *
+    * Two deliberate divergences from the RFC's literal §5.4 output,
+    * both repo conventions shared with [[canonicalizeUrl]]: fragments
+    * are stripped (a dedup/crawl key never includes one), and an empty
+    * resolved path becomes `/` (so `//g` → `http://g/`). Pure Column
+    * work — zero shuffle, rides the extraction map. */
+  def resolveReference(base: Column, ref: Column): Column = {
+    val r = substring_index(ref, "#", 1)
+    val b = substring_index(base, "#", 1)
+    val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
+    val hasAuthScheme = call_function("instr", r, lit("://")) > 0
+    // base decomposition
+    val bScheme = substring_index(b, "://", 1)
+    val bRest = call_function("substr", b,
+      call_function("instr", b, lit("://")) + 3)
+    val bAuth = regexp_extract(bRest, "^[^/?]*", 0)
+    val bPathQ = call_function("substr", bRest, length(bAuth) + 1)
+    val bPath = substring_index(bPathQ, "?", 1)
+    // ref path/query split (query carried verbatim, '?' included)
+    val rPath = substring_index(r, "?", 1)
+    val rQmark = call_function("instr", r, lit("?"))
+    val rQuery = when(rQmark > 0, call_function("substr", r, rQmark))
+      .otherwise(lit(""))
+    // absolute and network-path refs share one decomposition: a
+    // network-path ref's target IS base-scheme + ":" + ref (RFC §5.2.2)
+    val absT = when(hasAuthScheme, r)
+      .otherwise(concat(bScheme, lit(":"), r))
+    val aScheme = substring_index(absT, "://", 1)
+    val aRest = call_function("substr", absT,
+      call_function("instr", absT, lit("://")) + 3)
+    val aAuth = regexp_extract(aRest, "^[^/?]*", 0)
+    val aPathQ = call_function("substr", aRest, length(aAuth) + 1)
+    val aPath = substring_index(aPathQ, "?", 1)
+    val aQmark = call_function("instr", aPathQ, lit("?"))
+    val aQuery = when(aQmark > 0, call_function("substr", aPathQ, aQmark))
+      .otherwise(lit(""))
+    val absOut = concat(aScheme, lit("://"), aAuth,
+      removeDotSegments(aPath), aQuery)
+    // RFC §5.2.3 merge for relative-path refs
+    val bDir = when(bPath.contains("/"), regexp_extract(bPath, "^(.*/)", 1))
+      .otherwise(lit(""))
+    val merged = when(length(bAuth) > 0 && bPath === "",
+      concat(lit("/"), rPath)).otherwise(concat(bDir, rPath))
+    when(hasScheme && !hasAuthScheme, r)
+      .when(hasAuthScheme || r.startsWith("//"), absOut)
+      .when(r === "", b)
+      .when(r.startsWith("?"), concat(bScheme, lit("://"), bAuth, bPath, r))
+      .when(r.startsWith("/"),
+        concat(bScheme, lit("://"), bAuth, removeDotSegments(rPath), rQuery))
+      .otherwise(
+        concat(bScheme, lit("://"), bAuth, removeDotSegments(merged), rQuery))
+  }
+
   /** Per-domain `Crawl-delay` (the de-facto politeness field Bing and
     * Yandex honor; not in RFC 9309 but ubiquitous in published
     * robots.txt) with the SAME group selection as [[parseRobots]]: the

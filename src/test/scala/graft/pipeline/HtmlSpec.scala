@@ -139,4 +139,100 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     anchors("<a href=\"u://x\"></a><a href=\"u://y\"><i><u>deep</u></i>!</a>") shouldBe
       Seq(("u://x", ""), ("u://y", "deep !"))
   }
+
+  private def extractCtx(pages: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    pages.toDF("html").select(Html.htmlToTextContext(col("html")))
+      .as[String].collect().toSeq
+  }
+
+  "htmlToTextContext" should "rescue a short heading next to good prose" in {
+    val page = s"<nav><a href='/'>Home</a></nav><h1>Document 7</h1>" +
+      s"<p>$prose</p>"
+    extractCtx(page) shouldBe Seq(s"Document 7\n$prose")
+    // the line rule alone drops the heading
+    extract(page) shouldBe Seq(prose)
+  }
+
+  it should "rescue a short caption AFTER good prose via the next side" in {
+    extractCtx(s"<p>$prose</p><p>Figure 1: setup</p>" +
+      "<footer><a href=/t>ToS</a> <a href=/p>Privacy</a></footer>") shouldBe
+      Seq(s"$prose\nFigure 1: setup")
+  }
+
+  it should "not rescue a short line surrounded by chrome" in {
+    extractCtx("<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      "<h1>Lonely heading</h1>" +
+      "<footer><a href=/t>ToS</a> <a href=/p>Privacy</a></footer>") shouldBe
+      Seq("")
+  }
+
+  it should "not let a short line rescue another short line" in {
+    // nearest NON-short neighbor decides: heading + subheading between
+    // bad chrome — neither has a GOOD non-short neighbor
+    extractCtx("<nav><a href='/'>Home</a></nav><h1>Heading one</h1>" +
+      "<h2>Subhead two</h2><footer><a href=/t>ToS</a> &copy;</footer>") shouldBe
+      Seq("")
+    // ...but both rescue when prose follows: nearest non-short of BOTH
+    // shorts (scanning past the other short) is the good paragraph
+    extractCtx(s"<h1>Heading one</h1><h2>Subhead two</h2><p>$prose</p>") shouldBe
+      Seq(s"Heading one\nSubhead two\n$prose")
+  }
+
+  it should "never rescue link-dense or symbol-heavy short lines" in {
+    extractCtx(s"<p>$prose</p><p><a href='/m'>more...</a></p>" +
+      s"<p>*** ### ***</p><p>$prose2</p>") shouldBe Seq(s"$prose\n$prose2")
+  }
+
+  private def meta(page: String): (String, String, String, String, String) = {
+    val s = spark
+    import s.implicits._
+    Seq(page).toDF("html").select(Html.pageMeta(col("html")).as("m"))
+      .select("m.title", "m.description", "m.lang", "m.canonical",
+        "m.robots")
+      .as[(String, String, String, String, String)].collect().head
+  }
+
+  "pageMeta" should "extract title, description, lang, canonical, robots" in {
+    meta("<html lang=\"en-GB\"><head><title> A &amp; B </title>" +
+      "<meta name=\"description\" content=\"Fine &quot;page&quot;\">" +
+      "<link rel=\"canonical\" href=\"https://ex.com/a?x=1\">" +
+      "<meta name=\"robots\" content=\"NOINDEX, nofollow\">" +
+      "</head><body></body></html>") shouldBe
+      ("A & B", "Fine \"page\"", "en-gb", "https://ex.com/a?x=1",
+        "noindex, nofollow")
+  }
+
+  it should "handle reversed attribute order, unquoted values, absence" in {
+    meta("<html lang=en><head>" +
+      "<meta content='rev order desc' name='description'>" +
+      "<link href=/rel-canon rel=canonical></head>") shouldBe
+      ("", "rev order desc", "en", "/rel-canon", "")
+    meta("<p>no head at all</p>") shouldBe ("", "", "", "", "")
+  }
+
+  it should "not read keywords meta as description (name token boundary)" in {
+    meta("<meta name=\"descriptions-custom\" content=\"wrong\">" +
+      "<meta name=\"description\" content=\"right\">")._2 shouldBe "right"
+  }
+
+  private def gate(metaRobots: String, header: String): (Boolean, Boolean) = {
+    val s = spark
+    import s.implicits._
+    Seq((metaRobots, header)).toDF("m", "h")
+      .select(Html.noindexGate(col("m"), col("h")).as("g"))
+      .select("g.indexable", "g.followable")
+      .as[(Boolean, Boolean)].collect().head
+  }
+
+  "noindexGate" should "honor noindex/nofollow/none from either channel" in {
+    gate("", "") shouldBe ((true, true))
+    gate("noindex", "") shouldBe ((false, true))
+    gate("", "NOFOLLOW") shouldBe ((true, false))
+    gate("none", "") shouldBe ((false, false))
+    gate("index, follow", "") shouldBe ((true, true))
+    gate("noarchive, unavailable_after: 2026-01-01", "noindex") shouldBe
+      ((false, true))
+  }
 }

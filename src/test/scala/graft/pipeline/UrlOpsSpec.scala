@@ -379,4 +379,64 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .as[(String, String)].collect().toMap
     psl shouldBe lite
   }
+
+  private def resolve(base: String, refs: String*): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    refs.toDF("ref")
+      .select(UrlOps.resolveReference(lit(base), col("ref"))).as[String]
+      .collect().toSeq
+  }
+
+  // RFC 3986 §5.4 base; expected values are the RFC's own, modulo the
+  // two documented conventions (fragments stripped, empty path → "/")
+  private val Rfc54Base = "http://a/b/c/d;p?q"
+
+  "resolveReference" should "replay the RFC 3986 §5.4.1 normal examples" in {
+    resolve(Rfc54Base,
+      "g", "./g", "g/", "/g", "//g", "?y", "g?y", "g#s", ";x", "g;x",
+      "g;x?y#s", "", ".", "./", "..", "../", "../g", "../..", "../../",
+      "../../g") shouldBe Seq(
+      "http://a/b/c/g", "http://a/b/c/g", "http://a/b/c/g/", "http://a/g",
+      "http://g/", "http://a/b/c/d;p?y", "http://a/b/c/g?y",
+      "http://a/b/c/g", "http://a/b/c/;x", "http://a/b/c/g;x",
+      "http://a/b/c/g;x?y", "http://a/b/c/d;p?q", "http://a/b/c/",
+      "http://a/b/c/", "http://a/b/", "http://a/b/", "http://a/b/g",
+      "http://a/", "http://a/", "http://a/g")
+  }
+
+  it should "replay the §5.4.2 abnormal examples (incl. strict http:g)" in {
+    resolve(Rfc54Base,
+      "../../../g", "../../../../g", "/./g", "/../g", "g.", ".g", "g..",
+      "..g", "./../g", "./g/.", "g/./h", "g/../h", "g;x=1/./y",
+      "g;x=1/../y", "g?y/./x", "g?y/../x", "http:g") shouldBe Seq(
+      "http://a/g", "http://a/g", "http://a/g", "http://a/g",
+      "http://a/b/c/g.", "http://a/b/c/.g", "http://a/b/c/g..",
+      "http://a/b/c/..g", "http://a/b/g", "http://a/b/c/g/",
+      "http://a/b/c/g/h", "http://a/b/c/h", "http://a/b/c/g;x=1/y",
+      "http://a/b/c/y", "http://a/b/c/g?y/./x", "http://a/b/c/g?y/../x",
+      "http:g")
+  }
+
+  it should "pass absolute refs through with only dot-segment removal" in {
+    resolve(Rfc54Base,
+      "https://other.net/x/../y?k=1#f", "mailto:user@example.com",
+      "//cdn.example.org/lib/../lib.js") shouldBe Seq(
+      "https://other.net/y?k=1", "mailto:user@example.com",
+      "http://cdn.example.org/lib.js")
+  }
+
+  it should "merge onto an authority-only base and keep // runs" in {
+    resolve("http://h.example.com", "img/p.png", "?v=2") shouldBe
+      Seq("http://h.example.com/img/p.png", "http://h.example.com?v=2")
+    resolve("http://a/b//c/d", "e") shouldBe Seq("http://a/b//c/e")
+  }
+
+  "removeDotSegments" should "keep the root against over-popping" in {
+    val s = spark
+    import s.implicits._
+    Seq("/..", "/../..", "/a/b/../../../c").toDF("p")
+      .select(UrlOps.removeDotSegments(col("p"))).as[String]
+      .collect().toSeq shouldBe Seq("/", "/", "/c")
+  }
 }
