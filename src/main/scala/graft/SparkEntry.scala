@@ -794,6 +794,95 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // redirect chain hop (round 12): ~8% of real captures are 3xx, and
+    // RFC 9110 §10.2.2 allows a RELATIVE Location — the resolver hop a
+    // naive pipeline gets wrong; a Location-shaped line in the BODY is a
+    // decoy the header-section confinement must ignore
+    "q_redirect_resolve" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val ks = k.cast("string")
+      val reqUrl = concat(lit("http://r"), (k % 10).cast("string"),
+        lit(".example.com/old/p"), ks)
+      val http = when(k % 3 === 0,
+        concat(lit("HTTP/1.1 301 Moved Permanently\r\n" +
+          "Location: https://new.example.com/n"), ks,
+          lit("\r\nContent-Type: text/html\r\n\r\n<a href=\"/x\">moved</a>")))
+        .when(k % 3 === 1,
+          concat(lit("HTTP/1.1 302 Found\r\nlocation: ../moved/m"), ks,
+            lit("\r\n\r\nLocation: http://decoy.invalid/body\r\nbody text")))
+        .otherwise(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nfine page"))
+      val resp = docs.select(col("doc_id"), reqUrl.as("req_url"),
+          http.as("payload"))
+        .localCheckpoint()
+      resp.select(col("doc_id"),
+          sources.Warc.httpResponseParts(col("payload"))
+            .getField("status").as("status"),
+          sources.Warc.httpHeader(col("payload"), "Location").as("loc"),
+          col("req_url"))
+        .select(col("doc_id"), col("status"),
+          when(col("status").between(300, 399) && length(col("loc")) > 0,
+            pipeline.UrlOps.resolveReference(col("req_url"), col("loc")))
+            .otherwise(col("req_url")).as("final_url"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON-LD extraction (round 12): schema.org metadata from real
+    // script blocks — a typeless decoy script first, then the ld+json
+    // block parsed by Spark's from_json (nested author struct, @-named
+    // field); dates cross as epoch days per the repo rule
+    "q_jsonld_extract" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val dateIso = date_format(date_add(lit("1970-01-01").cast("date"),
+        (lit(19900) + k % 83).cast("int")), "yyyy-MM-dd")
+      val ld = concat(
+        lit("{\"@type\":\"NewsArticle\",\"headline\":\"Story "),
+        k.cast("string"), lit(" & update\",\"datePublished\":\""), dateIso,
+        lit("\",\"author\":{\"name\":\"Reporter "), (k % 7).cast("string"),
+        lit("\"}}"))
+      val page = concat(lit("<html><head><script>var x = 1;</script>" +
+        "<script type=\"application/ld+json\">"), ld,
+        lit("</script></head><body><p>text</p></body></html>"))
+      val blocks = docs.select(col("doc_id"),
+          element_at(pipeline.Html.jsonLdBlocks(page), 1).as("block"))
+        .localCheckpoint()
+      blocks.select(col("doc_id"),
+          from_json(col("block"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "`@type` STRING, headline STRING, datePublished STRING, " +
+                "author STRUCT<name: STRING>")).as("j"))
+        .select(col("doc_id"),
+          col("j.`@type`").as("ld_type"), col("j.headline").as("headline"),
+          datediff(to_date(col("j.datePublished")),
+            to_date(lit("1970-01-01"))).cast("long").as("pub_day"),
+          col("j.author.name").as("author"))
+        .orderBy("doc_id")
+    }),
+
+    // WAT export (round 12) — the metadata third of the Common Crawl
+    // triad (WARC = captures, WET = q_wet_roundtrip, WAT = per-page
+    // JSON envelopes): canonical URL + extracted title + outlinks
+    // serialized through Spark's to_json; the oracle concatenates the
+    // exact JSON string closed form
+    "q_wat_export" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val slim = en.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("u"))
+        .localCheckpoint()
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav><a href=\"/\">Home</a>" +
+          "<a href='/about'>About</a></nav><p>body prose</p>" +
+          "<footer><a href=/tos>ToS</a></footer></body></html>"))
+      slim.select(col("doc_id"),
+          to_json(struct(col("u").as("url"),
+            pipeline.Html.pageMeta(page).getField("title").as("title"),
+            pipeline.Html.extractLinks(page).as("links"))).as("wat"))
+        .orderBy("doc_id")
+    }),
+
     // the crawl pipeline END TO END — the round-11 families composed the
     // way a real ingest runs them: each doc's synthetic page rides a
     // member-per-record .warc.gz under its enriched URL; the pipeline
@@ -5250,6 +5339,42 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation,
         |       CASE WHEN doc_id % 11 = 10 THEN '' ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // status + final URL closed form; the relative-Location arm replays
+    // the ../ climb as a concatenation, no resolver in the oracle
+    "q_redirect_resolve" ->
+      """SELECT doc_id,
+        |       CAST(CASE (doc_id % 127) % 3 WHEN 0 THEN 301 WHEN 1 THEN 302
+        |            ELSE 200 END AS BIGINT) AS status,
+        |       CASE (doc_id % 127) % 3
+        |         WHEN 0 THEN 'https://new.example.com/n' || CAST(doc_id % 127 AS VARCHAR)
+        |         WHEN 1 THEN 'http://r' || CAST((doc_id % 127) % 10 AS VARCHAR) ||
+        |                     '.example.com/moved/m' || CAST(doc_id % 127 AS VARCHAR)
+        |         ELSE 'http://r' || CAST((doc_id % 127) % 10 AS VARCHAR) ||
+        |              '.example.com/old/p' || CAST(doc_id % 127 AS VARCHAR)
+        |       END AS final_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every JSON-LD field closed form (epoch day carried as the integer
+    // the fixture planted — no date algebra)
+    "q_jsonld_extract" ->
+      """SELECT doc_id, 'NewsArticle' AS ld_type,
+        |       'Story ' || CAST(doc_id % 127 AS VARCHAR) || ' & update' AS headline,
+        |       CAST(19900 + (doc_id % 127) % 83 AS BIGINT) AS pub_day,
+        |       'Reporter ' || CAST((doc_id % 127) % 7 AS VARCHAR) AS author
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the exact to_json byte string concatenated closed form: field
+    // order is the struct order, no whitespace, URL from the shared
+    // canonicalization CTE
+    "q_wat_export" ->
+      (urlEnrichSql + urlCanonSql +
+        """
+          |SELECT doc_id,
+          |       '{"url":"' || url_canon || '","title":"Doc ' ||
+          |       CAST(doc_id AS VARCHAR) ||
+          |       '","links":["/","/about","/tos"]}' AS wat
+          |FROM canon ORDER BY doc_id""".stripMargin),
 
     // the three URL rows share one enrichment CTE (urlEnrichSql) and one
     // canonicalization chain (urlCanonSql) replaying every rule of

@@ -290,6 +290,19 @@ object Html {
         t => trim(substring_index(t, ":", 1))),
       t => length(t) > 0)
 
+  /** Raw `<script type="application/ld+json">` block contents, in
+    * document order — schema.org structured data (articles, products,
+    * breadcrumbs) that news/commerce pipelines prefer over scraping the
+    * visible DOM. Returns the raw JSON strings; callers hand them to
+    * `from_json` with their expected schema (parsing stays in Spark's
+    * real JSON machinery, not regex). Plain `<script>` blocks without
+    * the type never match. One `regexp_extract_all` — zero shuffle. */
+  def jsonLdBlocks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<script\\b[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"']" +
+        "[^>]*>(.*?)</script"),
+      lit(1))
+
   /** The REP in-band opt-out decision (Google's robots-meta semantics,
     * the de-facto standard): combine the page's `<meta name=robots>`
     * content with the response's `X-Robots-Tag` header — a directive in

@@ -355,4 +355,25 @@ object Warc {
       .otherwise(rawBody)
     struct(status.as("status"), ctype.as("content_type"), body.as("body"))
   }
+
+  /** One named header's value from an HTTP/1.1 message (RFC 9110 §5:
+    * field names are case-insensitive, the value runs to the line end,
+    * OWS trimmed). The search is confined to the HEADER SECTION — the
+    * same earlier-of-CRLF/LF blank-line split as [[httpResponseParts]] —
+    * so a `name:`-shaped line inside the body can never match. Empty
+    * string when absent. Pure Column work; the per-header regex rides
+    * the same scan as the parts extraction. */
+  def httpHeader(payload: org.apache.spark.sql.Column,
+                 name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-'),
+      s"not an HTTP field name: '$name'")
+    val blankCrlf = call_function("instr", payload, lit("\r\n\r\n"))
+    val blankLf = call_function("instr", payload, lit("\n\n"))
+    val useCrlf = blankCrlf > 0 && (blankLf === 0 || blankCrlf <= blankLf)
+    val blank = when(useCrlf, blankCrlf).otherwise(blankLf)
+    val headers = when(blank > 0,
+      call_function("substr", payload, lit(1), blank - 1)).otherwise(payload)
+    trim(regexp_extract(headers, "(?im)^" + name + ":([^\\r\\n]*)", 1))
+  }
 }

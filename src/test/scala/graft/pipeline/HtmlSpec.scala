@@ -226,6 +226,18 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .as[(Boolean, Boolean)].collect().head
   }
 
+  "jsonLdBlocks" should "extract only typed ld+json blocks, in order" in {
+    val s = spark
+    import s.implicits._
+    val page = "<script>var a=1;</script>" +
+      "<script type=\"application/ld+json\">{\"a\":1}</script>" +
+      "<script type='application/ld+json' async>{\"b\":2}</script>" +
+      "<script type=\"text/javascript\">{\"c\":3}</script>"
+    Seq(page).toDF("html")
+      .select(Html.jsonLdBlocks(col("html"))).as[Seq[String]]
+      .collect().head shouldBe Seq("{\"a\":1}", "{\"b\":2}")
+  }
+
   "noindexGate" should "honor noindex/nofollow/none from either channel" in {
     gate("", "") shouldBe ((true, true))
     gate("noindex", "") shouldBe ((false, true))

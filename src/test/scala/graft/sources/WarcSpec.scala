@@ -193,4 +193,35 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .select("h.body").as[String].collect().head
     got shouldBe "abc"
   }
+
+  private def header(payload: String, name: String): String = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(payload).toDF("p")
+      .select(Warc.httpHeader(col("p"), name)).as[String].collect().head
+  }
+
+  "httpHeader" should "read a header case-insensitively with OWS trimmed" in {
+    val msg = "HTTP/1.1 301 Moved\r\nlocation:   /new/place  \r\n" +
+      "Content-Type: text/html\r\n\r\nbody"
+    header(msg, "Location") shouldBe "/new/place"
+    header(msg, "content-type") shouldBe "text/html"
+  }
+
+  it should "never match a header-shaped line in the body" in {
+    val msg = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+      "Location: http://decoy.invalid/x\r\nmore body"
+    header(msg, "Location") shouldBe ""
+  }
+
+  it should "handle LF-only framing and absent headers" in {
+    header("HTTP/1.1 302 Found\nLocation: /lf\n\nbody", "Location") shouldBe
+      "/lf"
+    header("HTTP/1.1 200 OK\r\n\r\nbody", "Location") shouldBe ""
+  }
+
+  it should "reject a non-token field name" in {
+    an[IllegalArgumentException] should be thrownBy header("x", "bad name")
+  }
 }
