@@ -883,6 +883,139 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ZIP listing probe (round 12): archives from the REAL JDK encoder
+    // (STORED members, so sizes are closed-form), walked by OUR
+    // central-directory arithmetic — EOCD from the tail, entries by
+    // declared lengths; the manifest that shards an archive into
+    // member-tasks without inflating anything
+    "q_zip_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mm = ids.mapPartitions { it =>
+        it.map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val zos = new java.util.zip.ZipOutputStream(bos)
+          (0 to (id % 4).toInt).foreach { j =>
+            val bytes = f"c$id%07d-$j".getBytes("UTF-8")
+            val e = new java.util.zip.ZipEntry(s"f$j.txt")
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(bytes.length)
+            val crc = new java.util.zip.CRC32(); crc.update(bytes)
+            e.setCrc(crc.getValue)
+            zos.putNextEntry(e); zos.write(bytes); zos.closeEntry()
+          }
+          zos.close()
+          (id, bos.toByteArray)
+        }
+      }.toDF("id", "payload")
+      sources.Archive.zipProbe(mm)
+        .select(col("id").as("doc_id"), col("member"), col("name"),
+          col("method"), col("compressed_size"), col("uncompressed_size"))
+        .orderBy("doc_id", "member")
+    }),
+
+    // PDF structure probe (round 12): build→walk round-trip through the
+    // classic xref machinery — header version, tail-first startxref,
+    // 20-byte-entry census arithmetic, trailer /Root → catalog /Pages →
+    // /Count; every field predicted closed form
+    "q_pdf_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mm = ids.mapPartitions { it =>
+        it.map { id =>
+          val v = if (id % 3 == 0) "1.4" else "1.7"
+          (id, sources.Pdf.buildPdf(1 + (id % 9).toInt, v))
+        }
+      }.toDF("id", "payload")
+      sources.Pdf.pdfProbe(mm)
+        .select(col("id").as("doc_id"), col("version"), col("n_objects"),
+          col("page_count"))
+        .orderBy("doc_id")
+    }),
+
+    // GPT-2 pre-tokenization (round 12): the byte-level-BPE pre-split
+    // over the real corpus text plus a planted suffix that exercises
+    // contractions, digit runs, hyphens, and repeated punctuation; BOTH
+    // engines run the identical lookahead-free pattern, and the
+    // `lossless` column asserts pieces concatenate back to the input
+    "q_pretokenize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val text = concat(col("text"), lit(" Let's don't re-run 42 times!!"))
+      val withP = docs.select(col("doc_id"), text.as("t"),
+          pipeline.Bpe.pretokenize(text).as("pc"))
+        .localCheckpoint()
+      withP.select(col("doc_id"),
+          size(col("pc")).cast("long").as("n_pieces"),
+          size(filter(col("pc"), p => p.rlike("^ ?\\p{L}+$")))
+            .cast("long").as("n_alpha"),
+          size(filter(col("pc"), p => p.rlike("^ ?\\p{N}+$")))
+            .cast("long").as("n_num"),
+          size(filter(col("pc"), p => p.rlike("^\\s+$")))
+            .cast("long").as("n_space"),
+          size(filter(col("pc"), p => p.startsWith("'")))
+            .cast("long").as("n_contr"),
+          (array_join(col("pc"), "") === col("t")).cast("long")
+            .as("lossless"))
+        .withColumn("n_other", col("n_pieces") - col("n_alpha") -
+          col("n_num") - col("n_space") - col("n_contr"))
+        .orderBy("doc_id")
+    }),
+
+    // robots rules AS-OF the capture time (round 12): robots.txt
+    // changes, and a capture must obey the version in effect when it
+    // was fetched — the versioned-policy correctness a naive
+    // latest-rules join gets wrong. Two fixture versions flip the
+    // decision for every path, so any as-of error lands as a wrong
+    // `allowed`; version keys ride parseRobots' opaque domain column
+    "q_robots_asof" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val d = col("doc_id")
+      val caps = en.select(d,
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(col("url"))).as("domain"),
+          regexp_extract(pipeline.UrlOps.canonicalizeUrl(col("url")),
+            "://[^/]*(/[^?]*)", 1).as("path"),
+          (lit(120L) + d % 160).as("crawl_day"))
+        .localCheckpoint()
+      val hist = caps.select("domain").distinct()
+        .select(col("domain"),
+          explode(array(lit(100L), lit(200L))).as("fetched_day"))
+        .select(col("domain"), col("fetched_day"),
+          when(col("fetched_day") === 100L,
+            lit("User-agent: *\nDisallow: /pAth/"))
+            .otherwise(lit("User-agent: *\nAllow: /pAth/\nDisallow: /"))
+            .as("robots_txt"))
+      val asof = caps
+        .join(hist.select("domain", "fetched_day"), Seq("domain"))
+        .where(col("fetched_day") <= col("crawl_day"))
+        .groupBy("doc_id", "domain", "path", "crawl_day")
+        .agg(max("fetched_day").as("ver_day"))
+      val rules = pipeline.UrlOps.parseRobots(
+        hist.select(concat(col("domain"), lit("#"),
+            col("fetched_day").cast("string")).as("dkey"),
+          col("robots_txt")),
+        domainCol = "dkey", txtCol = "robots_txt")
+        .withColumnRenamed("domain", "dkey")
+      asof.select(col("doc_id"), col("domain"), col("path"),
+          col("crawl_day"),
+          concat(col("domain"), lit("#"), col("ver_day").cast("string"))
+            .as("dkey"))
+        .join(broadcast(rules), Seq("dkey"), "left")
+        .select(col("doc_id"), col("domain"), col("crawl_day"),
+          when(col("rule_path").isNotNull &&
+              col("path").startsWith(col("rule_path")),
+            length(col("rule_path")) * 2 + col("allow").cast("int"))
+            .otherwise(lit(-1)).as("score"))
+        .groupBy("doc_id", "domain", "crawl_day")
+        .agg(max("score").as("s"))
+        .select(col("doc_id"), col("domain"), col("crawl_day"),
+          when(col("s") < 0, lit(1L))
+            .otherwise((col("s") % 2).cast("long")).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // the crawl pipeline END TO END — the round-11 families composed the
     // way a real ingest runs them: each doc's synthetic page rides a
     // member-per-record .warc.gz under its enriched URL; the pipeline
@@ -5375,6 +5508,64 @@ object SparkEntry {
           |       CAST(doc_id AS VARCHAR) ||
           |       '","links":["/","/about","/tos"]}' AS wat
           |FROM canon ORDER BY doc_id""".stripMargin),
+
+    // STORED members make every size closed form; names/counts from the
+    // residue plan
+    "q_zip_probe" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS member,
+        |       'f' || CAST(j AS VARCHAR) || '.txt' AS name,
+        |       CAST(0 AS BIGINT) AS method,
+        |       CAST(10 AS BIGINT) AS compressed_size,
+        |       CAST(10 AS BIGINT) AS uncompressed_size
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST(doc_id % 4 AS INTEGER) + 1)) AS j
+        |      FROM documents)
+        |ORDER BY doc_id, member""".stripMargin,
+
+    // census = pages + catalog + page tree + free object 0
+    "q_pdf_probe" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN '1.4' ELSE '1.7' END AS version,
+        |       CAST(4 + doc_id % 9 AS BIGINT) AS n_objects,
+        |       CAST(1 + doc_id % 9 AS BIGINT) AS page_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both engines run the IDENTICAL lookahead-free pattern over the
+    // same text; counts per piece class + the losslessness invariant
+    "q_pretokenize" -> {
+      val pat = pipeline.Bpe.PretokenPattern.replace("'", "''")
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' Let''s don''t re-run 42 times!!' AS t,
+         |         regexp_extract_all(text || ' Let''s don''t re-run 42 times!!', '$pat') AS pc
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(pc) AS BIGINT) AS n_pieces,
+         |       CAST(len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT) AS n_alpha,
+         |       CAST(len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{N}+'))) AS BIGINT) AS n_num,
+         |       CAST(len(list_filter(pc, x -> regexp_full_match(x, '\\s+'))) AS BIGINT) AS n_space,
+         |       CAST(len(list_filter(pc, x -> x LIKE '''%')) AS BIGINT) AS n_contr,
+         |       CAST(CASE WHEN array_to_string(pc, '') = t THEN 1 ELSE 0 END AS BIGINT) AS lossless,
+         |       CAST(len(pc) - len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{L}+')))
+         |            - len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{N}+')))
+         |            - len(list_filter(pc, x -> regexp_full_match(x, '\\s+')))
+         |            - len(list_filter(pc, x -> x LIKE '''%')) AS BIGINT) AS n_other
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    // the as-of decision collapses to one closed-form flip: version 1
+    // (crawl < 200) disallows the /pAth/ tree and allows the root,
+    // version 2 allows the tree and disallows everything else
+    "q_robots_asof" ->
+      (urlEnrichSql + urlCanonSql +
+        """,
+          |cap AS (
+          |  SELECT doc_id, domain,
+          |         CAST(120 + doc_id % 160 AS BIGINT) AS crawl_day,
+          |         CASE WHEN (doc_id % 127) % 11 = 3 THEN 1 ELSE 0 END AS rooted
+          |  FROM canon)
+          |SELECT doc_id, domain, crawl_day,
+          |       CAST(CASE WHEN crawl_day < 200 THEN rooted
+          |                 ELSE 1 - rooted END AS BIGINT) AS allowed
+          |FROM cap ORDER BY doc_id""".stripMargin),
 
     // the three URL rows share one enrichment CTE (urlEnrichSql) and one
     // canonicalization chain (urlCanonSql) replaying every rule of

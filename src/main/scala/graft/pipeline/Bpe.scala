@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -137,4 +137,26 @@ object Bpe {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** The GPT-2 pre-tokenization split (Radford et al. 2019; the regex
+    * every byte-level BPE — GPT-2/3, RoBERTa, CLIP — applies BEFORE the
+    * merge loop, so merges can never cross character classes):
+    * contraction suffixes, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs, whitespace runs — in
+    * that alternation order, so `don't` splits `don` + `'t` and ` 42nd`
+    * splits ` 42` + `nd`. This is the LOOKAHEAD-FREE variant: the
+    * original's `\s+(?!\S)` trailing-space alternative is dropped
+    * (RE2-class engines — and therefore the cross-engine oracle — have
+    * no lookahead), so a whitespace run stays one piece instead of
+    * donating its last space to the next token. Segmentation is still
+    * lossless: pieces concatenate back to the input exactly. */
+  val PretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** All pre-token pieces of `text`, in order — one
+    * `regexp_extract_all`, a zero-shuffle narrow map. The downstream
+    * BPE merge loop runs once per DISTINCT piece (Zipf-bounded), which
+    * is exactly why the pre-split exists at corpus scale. */
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(text, lit(PretokenPattern), lit(0))
 }

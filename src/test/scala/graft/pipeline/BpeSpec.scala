@@ -119,4 +119,28 @@ class BpeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       got(i.toLong) shouldBe ((toks.length.toLong, want))
     }
   }
+
+  private def pretok(text: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(text).toDF("t").select(Bpe.pretokenize(col("t")))
+      .as[Seq[String]].collect().head
+  }
+
+  "pretokenize" should "split the GPT-2 way: contractions, runs, spaces" in {
+    pretok("Let's don't re-run 42 times!!") shouldBe Seq(
+      "Let", "'s", " don", "'t", " re", "-", "run", " 42", " times", "!!")
+  }
+
+  it should "keep digit runs apart from letters and fold the space in" in {
+    pretok("the 42nd item costs $3.50") shouldBe Seq(
+      "the", " 42", "nd", " item", " costs", " $", "3", ".", "50")
+  }
+
+  it should "be lossless: pieces concatenate back to the input" in {
+    val texts = Seq("Let's don't re-run 42 times!!",
+      "  leading and   internal\truns\n", "no-punct", "")
+    texts.foreach(t => pretok(t).mkString("") shouldBe t)
+  }
 }

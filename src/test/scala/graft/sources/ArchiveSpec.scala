@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, ZipEntry, ZipOutputStream}
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.tsne.SparkTestBase
+
+/** ZIP central-directory walk pinned against archives produced by the
+  * REAL JDK zip encoder: STORED and DEFLATED members, trailing-comment
+  * EOCD location, and the loud-failure contract. */
+class ArchiveSpec extends AnyFlatSpec with Matchers with SparkTestBase {
+
+  private def zipOf(comment: String, entries: (String, String, Boolean)*)
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    if (comment.nonEmpty) zos.setComment(comment)
+    entries.foreach { case (name, content, stored) =>
+      val bytes = content.getBytes("UTF-8")
+      val e = new ZipEntry(name)
+      if (stored) {
+        e.setMethod(ZipEntry.STORED)
+        e.setSize(bytes.length)
+        val crc = new CRC32(); crc.update(bytes)
+        e.setCrc(crc.getValue)
+      }
+      zos.putNextEntry(e)
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  "zipCentralDirectory" should "list real JDK-written members in order" in {
+    val zip = zipOf("",
+      ("a.txt", "alpha content", true),
+      ("dir/b.txt", "beta", false))
+    val got = Archive.zipCentralDirectory(zip)
+    got.map(_._1) shouldBe Seq("a.txt", "dir/b.txt")
+    got.head._2 shouldBe 0 // STORED
+    got.head._3 shouldBe 13L // compressed == uncompressed when stored
+    got.head._4 shouldBe 13L
+    got(1)._2 shouldBe 8 // DEFLATED
+    got(1)._4 shouldBe 4L
+  }
+
+  it should "find the EOCD behind a trailing archive comment" in {
+    val zip = zipOf("a trailing comment that pads the EOCD record",
+      ("x.bin", "payload", true))
+    Archive.zipCentralDirectory(zip).map(_._1) shouldBe Seq("x.bin")
+  }
+
+  it should "report local header offsets that actually address members" in {
+    val zip = zipOf("", ("f1", "one", true), ("f2", "two", true))
+    Archive.zipCentralDirectory(zip).foreach { case (_, _, _, _, off) =>
+      // local file header signature PK\3\4 at the recorded offset
+      zip(off.toInt) shouldBe 0x50.toByte
+      zip(off.toInt + 1) shouldBe 0x4B.toByte
+      zip(off.toInt + 2) shouldBe 0x03.toByte
+      zip(off.toInt + 3) shouldBe 0x04.toByte
+    }
+  }
+
+  it should "fail loudly on garbage and on a truncated directory" in {
+    an[IllegalArgumentException] should be thrownBy
+      Archive.zipCentralDirectory("not a zip at all, much too plain".getBytes)
+    val zip = zipOf("", ("a", "x", true))
+    an[IllegalArgumentException] should be thrownBy
+      Archive.zipCentralDirectory(zip.take(zip.length - 30) ++
+        zip.takeRight(22))
+  }
+
+  "zipProbe" should "emit one row per member across payloads" in {
+    val s = spark
+    import s.implicits._
+    val mm = Seq(
+      (1L, zipOf("", ("a", "aa", true))),
+      (2L, zipOf("", ("b", "bb", true), ("c", "cc", false))))
+      .toDF("id", "payload")
+    Archive.zipProbe(mm).select("id", "member", "name")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+      .toSeq shouldBe Seq((1L, 0L, "a"), (2L, 0L, "b"), (2L, 1L, "c"))
+  }
+}
