@@ -756,6 +756,45 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     plan should not include "Sort"
   }
 
+  "q_canonical_dedup" should "be one hash aggregation on the target key, no cartesian" in {
+    val plan = formattedPlan("q_canonical_dedup")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    // partial + final agg pair around the key exchange
+    plan.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") should be >= 2
+  }
+
+  "q_robots_asof" should "broadcast the versioned rules, no cartesian" in {
+    val plan = formattedPlan("q_robots_asof")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  "q_blocklist_filter and q_pretokenize" should "stay map-side until the ordering" in {
+    for (name <- Seq("q_blocklist_filter", "q_pretokenize")) {
+      val plan = formattedPlan(name)
+      plan should not include "Window"
+      plan should not include "SortMergeJoin"
+      plan should not include "CartesianProduct"
+      withClue(name) {
+        // no aggregation anywhere: the gate/counters are per-row folds
+        plan should not include "HashAggregate"
+      }
+    }
+  }
+
+  "q_url_resolve and q_html_meta" should "contain no join and no aggregate — pure narrow maps" in {
+    for (name <- Seq("q_url_resolve", "q_html_meta")) {
+      val plan = formattedPlan(name)
+      withClue(name) {
+        plan should not include "Join"
+        plan should not include "HashAggregate"
+        plan should not include "CartesianProduct"
+      }
+    }
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }
