@@ -921,23 +921,31 @@ object SparkEntry {
         .orderBy("doc_id", "member")
     }),
 
-    // PDF structure probe (round 12): build→walk round-trip through the
-    // classic xref machinery — header version, tail-first startxref,
-    // 20-byte-entry census arithmetic, trailer /Root → catalog /Pages →
-    // /Count; every field predicted closed form
+    // PDF structure probe (round 12, +xref-stream arm round 13):
+    // build→walk round-trip through the classic xref machinery — header
+    // version, tail-first startxref, 20-byte-entry census arithmetic,
+    // offset-resolved trailer /Root → catalog /Pages → /Count — plus a
+    // 1.5 cross-reference-STREAM residue class (k % 5 == 2) the probe
+    // must DETECT (census from the plain-text /Size) and route to the
+    // decode seam (page_count −1) instead of failing; every field
+    // predicted closed form
     "q_pdf_probe" -> ((s, dir) => {
       import s.implicits._
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
       val mm = ids.mapPartitions { it =>
         it.map { id =>
-          val v = if (id % 3 == 0) "1.4" else "1.7"
-          (id, sources.Pdf.buildPdf(1 + (id % 9).toInt, v))
+          val pages = 1 + (id % 9).toInt
+          val pdf =
+            if (id % 5 == 2) sources.Pdf.buildXrefStreamPdf(pages)
+            else sources.Pdf.buildPdf(pages,
+              if (id % 3 == 0) "1.4" else "1.7")
+          (id, pdf)
         }
       }.toDF("id", "payload")
       sources.Pdf.pdfProbe(mm)
-        .select(col("id").as("doc_id"), col("version"), col("n_objects"),
-          col("page_count"))
+        .select(col("id").as("doc_id"), col("version"), col("kind"),
+          col("n_objects"), col("page_count"))
         .orderBy("doc_id")
     }),
 
@@ -960,7 +968,9 @@ object SparkEntry {
             .cast("long").as("n_num"),
           size(filter(col("pc"), p => p.rlike("^\\s+$")))
             .cast("long").as("n_space"),
-          size(filter(col("pc"), p => p.startsWith("'")))
+          // the pattern's actual contraction branch — a stray bare
+          // apostrophe/quote piece is punctuation, not a contraction
+          size(filter(col("pc"), p => p.rlike("^'(?:s|t|re|ve|m|ll|d)$")))
             .cast("long").as("n_contr"),
           (array_join(col("pc"), "") === col("t")).cast("long")
             .as("lossless"))
@@ -5528,12 +5538,19 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id, member""".stripMargin,
 
-    // census = pages + catalog + page tree + free object 0
+    // census = pages + catalog + page tree + free object 0 (classic),
+    // +1 for the xref stream object itself in the stream arm (whose
+    // page_count is -1: compressed table → decode-seam routing)
     "q_pdf_probe" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 3 = 0 THEN '1.4' ELSE '1.7' END AS version,
-        |       CAST(4 + doc_id % 9 AS BIGINT) AS n_objects,
-        |       CAST(1 + doc_id % 9 AS BIGINT) AS page_count
+        |       CASE WHEN doc_id % 5 = 2 THEN '1.5'
+        |            WHEN doc_id % 3 = 0 THEN '1.4' ELSE '1.7' END AS version,
+        |       CASE WHEN doc_id % 5 = 2 THEN 'xref-stream'
+        |            ELSE 'xref-table' END AS kind,
+        |       CAST(CASE WHEN doc_id % 5 = 2 THEN 5 + doc_id % 9
+        |                 ELSE 4 + doc_id % 9 END AS BIGINT) AS n_objects,
+        |       CAST(CASE WHEN doc_id % 5 = 2 THEN -1
+        |                 ELSE 1 + doc_id % 9 END AS BIGINT) AS page_count
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // both engines run the IDENTICAL lookahead-free pattern over the
@@ -5548,12 +5565,12 @@ object SparkEntry {
          |       CAST(len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{L}+'))) AS BIGINT) AS n_alpha,
          |       CAST(len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{N}+'))) AS BIGINT) AS n_num,
          |       CAST(len(list_filter(pc, x -> regexp_full_match(x, '\\s+'))) AS BIGINT) AS n_space,
-         |       CAST(len(list_filter(pc, x -> x LIKE '''%')) AS BIGINT) AS n_contr,
+         |       CAST(len(list_filter(pc, x -> regexp_full_match(x, '''(?:s|t|re|ve|m|ll|d)'))) AS BIGINT) AS n_contr,
          |       CAST(CASE WHEN array_to_string(pc, '') = t THEN 1 ELSE 0 END AS BIGINT) AS lossless,
          |       CAST(len(pc) - len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{L}+')))
          |            - len(list_filter(pc, x -> regexp_full_match(x, ' ?\\p{N}+')))
          |            - len(list_filter(pc, x -> regexp_full_match(x, '\\s+')))
-         |            - len(list_filter(pc, x -> x LIKE '''%')) AS BIGINT) AS n_other
+         |            - len(list_filter(pc, x -> regexp_full_match(x, '''(?:s|t|re|ve|m|ll|d)'))) AS BIGINT) AS n_other
          |FROM p ORDER BY doc_id""".stripMargin
     },
 

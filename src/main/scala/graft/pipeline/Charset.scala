@@ -64,9 +64,15 @@ object Charset {
       CharsetParam, 1)
     // ISO-8859-1 decodes any byte sequence, so the prescan is total
     val prefix = decode(substring(payload, 1, prescanBytes), "ISO-8859-1")
-    val metaElem = regexp_extract(prefix,
-      "(?is)<meta\\b[^>]*charset[^>]*>", 0)
-    val meta = regexp_extract(metaElem, CharsetParam, 1)
+    // ALL candidate meta elements, first one with an actual charset=
+    // declaration wins — a preceding meta that merely MENTIONS the word
+    // (<meta name=keywords content="charset tips">) must not shadow a
+    // real <meta charset=...> later in the head
+    val metaElems = regexp_extract_all(prefix,
+      lit("(?is)<meta\\b[^>]*charset[^>]*>"), lit(0))
+    val meta = coalesce(try_element_at(filter(
+      transform(metaElems, e => regexp_extract(e, CharsetParam, 1)),
+      c => length(c) > 0), lit(1)), lit(""))
     when(bom.isNotNull,
       struct(bom.as("encoding"), lit("bom").as("via")))
       .when(length(header) > 0,

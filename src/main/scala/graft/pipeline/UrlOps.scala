@@ -219,7 +219,10 @@ object UrlOps {
     val r = substring_index(ref, "#", 1)
     val b = substring_index(base, "#", 1)
     val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
-    val hasAuthScheme = call_function("instr", r, lit("://")) > 0
+    // anchored to a leading scheme — a mere "://" occurrence is not
+    // enough, or "/out?url=https://x" (the ubiquitous outbound-redirect
+    // query pattern) would be mis-parsed as an absolute reference
+    val hasAuthScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
     // base decomposition
     val bScheme = substring_index(b, "://", 1)
     val bRest = call_function("substr", b,

@@ -49,7 +49,11 @@ object Feed {
   def parseFeed(feeds: DataFrame, domainCol: String = "domain",
                 xmlCol: String = "feed_xml"): DataFrame = {
     val xml = col(xmlCol)
-    val isAtom = call_function("instr", xml, lit("<feed")) > 0
+    // detect from the ROOT element (prologue/comment-tolerant anchor),
+    // not from any "<feed" occurrence — an RSS item whose content merely
+    // contains that string must still parse as RSS
+    val isAtom = xml.rlike(
+      "(?s)^\\s*(<\\?xml[^>]*>\\s*)?(<!--.*?-->\\s*)*<feed[\\s>]")
     val blocks = when(isAtom,
       regexp_extract_all(xml, lit("(?s)<entry[^>]*>(.*?)</entry>"), lit(1)))
       .otherwise(

@@ -45,6 +45,15 @@ class CharsetSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       ("shift_jis", "meta"), ("windows-1251", "meta"))
   }
 
+  it should "skip a meta that mentions charset without declaring one" in {
+    // the decoy PRECEDES the real declaration: a first-element-only
+    // prescan would select the decoy, extract nothing, and fall through
+    // to the default — the ladder must consult every candidate
+    sniff((b("<meta name=keywords content=\"charset tips and tricks\">" +
+      "<meta charset=koi8-r>"), "text/html")) shouldBe
+      Seq(("koi8-r", "meta"))
+  }
+
   it should "fold aliases and default to utf-8" in {
     sniff(
       (b("x"), "text/html; charset=Latin-1"),

@@ -426,6 +426,17 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       "http://cdn.example.org/lib.js")
   }
 
+  it should "not mistake an absolute URL inside the query for a scheme" in {
+    // the ubiquitous outbound-redirect pattern: the "://" lives in the
+    // QUERY of a rooted/relative ref — the ref is NOT absolute
+    resolve(Rfc54Base,
+      "/out?url=https://x.example.com/p", "a?u=http://x",
+      "go/../out?next=ftp://h/f") shouldBe Seq(
+      "http://a/out?url=https://x.example.com/p",
+      "http://a/b/c/a?u=http://x",
+      "http://a/b/c/out?next=ftp://h/f")
+  }
+
   it should "merge onto an authority-only base and keep // runs" in {
     resolve("http://h.example.com", "img/p.png", "?v=2") shouldBe
       Seq("http://h.example.com/img/p.png", "http://h.example.com?v=2")

@@ -48,6 +48,22 @@ class FeedSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       ("rss", 1, "", "http://ex.com/x", -1L))
   }
 
+  it should "detect format from the ROOT element, not content mentions" in {
+    // an RSS item that merely CONTAINS the string "<feed" (a CDATA
+    // title quoting Atom markup) must still parse as RSS — an
+    // anywhere-in-document probe would flip it to Atom and emit nothing
+    parse("""<?xml version="1.0"?><!-- generator --><rss version="2.0">
+      |<channel><item><title><![CDATA[How <feed> works]]></title>
+      |<link>http://ex.com/atom-guide</link></item>
+      |</channel></rss>""".stripMargin) shouldBe Seq(
+      ("rss", 0, "How <feed> works", "http://ex.com/atom-guide", -1L))
+    // and a prologue+comment-prefixed Atom root still reads as Atom
+    parse("""<?xml version="1.0"?>
+      |<!-- mirror --> <feed><entry><title>A</title>
+      |<link href="http://ex.com/a"/></entry></feed>""".stripMargin)
+      .map(_._1) shouldBe Seq("atom")
+  }
+
   it should "not parse an RSS <link> channel element as an item" in {
     parse("<rss><channel><link>http://ex.com/</link>" +
       "</channel></rss>") shouldBe Seq.empty
