@@ -1055,15 +1055,26 @@ object SparkEntry {
       // body — what a crawl response record actually holds, round 11):
       // residue k%17==3 serves a 404 error page the status gate must
       // quarantine before extraction ever runs
+      // residue k%11==4 (round 13): the origin COMPRESSED the body —
+      // `Content-Encoding: gzip` over the same html (what most real
+      // servers send); the Column parse flags it incomplete and the
+      // binary seam inflates it, so the same text comes out the end
       val warcs = pages.mapPartitions { it =>
         it.map { case (id, url, html) =>
           val notFound = (id % 127) % 17 == 3
-          val http = (if (notFound)
-            "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
-              "<html><body><p>404 page not found here sorry</p></body></html>"
-          else
-            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n" +
-              html).getBytes("UTF-8")
+          val gzBody = !notFound && (id % 127) % 11 == 4
+          val http: Array[Byte] =
+            if (notFound)
+              ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+                "<html><body><p>404 page not found here sorry</p></body></html>")
+                .getBytes("UTF-8")
+            else if (gzBody)
+              ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8" +
+                "\r\nContent-Encoding: gzip\r\n\r\n").getBytes("UTF-8") ++
+                sources.Warc.gzipMember(html.getBytes("UTF-8"))
+            else
+              ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8" +
+                "\r\n\r\n" + html).getBytes("UTF-8")
           val recs = Seq(
             sources.Warc.RecordSpec("request", Some(url),
               "GET / HTTP/1.1\r\n\r\n".getBytes("UTF-8")),
@@ -1073,15 +1084,25 @@ object SparkEntry {
             .toArray)
         }
       }.toDF("id", "payload")
-      sources.Warc.warcProbe(warcs, gzipped = true)
+      val resp = sources.Warc.warcProbe(warcs, gzipped = true)
         .where(col("rec_type") === "response")
-        .select(col("id").as("doc_id"), col("target_uri"),
+        .select(col("id").as("doc_id"), col("target_uri"), col("payload"),
           sources.Warc.httpResponseParts(col("payload").cast("string"))
             .as("h"))
-        .where(col("h.status") === 200L &&
-          col("h.content_type") === "text/html")
+        .localCheckpoint()
+      val okText = resp.where(col("h.decode_complete") &&
+          col("h.status") === 200L && col("h.content_type") === "text/html")
         .select(col("doc_id"), col("target_uri"),
           pipeline.Html.htmlToText(col("h.body")).as("text"))
+      val seamText = sources.Warc.httpDecode(
+          resp.where(!col("h.decode_complete"))
+            .select("doc_id", "target_uri", "payload"))
+        .where(col("decode_complete") && col("http_status") === 200L &&
+          col("http_content_type") === "text/html")
+        .select(col("doc_id"), col("target_uri"),
+          pipeline.Html.htmlToText(col("http_body").cast("string"))
+            .as("text"))
+      okText.unionAll(seamText)
         .select(col("doc_id"),
           pipeline.UrlOps.canonicalizeUrl(col("target_uri")).as("url_canon"),
           pipeline.UrlOps.registeredDomain(
@@ -1416,6 +1437,10 @@ object SparkEntry {
         .otherwise(lit("200 OK"))
       val ctype = when(k % 9 === 2, lit("application/json"))
         .otherwise(lit("text/html; charset=UTF-8"))
+      // k%13==11 (round 13): a LONG chunk chain — 40 chunks, past the
+      // Column fold's MaxDecodedChunks — whose rows the decode_complete
+      // flag must ROUTE through the JVM seam; body_len = len(text) for
+      // that arm is exactly the no-silent-truncation claim
       val payload = when(k % 23 === 7, col("text"))
         .when(k % 13 === 5, concat(lit("HTTP/1.1 "), status,
           lit("\r\nServer: synth\r\nTransfer-Encoding: chunked" +
@@ -1424,13 +1449,69 @@ object SparkEntry {
         .when(k % 13 === 8, concat(lit("HTTP/1.1 "), status,
           lit("\nServer: synth\nContent-Type: "), ctype,
           lit("\n\n"), col("text")))
+        .when(k % 13 === 11, concat(lit("HTTP/1.1 "), status,
+          lit("\r\nServer: synth\r\nTransfer-Encoding: chunked" +
+            "\r\nContent-Type: "), ctype,
+          lit("\r\n\r\n"), sources.Warc.chunkEncode(col("text"), 40)))
         .otherwise(concat(lit("HTTP/1.1 "), status,
           lit("\r\nServer: synth\r\nContent-Type: "), ctype,
           lit("\r\n\r\n"), col("text")))
-      docs.select(col("doc_id"),
+      val withH = docs.select(col("doc_id"), payload.as("payload"),
           sources.Warc.httpResponseParts(payload).as("h"))
+        .localCheckpoint()
+      val ok = withH.where(col("h.decode_complete"))
         .select(col("doc_id"), col("h.status"), col("h.content_type"),
           length(col("h.body")).cast("long").as("body_len"))
+      val residue = sources.Warc.httpDecode(
+          withH.where(!col("h.decode_complete"))
+            .select("doc_id", "payload"))
+        .select(col("doc_id"), col("http_status").as("status"),
+          col("http_content_type").as("content_type"),
+          length(col("http_body").cast("string")).cast("long")
+            .as("body_len"))
+      ok.unionAll(residue).orderBy("doc_id")
+    }),
+
+    // full JVM HTTP decode seam (round 13): the RFC-ordered coding
+    // stack over BINARY payloads — Content-Encoding: gzip entities
+    // (most origin servers compress; a string-Column path would
+    // mojibake the bytes before any inflater saw them), gzip UNDER a
+    // 24-chunk transfer coding (Transfer-Encoding undone first, RFC
+    // 9112 §6.1), and a connection-died-mid-transfer chain whose
+    // missing last-chunk must land as complete=0 with the decoded
+    // prefix kept — body_len = len(text) in every arm is the claim
+    // that the whole stack hands back the entity verbatim
+    "q_http_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val fixture = docs.mapPartitions { it =>
+        it.map { case (id, text) =>
+          val plain = text.getBytes("UTF-8")
+          def hdr(extra: String): Array[Byte] =
+            ("HTTP/1.1 200 OK\r\nServer: synth\r\n" + extra +
+              "Content-Type: text/html; charset=UTF-8\r\n\r\n")
+              .getBytes("ISO-8859-1")
+          val payload = ((id % 127) % 7) match {
+            case 1 => hdr("Content-Encoding: gzip\r\n") ++
+              sources.Warc.gzipMember(plain)
+            case 3 => hdr("Transfer-Encoding: chunked\r\n" +
+              "Content-Encoding: gzip\r\n") ++
+              sources.Warc.chunkEncodeJvm(
+                sources.Warc.gzipMember(plain), 24)
+            case 5 => hdr("Transfer-Encoding: chunked\r\n") ++
+              sources.Warc.chunkEncodeJvm(plain, 6, terminate = false)
+            case _ => hdr("") ++ plain
+          }
+          (id, payload)
+        }
+      }.toDF("doc_id", "payload")
+      sources.Warc.httpDecode(fixture)
+        .select(col("doc_id"), col("http_status").as("status"),
+          col("http_content_type").as("content_type"),
+          length(col("http_body").cast("string")).cast("long")
+            .as("body_len"),
+          col("decode_complete").cast("long").as("complete"))
         .orderBy("doc_id")
     }),
 
@@ -8122,6 +8203,18 @@ object SparkEntry {
         |            ELSE 'text/html' END AS content_type,
         |       CAST(n AS BIGINT) AS body_len
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // every arm decodes to the entity verbatim (gzip inflated, chunked
+    // unstacked in RFC order); only the died-mid-transfer arm flags
+    // incomplete — its prefix is still the whole text (the terminator,
+    // not data, is what's missing)
+    "q_http_decode" ->
+      """SELECT doc_id, CAST(200 AS BIGINT) AS status,
+        |       'text/html' AS content_type,
+        |       CAST(len(text) AS BIGINT) AS body_len,
+        |       CAST(CASE WHEN (doc_id % 127) % 7 = 5 THEN 0 ELSE 1 END
+        |            AS BIGINT) AS complete
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // enrichment AND the whole normalize chain replayed from the SAME
     // Scala constants (sqlLit renders them as DuckDB literals, control

@@ -274,10 +274,13 @@ object Warc {
     concat(array_join(chunks, ""), lit("0"), lit(Crlf), lit(Crlf))
   }
 
-  /** Maximum chunks [[httpResponseParts]] will decode — a per-row
-    * codegen bound, not a data bound: writers that emit more chunks than
-    * this per message leave the tail undecoded, so fixture writers use
-    * [[chunkEncode]]'s N-independent slicing. */
+  /** Maximum chunks the COLUMN-side [[dechunkParts]] will decode — a
+    * per-row fold bound, not a data bound. Real servers chunk at
+    * 4–16 KB, so an ordinary 200 KB page arrives as 30–60 chunks:
+    * messages that exceed this bound are NOT silently truncated — the
+    * fold reports `complete = false` and the caller routes the row
+    * through the JVM decode ([[httpDecode]]/[[dechunkJvm]]), the same
+    * detect-and-route discipline as the charset ladder's `via`. */
   val MaxDecodedChunks = 16
 
   /** Decode a chunked transfer coding (RFC 9112 §7.1): sequentially read
@@ -285,15 +288,19 @@ object Warc {
     * take that many chars, expect CRLF, repeat until the `0` last-chunk.
     * Offset-chasing is inherently sequential, so it rides a bounded
     * `aggregate` fold over [[MaxDecodedChunks]] steps — still pure
-    * codegen'd Column work, one loop per row, no UDF. A malformed size
-    * line stops the decode (returning what accumulated — the quarantine
-    * row keeps partial evidence rather than throwing mid-query). */
-  def dechunk(body: org.apache.spark.sql.Column)
+    * codegen'd Column work, one loop per row, no UDF.
+    *
+    * Returns `struct(body, complete)`. `complete` is true ONLY when the
+    * `0` last-chunk was reached with valid framing inside the bound;
+    * a malformed size line or a chunk count past the bound keeps the
+    * accumulated prefix as evidence and reports `complete = false` —
+    * the quarantine/route signal, never a silent truncation. */
+  def dechunkParts(body: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     val init = struct(body.as("rem"), lit("").as("out"),
-      lit(false).as("done"))
-    val folded = aggregate(
+      lit(false).as("done"), lit(false).as("ok"))
+    aggregate(
       sequence(lit(1), lit(MaxDecodedChunks)), init, (acc, _) => {
         val rem = acc.getField("rem")
         val out = acc.getField("out")
@@ -308,12 +315,86 @@ object Warc {
           length(sizeLine) + 3, sz)
         val nextRem = call_function("substr", rem,
           length(sizeLine) + 2 + sz + 2 + 1)
-        when(acc.getField("done") || !valid || sz === 0,
-          struct(rem.as("rem"), out.as("out"), lit(true).as("done")))
+        when(acc.getField("done"), acc)
+          .when(!valid,
+            struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
+              lit(false).as("ok")))
+          .when(sz === 0,
+            struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
+              lit(true).as("ok")))
           .otherwise(struct(nextRem.as("rem"),
-            concat(out, data).as("out"), lit(false).as("done")))
-      }, acc => acc.getField("out"))
-    folded
+            concat(out, data).as("out"), lit(false).as("done"),
+            lit(false).as("ok")))
+      }, acc => {
+        // exactly MaxDecodedChunks data chunks leaves the terminator
+        // unconsumed by the loop — a remainder that IS the last-chunk
+        // line still means the whole entity was decoded
+        val atTerminator =
+          acc.getField("rem").rlike("^0+(?:;[^\\r\\n]*)?\\r\\n")
+        struct(acc.getField("out").as("body"),
+          (acc.getField("ok") ||
+            (!acc.getField("done") && atTerminator)).as("complete"))
+      })
+  }
+
+  /** [[dechunkParts]]'s body alone — for call sites that gate on the
+    * `complete` flag elsewhere (or knowingly accept the bound). */
+  def dechunk(body: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    dechunkParts(body).getField("body")
+
+  /** Write-side fixture counterpart of [[dechunkJvm]]: frame `data` as
+    * `nChunks` chunks of RFC 9112 §7.1 chunked coding, BYTE-level (chunk
+    * data may be binary — a gzip entity under chunked coding).
+    * `terminate = false` omits the `0` last-chunk — the fixture for a
+    * connection that died mid-transfer. */
+  def chunkEncodeJvm(data: Array[Byte], nChunks: Int,
+                     terminate: Boolean = true): Array[Byte] = {
+    require(nChunks >= 1, s"need at least one chunk, got $nChunks")
+    val out = new ByteArrayOutputStream()
+    val csz = math.max(1, (data.length + nChunks - 1) / nChunks)
+    data.grouped(csz).foreach { piece =>
+      out.write(s"${piece.length.toHexString}\r\n"
+        .getBytes(StandardCharsets.ISO_8859_1))
+      out.write(piece)
+      out.write(Crlf.getBytes(StandardCharsets.ISO_8859_1))
+    }
+    if (terminate)
+      out.write("0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** JVM reference decode of a chunked transfer coding — UNBOUNDED (the
+    * route target for messages past [[MaxDecodedChunks]]): returns
+    * `(decodedBody, complete)` with the same quarantine semantics as
+    * [[dechunkParts]] (malformed framing keeps the accumulated prefix,
+    * `complete = false`). Operates on bytes because chunk DATA is
+    * arbitrary binary (a gzipped entity under chunked transfer coding
+    * must survive un-re-encoded). */
+  def dechunkJvm(body: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = new ByteArrayOutputStream()
+    val n = body.length
+    var pos = 0
+    while (pos < n) {
+      // hex size line up to CRLF, extensions after ';' ignored
+      var eol = pos
+      while (eol + 1 < n && !(body(eol) == '\r' && body(eol + 1) == '\n'))
+        eol += 1
+      if (eol + 1 >= n) return (out.toByteArray, false)
+      val line = new String(body, pos, eol - pos, StandardCharsets.ISO_8859_1)
+      val szStr = line.split(";", 2)(0).trim
+      if (!szStr.matches("[0-9a-fA-F]{1,7}"))
+        return (out.toByteArray, false)
+      val sz = Integer.parseInt(szStr, 16)
+      if (sz == 0) return (out.toByteArray, true) // last-chunk
+      val dataAt = eol + 2
+      if (dataAt + sz + 2 > n) return (out.toByteArray, false)
+      out.write(body, dataAt, sz)
+      if (!(body(dataAt + sz) == '\r' && body(dataAt + sz + 1) == '\n'))
+        return (out.toByteArray, false)
+      pos = dataAt + sz + 2
+    }
+    (out.toByteArray, false) // ran out of input before the last-chunk
   }
 
   /** Split an HTTP/1.1 response message (what a WARC `response` record's
@@ -330,8 +411,18 @@ object Warc {
     * bare LF is honored by taking the EARLIER of `\r\n\r\n` and `\n\n`
     * as the header/body separator (in a CRLF message the first `\n\n`
     * can only occur inside the body, so CRLF still wins there); and a
-    * `Transfer-Encoding: chunked` response is de-chunked ([[dechunk]]),
-    * since the stored payload keeps the chunk framing as received. */
+    * `Transfer-Encoding: chunked` response is de-chunked
+    * ([[dechunkParts]]), since the stored payload keeps the chunk
+    * framing as received.
+    *
+    * The struct's 4th field, `decode_complete`, is the routing flag: it
+    * is false when `body` does NOT hold the full decoded entity — a
+    * chunk chain past [[MaxDecodedChunks]], malformed chunk framing, or
+    * a `Content-Encoding` the Column path cannot inflate (gzip/deflate
+    * are binary codecs — RFC 9110 §8.4 — and belong to the JVM seam,
+    * [[httpDecode]]). Callers MUST either gate on it or hand incomplete
+    * rows to the seam; treating a false row's body as the document is
+    * exactly the silent-truncation bug this flag exists to kill. */
   def httpResponseParts(payload: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -348,12 +439,125 @@ object Warc {
     val ctype = lower(trim(regexp_extract(headers,
       "(?im)^content-type:\\s*([^;\\r\\n]*)", 1)))
     val chunked = headers.rlike("(?im)^transfer-encoding:\\s*chunked\\s*$")
+    // identity/absent passes; gzip/deflate/br need the binary seam
+    val cenc = lower(trim(regexp_extract(headers,
+      "(?im)^content-encoding:\\s*([^\\r\\n]*)", 1)))
+    val encOk = cenc.isin("", "identity")
     val rawBody = when(status === 0L, payload)
       .when(blank > 0, call_function("substr", payload, blank + skip))
       .otherwise(lit(""))
-    val body = when(status > 0L && chunked, dechunk(rawBody))
-      .otherwise(rawBody)
-    struct(status.as("status"), ctype.as("content_type"), body.as("body"))
+    val dp = when(status > 0L && chunked, dechunkParts(rawBody))
+      .otherwise(struct(rawBody.as("body"), lit(true).as("complete")))
+    val complete = status === 0L ||
+      (dp.getField("complete") && encOk)
+    struct(status.as("status"), ctype.as("content_type"),
+      dp.getField("body").as("body"),
+      complete.as("decode_complete"))
+  }
+
+  /** Full JVM decode of one HTTP/1.1 response payload — the route
+    * target for rows [[httpResponseParts]] marks incomplete, and the
+    * correct primary path when bodies are binary (a gzip entity decoded
+    * through a string Column would be mojibake before the inflater ever
+    * saw it). Applies the RFC-ordered stack: split headers, undo
+    * `Transfer-Encoding: chunked` ([[dechunkJvm]] — Transfer-Encoding
+    * is removed first, RFC 9112 §6.1), then `Content-Encoding`
+    * gzip/deflate via the JDK inflater (RFC 9110 §8.4). Returns
+    * `(status, contentType, bodyBytes, complete)`; an unknown coding or
+    * a failed inflate keeps the best-effort bytes with
+    * `complete = false`. */
+  def parseHttpJvm(payload: Array[Byte])
+      : (Long, String, Array[Byte], Boolean) = {
+    val n = payload.length
+    // header/body separator: earlier of CRLFCRLF and LFLF (same
+    // tolerance as the Column path)
+    var crlf = -1; var lf = -1
+    var i = 0
+    while (i < n && (crlf < 0 || lf < 0)) {
+      if (crlf < 0 && i + 3 < n && payload(i) == '\r' &&
+        payload(i + 1) == '\n' && payload(i + 2) == '\r' &&
+        payload(i + 3) == '\n') crlf = i
+      if (lf < 0 && i + 1 < n && payload(i) == '\n' &&
+        payload(i + 1) == '\n') lf = i
+      i += 1
+    }
+    val useCrlf = crlf >= 0 && (lf < 0 || crlf <= lf)
+    val blank = if (useCrlf) crlf else lf
+    val skip = if (useCrlf) 4 else 2
+    val headerEnd = if (blank >= 0) blank else n
+    val headers = new String(payload, 0, headerEnd,
+      StandardCharsets.ISO_8859_1)
+    val statusM = "^HTTP/[0-9.]+ ([0-9]{3})".r.findFirstMatchIn(headers)
+    val status = statusM.map(_.group(1).toLong).getOrElse(0L)
+    def header(name: String): String =
+      ("(?im)^" + name + ":\\s*([^\\r\\n]*)").r.findFirstMatchIn(headers)
+        .map(_.group(1).trim).getOrElse("")
+    val ctype = header("content-type").split(";", 2)(0).trim.toLowerCase
+    if (status == 0L) return (0L, ctype, payload, true)
+    val rawBody =
+      if (blank >= 0 && blank + skip <= n)
+        java.util.Arrays.copyOfRange(payload, blank + skip, n)
+      else Array.emptyByteArray
+    val chunked = header("transfer-encoding").equalsIgnoreCase("chunked")
+    val (transferred, tOk) =
+      if (chunked) dechunkJvm(rawBody) else (rawBody, true)
+    val cenc = header("content-encoding").toLowerCase
+    val (entity, cOk) = cenc match {
+      case "" | "identity" => (transferred, true)
+      case "gzip" | "x-gzip" =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(transferred))
+          (in.readAllBytes(), true)
+        } catch { case _: java.io.IOException => (transferred, false) }
+      case "deflate" =>
+        try {
+          val inf = new Inflater()
+          inf.setInput(transferred)
+          val out = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput())
+            out.write(buf, 0, inf.inflate(buf))
+          val ok = inf.finished()
+          inf.end()
+          (if (ok) out.toByteArray else transferred, ok)
+        } catch {
+          case _: java.util.zip.DataFormatException => (transferred, false)
+        }
+      case _ => (transferred, false) // br/zstd etc.: route, don't guess
+    }
+    (status, ctype, entity, tOk && cOk)
+  }
+
+  /** DataFrame seam over [[parseHttpJvm]]: appends `http_status`,
+    * `http_content_type`, `http_body` (BYTES — post-decode entity;
+    * text decoding is the charset rung's job), and `decode_complete`
+    * to every row of `df`, parsing `payloadCol` (binary) per row inside
+    * `mapPartitions` — embarrassingly parallel, zero shuffle, and the
+    * schema passes through so the seam composes mid-pipeline. */
+  def httpDecode(df: DataFrame, payloadCol: String = "payload")
+      : DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("http_status", LongType, nullable = false),
+      StructField("http_content_type", StringType, nullable = false),
+      StructField("http_body", BinaryType, nullable = true),
+      StructField("decode_complete", BooleanType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(idx) match {
+          case b: Array[Byte] => b
+          case s: String => s.getBytes(StandardCharsets.UTF_8)
+          case null => Array.emptyByteArray
+          case other => throw new IllegalArgumentException(
+            s"$payloadCol must be binary or string, got ${other.getClass}")
+        }
+        val (status, ctype, body, ok) = parseHttpJvm(payload)
+        Row.fromSeq(r.toSeq ++ Seq(status, ctype, body, ok))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** One named header's value from an HTTP/1.1 message (RFC 9110 §5:

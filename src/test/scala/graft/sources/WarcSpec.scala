@@ -224,4 +224,130 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
   it should "reject a non-token field name" in {
     an[IllegalArgumentException] should be thrownBy header("x", "bad name")
   }
+
+  private def chunk(body: String, n: Int): String = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(body).toDF("b").select(Warc.chunkEncode(col("b"), n))
+      .as[String].collect().head
+  }
+
+  "decode_complete" should "flag chunk chains past the Column bound, never truncate silently" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val body = "the quick brown fox jumps over the lazy dog " * 10
+    def msg(framed: String) =
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        "Content-Type: text/plain\r\n\r\n" + framed
+    val within = msg(chunk(body, Warc.MaxDecodedChunks))
+    val past = msg(chunk(body, 40))
+    val malformed = msg("3\r\nabc\r\nzz!\r\nrest")
+    val plain = "HTTP/1.1 200 OK\r\n\r\n" + body
+    val nonHttp = "no protocol here"
+    val got = Seq(within, past, malformed, plain, nonHttp).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.body", "h.decode_complete")
+      .as[(String, Boolean)].collect().toSeq
+    got(0) shouldBe ((body, true))
+    // past the bound: the decoded prefix is kept as evidence, but the
+    // flag says INCOMPLETE — the caller must route, not trust
+    got(1)._2 shouldBe false
+    body.startsWith(got(1)._1) shouldBe true
+    got(1)._1.length should be < body.length
+    got(2) shouldBe (("abc", false))
+    got(3) shouldBe ((body, true))
+    got(4) shouldBe ((nonHttp, true))
+  }
+
+  it should "flag a Content-Encoding the Column path cannot inflate" in {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val gz = "HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n" +
+      "Content-Type: text/html\r\n\r\n(compressed bytes)"
+    val idn = "HTTP/1.1 200 OK\r\nContent-Encoding: identity\r\n\r\nplain"
+    val got = Seq(gz, idn).toDF("p")
+      .select(Warc.httpResponseParts(col("p")).as("h"))
+      .select("h.decode_complete").as[Boolean].collect().toSeq
+    got shouldBe Seq(false, true)
+  }
+
+  "dechunkJvm" should "decode unbounded chains byte-exactly and report completeness" in {
+    val body = "0123456789" * 61 // 610 bytes → 40 chunks of ≤16
+    val framed = chunk(body, 40).getBytes("ISO-8859-1")
+    val (full, ok) = Warc.dechunkJvm(framed)
+    new String(full, "ISO-8859-1") shouldBe body
+    ok shouldBe true
+    // truncated mid-chunk and malformed size line both keep the prefix
+    val (pre, ok2) = Warc.dechunkJvm("5\r\nhello\r\nZZ!\r\n".getBytes)
+    (new String(pre), ok2) shouldBe (("hello", false))
+    val (pre3, ok3) = Warc.dechunkJvm("5\r\nhel".getBytes)
+    (new String(pre3), ok3) shouldBe (("", false))
+  }
+
+  "parseHttpJvm/httpDecode" should "inflate gzip and deflate entities (RFC 9110 §8.4)" in {
+    val text = "<html>real page body, long enough to compress well " * 5 +
+      "</html>"
+    val plain = text.getBytes("UTF-8")
+    def msg(hdr: String, body: Array[Byte]): Array[Byte] = {
+      val h = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + hdr +
+        "\r\n").getBytes("ISO-8859-1")
+      h ++ body
+    }
+    val gzBody = Warc.gzipMember(plain)
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val (s1, ct1, b1, ok1) =
+      Warc.parseHttpJvm(msg("Content-Encoding: gzip\r\n", gzBody))
+    (s1, ct1, ok1) shouldBe ((200L, "text/html", true))
+    b1 shouldBe plain
+    val (_, _, b2, ok2) =
+      Warc.parseHttpJvm(msg("Content-Encoding: deflate\r\n", defl))
+    (new String(b2, "UTF-8"), ok2) shouldBe ((text, true))
+    // unknown coding routes (keeps bytes, flags incomplete)
+    val (_, _, b3, ok3) =
+      Warc.parseHttpJvm(msg("Content-Encoding: br\r\n", gzBody))
+    (b3.sameElements(gzBody), ok3) shouldBe ((true, false))
+    // a corrupt gzip stream must not pass as complete
+    val corrupt = gzBody.clone(); corrupt(corrupt.length / 2) =
+      (corrupt(corrupt.length / 2) ^ 0x55).toByte
+    val (_, _, _, ok4) =
+      Warc.parseHttpJvm(msg("Content-Encoding: gzip\r\n", corrupt))
+    ok4 shouldBe false
+  }
+
+  it should "stack chunked + gzip in RFC order (Transfer-Encoding undone first)" in {
+    val s = spark
+    import s.implicits._
+    val text = "stacked codings page " * 30
+    val gzBody = Warc.gzipMember(text.getBytes("UTF-8"))
+    // chunk the BINARY gzip entity: frame bytes by hand (24 chunks)
+    val out = new java.io.ByteArrayOutputStream()
+    val csz = math.max(1, gzBody.length / 24 + 1)
+    gzBody.grouped(csz).foreach { piece =>
+      out.write(s"${piece.length.toHexString}\r\n".getBytes("ISO-8859-1"))
+      out.write(piece)
+      out.write("\r\n".getBytes("ISO-8859-1"))
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    val payload = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: gzip\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ out.toByteArray
+    val (st, ct, body, ok) = Warc.parseHttpJvm(payload)
+    (st, ct, ok) shouldBe ((200L, "text/html", true))
+    new String(body, "UTF-8") shouldBe text
+    // and through the DataFrame seam, schema passing through
+    val got = Warc.httpDecode(Seq((9L, payload)).toDF("id", "payload"))
+      .select("id", "http_status", "http_content_type", "decode_complete")
+      .as[(Long, Long, String, Boolean)].collect().head
+    got shouldBe ((9L, 200L, "text/html", true))
+  }
 }
