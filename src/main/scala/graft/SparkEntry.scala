@@ -898,21 +898,29 @@ object SparkEntry {
       import s.implicits._
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id")).as[Long]
+      // residue id%9==7 (round 13): the SAME members in a ZIP64 archive
+      // (sentinel EOCD + locator + 0x0001 extras — the >4 GiB/>65k-member
+      // form) — the listing must come out identical, so the closed-form
+      // oracle pins the whole ZIP64 resolution path with zero new rows
       val mm = ids.mapPartitions { it =>
         it.map { id =>
-          val bos = new java.io.ByteArrayOutputStream()
-          val zos = new java.util.zip.ZipOutputStream(bos)
-          (0 to (id % 4).toInt).foreach { j =>
-            val bytes = f"c$id%07d-$j".getBytes("UTF-8")
-            val e = new java.util.zip.ZipEntry(s"f$j.txt")
-            e.setMethod(java.util.zip.ZipEntry.STORED)
-            e.setSize(bytes.length)
-            val crc = new java.util.zip.CRC32(); crc.update(bytes)
-            e.setCrc(crc.getValue)
-            zos.putNextEntry(e); zos.write(bytes); zos.closeEntry()
+          val names = (0 to (id % 4).toInt)
+            .map(j => (s"f$j.txt", f"c$id%07d-$j".getBytes("UTF-8")))
+          if (id % 9 == 7) (id, sources.Archive.buildZip64(names))
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val zos = new java.util.zip.ZipOutputStream(bos)
+            names.foreach { case (name, bytes) =>
+              val e = new java.util.zip.ZipEntry(name)
+              e.setMethod(java.util.zip.ZipEntry.STORED)
+              e.setSize(bytes.length)
+              val crc = new java.util.zip.CRC32(); crc.update(bytes)
+              e.setCrc(crc.getValue)
+              zos.putNextEntry(e); zos.write(bytes); zos.closeEntry()
+            }
+            zos.close()
+            (id, bos.toByteArray)
           }
-          zos.close()
-          (id, bos.toByteArray)
         }
       }.toDF("id", "payload")
       sources.Archive.zipProbe(mm)
@@ -1118,6 +1126,28 @@ object SparkEntry {
     "q_url_dedup" -> ((s, dir) =>
       pipeline.UrlOps.dedupByUrl(urlEnrichedDocs(s, dir))
         .orderBy("url_canon")),
+
+    // IDN/punycode folding (round 13): both spellings of an
+    // international site — Unicode and ACE — must canonicalize to ONE
+    // key (the dedup gap any international crawl hits), with the PSL
+    // walk running in the folded space; the oracle carries the expected
+    // ACE forms as literals (RFC 3492 outputs, precomputed), so a fold
+    // drift or a registered-domain slip lands as a hash mismatch
+    "q_idn_fold" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val k = col("doc_id") % 127
+      val host = when(k % 5 === 0, lit("münchen.de"))
+        .when(k % 5 === 1, lit("xn--mnchen-3ya.de"))
+        .when(k % 5 === 2, lit("日本語.jp"))
+        .when(k % 5 === 3, lit("bücher.example.co.uk"))
+        .otherwise(lit("plain.example.com"))
+      val url = concat(lit("http://"), host, lit("/p/"), k.cast("string"))
+      docs.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(url).as("url_canon"),
+          pipeline.UrlOps.registeredDomain(
+            pipeline.UrlOps.canonicalHost(url)).as("domain"))
+        .orderBy("doc_id")
+    }),
 
     // per-registered-domain quota (the domain-cap curation gate): at most
     // 3 docs per pay-level domain, largest-first — the row_number+filter
@@ -5684,6 +5714,23 @@ object SparkEntry {
           |SELECT url_canon, MIN(doc_id) AS keeper,
           |       CAST(COUNT(*) AS BIGINT) AS n_dups
           |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin),
+
+    // expected ACE spellings are RFC 3492 outputs carried as literals
+    // (DuckDB has no punycode); both IDN arms map to the SAME key
+    "q_idn_fold" ->
+      """WITH k AS (SELECT doc_id, doc_id % 127 AS k FROM documents)
+        |SELECT doc_id,
+        |       'http://' ||
+        |       CASE WHEN k % 5 IN (0, 1) THEN 'xn--mnchen-3ya.de'
+        |            WHEN k % 5 = 2 THEN 'xn--wgv71a119e.jp'
+        |            WHEN k % 5 = 3 THEN 'xn--bcher-kva.example.co.uk'
+        |            ELSE 'plain.example.com' END ||
+        |       '/p/' || CAST(k AS VARCHAR) AS url_canon,
+        |       CASE WHEN k % 5 IN (0, 1) THEN 'xn--mnchen-3ya.de'
+        |            WHEN k % 5 = 2 THEN 'xn--wgv71a119e.jp'
+        |            WHEN k % 5 = 3 THEN 'example.co.uk'
+        |            ELSE 'example.com' END AS domain
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->
       (urlEnrichSql + urlCanonSql +

@@ -89,14 +89,27 @@ object UrlOps {
   private def rawAuthority(rest: Column): Column =
     regexp_extract(rest, "^[^/?]*", 0)
 
+  /** Fold a host Column to its IDNA ACE (`xn--`) form — one dedup/PSL
+    * key for `münchen.de` vs `xn--mnchen-3ya.de`. Native codegen
+    * expression with an in-place ASCII fast path
+    * ([[graft.expressions.IdnAscii]]); unfoldable spellings pass
+    * through raw (never wrongly collapsed). */
+  def idnFold(host: Column): Column = {
+    import org.apache.spark.sql.{graftglue => glue}
+    glue.column(graft.expressions.IdnAscii(glue.expression(host)))
+  }
+
   /** Canonical host of a URL Column: lowercased, userinfo stripped,
-    * default port stripped. Empty string when the URL has no `://`. */
+    * default port stripped, Unicode hosts folded to their ACE (`xn--`)
+    * form ([[idnFold]] — RFC 3490, so both spellings of an
+    * international site make one key). Empty string when the URL has
+    * no `://`. */
   def canonicalHost(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
     val rest = call_function("substr", noFrag,
       call_function("instr", noFrag, lit("://")) + 3)
     val scheme = lower(substring_index(noFrag, "://", 1))
-    val hp = lower(regexp_extract(rawAuthority(rest), "[^@]*$", 0))
+    val hp = idnFold(lower(regexp_extract(rawAuthority(rest), "[^@]*$", 0)))
     val host =
       when(scheme === "http" && hp.endsWith(":80"),
         call_function("substr", hp, lit(1), length(hp) - 3))
@@ -351,17 +364,21 @@ object UrlOps {
     * distinct input host. */
   def registeredDomainPsl(hosts: DataFrame, psl: DataFrame,
                           hostCol: String = "host"): DataFrame = {
+    // both sides of the probe fold to ACE: the real PSL carries Unicode
+    // rules (`中国`, `онлайн`) and hosts arrive in either spelling —
+    // without the fold, `münchen.de` probes miss an `xn--` rule and
+    // vice versa
     val rules = psl.select(trim(col("rule")).as("r"))
       .where(length(col("r")) > 0 && !col("r").startsWith("//"))
       .select(
-        when(col("r").startsWith("!"),
-          call_function("substr", col("r"), lit(2))).otherwise(col("r"))
+        idnFold(when(col("r").startsWith("!"),
+          call_function("substr", col("r"), lit(2))).otherwise(col("r")))
           .as("rule_key"),
         col("r").startsWith("!").as("exc"))
       .withColumn("rule_nl", size(split(col("rule_key"), "\\.", -1)))
     val h = hosts.select(col(hostCol).as("host")).where(length(col("host")) > 0)
       .distinct()
-    val labels = split(col("host"), "\\.", -1)
+    val labels = split(idnFold(col("host")), "\\.", -1)
     val n = size(labels)
     // candidate suffix of j labels, plus its wildcard spelling (j >= 2:
     // the leftmost label replaced by `*`) — both probe the rule table

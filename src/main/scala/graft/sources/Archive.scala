@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *     (the spec allows a trailing comment up to 64 KiB, so the fixed
   *     "22 bytes from the end" shortcut is wrong on real files);
   *   - central directory offset/count read from the EOCD;
+  *   - ZIP64 (APPNOTE §4.3.14/.15, §4.5.3): when the classic fields
+  *     hold their sentinels (0xFFFF members / 0xFFFFFFFF size-offset —
+  *     archives >4 GiB or >65,535 members, which arXiv and GitHub bulk
+  *     dumps exceed routinely), the ZIP64 EOCD locator `PK\0x06\0x07`
+  *     is read for the 64-bit EOCD record `PK\0x06\0x06`, and per-entry
+  *     sentinel sizes/offsets resolve through the 0x0001 extended-info
+  *     extra field in its spec-fixed field order;
   *   - each entry's signature (`PK\0x01\0x02`) verified, name read at
   *     its declared length, variable extra/comment fields skipped by
   *     their declared lengths — never by scanning.
@@ -29,13 +36,14 @@ object Archive {
 
   /** Central-directory listing of one ZIP payload:
     * `(name, method, compressed_size, uncompressed_size, local_offset)`
-    * per member, in directory order. */
+    * per member, in directory order. Handles classic and ZIP64 forms. */
   def zipCentralDirectory(payload: Array[Byte])
       : Seq[(String, Int, Long, Long, Long)] = {
     def u16(at: Int): Int =
       (payload(at) & 0xFF) | ((payload(at + 1) & 0xFF) << 8)
     def u32(at: Int): Long =
       (u16(at).toLong | (u16(at + 2).toLong << 16)) & 0xFFFFFFFFL
+    def u64(at: Int): Long = u32(at) | (u32(at + 4) << 32)
     require(payload.length >= 22, "too short for a ZIP EOCD")
     // backward scan for PK\5\6 — comment may pad up to 64 KiB
     var eocd = payload.length - 22
@@ -43,32 +51,130 @@ object Archive {
     while (eocd >= floor && !(payload(eocd) == 0x50 && payload(eocd + 1) == 0x4B &&
       payload(eocd + 2) == 0x05 && payload(eocd + 3) == 0x06)) eocd -= 1
     require(eocd >= floor, "no end-of-central-directory record")
-    val n = u16(eocd + 10)
-    val cdSize = u32(eocd + 12)
-    val cdOff = u32(eocd + 16)
-    require(cdOff + cdSize == eocd,
-      s"central directory [$cdOff +$cdSize] does not abut the EOCD at $eocd" +
-        " — truncated or shifted archive")
+    var n = u16(eocd + 10).toLong
+    var cdSize = u32(eocd + 12)
+    var cdOff = u32(eocd + 16)
+    // directory end: where the walk must land (EOCD, or in the ZIP64
+    // form the ZIP64 EOCD record that sits between directory and EOCD)
+    var cdEnd = eocd
+    if (n == 0xFFFFL || cdSize == 0xFFFFFFFFL || cdOff == 0xFFFFFFFFL) {
+      // ZIP64: the 20-byte EOCD LOCATOR immediately precedes the EOCD
+      val loc = eocd - 20
+      require(loc >= 0 && u32(loc) == 0x07064B50L,
+        "classic EOCD holds ZIP64 sentinels but no ZIP64 EOCD locator " +
+          s"precedes it at $loc")
+      require(u32(loc + 4) == 0L && u32(loc + 16) == 1L,
+        "multi-disk ZIP64 archives are not a thing a corpus dump should be")
+      val z64 = u64(loc + 8)
+      require(z64 >= 0 && z64 + 56 <= loc && u32(z64.toInt) == 0x06064B50L,
+        s"ZIP64 EOCD record not at $z64")
+      val z = z64.toInt
+      n = u64(z + 32)
+      cdSize = u64(z + 40)
+      cdOff = u64(z + 48)
+      cdEnd = z
+    }
+    require(cdOff + cdSize == cdEnd,
+      s"central directory [$cdOff +$cdSize] does not abut its end record" +
+        s" at $cdEnd — truncated or shifted archive")
+    require(n <= Int.MaxValue, s"entry count $n exceeds a byte-array walk")
     var pos = cdOff.toInt
-    val out = (0 until n).map { i =>
-      require(pos + 46 <= eocd &&
+    val out = (0 until n.toInt).map { i =>
+      require(pos + 46 <= cdEnd &&
         u32(pos) == 0x02014B50L, s"bad central directory entry $i at $pos")
       val method = u16(pos + 10)
-      val csize = u32(pos + 20)
-      val usize = u32(pos + 24)
+      var csize = u32(pos + 20)
+      var usize = u32(pos + 24)
       val nameLen = u16(pos + 28)
       val extraLen = u16(pos + 30)
       val commentLen = u16(pos + 32)
-      val localOff = u32(pos + 42)
-      require(pos + 46 + nameLen <= eocd, s"entry $i name out of bounds")
+      var localOff = u32(pos + 42)
+      require(pos + 46 + nameLen + extraLen <= cdEnd,
+        s"entry $i name/extra out of bounds")
       val name = new String(payload, pos + 46, nameLen, "UTF-8")
+      // ZIP64 extended info (0x0001): present iff some field maxed out;
+      // carries ONLY the maxed fields, in spec order usize, csize,
+      // localOff (disk number last, skipped — single-disk require above)
+      if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL ||
+          localOff == 0xFFFFFFFFL) {
+        var ep = pos + 46 + nameLen
+        val eEnd = ep + extraLen
+        var found = false
+        while (ep + 4 <= eEnd && !found) {
+          val id = u16(ep); val sz = u16(ep + 2)
+          if (id == 0x0001) {
+            var fp = ep + 4
+            if (usize == 0xFFFFFFFFL) { usize = u64(fp); fp += 8 }
+            if (csize == 0xFFFFFFFFL) { csize = u64(fp); fp += 8 }
+            if (localOff == 0xFFFFFFFFL) { localOff = u64(fp); fp += 8 }
+            require(fp <= ep + 4 + sz,
+              s"entry $i ZIP64 extra too short for its sentinel fields")
+            found = true
+          } else ep += 4 + sz
+        }
+        require(found,
+          s"entry $i has ZIP64 sentinels but no 0x0001 extra field")
+      }
       pos += 46 + nameLen + extraLen + commentLen
       (name, method, csize, usize, localOff)
     }
-    require(pos == eocd,
-      s"central directory walk ended at $pos, EOCD at $eocd — entry-count" +
-        " / size mismatch")
+    require(pos == cdEnd,
+      s"central directory walk ended at $pos, directory end at $cdEnd — " +
+        "entry-count / size mismatch")
     out
+  }
+
+  /** Write-side ZIP64 fixture: STORED members with FORCED sentinel
+    * fields — classic EOCD carries 0xFFFF/0xFFFFFFFF and the truth
+    * lives in the ZIP64 EOCD record + per-entry 0x0001 extras, exactly
+    * the shape a >4 GiB / >65k-member dump has (forced so the fixture
+    * stays kilobytes while exercising every ZIP64 read path). */
+  def buildZip64(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(members.nonEmpty, "need at least one member")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32((v >>> 32) & 0xFFFFFFFFL) }
+    val crcs = members.map { case (_, data) =>
+      val c = new java.util.zip.CRC32(); c.update(data); c.getValue
+    }
+    val localOffs = members.zip(crcs).map { case ((name, data), crc) =>
+      val off = out.size().toLong
+      w32(0x04034B50L); w16(45); w16(0); w16(0); w16(0); w16(0) // PK\3\4
+      w32(crc); w32(data.length.toLong); w32(data.length.toLong)
+      val nb = name.getBytes("UTF-8")
+      w16(nb.length); w16(0)
+      out.write(nb); out.write(data)
+      off
+    }
+    val cdOff = out.size().toLong
+    members.zip(crcs).zip(localOffs).foreach {
+      case (((name, data), crc), off) =>
+        w32(0x02014B50L); w16(45); w16(45); w16(0); w16(0); w16(0); w16(0)
+        w32(crc)
+        w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) // csize/usize → ZIP64 extra
+        val nb = name.getBytes("UTF-8")
+        w16(nb.length); w16(4 + 24); w16(0) // name, extra, comment lens
+        w16(0); w16(0) // disk, internal attrs
+        w32(0L) // external attrs
+        w32(0xFFFFFFFFL) // local offset → ZIP64 extra
+        out.write(nb)
+        w16(0x0001); w16(24) // ZIP64 extended info: usize, csize, offset
+        w64(data.length.toLong); w64(data.length.toLong); w64(off)
+    }
+    val cdSize = out.size().toLong - cdOff
+    val z64 = out.size().toLong
+    w32(0x06064B50L) // ZIP64 EOCD record
+    w64(44L) // size of remainder
+    w16(45); w16(45); w32(0L); w32(0L)
+    w64(members.length.toLong); w64(members.length.toLong)
+    w64(cdSize); w64(cdOff)
+    w32(0x07064B50L) // ZIP64 EOCD locator
+    w32(0L); w64(z64); w32(1L)
+    w32(0x06054B50L) // classic EOCD, all sentinels
+    w16(0); w16(0); w16(0xFFFF); w16(0xFFFF)
+    w32(0xFFFFFFFFL); w32(0xFFFFFFFFL); w16(0)
+    out.toByteArray
   }
 
   /** Listing probe over an `(id, payload)` frame: one row per member,

@@ -380,6 +380,34 @@ class UrlOpsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     psl shouldBe lite
   }
 
+  "idnFold/canonicalHost" should "make one ACE key of both IDN spellings" in {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "http://MÜNCHEN.de/x", "http://xn--mnchen-3ya.de/x",
+      "http://münchen.de:80/x", "https://日本語.jp:8443/x",
+      "http://Plain.Example.com/x").toDF("u")
+      .select(UrlOps.canonicalHost(col("u"))).as[String].collect().toSeq
+    got shouldBe Seq(
+      "xn--mnchen-3ya.de", "xn--mnchen-3ya.de",
+      "xn--mnchen-3ya.de", // default port stripped after the fold
+      "xn--wgv71a119e.jp:8443", // non-default port survives the fold
+      "plain.example.com") // ASCII fast path untouched
+  }
+
+  it should "probe Unicode PSL rules and hosts in one folded space" in {
+    val s = spark
+    import s.implicits._
+    val psl = Seq("// comment", "рф", "co.uk").toDF("rule")
+    val hosts = Seq("россия.рф", "xn--h1alffa9f.xn--p1ai",
+      "shop.example.co.uk").toDF("host")
+    val got = UrlOps.registeredDomainPsl(hosts, psl)
+      .as[(String, String)].collect().toMap
+    got("россия.рф") shouldBe "xn--h1alffa9f.xn--p1ai"
+    got("xn--h1alffa9f.xn--p1ai") shouldBe "xn--h1alffa9f.xn--p1ai"
+    got("shop.example.co.uk") shouldBe "example.co.uk"
+  }
+
   private def resolve(base: String, refs: String*): Seq[String] = {
     val s = spark
     import s.implicits._

@@ -74,6 +74,38 @@ class ArchiveSpec extends AnyFlatSpec with Matchers with SparkTestBase {
         zip.takeRight(22))
   }
 
+  it should "resolve ZIP64 sentinels through the locator and 0x0001 extras" in {
+    val members = Seq(
+      ("big/first.txt", "alpha zip64 content".getBytes("UTF-8")),
+      ("big/second.bin", Array.tabulate(300)(_.toByte)),
+      ("third", "x".getBytes("UTF-8")))
+    val zip = Archive.buildZip64(members)
+    // the classic EOCD really does hold only sentinels
+    val eocd = zip.length - 22
+    (zip(eocd + 10) & 0xFF, zip(eocd + 11) & 0xFF) shouldBe ((0xFF, 0xFF))
+    val got = Archive.zipCentralDirectory(zip)
+    got.map(_._1) shouldBe members.map(_._1)
+    got.map(_._4) shouldBe members.map(_._2.length.toLong)
+    got.map(_._3) shouldBe members.map(_._2.length.toLong) // STORED
+    // resolved local offsets address real PK\3\4 headers
+    got.foreach { case (_, _, _, _, off) =>
+      zip.slice(off.toInt, off.toInt + 4) shouldBe
+        Array[Byte](0x50, 0x4B, 0x03, 0x04)
+    }
+  }
+
+  it should "fail loudly on ZIP64 sentinels without a locator" in {
+    // classic EOCD with sentinel count but nothing ZIP64 before it —
+    // the pre-round-13 shape that was unreadable; now a clear error
+    val zip = zipOf("", ("a", "x", true))
+    val eocd = zip.length - 22
+    val broken = zip.clone()
+    broken(eocd + 10) = 0xFF.toByte; broken(eocd + 11) = 0xFF.toByte
+    val ex = the[IllegalArgumentException] thrownBy
+      Archive.zipCentralDirectory(broken)
+    ex.getMessage should include("ZIP64")
+  }
+
   "zipProbe" should "emit one row per member across payloads" in {
     val s = spark
     import s.implicits._
