@@ -788,7 +788,18 @@ object SparkEntry {
             else pipeline.Multimodal.buildExifJpeg(
               64 + (id % 32).toInt, 48 + (id % 16).toInt,
               1 + (id % 8).toInt, "Cam" + (id % 5),
-              bigEndian = id % 2 == 0)
+              bigEndian = id % 2 == 0,
+              // sub-IFDs (round 13): DateTimeOriginal one pointer
+              // behind 0x8769, d°m's'' GPS rationals behind 0x8825 —
+              // each with its own absence residue
+              dateTimeOriginal = if (id % 3 != 1)
+                Some(f"2026:03:${1 + id % 28}%02d 10:00:00") else None,
+              gps = if (id % 4 != 2)
+                Some((if (id % 2 == 0) "N" else "S", (id % 90).toInt,
+                  (id % 60).toInt, (id % 6000).toInt,
+                  if (id % 3 == 0) "E" else "W", (id % 180).toInt,
+                  ((id + 7) % 60).toInt, ((id * 3) % 6000).toInt))
+              else None)
           (id, payload)
         }
       }.toDF("id", "payload")
@@ -796,7 +807,10 @@ object SparkEntry {
         .select(col("id").as("doc_id"),
           col("exif_found").cast("long").as("exif_found"),
           col("big_endian").cast("long").as("big_endian"),
-          col("width"), col("height"), col("orientation"), col("make"))
+          col("width"), col("height"), col("orientation"), col("make"),
+          col("date_original"),
+          col("has_gps").cast("long").as("has_gps"),
+          col("gps_lat_cs"), col("gps_lon_cs"))
         .orderBy("doc_id")
     }),
 
@@ -1285,6 +1299,33 @@ object SparkEntry {
         .groupBy("surt_key")
         .agg(count(lit(1)).as("n_captures"), min("doc_id").as("first_doc"))
         .orderBy("surt_key")),
+
+    // CDXJ export (round 13): the OpenWayback/pywb capture-index LINE
+    // format — SURT key, 14-digit timestamp, then a JSON block with the
+    // capture fields (to_json over a struct, the q_wat_export pattern)
+    // — completing the CDX round-trip: q_cdx_index aggregates by the
+    // key, this row emits the per-capture index lines a replay system
+    // ingests. Pure Column work over the canonicalize→SURT chain; the
+    // oracle reassembles every line byte-for-byte
+    "q_cdxj_export" -> ((s, dir) => {
+      val en = urlEnrichedDocs(s, dir)
+      val k = col("doc_id") % 127
+      val slim = en.select(col("doc_id"),
+          pipeline.UrlOps.canonicalizeUrl(col("url")).as("u"))
+        .localCheckpoint()
+      val ts = concat(lit("20260305"),
+        lpad((k % 24).cast("string"), 2, "0"), lit("0000"))
+      slim.select(col("doc_id"),
+          concat(pipeline.UrlOps.surtKey(col("u")), lit(" "), ts,
+            lit(" "),
+            to_json(struct(col("u").as("url"),
+              lit("text/html").as("mime"),
+              when(k % 17 === 3, lit(404L)).otherwise(lit(200L))
+                .as("status"),
+              (lit(1000L) + col("doc_id") % 900).as("length"))))
+            .as("cdxj"))
+        .orderBy("doc_id")
+    }),
 
     // politeness-budgeted frontier (round 12): Crawl-delay parsed from
     // the UA-SELECTED robots group (the de-facto field Bing/Yandex
@@ -5588,7 +5629,9 @@ object SparkEntry {
         |                 THEN 1 ELSE 0 END AS BIGINT) AS blocked
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // every EXIF field closed form; the no-Exif residue zeroes them
+    // every EXIF field closed form; the no-Exif residue zeroes them,
+    // date/GPS have their OWN absence residues (id%3=1 / id%4=2); GPS
+    // in signed centiarcseconds = sign·((deg·3600 + min·60)·100 + cs)
     "q_exif_probe" ->
       """SELECT doc_id,
         |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 1 END AS BIGINT) AS exif_found,
@@ -5597,7 +5640,20 @@ object SparkEntry {
         |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 64 + doc_id % 32 END AS BIGINT) AS width,
         |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 48 + doc_id % 16 END AS BIGINT) AS height,
         |       CAST(CASE WHEN doc_id % 11 = 10 THEN 0 ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation,
-        |       CASE WHEN doc_id % 11 = 10 THEN '' ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make
+        |       CASE WHEN doc_id % 11 = 10 THEN '' ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+        |       CASE WHEN doc_id % 11 = 10 OR doc_id % 3 = 1 THEN ''
+        |            ELSE '2026:03:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |                 || ' 10:00:00' END AS date_original,
+        |       CAST(CASE WHEN doc_id % 11 = 10 OR doc_id % 4 = 2 THEN 0
+        |                 ELSE 1 END AS BIGINT) AS has_gps,
+        |       CAST(CASE WHEN doc_id % 11 = 10 OR doc_id % 4 = 2 THEN 0
+        |                 ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |                      ((doc_id % 90) * 360000 + (doc_id % 60) * 6000
+        |                       + doc_id % 6000) END AS BIGINT) AS gps_lat_cs,
+        |       CAST(CASE WHEN doc_id % 11 = 10 OR doc_id % 4 = 2 THEN 0
+        |                 ELSE (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END) *
+        |                      ((doc_id % 180) * 360000 + ((doc_id + 7) % 60) * 6000
+        |                       + (doc_id * 3) % 6000) END AS BIGINT) AS gps_lon_cs
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // status + final URL closed form; the relative-Location arm replays
@@ -6036,6 +6092,31 @@ object SparkEntry {
         |SELECT surt_key, CAST(COUNT(*) AS BIGINT) AS n_captures,
         |       MIN(doc_id) AS first_doc
         |FROM srt GROUP BY surt_key ORDER BY surt_key""".stripMargin),
+
+    // every CDXJ line reassembled byte-for-byte: the same SURT replay
+    // as q_cdx_index, timestamp and JSON block as literal concatenation
+    // (to_json field order = struct order, no whitespace)
+    "q_cdxj_export" ->
+      (urlEnrichSql + urlCanonMatSql + """,
+        |srt AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_reverse(string_split(
+        |           string_split(regexp_extract(url_canon, '://([^/]*)', 1), ':')[1],
+        |           '.')), ',')
+        |         || (CASE WHEN instr(regexp_extract(url_canon, '://([^/]*)', 1), ':') > 0
+        |                  THEN ':' || string_split(regexp_extract(url_canon, '://([^/]*)', 1), ':')[2]
+        |                  ELSE '' END)
+        |         || ')' || regexp_extract(url_canon, '://[^/]*(.*)$', 1) AS surt_key
+        |  FROM canon)
+        |SELECT s.doc_id,
+        |       s.surt_key || ' 20260305' ||
+        |       lpad(CAST((s.doc_id % 127) % 24 AS VARCHAR), 2, '0') ||
+        |       '0000 {"url":"' || c.url_canon ||
+        |       '","mime":"text/html","status":' ||
+        |       (CASE WHEN (s.doc_id % 127) % 17 = 3 THEN '404' ELSE '200' END) ||
+        |       ',"length":' || CAST(1000 + s.doc_id % 900 AS VARCHAR) ||
+        |       '}' AS cdxj
+        |FROM srt s JOIN canon c USING (doc_id) ORDER BY s.doc_id""".stripMargin),
 
     // the walked index's entry table is exactly the flat closed-form
     // lastmod derivation (lm of sitemapCtesSql) — no index XML, no

@@ -669,25 +669,49 @@ object Multimodal {
     * pixels need rotating before any visual hash). Returns the full
     * JPEG byte stream. */
   def buildExifJpeg(width: Int, height: Int, orientation: Int,
-                    make: String, bigEndian: Boolean): Array[Byte] = {
+                    make: String, bigEndian: Boolean,
+                    dateTimeOriginal: Option[String] = None,
+                    gps: Option[(String, Int, Int, Int,
+                                 String, Int, Int, Int)] = None)
+      : Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(orientation >= 1 && orientation <= 8,
       s"EXIF orientation is 1-8, got $orientation")
+    dateTimeOriginal.foreach(d => require(d.length == 19,
+      s"EXIF DateTimeOriginal is 'YYYY:MM:DD HH:MM:SS' (19 chars), got '$d'"))
+    gps.foreach { case (laRef, _, _, _, loRef, _, _, _) =>
+      require(Seq("N", "S").contains(laRef) && Seq("E", "W").contains(loRef),
+        s"bad GPS refs $laRef/$loRef")
+    }
     val order = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
     else java.nio.ByteOrder.LITTLE_ENDIAN
     val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
-    // TIFF block: 8-byte header, IFD0 with 4 entries; the Make value is
-    // inline iff it fits the 4-byte slot (TIFF 6.0 §2), else after IFD0
+    // TIFF block: 8-byte header, IFD0; the Make value is inline iff it
+    // fits the 4-byte slot (TIFF 6.0 §2), else after IFD0. The Exif
+    // sub-IFD (pointed to by 0x8769) and GPS IFD (0x8825) follow, each
+    // with its out-of-line values — the one-pointer-deeper structure
+    // real camera files carry (CIPA DC-008 §4.6.3).
     val inlineMake = makeBytes.length <= 4
-    val nEntries = 4
+    val nEntries = 4 + (if (dateTimeOriginal.isDefined) 1 else 0) +
+      (if (gps.isDefined) 1 else 0)
     val ifdStart = 8
-    val makeOff = ifdStart + 2 + nEntries * 12 + 4
-    val tiff = java.nio.ByteBuffer
-      .allocate(if (inlineMake) makeOff else makeOff + makeBytes.length)
-      .order(order)
+    val afterIfd0 = ifdStart + 2 + nEntries * 12 + 4
+    val makeOff = afterIfd0
+    val afterMake = afterIfd0 + (if (inlineMake) 0 else makeBytes.length)
+    // Exif sub-IFD: 1 entry (DateTimeOriginal 0x9003, ASCII 20
+    // out-of-line), then the date bytes
+    val exifIfdOff = afterMake
+    val dateOff = exifIfdOff + 2 + 12 + 4
+    val afterExif = if (dateTimeOriginal.isDefined) dateOff + 20
+    else afterMake
+    // GPS IFD: 4 entries (LatRef/Lat/LonRef/Lon), then 2×3 RATIONALs
+    val gpsIfdOff = afterExif
+    val latOff = gpsIfdOff + 2 + 4 * 12 + 4
+    val lonOff = latOff + 24
+    val total = if (gps.isDefined) lonOff + 24 else afterExif
+    val tiff = java.nio.ByteBuffer.allocate(total).order(order)
     tiff.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
     tiff.putShort(42).putInt(ifdStart)
-    tiff.putShort(nEntries.toShort)
     def entry(tag: Int, typ: Int, count: Int)(value: => Unit): Unit = {
       tiff.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
       val before = tiff.position()
@@ -695,13 +719,39 @@ object Multimodal {
       // the value slot is exactly 4 bytes, zero-padded on the right
       while (tiff.position() < before + 4) tiff.put(0.toByte)
     }
+    tiff.putShort(nEntries.toShort)
     entry(0x0100, 4, 1)(tiff.putInt(width))
     entry(0x0101, 4, 1)(tiff.putInt(height))
     entry(0x010F, 2, makeBytes.length)(
       if (inlineMake) tiff.put(makeBytes) else tiff.putInt(makeOff))
     entry(0x0112, 3, 1)(tiff.putShort(orientation.toShort))
+    if (dateTimeOriginal.isDefined)
+      entry(0x8769, 4, 1)(tiff.putInt(exifIfdOff))
+    if (gps.isDefined)
+      entry(0x8825, 4, 1)(tiff.putInt(gpsIfdOff))
     tiff.putInt(0) // no IFD1
     if (!inlineMake) tiff.put(makeBytes)
+    dateTimeOriginal.foreach { d =>
+      tiff.putShort(1)
+      entry(0x9003, 2, 20)(tiff.putInt(dateOff))
+      tiff.putInt(0)
+      tiff.put(d.getBytes("US-ASCII")).put(0.toByte)
+    }
+    gps.foreach { case (laRef, laD, laM, laSc, loRef, loD, loM, loSc) =>
+      tiff.putShort(4)
+      entry(0x0001, 2, 2)(
+        tiff.put(laRef.getBytes("US-ASCII")).put(0.toByte))
+      entry(0x0002, 5, 3)(tiff.putInt(latOff))
+      entry(0x0003, 2, 2)(
+        tiff.put(loRef.getBytes("US-ASCII")).put(0.toByte))
+      entry(0x0004, 5, 3)(tiff.putInt(lonOff))
+      tiff.putInt(0)
+      // deg/1, min/1, centisec/100 — the d°m's'' RATIONAL triple
+      tiff.putInt(laD).putInt(1).putInt(laM).putInt(1)
+        .putInt(laSc).putInt(100)
+      tiff.putInt(loD).putInt(1).putInt(loM).putInt(1)
+        .putInt(loSc).putInt(100)
+    }
     val exifBody = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
       tiff.array()
     val app1Len = exifBody.length + 2
@@ -711,19 +761,28 @@ object Multimodal {
       exifBody ++ Array[Byte](0xFF.toByte, 0xD9.toByte) // EOI
   }
 
-  /** Parse one JPEG's Exif IFD0 into
-    * `(found, bigEndian, width, height, orientation, make)` — the
-    * CONTAINER half of image metadata extraction, same philosophy as
-    * [[mp4SampleRanges]]: a real JPEG marker walk (skip entropy-free
-    * segments by their declared lengths — never by scanning pixels)
-    * finds APP1, then a real TIFF IFD walk (byte order from the
-    * `II`/`MM` header, 12-byte entries, inline-vs-offset values by the
-    * type's byte width) reads the tags. JPEGs without an Exif APP1
-    * return `found = false` with zeroed fields — absence is data, not an
-    * error. Malformed TIFF structures inside a present APP1 fail loudly,
-    * the [[mp4SampleRanges]] rule. */
+  /** Parse one JPEG's Exif metadata into
+    * `(found, bigEndian, width, height, orientation, make,
+    * dateOriginal, hasGps, latCs, lonCs)` — the CONTAINER half of image
+    * metadata extraction, same philosophy as [[mp4SampleRanges]]: a
+    * real JPEG marker walk (skip entropy-free segments by their
+    * declared lengths — never by scanning pixels) finds APP1, then a
+    * real TIFF IFD walk (byte order from the `II`/`MM` header, 12-byte
+    * entries, inline-vs-offset values by the type's byte width) reads
+    * the tags — IFD0 first, then ONE POINTER DEEPER per CIPA DC-008:
+    * the Exif sub-IFD behind ExifOffset (0x8769) for
+    * `DateTimeOriginal` (0x9003 — the field a temporal/provenance
+    * pipeline actually wants; empty when absent) and the GPS IFD
+    * behind 0x8825, whose d°m's'' RATIONAL triples are folded to
+    * SIGNED CENTIARCSECONDS (`(deg·3600 + min·60)·100 + cs`, negative
+    * for S/W — integer-exact, the repo's closed-form discipline;
+    * denominators that don't divide fail loudly rather than round).
+    * JPEGs without an Exif APP1 return `found = false` with zeroed
+    * fields — absence is data, not an error. Malformed TIFF structures
+    * inside a present APP1 fail loudly, the [[mp4SampleRanges]] rule. */
   def exifIfd0(payload: Array[Byte])
-      : (Boolean, Boolean, Long, Long, Long, String) = {
+      : (Boolean, Boolean, Long, Long, Long, String,
+         String, Boolean, Long, Long) = {
     require(payload.length >= 4 &&
       (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8,
       "not a JPEG: missing SOI")
@@ -747,7 +806,7 @@ object Multimodal {
         pos += 2 + segLen
       }
     }
-    if (tiffStart < 0) (false, false, 0L, 0L, 0L, "")
+    if (tiffStart < 0) (false, false, 0L, 0L, 0L, "", "", false, 0L, 0L)
     else {
       val bb = java.nio.ByteBuffer.wrap(payload, tiffStart,
         tiffEnd - tiffStart).slice()
@@ -757,61 +816,120 @@ object Multimodal {
       bb.order(if (big) java.nio.ByteOrder.BIG_ENDIAN
       else java.nio.ByteOrder.LITTLE_ENDIAN)
       require(bb.getShort(2) == 42, "bad TIFF magic")
-      val ifd = bb.getInt(4)
-      val n = bb.getShort(ifd) & 0xFFFF
+      // one IFD walk, reused for IFD0 and both sub-IFDs (the structure
+      // is identical one pointer deeper): visit(tag, typ, count, entryAt)
+      def walkIfd(ifd: Int)(visit: (Int, Int, Int, Int) => Unit): Unit = {
+        require(ifd >= 0 && ifd + 2 <= bb.capacity(), s"IFD at $ifd out of bounds")
+        val n = bb.getShort(ifd) & 0xFFFF
+        require(ifd + 2 + n * 12 + 4 <= bb.capacity(),
+          s"IFD at $ifd declares $n entries past TIFF end")
+        var i = 0
+        while (i < n) {
+          val e = ifd + 2 + i * 12
+          visit(bb.getShort(e) & 0xFFFF, bb.getShort(e + 2) & 0xFFFF,
+            bb.getInt(e + 4), e)
+          i += 1
+        }
+      }
+      def numeric(tag: Int, typ: Int, e: Int): Long = typ match {
+        case 3 => (bb.getShort(e + 8) & 0xFFFF).toLong // SHORT
+        case 4 => bb.getInt(e + 8) & 0xFFFFFFFFL // LONG
+        case t => throw new IllegalArgumentException(
+          s"tag 0x${tag.toHexString}: unsupported numeric type $t")
+      }
+      def ascii(tag: Int, typ: Int, count: Int, e: Int): String = {
+        require(typ == 2,
+          s"tag 0x${tag.toHexString}: expected ASCII, got type $typ")
+        val off = if (count <= 4) e + 8 else bb.getInt(e + 8)
+        require(off >= 0 && off + count <= bb.capacity(),
+          s"tag 0x${tag.toHexString} value out of TIFF bounds: $off+$count")
+        val raw = new Array[Byte](count)
+        var j = 0
+        while (j < count) { raw(j) = bb.get(off + j); j += 1 }
+        // ASCII values are NUL-terminated per the spec
+        val z = raw.indexOf(0.toByte)
+        new String(raw, 0, if (z < 0) count else z, "US-ASCII")
+      }
+      // d°m's'' RATIONAL triple → centiarcseconds, integer-exact
+      def dmsCs(tag: Int, typ: Int, count: Int, e: Int): Long = {
+        require(typ == 5 && count == 3,
+          s"tag 0x${tag.toHexString}: expected RATIONAL[3], got $typ[$count]")
+        val off = bb.getInt(e + 8) // 24 bytes never fit inline
+        require(off >= 0 && off + 24 <= bb.capacity(),
+          s"tag 0x${tag.toHexString} rationals out of TIFF bounds")
+        val scale = Array(360000L, 6000L, 100L)
+        (0 until 3).map { i =>
+          val num = bb.getInt(off + i * 8) & 0xFFFFFFFFL
+          val den = bb.getInt(off + i * 8 + 4) & 0xFFFFFFFFL
+          require(den > 0 && (num * scale(i)) % den == 0,
+            s"tag 0x${tag.toHexString}: $num/$den not exact at 0.01''")
+          num * scale(i) / den
+        }.sum
+      }
+      val ifd0 = bb.getInt(4)
       var (w, h, o) = (0L, 0L, 0L)
       var make = ""
-      var i = 0
-      while (i < n) {
-        val e = ifd + 2 + i * 12
-        val tag = bb.getShort(e) & 0xFFFF
-        val typ = bb.getShort(e + 2) & 0xFFFF
-        val count = bb.getInt(e + 4)
-        // inline when the value fits the 4-byte slot (TIFF 6.0 §2)
-        def long1: Long = typ match {
-          case 3 => (bb.getShort(e + 8) & 0xFFFF).toLong // SHORT
-          case 4 => bb.getInt(e + 8) & 0xFFFFFFFFL // LONG
-          case t => throw new IllegalArgumentException(
-            s"tag 0x${tag.toHexString}: unsupported numeric type $t")
-        }
+      var exifOff = -1
+      var gpsOff = -1
+      walkIfd(ifd0) { (tag, typ, count, e) =>
         tag match {
-          case 0x0100 => w = long1
-          case 0x0101 => h = long1
-          case 0x0112 => o = long1
-          case 0x010F =>
-            require(typ == 2, s"Make: expected ASCII, got type $typ")
-            val off = if (count <= 4) e + 8 else bb.getInt(e + 8)
-            require(off >= 0 && off + count <= bb.capacity(),
-              s"Make value out of TIFF bounds: $off+$count")
-            val raw = new Array[Byte](count)
-            var j = 0
-            while (j < count) { raw(j) = bb.get(off + j); j += 1 }
-            // ASCII values are NUL-terminated per the spec
-            val z = raw.indexOf(0.toByte)
-            make = new String(raw, 0, if (z < 0) count else z, "US-ASCII")
+          case 0x0100 => w = numeric(tag, typ, e)
+          case 0x0101 => h = numeric(tag, typ, e)
+          case 0x0112 => o = numeric(tag, typ, e)
+          case 0x010F => make = ascii(tag, typ, count, e)
+          case 0x8769 => exifOff = numeric(tag, typ, e).toInt
+          case 0x8825 => gpsOff = numeric(tag, typ, e).toInt
           case _ => // unknown tags are skipped, per every real reader
         }
-        i += 1
       }
-      (true, big, w, h, o, make)
+      var dateOrig = ""
+      if (exifOff >= 0) walkIfd(exifOff) { (tag, typ, count, e) =>
+        if (tag == 0x9003) dateOrig = ascii(tag, typ, count, e)
+      }
+      var hasGps = false
+      var latCs = 0L; var lonCs = 0L
+      if (gpsOff >= 0) {
+        hasGps = true
+        var latRef = ""; var lonRef = ""
+        var latAbs = 0L; var lonAbs = 0L
+        walkIfd(gpsOff) { (tag, typ, count, e) =>
+          tag match {
+            case 0x0001 => latRef = ascii(tag, typ, count, e)
+            case 0x0002 => latAbs = dmsCs(tag, typ, count, e)
+            case 0x0003 => lonRef = ascii(tag, typ, count, e)
+            case 0x0004 => lonAbs = dmsCs(tag, typ, count, e)
+            case _ =>
+          }
+        }
+        require(Seq("N", "S").contains(latRef) &&
+          Seq("E", "W").contains(lonRef),
+          s"GPS IFD missing or bad refs '$latRef'/'$lonRef'")
+        latCs = if (latRef == "S") -latAbs else latAbs
+        lonCs = if (lonRef == "W") -lonAbs else lonAbs
+      }
+      (true, big, w, h, o, make, dateOrig, hasGps, latCs, lonCs)
     }
   }
 
   /** EXIF probe over a `(id, payload)` frame: one row per JPEG with
-    * `(id, exif_found, big_endian, width, height, orientation, make)`.
-    * Partition-batched byte math like every decode path — zero shuffle,
-    * O(segment count) per payload, never scans entropy-coded data. */
+    * `(id, exif_found, big_endian, width, height, orientation, make,
+    * date_original, has_gps, gps_lat_cs, gps_lon_cs)` — GPS in signed
+    * centiarcseconds. Partition-batched byte math like every decode
+    * path — zero shuffle, O(IFD entries) per payload, never scans
+    * entropy-coded data. */
   def exifProbe(mm: DataFrame): DataFrame = {
     val spark = mm.sparkSession
     import spark.implicits._
     mm.select(col("id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val (found, big, w, h, o, make) = exifIfd0(payload)
-          (id, found, big, w, h, o, make)
+          val (found, big, w, h, o, make, date, hasGps, lat, lon) =
+            exifIfd0(payload)
+          (id, found, big, w, h, o, make, date, hasGps, lat, lon)
         }
       }
       .toDF("id", "exif_found", "big_endian", "width", "height",
-        "orientation", "make")
+        "orientation", "make", "date_original", "has_gps",
+        "gps_lat_cs", "gps_lon_cs")
   }
 }
