@@ -109,13 +109,17 @@ object UrlOps {
     val rest = call_function("substr", noFrag,
       call_function("instr", noFrag, lit("://")) + 3)
     val scheme = lower(substring_index(noFrag, "://", 1))
-    val hp = idnFold(lower(regexp_extract(rawAuthority(rest), "[^@]*$", 0)))
-    val host =
+    val hp = lower(regexp_extract(rawAuthority(rest), "[^@]*$", 0))
+    // IDN fold applied ONCE, after port stripping (equivalent: ports
+    // are ASCII labels the fold passes through) — wrapping `hp` would
+    // replicate the fold into every `when` branch's duplicated subtree,
+    // the expression-tree blowup SCALE.md documents for this chain
+    val host = idnFold(
       when(scheme === "http" && hp.endsWith(":80"),
         call_function("substr", hp, lit(1), length(hp) - 3))
         .when(scheme === "https" && hp.endsWith(":443"),
           call_function("substr", hp, lit(1), length(hp) - 4))
-        .otherwise(hp)
+        .otherwise(hp))
     when(call_function("instr", noFrag, lit("://")) === 0, lit(""))
       .otherwise(host)
   }
