@@ -1141,6 +1141,34 @@ object SparkEntry {
       pipeline.UrlOps.dedupByUrl(urlEnrichedDocs(s, dir))
         .orderBy("url_canon")),
 
+    // MIME email probe (round 13): mail archives as a corpus source —
+    // RFC 5322 headers, multipart/alternative split on the declared
+    // boundary, and BOTH 7-bit transfer codings decoded as pure Column
+    // work: base64 via unbase64, quoted-printable via byte-level hex
+    // reassembly (the € in the plain part crosses as =E2=82=AC — three
+    // BYTES — and the builder's 40-char soft line breaks land mid-word,
+    // so a code-point-wise or unfold-less decode corrupts every row);
+    // the oracle predicts the DECODED text closed form, no MIME anywhere
+    "q_mime_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mail = ids.mapPartitions { it =>
+        it.map { id =>
+          val k = id % 127
+          (id, sources.Mime.buildEml(
+            s"billing${k % 5}@example.com", s"Invoice $k", s"bnd${k % 7}",
+            s"Total: 42.50 € = order $k net",
+            s"<p>Order $k — detail</p>"))
+        }
+      }.toDF("doc_id", "payload")
+      sources.Mime.mimeParts(mail)
+        .select(col("doc_id"), col("part").cast("long").as("part"),
+          col("part_type"), col("cte"), col("text"), col("from_addr"),
+          col("subject"))
+        .orderBy("doc_id", "part")
+    }),
+
     // IDN/punycode folding (round 13): both spellings of an
     // international site — Unicode and ACE — must canonicalize to ONE
     // key (the dedup gap any international crawl hits), with the PSL
@@ -5770,6 +5798,23 @@ object SparkEntry {
           |SELECT url_canon, MIN(doc_id) AS keeper,
           |       CAST(COUNT(*) AS BIGINT) AS n_dups
           |FROM canon GROUP BY url_canon ORDER BY url_canon""".stripMargin),
+
+    // decoded part text predicted closed form — the oracle never sees
+    // MIME, base64, or quoted-printable; a decode slip in either
+    // coding (or a boundary/framing slip) lands as a text mismatch
+    "q_mime_probe" ->
+      """WITH k AS (SELECT doc_id, doc_id % 127 AS k FROM documents),
+        |p AS (SELECT doc_id, k, unnest([0, 1]) AS j FROM k)
+        |SELECT doc_id, CAST(j AS BIGINT) AS part,
+        |       CASE j WHEN 0 THEN 'text/plain' ELSE 'text/html' END AS part_type,
+        |       CASE j WHEN 0 THEN 'quoted-printable' ELSE 'base64' END AS cte,
+        |       CASE j WHEN 0
+        |         THEN 'Total: 42.50 € = order ' || CAST(k AS VARCHAR) || ' net'
+        |         ELSE '<p>Order ' || CAST(k AS VARCHAR) || ' — detail</p>'
+        |       END AS text,
+        |       'billing' || CAST(k % 5 AS VARCHAR) || '@example.com' AS from_addr,
+        |       'Invoice ' || CAST(k AS VARCHAR) AS subject
+        |FROM p ORDER BY doc_id, part""".stripMargin,
 
     // expected ACE spellings are RFC 3492 outputs carried as literals
     // (DuckDB has no punycode); both IDN arms map to the SAME key
