@@ -943,6 +943,34 @@ object SparkEntry {
         .orderBy("doc_id", "member")
     }),
 
+    // TAR listing probe (round 13): ustar streams walked by 512-byte
+    // block arithmetic — octal size fields, verified checksums, data
+    // skipped by declared length; residue id%7==3 uses >100-byte member
+    // paths, so the listing only comes out right if the pax `x`
+    // extended-header `path` override is honored (the truncated ustar
+    // name field would mismatch the closed-form oracle)
+    "q_tar_probe" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val mm = ids.mapPartitions { it =>
+        it.map { id =>
+          val pax = id % 7 == 3
+          val names = (0 to (id % 4).toInt).map { j =>
+            val name =
+              if (pax) "deep" + "/sub" * 30 + s"/f$j.txt"
+              else s"f$j.txt"
+            (name, f"c$id%07d-$j".getBytes("UTF-8"))
+          }
+          (id, sources.Archive.buildTar(names))
+        }
+      }.toDF("id", "payload")
+      sources.Archive.tarProbe(mm)
+        .select(col("id").as("doc_id"), col("member"), col("name"),
+          col("typeflag"), col("size"), col("data_offset"))
+        .orderBy("doc_id", "member")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5728,6 +5756,26 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS method,
         |       CAST(10 AS BIGINT) AS compressed_size,
         |       CAST(10 AS BIGINT) AS uncompressed_size
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST(doc_id % 4 AS INTEGER) + 1)) AS j
+        |      FROM documents)
+        |ORDER BY doc_id, member""".stripMargin,
+
+    // 512-byte block arithmetic closed form: a plain entry is
+    // header+one data block (1024 B), a pax'd entry is pax-header +
+    // pax-record block + real header + data block (2048 B); data_offset
+    // points just past the member's real header; the pax arm's name is
+    // the full >100-byte path only the `x`-record override can produce
+    "q_tar_probe" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS member,
+        |       CASE WHEN doc_id % 7 = 3
+        |            THEN 'deep' || repeat('/sub', 30) || '/f' ||
+        |                 CAST(j AS VARCHAR) || '.txt'
+        |            ELSE 'f' || CAST(j AS VARCHAR) || '.txt' END AS name,
+        |       '0' AS typeflag,
+        |       CAST(10 AS BIGINT) AS size,
+        |       CAST(CASE WHEN doc_id % 7 = 3 THEN j * 2048 + 1536
+        |                 ELSE j * 1024 + 512 END AS BIGINT) AS data_offset
         |FROM (SELECT doc_id,
         |        unnest(range(0, CAST(doc_id % 4 AS INTEGER) + 1)) AS j
         |      FROM documents)

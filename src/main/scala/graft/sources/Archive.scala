@@ -177,6 +177,193 @@ object Archive {
     out.toByteArray
   }
 
+  /** TAR member listing (POSIX.1-1988 ustar + POSIX.1-2001 pax) — the
+    * OTHER bulk container: arXiv source bundles, Project Gutenberg
+    * mirrors, and most dataset dumps ship as (gzipped) tar. The listing
+    * walk is pure declared-structure arithmetic over 512-byte blocks:
+    *   - each header block carries name (100 bytes), octal size field,
+    *     typeflag, the `ustar` magic, and a checksum computed over the
+    *     header with the checksum field blanked to spaces — VERIFIED
+    *     here, because a desynced walk would hand garbage offsets to
+    *     the member tasks;
+    *   - member data occupies `ceil(size/512)` blocks after the header —
+    *     skipped by arithmetic, never scanned;
+    *   - a pax extended header (typeflag `x`) holds `len key=value\n`
+    *     records that OVERRIDE the following entry's fields — `path`
+    *     (names >100 bytes, which real nested corpus paths exceed
+    *     routinely) and `size` (>8 GiB members beyond the octal field)
+    *     are honored; unknown keys are skipped by their declared record
+    *     length, per the spec;
+    *   - the archive ends at two zero blocks (or clean EOF).
+    * Malformed headers (bad magic, bad checksum, non-octal size,
+    * truncated data) fail loudly — the Archive/Pdf/Mp4 discipline. */
+  def tarList(payload: Array[Byte]): Seq[(String, String, Long, Long)] = {
+    require(payload.length % 512 == 0,
+      s"tar stream length ${payload.length} is not block-aligned")
+    def isZeroBlock(at: Int): Boolean =
+      (at until at + 512).forall(payload(_) == 0)
+    // Octal numeric field: leading spaces, octal digits, NUL/space end.
+    def octal(at: Int, len: Int): Long = {
+      var i = at; val end = at + len
+      while (i < end && payload(i) == ' ') i += 1
+      var v = 0L; var any = false
+      while (i < end && payload(i) >= '0' && payload(i) <= '7') {
+        v = v * 8 + (payload(i) - '0'); i += 1; any = true
+      }
+      require(any && (i == end || payload(i) == 0 || payload(i) == ' '),
+        s"non-octal numeric field at $at")
+      v
+    }
+    def str(at: Int, len: Int): String = {
+      var end = at
+      while (end < at + len && payload(end) != 0) end += 1
+      new String(payload, at, end - at, "UTF-8")
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+    var pos = 0
+    var paxPath: Option[String] = None
+    var paxSize: Option[Long] = None
+    var done = false
+    while (!done && pos + 512 <= payload.length) {
+      if (isZeroBlock(pos)) {
+        require(pos + 1024 <= payload.length && isZeroBlock(pos + 512),
+          s"single zero block at $pos — truncated end-of-archive marker")
+        done = true
+      } else {
+        require(str(pos + 257, 6) == "ustar",
+          s"header at $pos lacks the ustar magic")
+        // checksum: header bytes with the checksum field as 8 spaces
+        var sum = 0L
+        var i = pos
+        while (i < pos + 512) {
+          sum += (if (i >= pos + 148 && i < pos + 156) ' '.toInt
+                  else payload(i) & 0xFF)
+          i += 1
+        }
+        require(sum == octal(pos + 148, 8),
+          s"header checksum mismatch at $pos")
+        val typeflag = (payload(pos + 156) & 0xFF).toChar match {
+          case 0 => "0" // old-style regular-file marker
+          case c => c.toString
+        }
+        val rawSize = octal(pos + 124, 12)
+        val dataOff = pos + 512L
+        val blocks = ((rawSize + 511) / 512).toInt
+        require(dataOff + blocks * 512L <= payload.length,
+          s"member data at $dataOff (+$rawSize) runs past the archive")
+        if (typeflag == "x") {
+          // pax records for the NEXT entry: "<len> <key>=<value>\n",
+          // len = decimal byte length of the whole record incl. itself
+          val body = new String(payload, dataOff.toInt, rawSize.toInt, "UTF-8")
+          var p = 0
+          while (p < body.length) {
+            val sp = body.indexOf(' ', p)
+            require(sp > p, s"pax record at $p lacks a length field")
+            val recLen = body.substring(p, sp).toInt
+            require(recLen > 0 && p + recLen <= body.length &&
+              body(p + recLen - 1) == '\n',
+              s"pax record at $p not newline-terminated at its length")
+            val eq = body.indexOf('=', sp + 1)
+            require(eq > sp && eq < p + recLen, s"pax record at $p lacks '='")
+            val key = body.substring(sp + 1, eq)
+            val value = body.substring(eq + 1, p + recLen - 1)
+            key match {
+              case "path" => paxPath = Some(value)
+              case "size" => paxSize = Some(value.toLong)
+              case _      => () // skipped by declared length, per spec
+            }
+            p += recLen
+          }
+        } else {
+          val rawName = {
+            val prefix = str(pos + 345, 155)
+            val base = str(pos, 100)
+            if (prefix.isEmpty) base else s"$prefix/$base"
+          }
+          val name = paxPath.getOrElse(rawName)
+          val size = paxSize.getOrElse(rawSize)
+          out += ((name, typeflag, size, dataOff))
+          paxPath = None; paxSize = None
+        }
+        pos = dataOff.toInt + blocks * 512
+      }
+    }
+    require(done, "archive ended without the two-zero-block marker")
+    out.toSeq
+  }
+
+  /** Write-side ustar/pax fixture: regular members; a name longer than
+    * the 100-byte header field (or `forcePax`) emits the pax `x` header
+    * + override record pair in front of its entry, exactly the shape
+    * GNU/bsdtar write for deep corpus paths. */
+  def buildTar(members: Seq[(String, Array[Byte])],
+      forcePax: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def writeHeader(name: String, size: Long, typeflag: Char): Unit = {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      require(nb.length <= 100, s"header name too long: $name")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def oct(at: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, at, len - 1)
+        h(at + len - 1) = 0
+      }
+      oct(100, 8, 420 /* 0644 */); oct(108, 8, 0); oct(116, 8, 0)
+      oct(124, 12, size); oct(136, 12, 0)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = typeflag.toByte
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0'
+      var sum = 0L; h.foreach(b => sum += (b & 0xFF))
+      val cs = java.lang.Long.toOctalString(sum)
+      val csPad = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csPad.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+    }
+    def writeData(data: Array[Byte]): Unit = {
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    members.foreach { case (name, data) =>
+      if (forcePax || name.getBytes("UTF-8").length > 100) {
+        // "<len> path=<name>\n" with len counting its own digits
+        val base = s" path=$name\n".getBytes("UTF-8").length
+        var len = base + 1
+        while (s"$len".length + base != len) len = s"$len".length + base
+        val rec = s"$len path=$name\n".getBytes("UTF-8")
+        writeHeader("./PaxHeaders/" + name.take(80), rec.length.toLong, 'x')
+        writeData(rec)
+        writeHeader(name.take(100), data.length.toLong, '0')
+      } else writeHeader(name, data.length.toLong, '0')
+      writeData(data)
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Listing probe over an `(id, payload)` frame of tar streams: one
+    * row per member, `(id, member, name, typeflag, size, data_offset)`.
+    * Partition-batched byte math — zero shuffle, nothing inflated. */
+  def tarProbe(mm: DataFrame): DataFrame = {
+    val spark = mm.sparkSession
+    import spark.implicits._
+    mm.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          tarList(payload).zipWithIndex.map {
+            case ((name, tf, size, off), i) =>
+              (id, i.toLong, name, tf, size, off)
+          }
+        }
+      }
+      .toDF("id", "member", "name", "typeflag", "size", "data_offset")
+  }
+
   /** Listing probe over an `(id, payload)` frame: one row per member,
     * `(id, member, name, method, compressed_size, uncompressed_size,
     * local_offset)`. Partition-batched byte math — zero shuffle, cost

@@ -106,6 +106,53 @@ class ArchiveSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     ex.getMessage should include("ZIP64")
   }
 
+  "tarList" should "list ustar members with sizes and data offsets" in {
+    val tar = Archive.buildTar(Seq(
+      ("a.txt", "alpha".getBytes("UTF-8")),
+      ("dir/b.bin", Array.tabulate(700)(_.toByte)),
+      ("c", Array.emptyByteArray)))
+    val got = Archive.tarList(tar)
+    got.map(_._1) shouldBe Seq("a.txt", "dir/b.bin", "c")
+    got.map(_._3) shouldBe Seq(5L, 700L, 0L)
+    // data really sits at the reported offsets
+    val (_, _, sz, off) = got.head
+    new String(tar, off.toInt, sz.toInt, "UTF-8") shouldBe "alpha"
+    // 700-byte member occupies two data blocks: next offset is +512+1024
+    got(2)._4 shouldBe got(1)._4 + 1024 + 512
+  }
+
+  it should "honor pax path and size overrides for long names" in {
+    val long = "deep" + "/sub" * 40 + "/leaf.txt"
+    long.getBytes("UTF-8").length should be > 100
+    val tar = Archive.buildTar(Seq(
+      (long, "pax payload".getBytes("UTF-8")),
+      ("short.txt", "s".getBytes("UTF-8"))))
+    val got = Archive.tarList(tar)
+    got.map(_._1) shouldBe Seq(long, "short.txt")
+    got.head._3 shouldBe 11L
+    new String(tar, got.head._4.toInt, 11, "UTF-8") shouldBe "pax payload"
+  }
+
+  it should "apply a pax header only to the entry that follows it" in {
+    val tar = Archive.buildTar(
+      Seq(("first", "1".getBytes), ("second", "22".getBytes)),
+      forcePax = true)
+    Archive.tarList(tar).map(t => (t._1, t._3)) shouldBe
+      Seq(("first", 1L), ("second", 2L))
+  }
+
+  it should "fail loudly on corrupted checksums and truncation" in {
+    val tar = Archive.buildTar(Seq(("a", "x".getBytes)))
+    val bad = tar.clone(); bad(0) = 'z'.toByte // name change breaks checksum
+    the[IllegalArgumentException] thrownBy
+      Archive.tarList(bad) should have message
+      "requirement failed: header checksum mismatch at 0"
+    an[IllegalArgumentException] should be thrownBy
+      Archive.tarList(tar.take(tar.length - 512)) // one zero block only
+    an[IllegalArgumentException] should be thrownBy
+      Archive.tarList(tar.take(100)) // not block-aligned
+  }
+
   "zipProbe" should "emit one row per member across payloads" in {
     val s = spark
     import s.implicits._
