@@ -971,6 +971,35 @@ object SparkEntry {
         .orderBy("doc_id", "member")
     }),
 
+    // Sentence segmentation (round 13): the splitter runs over text
+    // synthesized with planted traps — abbreviation chains
+    // (`Dr./Prof./p.m.`), decimal splits (`2.5`, `3.14`), and an
+    // unterminated trailing fragment — and the oracle predicts the
+    // sentence COUNT and the exact first/last sentence strings closed
+    // form; only correct false-split re-merging reproduces them
+    "q_sentence_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = array_join(
+        transform(sequence(lit(0L), col("doc_id") % 4), k =>
+          concat(lit("Base sentence number "), k.cast("string"),
+            lit(" stands alone."))), " ")
+      val text = concat(base,
+        when(col("doc_id") % 3 === 0,
+          lit(" Dr. Smith met Prof. Jones at 5 p.m. sharp."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 1,
+          lit(" Version 2.5 shipped on day 3.14 exactly!"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 2,
+          lit(" He finally said it works")).otherwise(lit("")))
+      val sents = pipeline.TextOps.sentences(text)
+      docs.select(col("doc_id"),
+          size(sents).cast("long").as("n_sentences"),
+          element_at(sents, 1).as("first_sentence"),
+          element_at(sents, -1).as("last_sentence"))
+        .orderBy("doc_id")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5780,6 +5809,28 @@ object SparkEntry {
         |        unnest(range(0, CAST(doc_id % 4 AS INTEGER) + 1)) AS j
         |      FROM documents)
         |ORDER BY doc_id, member""".stripMargin,
+
+    // every count and boundary string closed form from the residue
+    // plan: 1+doc_id%4 base sentences plus one per planted trap; the
+    // trap sentences only count as ONE each if the splitter re-merges
+    // their abbreviation/decimal false splits
+    "q_sentence_split" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 4 + 1
+        |            + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |            + CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END
+        |            + CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS n_sentences,
+        |       'Base sentence number 0 stands alone.' AS first_sentence,
+        |       CASE WHEN doc_id % 7 = 2 THEN 'He finally said it works'
+        |            WHEN doc_id % 5 = 1
+        |              THEN 'Version 2.5 shipped on day 3.14 exactly!'
+        |            WHEN doc_id % 3 = 0
+        |              THEN 'Dr. Smith met Prof. Jones at 5 p.m. sharp.'
+        |            ELSE 'Base sentence number ' ||
+        |                 CAST(doc_id % 4 AS VARCHAR) || ' stands alone.'
+        |       END AS last_sentence
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),
     // +1 for the xref stream object itself in the stream arm (whose

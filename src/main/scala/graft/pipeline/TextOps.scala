@@ -1236,4 +1236,41 @@ object TextOps {
     docs.select(col("doc_id"), hits.as("n_hits"))
       .withColumn("blocked", (col("n_hits") > 0).cast("long"))
   }
+
+  /** A segment whose trailing `.` does NOT end a sentence: a known
+    * abbreviation (`Dr.`, `Prof.`, `etc.`) or a standalone single
+    * letter (initials, `p.` inside `p.m.`). Anchored at the segment
+    * end; `\b` keeps `sharp.` from matching its final letter. */
+  val SentenceNonFinal: String =
+    "(?i)\\b(?:dr|mr|mrs|ms|prof|st|vs|etc|fig|approx|inc|jr|sr|[a-z])\\.$"
+
+  /** Abbreviation-aware sentence segmentation — the unit under
+    * token-budget chunking, quote extraction, and per-sentence dedup
+    * (NLTK Punkt's job, done as heuristic rules). Candidate splits at
+    * `.!?` runs come from one `regexp_extract_all`; a single `aggregate`
+    * fold then re-merges the false splits: a segment ending in an
+    * abbreviation/initial ([[SentenceNonFinal]]), or a digit split
+    * (`2.` + `5 shipped`, decimals/versions/section numbers). Trailing
+    * text without a terminator is kept as a final sentence fragment —
+    * dropping it would silently lose the tail of truncated crawl text.
+    *
+    * Pure Column work: a regex scan + one fold per document, zero
+    * shuffle, cost linear in text length — the 100 TB shape. */
+  def sentences(text: Column): Column = {
+    val pieces =
+      regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+    val merged = aggregate(
+      pieces,
+      array().cast("array<string>"),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        val falseSplit = last.rlike(SentenceNonFinal) ||
+          (last.rlike("[0-9]\\.$") && p.rlike("^\\s*[0-9]"))
+        when(size(acc) > 0 && falseSplit,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(last, p))))
+          .otherwise(concat(acc, array(p)))
+      })
+    filter(transform(merged, s => btrim(s)), s => length(s) > 0)
+  }
 }
