@@ -1000,6 +1000,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML table extraction (round 13): pages synthesized with a
+    // variable r×c table (header <th> row + <b>-wrapped, entity-laden
+    // <td> cells) plus a second one-cell table on a residue class; the
+    // oracle predicts every (table, row, col) → cell text closed form,
+    // so tag stripping, entity decode, and source-order indexing are
+    // all pinned
+    "q_html_tables" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val lastCol = id % 2 + 1 // cols 0..lastCol (2 or 3 columns)
+      val headerRow = concat(lit("<tr>"),
+        array_join(transform(sequence(lit(0L), lastCol), j =>
+          concat(lit("<th> H"), j.cast("string"), lit(" </th>"))), ""),
+        lit("</tr>"))
+      val dataRows = array_join(
+        transform(sequence(lit(1L), id % 3 + 1), i =>
+          concat(lit("<tr class=d>"),
+            array_join(transform(sequence(lit(0L), lastCol), j =>
+              concat(lit("<td><b>v"), id.cast("string"), lit("-"),
+                i.cast("string"), lit("-"), j.cast("string"),
+                lit("</b> &amp; more</td>"))), ""),
+            lit("</tr>"))), "")
+      val page = concat(
+        lit("<html><body><p>prose</p><table class=\"data\">"),
+        headerRow, dataRows, lit("</table>"),
+        when(id % 4 === 1,
+          lit("<table><tr><td>Aside note.</td></tr></table>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      docs.select(id, posexplode(pipeline.Html.tableCells(page))
+          .as(Seq("tbl", "trs")))
+        .select(col("doc_id"), col("tbl"),
+          posexplode(col("trs")).as(Seq("row_idx", "tds")))
+        .select(col("doc_id"), col("tbl"), col("row_idx"),
+          posexplode(col("tds")).as(Seq("col_idx", "cell")))
+        .select(col("doc_id"), col("tbl").cast("long").as("tbl"),
+          col("row_idx").cast("long").as("row_idx"),
+          col("col_idx").cast("long").as("col_idx"), col("cell"))
+        .orderBy("doc_id", "tbl", "row_idx", "col_idx")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5831,6 +5872,34 @@ object SparkEntry {
         |                 CAST(doc_id % 4 AS VARCHAR) || ' stands alone.'
         |       END AS last_sentence
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every (table,row,col)→cell closed form from the residue plan:
+    // table 0 is the header row + doc_id%3+1 data rows over doc_id%2+2
+    // columns, table 1 the one-cell aside on the %4=1 class
+    "q_html_tables" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS r,
+        |         CAST(doc_id % 2 + 2 AS INTEGER) AS c
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, row_idx, unnest(range(0, c)) AS col_idx
+        |  FROM (SELECT doc_id, c, unnest(range(0, r + 1)) AS row_idx
+        |        FROM dims))
+        |SELECT doc_id, CAST(0 AS BIGINT) AS tbl,
+        |       CAST(row_idx AS BIGINT) AS row_idx,
+        |       CAST(col_idx AS BIGINT) AS col_idx,
+        |       CASE WHEN row_idx = 0
+        |            THEN 'H' || CAST(col_idx AS VARCHAR)
+        |            ELSE 'v' || CAST(doc_id AS VARCHAR) || '-' ||
+        |                 CAST(row_idx AS VARCHAR) || '-' ||
+        |                 CAST(col_idx AS VARCHAR) || ' & more'
+        |       END AS cell
+        |FROM grid
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+        |       CAST(0 AS BIGINT), 'Aside note.'
+        |FROM documents WHERE doc_id % 4 = 1
+        |ORDER BY doc_id, tbl, row_idx, col_idx""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),
     // +1 for the xref stream object itself in the stream arm (whose

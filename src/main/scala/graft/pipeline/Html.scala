@@ -334,4 +334,35 @@ object Html {
       (!(has("noindex") || has("none"))).as("indexable"),
       (!(has("nofollow") || has("none"))).as("followable"))
   }
+
+  /** Structured table extraction — the step that turns the web's
+    * billions of `<table>`s into rows a pipeline can keep as aligned
+    * data (the WikiTables/WDC-corpus ingest, and the reason a crawl
+    * corpus yields more than prose). Every table's cells as a nested
+    * `array<array<array<string>>>`: tables in document order → rows
+    * (`<tr>`) → cells (`<td>`/`<th>`, in source order, so a header row
+    * is row 0 when the page puts it first); each cell's text is
+    * tag-stripped (inline markup like `<b>`/`<a>` contributes its
+    * text), entity-decoded, whitespace-collapsed, and trimmed.
+    *
+    * Three nested `regexp_extract_all` scans over the declared element
+    * boundaries — pure map-side Column work, zero shuffle, linear in
+    * page size. NESTED tables are out of scope for the non-greedy
+    * block regex (the inner table's cells surface as text of the outer
+    * cell region up to the first `</table>`); real table-corpus
+    * pipelines drop nested layout tables anyway. */
+  def tableCells(html: Column): Column = {
+    val tables = regexp_extract_all(html,
+      lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
+    transform(tables, t =>
+      transform(
+        regexp_extract_all(t, lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"),
+          lit(1)),
+        tr => transform(
+          regexp_extract_all(tr,
+            lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>"), lit(1)),
+          cell => btrim(regexp_replace(
+            decodeEntities(regexp_replace(cell, "<[^>]*>", " ")),
+            "\\s+", " ")))))
+  }
 }

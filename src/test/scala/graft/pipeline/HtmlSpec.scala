@@ -247,4 +247,34 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     gate("noarchive, unavailable_after: 2026-01-01", "noindex") shouldBe
       ((false, true))
   }
+
+  private def cells(page: String): Seq[Seq[Seq[String]]] = {
+    val s = spark
+    import s.implicits._
+    Seq(page).toDF("html").select(Html.tableCells(col("html")))
+      .as[Seq[Seq[Seq[String]]]].collect().head
+  }
+
+  "tableCells" should "extract tables, rows, and cells in source order" in {
+    cells("<table><tr><th>A</th><th>B</th></tr>" +
+      "<tr><td>1</td><td>2</td></tr></table>" +
+      "<p>between</p><table class=x><tr><td>solo</td></tr></table>") shouldBe
+      Seq(Seq(Seq("A", "B"), Seq("1", "2")), Seq(Seq("solo")))
+  }
+
+  it should "strip inline markup, decode entities, collapse whitespace" in {
+    cells("<TABLE><TR><TD> <b>bold</b>\n &amp; <a href='/'>link</a>ed " +
+      "</TD><td>x&lt;y</td></TR></TABLE>") shouldBe
+      Seq(Seq(Seq("bold & link ed", "x<y")))
+  }
+
+  it should "handle ragged rows and attribute-laden tags" in {
+    cells("<table border=1><tr align=center><td colspan=\"2\">wide</td>" +
+      "</tr><tr><td>a</td><td>b</td></tr></table>") shouldBe
+      Seq(Seq(Seq("wide"), Seq("a", "b")))
+  }
+
+  it should "return empty for pages without tables" in {
+    cells("<html><body><p>no tables here</p></body></html>") shouldBe Seq()
+  }
 }
