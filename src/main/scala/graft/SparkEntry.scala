@@ -1041,6 +1041,32 @@ object SparkEntry {
         .orderBy("doc_id", "tbl", "row_idx", "col_idx")
     }),
 
+    // CSV dialect sniffing (round 13): payloads planted in one of four
+    // delimiters with/without a header row, every data row carrying a
+    // QUOTED field containing a literal comma — the naive unmasked
+    // count would mis-pick ',' on 3 of 4 classes; the oracle predicts
+    // dialect, header flag, and shape closed form from the residues
+    "q_csv_dialect" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val d = when(id % 4 === 0, lit(","))
+        .when(id % 4 === 1, lit(";"))
+        .when(id % 4 === 2, lit("\t")).otherwise(lit("|"))
+      val header = when(id % 3 =!= 0,
+        concat(lit("name"), d, lit("note"), d, lit("value"), lit("\n")))
+        .otherwise(lit(""))
+      val rows = array_join(
+        transform(sequence(lit(1L), id % 3 + 2), i =>
+          concat(lit("r"), i.cast("string"), d,
+            lit("\"x,y "), i.cast("string"), lit("\""), d,
+            (i * 10).cast("string"))), "\n")
+      docs.select(id, sources.Csv.sniff(concat(header, rows)).as("s"))
+        .select(col("doc_id"), col("s.delimiter").as("delimiter"),
+          col("s.has_header").as("has_header"),
+          col("s.n_cols").as("n_cols"), col("s.n_rows").as("n_rows"))
+        .orderBy("doc_id")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5900,6 +5926,21 @@ object SparkEntry {
         |       CAST(0 AS BIGINT), 'Aside note.'
         |FROM documents WHERE doc_id % 4 = 1
         |ORDER BY doc_id, tbl, row_idx, col_idx""".stripMargin,
+
+    // dialect, header flag, and shape all closed form from the residue
+    // plan (3 columns always; rows = data rows + header when present)
+    "q_csv_dialect" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 4 AS INTEGER)
+        |         WHEN 0 THEN ',' WHEN 1 THEN ';'
+        |         WHEN 2 THEN chr(9) ELSE '|' END AS delimiter,
+        |       CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS has_header,
+        |       CAST(3 AS BIGINT) AS n_cols,
+        |       CAST(doc_id % 3 + 2
+        |            + CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS n_rows
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),
     // +1 for the xref stream object itself in the stream arm (whose
