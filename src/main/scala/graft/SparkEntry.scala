@@ -1067,6 +1067,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML→Markdown export (round 13): pages with headings, emphasis,
+    // a variable list, entities, and a link convert to the exact
+    // markdown string the oracle assembles closed form — headings,
+    // `**`/`*` wrapping, `- ` list lines, `[text](href)`, entity
+    // decode, and blank-line normalization all pinned byte-for-byte
+    "q_markdown_export" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val items = array_join(
+        transform(sequence(lit(0L), id % 3), j =>
+          concat(lit("<li>item "), j.cast("string"), lit(" of "), ids,
+            lit("</li>"))), "")
+      val page = concat(
+        lit("<html><head><title>ignored</title>" +
+          "<style>p{x:1}</style></head><body><h1>Doc "), ids,
+        lit("</h1><h2>Section "), (id % 5).cast("string"),
+        lit("</h2><p>Intro with <b>bold "), ids,
+        lit("</b> and <em>soft</em> words &amp; more.</p><ul>"), items,
+        lit("</ul><p>See <a href=\"/next/"), ids,
+        lit("\">the next "), ids, lit("</a> now.</p></body></html>"))
+      docs.select(id, pipeline.Html.toMarkdown(page).as("markdown"))
+        .orderBy("doc_id")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5941,6 +5966,32 @@ object SparkEntry {
         |            + CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END
         |            AS BIGINT) AS n_rows
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the exact markdown byte string reassembled closed form (chr(10)
+    // newlines; the list via an ordered string_agg over the residue)
+    "q_markdown_export" ->
+      """WITH items AS (
+        |  SELECT doc_id,
+        |         string_agg('- item ' || CAST(j AS VARCHAR) || ' of ' ||
+        |                    CAST(doc_id AS VARCHAR), chr(10) ORDER BY j)
+        |           AS lst
+        |  FROM (SELECT doc_id,
+        |          unnest(range(0, CAST(doc_id % 3 AS INTEGER) + 1)) AS j
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       '# Doc ' || CAST(d.doc_id AS VARCHAR) ||
+        |       chr(10) || chr(10) ||
+        |       '## Section ' || CAST(d.doc_id % 5 AS VARCHAR) ||
+        |       chr(10) || chr(10) ||
+        |       'Intro with **bold ' || CAST(d.doc_id AS VARCHAR) ||
+        |       '** and *soft* words & more.' || chr(10) || chr(10) ||
+        |       i.lst || chr(10) || chr(10) ||
+        |       'See [the next ' || CAST(d.doc_id AS VARCHAR) ||
+        |       '](/next/' || CAST(d.doc_id AS VARCHAR) || ') now.'
+        |         AS markdown
+        |FROM documents d JOIN items i USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),
     // +1 for the xref stream object itself in the stream arm (whose

@@ -351,6 +351,44 @@ object Html {
     * block regex (the inner table's cells surface as text of the outer
     * cell region up to the first `</table>`); real table-corpus
     * pipelines drop nested layout tables anyway. */
+  /** HTML→Markdown-lite conversion — the markdownify/trafilatura
+    * output format most LLM pretraining corpora standardize on, because
+    * it KEEPS document structure (headings, lists, links, emphasis) as
+    * plain text tokens instead of flattening it away. Sequential
+    * group-capture `regexp_replace` passes:
+    * head/script/style/comments dropped; `<a href>` → `[text](href)`;
+    * `<b>/<strong>` → `**…**`; `<i>/<em>` → `*…*`; `<h1..h6>` →
+    * `#…######`; `<li>` → `- ` lines; paragraph/list closers → blank
+    * lines; remaining tags stripped; entities decoded; whitespace
+    * normalized (intra-line runs → one space, ≥3 newlines → one blank
+    * line). Pure map-side Column work, linear in page size. */
+  def toMarkdown(html: Column): Column = {
+    val noHead = regexp_replace(html,
+      "(?is)<head\\b[^>]*>.*?</head\\s*>|<script\\b[^>]*>.*?</script\\s*>" +
+        "|<style\\b[^>]*>.*?</style\\s*>|<!--.*?-->", " ")
+    val links = regexp_replace(noHead,
+      "(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>",
+      "[$2]($1)")
+    val strong = regexp_replace(links,
+      "(?is)<(?:b|strong)\\b[^>]*>(.*?)</(?:b|strong)\\s*>", "**$1**")
+    val em = regexp_replace(strong,
+      "(?is)<(?:i|em)\\b[^>]*>(.*?)</(?:i|em)\\s*>", "*$1*")
+    val hs = (1 to 6).foldLeft(em) { (acc, n) =>
+      regexp_replace(acc, s"(?is)<h$n\\b[^>]*>(.*?)</h$n\\s*>",
+        "\n\n" + ("#" * n) + " $1\n\n")
+    }
+    val li = regexp_replace(hs, "(?is)<li\\b[^>]*>(.*?)</li\\s*>", "\n- $1")
+    val blocks = regexp_replace(li,
+      "(?i)</(?:ul|ol|p|div|blockquote|table|tr)\\s*>", "\n\n")
+    val brs = regexp_replace(blocks, "(?i)<br\\b[^>]*/?>", "\n")
+    val decoded = decodeEntities(regexp_replace(brs, "<[^>]*>", ""))
+    val sp = regexp_replace(decoded, "[ \\t]+", " ")
+    // btrim strips only spaces — leading/trailing NEWLINES need the regex
+    regexp_replace(regexp_replace(
+      regexp_replace(sp, " *\n *", "\n"), "\n{3,}", "\n\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   def tableCells(html: Column): Column = {
     val tables = regexp_extract_all(html,
       lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))

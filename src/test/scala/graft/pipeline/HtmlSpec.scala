@@ -277,4 +277,36 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
   it should "return empty for pages without tables" in {
     cells("<html><body><p>no tables here</p></body></html>") shouldBe Seq()
   }
+
+  private def md(page: String): String = {
+    val s = spark
+    import s.implicits._
+    Seq(page).toDF("html").select(Html.toMarkdown(col("html")))
+      .as[String].collect().head
+  }
+
+  "toMarkdown" should "convert headings, emphasis, links, and lists" in {
+    md("<html><head><title>skip</title></head><body>" +
+      "<h1>Title</h1><h3>Sub</h3>" +
+      "<p>Some <b>bold</b> and <em>italic</em> text.</p>" +
+      "<ul><li>one</li><li>two</li></ul>" +
+      "<p>Visit <a href=\"/x\">this page</a> today.</p>" +
+      "</body></html>") shouldBe
+      "# Title\n\n### Sub\n\nSome **bold** and *italic* text.\n\n" +
+        "- one\n- two\n\nVisit [this page](/x) today."
+  }
+
+  it should "decode entities and normalize whitespace" in {
+    md("<p>a &amp; b   c</p>\n\n\n<p>d &lt;e&gt;</p>") shouldBe
+      "a & b c\n\nd <e>"
+  }
+
+  it should "not treat body as bold and keeps bare text" in {
+    md("<body>plain prose</body>") shouldBe "plain prose"
+  }
+
+  it should "turn br into line breaks within a paragraph" in {
+    md("<p>line one<br>line two<br/>line three</p>") shouldBe
+      "line one\nline two\nline three"
+  }
 }
