@@ -1092,6 +1092,123 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Readability (round 13): Flesch / Flesch–Kincaid over the REAL
+    // corpus text (plus a planted punctuated suffix so sentence
+    // division is exercised); both engines count words, vowel-group
+    // syllables, and terminator-run sentences with the identical
+    // definitions, so every count and both scores must agree exactly
+    "q_readability" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val text = concat(col("text"), lit(". The end! Quite readable?"))
+      docs.select(col("doc_id"),
+          pipeline.TextOps.readability(text).as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.flesch_e4").as("flesch_e4"),
+          col("r.fk_grade_e4").as("fk_grade_e4"))
+        .orderBy("doc_id")
+    }),
+
+    // Code-vs-prose detection (round 13): structural-character and
+    // keyword signals over real text plus a planted code block on the
+    // %6 residue; both engines count with the same arithmetic, and the
+    // conjunctive is_code rule fires exactly on the planted class
+    "q_code_detect" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val code = "\nfunction f(x) { return x * 2; } // double\n" +
+        "if (a == b) { y[0] = 0; }"
+      val text = concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(code)).otherwise(lit("")))
+      docs.select(col("doc_id"),
+          pipeline.TextOps.codeSignals(text).as("c"))
+        .select(col("doc_id"), col("c.n_braces").as("n_braces"),
+          col("c.n_semicolons").as("n_semicolons"),
+          col("c.n_compare").as("n_compare"),
+          col("c.n_comments").as("n_comments"),
+          col("c.n_keywords").as("n_keywords"),
+          col("c.is_code").as("is_code"))
+        .orderBy("doc_id")
+    }),
+
+    // Publication-date extraction (round 13): ISO and long-form dates
+    // planted by residue (one class carries none); the extractor must
+    // find the right spelling, map month names, and emit integer
+    // (y,m,d) the oracle predicts closed form
+    "q_doc_dates" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val iso = concat((id % 20 + 2000).cast("string"), lit("-"),
+        lpad((id % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad((id % 28 + 1).cast("string"), 2, "0"))
+      val monthName = element_at(
+        array(Seq("January", "February", "March", "April", "May",
+          "June", "July", "August", "September", "October", "November",
+          "December").map(lit): _*), (id % 12 + 1).cast("int"))
+      val longForm = concat(monthName, lit(" "),
+        (id % 28 + 1).cast("string"), lit(", "),
+        (id % 30 + 1990).cast("string"))
+      val text = concat(col("text"),
+        when(id % 3 === 0, concat(lit(" Published on "), iso,
+          lit(" here."))).when(id % 3 === 1,
+          concat(lit(" Updated "), longForm, lit(" edition.")))
+          .otherwise(lit("")))
+      docs.select(id, pipeline.TextOps.dateExtract(text).as("dt"))
+        .select(col("doc_id"), col("dt.found").as("found"),
+          col("dt.y").as("y"), col("dt.m").as("m"), col("dt.d").as("d"))
+        .orderBy("doc_id")
+    }),
+
+    // YAML frontmatter (round 13): fenced metadata synthesized from
+    // real columns (lang comes from the corpus lang column) splits
+    // into a typed map + clean body; title/kind/tag-count/body head
+    // all predicted closed form by the oracle
+    "q_frontmatter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val tags = when(id % 2 === 0, lit("[alpha, beta]"))
+        .otherwise(lit("[alpha, beta, gamma]"))
+      val md = concat(lit("---\ntitle: Doc "), ids, lit("\nlang: "),
+        col("lang"), lit("\nkind: note\ntags: "), tags,
+        lit("\n---\n# Doc "), ids, lit("\n\nBody for "), ids, lit("."))
+      docs.select(id, pipeline.Markdown.frontmatter(md).as("f"))
+        .select(col("doc_id"),
+          element_at(col("f.meta"), "title").as("title"),
+          element_at(col("f.meta"), "lang").as("meta_lang"),
+          element_at(col("f.meta"), "kind").as("kind"),
+          size(pipeline.Markdown.inlineList(
+            element_at(col("f.meta"), "tags"))).cast("long").as("n_tags"),
+          regexp_extract(col("f.body"), "^[^\n]*", 0).as("body_head"))
+        .orderBy("doc_id")
+    }),
+
+    // Citation extraction (round 13): DOIs (with the trailing-
+    // punctuation cleanup) and new-style arXiv ids planted by residue;
+    // counts and first identifiers closed form
+    "q_citation_extract" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val arx = concat(lit("21"),
+        lpad((id % 12 + 1).cast("string"), 2, "0"), lit("."),
+        lpad((id % 90000 + 10000).cast("string"), 5, "0"))
+      val text = concat(lit("As shown in doi:10.5555/rev."), ids,
+        lit(" results hold"),
+        when(id % 3 === 0, concat(lit(" and doi:10.1000/xyz"), ids))
+          .otherwise(lit("")),
+        lit(". Preprint arXiv:"), arx,
+        when(id % 4 === 1, lit("v2")).otherwise(lit("")),
+        lit(" has details."))
+      docs.select(id, pipeline.TextOps.citations(text).as("c"))
+        .select(col("doc_id"),
+          size(col("c.dois")).cast("long").as("n_dois"),
+          element_at(col("c.dois"), 1).as("first_doi"),
+          size(col("c.arxiv")).cast("long").as("n_arxiv"),
+          element_at(col("c.arxiv"), 1).as("first_arxiv"))
+        .orderBy("doc_id")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -5992,6 +6109,105 @@ object SparkEntry {
         |         AS markdown
         |FROM documents d JOIN items i USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // both engines count with the identical shared definitions (letter
+    // runs, vowel-group syllables clamped >=1, terminator-run
+    // sentences) and compute the same double arithmetic; scores in
+    // integer 1e-4 units via floor(x*1e4+0.5) — bit-deterministic,
+    // unlike decimal round() whose tie rule differs across engines
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || '. The end! Quite readable?' AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(tx), '[a-z]+'))
+        |         AS BIGINT) AS w,
+        |    CAST(coalesce(list_sum(list_transform(
+        |           regexp_extract_all(lower(tx), '[a-z]+'),
+        |           x -> greatest(1,
+        |             len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+        |         AS BIGINT) AS s,
+        |    CAST(greatest(1, len(regexp_extract_all(tx, '[.!?]+')))
+        |         AS BIGINT) AS n
+        |  FROM t)
+        |SELECT doc_id, w AS n_words, s AS n_syllables, n AS n_sentences,
+        |       CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / n)
+        |             - 84.6 * (CAST(s AS DOUBLE) / w)) * 10000 + 0.5)
+        |            AS BIGINT) AS flesch_e4,
+        |       CAST(floor((0.39 * (CAST(w AS DOUBLE) / n)
+        |             + 11.8 * (CAST(s AS DOUBLE) / w) - 15.59)
+        |             * 10000 + 0.5) AS BIGINT) AS fk_grade_e4
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // identical character/keyword arithmetic over the same final text;
+    // the planted block contributes 4 braces, 2 semicolons, 1 ==, one
+    // // comment, and 3 keyword hits
+    "q_code_detect" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 6 = 0 THEN
+        |    chr(10) || 'function f(x) { return x * 2; } // double' ||
+        |    chr(10) || 'if (a == b) { y[0] = 0; }' ELSE '' END AS tx
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tx) - len(replace(tx, '{', ''))
+        |       + len(tx) - len(replace(tx, '}', '')) AS BIGINT)
+        |    AS n_braces,
+        |  CAST(len(tx) - len(replace(tx, ';', '')) AS BIGINT)
+        |    AS n_semicolons,
+        |  CAST((len(tx) - len(replace(tx, '==', ''))) / 2 AS BIGINT)
+        |    AS n_compare,
+        |  CAST((len(tx) - len(replace(tx, '//', ''))) / 2
+        |       + (len(tx) - len(replace(tx, '# ', ''))) / 2 AS BIGINT)
+        |    AS n_comments,
+        |  CAST(len(regexp_extract_all(tx,
+        |    '\b(function|return|if|else|var|let|const|def|import)\b'))
+        |    AS BIGINT) AS n_keywords,
+        |  CAST(CASE WHEN len(tx) - len(replace(tx, '{', ''))
+        |                 + len(tx) - len(replace(tx, '}', '')) >= 4
+        |             AND len(tx) - len(replace(tx, ';', '')) >= 2
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_code
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // (found, y, m, d) all closed form from the residue plan; the %3=2
+    // class plants nothing and must come back all-zero
+    "q_doc_dates" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END
+        |            AS BIGINT) AS found,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 20 + 2000
+        |                 WHEN doc_id % 3 = 1 THEN doc_id % 30 + 1990
+        |                 ELSE 0 END AS BIGINT) AS y,
+        |       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 12 + 1
+        |                 ELSE 0 END AS BIGINT) AS m,
+        |       CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN doc_id % 28 + 1
+        |                 ELSE 0 END AS BIGINT) AS d
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // metadata map entries and the cleaned body head closed form; lang
+    // round-trips the corpus lang column through the frontmatter block
+    "q_frontmatter" ->
+      """SELECT doc_id,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |       lang AS meta_lang,
+        |       'note' AS kind,
+        |       CAST(2 + doc_id % 2 AS BIGINT) AS n_tags,
+        |       '# Doc ' || CAST(doc_id AS VARCHAR) AS body_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // counts and first identifiers closed form; the second DOI's
+    // trailing sentence period must be stripped by the extractor
+    "q_citation_extract" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+        |            AS BIGINT) AS n_dois,
+        |       '10.5555/rev.' || CAST(doc_id AS VARCHAR) AS first_doi,
+        |       CAST(1 AS BIGINT) AS n_arxiv,
+        |       '21' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') ||
+        |       '.' || lpad(CAST(doc_id % 90000 + 10000 AS VARCHAR), 5, '0')
+        |       || CASE WHEN doc_id % 4 = 1 THEN 'v2' ELSE '' END
+        |         AS first_arxiv
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),
     // +1 for the xref stream object itself in the stream arm (whose

@@ -1237,6 +1237,137 @@ object TextOps {
       .withColumn("blocked", (col("n_hits") > 0).cast("long"))
   }
 
+  /** Readability metrics (Flesch reading ease / Flesch–Kincaid grade)
+    * — the classic document-difficulty axis corpus curators bucket on
+    * (alongside [[qualityScore]]'s surface gates). All three inputs are
+    * counted with SHARED, engine-replicable definitions so the oracle
+    * can recompute them exactly: words are letter runs, syllables are
+    * vowel-group runs per word clamped to ≥1 (the standard cheap
+    * approximation), sentences are terminator runs clamped to ≥1.
+    * Emits `struct(n_words, n_syllables, n_sentences, flesch_e4,
+    * fk_grade_e4)` — the scores as INTEGER 1e-4 units via
+    * `floor(x*10000 + 0.5)`: decimal `round()` half-way semantics
+    * differ across engines (Spark half-up vs DuckDB half-even; a real
+    * corpus row landed exactly on the 1e-4 tie), while `floor` over
+    * the same IEEE double is bit-deterministic everywhere. Two regex
+    * scans + one fold — zero shuffle. */
+  def readability(text: Column): Column = {
+    val words = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    val nWords = size(words).cast("long")
+    val nSyll = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))))
+    val nSent = greatest(lit(1),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))).cast("long")
+    // bind the three counts once; the two scores reuse them as lambda refs
+    element_at(transform(
+      array(struct(nWords.as("w"), nSyll.as("s"), nSent.as("t"))),
+      c => {
+        val w = c.getField("w").cast("double")
+        val wps = w / c.getField("t").cast("double")
+        val spw = c.getField("s").cast("double") / w
+        struct(
+          c.getField("w").as("n_words"),
+          c.getField("s").as("n_syllables"),
+          c.getField("t").as("n_sentences"),
+          floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+            * 10000 + 0.5).cast("long").as("flesch_e4"),
+          floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+            * 10000 + 0.5).cast("long").as("fk_grade_e4"))
+      }), 1)
+  }
+
+  /** Code-vs-prose signals — the filter The Stack/StarCoder-style
+    * curation runs to route source code away from the prose pipeline
+    * (or into a code corpus). Counts structural characters that prose
+    * essentially never carries in volume (braces, semicolons,
+    * assignment/comparison operators, line-comment markers) plus the
+    * keyword hits of the C-family/Python surface. The flag is the
+    * cheap conjunctive rule (braces AND semicolons both present in
+    * bulk); the counts let callers train a real classifier downstream.
+    * Exact character arithmetic both engines replicate. */
+  def codeSignals(text: Column): Column = {
+    def cnt(ch: String) =
+      ((length(text) - length(call_function("replace", text, lit(ch),
+        lit("")))) / ch.length).cast("long")
+    val braces = cnt("{") + cnt("}")
+    val semis = cnt(";")
+    val cmp = cnt("==")
+    val comments = cnt("//") + cnt("# ")
+    val kw = size(regexp_extract_all(text,
+      lit("\\b(?:function|return|if|else|var|let|const|def|import)\\b"),
+      lit(0))).cast("long")
+    element_at(transform(
+      array(struct(braces.as("b"), semis.as("s"), cmp.as("c"),
+        comments.as("m"), kw.as("k"))),
+      x => struct(
+        x.getField("b").as("n_braces"),
+        x.getField("s").as("n_semicolons"),
+        x.getField("c").as("n_compare"),
+        x.getField("m").as("n_comments"),
+        x.getField("k").as("n_keywords"),
+        (x.getField("b") >= 4 && x.getField("s") >= 2)
+          .cast("long").as("is_code"))), 1)
+  }
+
+  /** Publication-date extraction — the temporal-provenance field a
+    * pretraining pipeline wants on every document (dedup keep-newest,
+    * cutoff filtering, temporal splits). Recognizes the two dominant
+    * spellings: ISO `YYYY-MM-DD` and long-form `Month D, YYYY`
+    * (English month names). Emits `struct(found, y, m, d)` — integer
+    * fields, no date-type mapping ambiguity across engines. First
+    * match wins, ISO checked first (it is the unambiguous spelling). */
+  def dateExtract(text: Column): Column = {
+    val months = Seq("january", "february", "march", "april", "may",
+      "june", "july", "august", "september", "october", "november",
+      "december")
+    val iso = regexp_extract(text,
+      "\\b(19[0-9]{2}|20[0-9]{2})-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\\b",
+      0)
+    val longForm = regexp_extract(text,
+      "\\b(?i)(" + months.mkString("|") +
+        ")\\s+([1-9]|[12][0-9]|3[01]),\\s*(19[0-9]{2}|20[0-9]{2})\\b", 0)
+    val monthNum = months.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (name, i)) =>
+        when(lower(regexp_extract(longForm,
+          "(?i)^([a-z]+)", 1)) === name, lit(i + 1)).otherwise(acc)
+    }
+    element_at(transform(array(struct(iso.as("iso"), longForm.as("lf"),
+      monthNum.as("mn"))), p => {
+      val isoHit = length(p.getField("iso")) > 0
+      val lfHit = length(p.getField("lf")) > 0
+      struct(
+        (isoHit || lfHit).cast("long").as("found"),
+        when(isoHit, split(p.getField("iso"), "-").getItem(0).cast("long"))
+          .when(lfHit, regexp_extract(p.getField("lf"),
+            "([0-9]{4})$", 1).cast("long")).otherwise(lit(0L)).as("y"),
+        when(isoHit, split(p.getField("iso"), "-").getItem(1).cast("long"))
+          .when(lfHit, p.getField("mn").cast("long"))
+          .otherwise(lit(0L)).as("m"),
+        when(isoHit, split(p.getField("iso"), "-").getItem(2).cast("long"))
+          .when(lfHit, regexp_extract(p.getField("lf"),
+            "\\b([0-9]{1,2}),", 1).cast("long"))
+          .otherwise(lit(0L)).as("d"))
+    }), 1)
+  }
+
+  /** Citation/identifier extraction — DOIs and arXiv ids, the
+    * provenance links an academic-corpus pipeline resolves and
+    * dedups on. Returns `struct(dois array<string>, arxiv
+    * array<string>)` in document order. DOI per Crossref's display
+    * guidance (`10.<registrant>/<suffix>`, suffix up to a delimiter);
+    * arXiv new-style `YYMM.NNNNN` ids. */
+  def citations(text: Column): Column = struct(
+    transform(
+      regexp_extract_all(text,
+        lit("\\b10\\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+"), lit(0)),
+      // the greedy charset legally ends on sentence punctuation —
+      // strip it, the Crossref display-form cleanup every resolver does
+      d => regexp_replace(d, "[.,;:)]+$", "")).as("dois"),
+    regexp_extract_all(text,
+      lit("\\barXiv:([0-9]{4}\\.[0-9]{4,5}(?:v[0-9]+)?)"), lit(1))
+      .as("arxiv"))
+
   /** A segment whose trailing `.` does NOT end a sentence: a known
     * abbreviation (`Dr.`, `Prof.`, `etc.`) or a standalone single
     * letter (initials, `p.` inside `p.m.`). Anchored at the segment
