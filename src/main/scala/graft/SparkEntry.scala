@@ -1209,6 +1209,118 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTTP cache policy (round 13): RFC 9111 shared-cache semantics
+    // over synthesized response headers — no-store/private gating,
+    // s-maxage overriding max-age, revalidation directives, validator
+    // preference — every field closed form from the residue plan
+    "q_http_cache" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val cc = when(id % 5 === 0, lit("Cache-Control: no-store\r\n"))
+        .when(id % 5 === 1,
+          lit("Cache-Control: private, max-age=600\r\n"))
+        .when(id % 5 === 2, concat(lit("Cache-Control: public, max-age="),
+          (id % 3600).cast("string"), lit(", s-maxage="),
+          (id % 1800).cast("string"), lit("\r\n")))
+        .when(id % 5 === 3, lit("Cache-Control: no-cache\r\n"))
+        .otherwise(lit(""))
+      val etag = when(id % 2 === 0, concat(lit("ETag: \"v"),
+        id.cast("string"), lit("\"\r\n"))).otherwise(lit(""))
+      val lm = when(id % 3 === 0,
+        lit("Last-Modified: Tue, 01 Jul 2025 00:00:00 GMT\r\n"))
+        .otherwise(lit(""))
+      val headers = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+        cc, etag, lm)
+      docs.select(id, sources.Warc.cachePolicy(headers).as("p"))
+        .select(col("doc_id"), col("p.cacheable").as("cacheable"),
+          col("p.ttl").as("ttl"), col("p.revalidate").as("revalidate"),
+          col("p.validator").as("validator"))
+        .orderBy("doc_id")
+    }),
+
+    // OpenGraph / Twitter-card metadata (round 13): property/name meta
+    // tags to a map; og:image present only on the even residue, a
+    // non-og meta planted as the must-not-leak control
+    "q_opengraph" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val page = concat(
+        lit("<html><head><meta property=\"og:title\" content=\"Story "),
+        ids, lit("\"/><meta property=\"og:type\" content=\"article\"/>"),
+        when(id % 2 === 0,
+          concat(lit("<meta property=\"og:image\" content=\"https://img.example/i"),
+            ids, lit(".jpg\"/>"))).otherwise(lit("")),
+        lit("<meta name=\"twitter:card\" content=\"summary\"/>" +
+          "<meta name=\"description\" content=\"not og\"/>" +
+          "</head><body>x</body></html>"))
+      docs.select(id, pipeline.Html.openGraph(page).as("og"))
+        .select(col("doc_id"),
+          element_at(col("og"), "og:title").as("og_title"),
+          element_at(col("og"), "og:type").as("og_type"),
+          // og:image is ABSENT on the odd residue — ANSI element_at
+          // throws on missing map keys, try_element_at nulls
+          coalesce(try_element_at(col("og"), lit("og:image")), lit(""))
+            .as("og_image"),
+          element_at(col("og"), "twitter:card").as("twitter_card"),
+          size(col("og")).cast("long").as("n_props"))
+        .orderBy("doc_id")
+    }),
+
+    // srcset variant parsing (round 13): every candidate of every
+    // image — width descriptors plus the src fallback — in document
+    // order, the whole grid closed form from the residue plan
+    "q_srcset" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val imgs = array_join(
+        transform(sequence(lit(0L), id % 2), k => concat(
+          lit("<img srcset=\"/im"), k.cast("string"),
+          lit("-480.jpg 480w, /im"), k.cast("string"),
+          lit("-800.jpg 800w"),
+          when(id % 3 === 0, concat(lit(", /im"), k.cast("string"),
+            lit("-1200.jpg 1200w"))).otherwise(lit("")),
+          lit("\" src=\"/im"), k.cast("string"), lit(".jpg\">"))), "")
+      val page = concat(lit("<html><body>"), imgs, lit("</body></html>"))
+      docs.select(id,
+          posexplode(pipeline.Html.imgCandidates(page))
+            .as(Seq("img", "cands")))
+        .select(col("doc_id"), col("img"),
+          posexplode(col("cands")).as(Seq("cand", "c")))
+        .select(col("doc_id"), col("img").cast("long").as("img"),
+          col("cand").cast("long").as("cand"),
+          col("c.url").as("url"), col("c.width").as("width"))
+        .orderBy("doc_id", "img", "cand")
+    }),
+
+    // License detection (round 13): SPDX identifiers win over phrase
+    // heuristics; one characteristic phrase per residue class, the
+    // %7=6 class plants nothing and must come back "none"
+    "q_license_detect" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val planted = when(id % 7 === 0,
+        lit("\nSPDX-License-Identifier: MIT\n"))
+        .when(id % 7 === 1,
+          lit("\nLicensed under the Apache License, Version 2.0 (the License)"))
+        .when(id % 7 === 2,
+          lit("\nThis program is free software under the GNU General " +
+            "Public License as published, version 3."))
+        .when(id % 7 === 3,
+          lit("\nPermission is hereby granted, free of charge, to any person"))
+        .when(id % 7 === 4,
+          lit("\nRedistribution and use in source and binary forms, with or without"))
+        .when(id % 7 === 5,
+          lit("\nCreative Commons Attribution 4.0 International License"))
+        .otherwise(lit(""))
+      val text = concat(col("text"), planted)
+      docs.select(id, pipeline.TextOps.licenseDetect(text).as("l"))
+        .select(col("doc_id"), col("l.license").as("license"),
+          col("l.matched").as("matched"))
+        .orderBy("doc_id")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -6207,6 +6319,76 @@ object SparkEntry {
         |       '.' || lpad(CAST(doc_id % 90000 + 10000 AS VARCHAR), 5, '0')
         |       || CASE WHEN doc_id % 4 = 1 THEN 'v2' ELSE '' END
         |         AS first_arxiv
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // RFC 9111 shared-cache decisions closed form: private/no-store
+    // gate, s-maxage precedence, the max-age=0 revalidation edge, and
+    // validator preference etag > last-modified > none
+    "q_http_cache" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 5 IN (0, 1) THEN 0 ELSE 1 END
+        |            AS BIGINT) AS cacheable,
+        |       CAST(CASE WHEN doc_id % 5 = 1 THEN 600
+        |                 WHEN doc_id % 5 = 2 THEN doc_id % 1800
+        |                 ELSE -1 END AS BIGINT) AS ttl,
+        |       CAST(CASE WHEN doc_id % 5 = 3 THEN 1
+        |                 WHEN doc_id % 5 = 2 AND doc_id % 1800 = 0 THEN 1
+        |                 ELSE 0 END AS BIGINT) AS revalidate,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'etag'
+        |            WHEN doc_id % 3 = 0 THEN 'last-modified'
+        |            ELSE 'none' END AS validator
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every og/twitter property closed form; the description control
+    // must NOT enter the map (n_props counts only og/twitter keys)
+    "q_opengraph" ->
+      """SELECT doc_id,
+        |       'Story ' || CAST(doc_id AS VARCHAR) AS og_title,
+        |       'article' AS og_type,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN 'https://img.example/i' || CAST(doc_id AS VARCHAR)
+        |                 || '.jpg' ELSE '' END AS og_image,
+        |       'summary' AS twitter_card,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |         AS n_props
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the (image, candidate) grid closed form: 2 or 3 srcset entries
+    // (480/800/1200w) then the src fallback at width 0
+    "q_srcset" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 2 AS INTEGER) + 1 AS ni,
+        |         CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END
+        |              AS INTEGER) AS ns
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, ns, img, unnest(range(0, ns + 1)) AS cand
+        |  FROM (SELECT doc_id, ns, unnest(range(0, ni)) AS img
+        |        FROM dims))
+        |SELECT doc_id, CAST(img AS BIGINT) AS img,
+        |       CAST(cand AS BIGINT) AS cand,
+        |       CASE WHEN cand < ns
+        |            THEN '/im' || CAST(img AS VARCHAR) || '-' ||
+        |                 CAST(CASE cand WHEN 0 THEN 480 WHEN 1 THEN 800
+        |                      ELSE 1200 END AS VARCHAR) || '.jpg'
+        |            ELSE '/im' || CAST(img AS VARCHAR) || '.jpg'
+        |       END AS url,
+        |       CAST(CASE WHEN cand >= ns THEN 0
+        |                 WHEN cand = 0 THEN 480 WHEN cand = 1 THEN 800
+        |                 ELSE 1200 END AS BIGINT) AS width
+        |FROM grid ORDER BY doc_id, img, cand""".stripMargin,
+
+    // one license per residue class, SPDX id on class 0, nothing on
+    // class 6
+    "q_license_detect" ->
+      """SELECT doc_id,
+        |       CASE CAST(doc_id % 7 AS INTEGER)
+        |         WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+        |         WHEN 2 THEN 'GPL-3.0' WHEN 3 THEN 'MIT'
+        |         WHEN 4 THEN 'BSD-3-Clause' WHEN 5 THEN 'CC-BY-4.0'
+        |         ELSE 'none' END AS license,
+        |       CAST(CASE WHEN doc_id % 7 = 6 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS matched
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // census = pages + catalog + page tree + free object 0 (classic),

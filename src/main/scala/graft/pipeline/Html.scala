@@ -351,6 +351,62 @@ object Html {
     * block regex (the inner table's cells surface as text of the outer
     * cell region up to the first `</table>`); real table-corpus
     * pipelines drop nested layout tables anyway. */
+  /** OpenGraph / Twitter-card metadata as a map — the social-preview
+    * channel (`<meta property="og:…">`, `<meta name="twitter:…">`)
+    * that carries the cleanest per-page title/image/type signals a
+    * multimodal corpus gets for free (og:image is how an image-text
+    * pairing pipeline finds THE representative image). Tag scan +
+    * per-tag key/content extraction, independent of attribute order;
+    * later duplicates win (`map_from_entries` semantics — the
+    * last-meta-wins rule browsers apply). */
+  def openGraph(html: Column): Column = {
+    val tags = regexp_extract_all(html,
+      lit("(?is)<meta\\b[^>]*(?:property|name)\\s*=\\s*[\"'](?:og|twitter):[^>]*>"),
+      lit(0))
+    val entries = filter(transform(tags, t => struct(
+      lower(regexp_extract(t,
+        "(?i)(?:property|name)\\s*=\\s*[\"']((?:og|twitter):[A-Za-z0-9_:]+)[\"']",
+        1)).as("key"),
+      regexp_extract(t, "(?is)content\\s*=\\s*\"([^\"]*)\"", 1)
+        .as("value"))), e => length(e.getField("key")) > 0)
+    // last-meta-wins by construction: drop any earlier binding of the
+    // key before adding — map_from_entries THROWS on duplicates under
+    // the default dedup policy, and a real page repeats og: tags
+    aggregate(entries, map().cast("map<string,string>"),
+      (m, e) => map_concat(
+        map_filter(m, (k, _) => k =!= e.getField("key")),
+        map(e.getField("key"), e.getField("value"))))
+  }
+
+  /** `<img>` source candidates: every `srcset` entry as
+    * `struct(url, width)` (the `NNNw` descriptor; `0` when absent)
+    * plus the plain `src` fallback (width 0), per image in document
+    * order — the variant-selection input a multimodal ingest needs to
+    * fetch the right resolution instead of the page default. Emits
+    * `array<array<struct<url,width>>>` (outer = images). */
+  def imgCandidates(html: Column): Column = {
+    val tags = regexp_extract_all(html,
+      lit("(?is)<img\\b[^>]*>"), lit(0))
+    transform(tags, t => {
+      val srcset = regexp_extract(t, "(?is)srcset\\s*=\\s*\"([^\"]*)\"", 1)
+      val src = regexp_extract(t, "(?is)\\bsrc\\s*=\\s*\"([^\"]*)\"", 1)
+      val fromSet = transform(
+        filter(split(srcset, ","), e => length(btrim(e)) > 0),
+        e => {
+          // ANSI cast of the no-match "" throws — guard on length
+          val w = regexp_extract(btrim(e), "\\s([0-9]+)w\\s*$", 1)
+          struct(
+            regexp_extract(btrim(e), "^(\\S+)", 1).as("url"),
+            when(length(w) > 0, w.cast("long")).otherwise(lit(0L))
+              .as("width"))
+        })
+      when(length(src) > 0,
+        concat(fromSet,
+          array(struct(src.as("url"), lit(0L).as("width")))))
+        .otherwise(fromSet)
+    })
+  }
+
   /** HTML→Markdown-lite conversion — the markdownify/trafilatura
     * output format most LLM pretraining corpora standardize on, because
     * it KEEPS document structure (headings, lists, links, emphasis) as

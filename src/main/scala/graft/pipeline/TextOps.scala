@@ -1368,6 +1368,45 @@ object TextOps {
       lit("\\barXiv:([0-9]{4}\\.[0-9]{4,5}(?:v[0-9]+)?)"), lit(1))
       .as("arxiv"))
 
+  /** SPDX-style license detection — the compliance gate a code/text
+    * corpus runs before training (The Stack's permissive-only filter;
+    * CC-licensed web text routing). Matches the CHARACTERISTIC PHRASES
+    * of the common licenses (the spellings the license texts
+    * themselves fix), most-specific first; an explicit SPDX identifier
+    * (`SPDX-License-Identifier: X`) wins over phrase heuristics, the
+    * way real scanners (scancode, licensee) order their evidence.
+    * Returns `struct(license, matched)` with `license = "none"` when
+    * nothing fires. One when-chain of anchored rlikes — narrow map. */
+  def licenseDetect(text: Column): Column = {
+    val spdx = regexp_extract(text,
+      "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)", 1)
+    val lic = when(length(spdx) > 0, spdx)
+      .when(text.rlike("(?i)Apache License,?\\s+Version 2\\.0"),
+        lit("Apache-2.0"))
+      .when(text.rlike(
+        "(?i)GNU Affero General Public License.{0,80}version 3"),
+        lit("AGPL-3.0"))
+      .when(text.rlike(
+        "(?i)GNU Lesser General Public License.{0,80}version 3"),
+        lit("LGPL-3.0"))
+      .when(text.rlike(
+        // the license text's own phrasing interposes "as published by
+        // the Free Software Foundation" (45 chars) before the version
+        "(?i)GNU General Public License.{0,80}version 3"),
+        lit("GPL-3.0"))
+      .when(text.rlike(
+        "(?i)Permission is hereby granted, free of charge"), lit("MIT"))
+      .when(text.rlike(
+        "(?i)Redistribution and use in source and binary forms"),
+        lit("BSD-3-Clause"))
+      .when(text.rlike(
+        "(?i)Creative Commons Attribution 4\\.0"), lit("CC-BY-4.0"))
+      .otherwise(lit("none"))
+    element_at(transform(array(lic), l => struct(
+      l.as("license"),
+      (l =!= "none").cast("long").as("matched"))), 1)
+  }
+
   /** A segment whose trailing `.` does NOT end a sentence: a known
     * abbreviation (`Dr.`, `Prof.`, `etc.`) or a standalone single
     * letter (initials, `p.` inside `p.m.`). Anchored at the segment

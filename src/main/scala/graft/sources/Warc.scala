@@ -455,6 +455,50 @@ object Warc {
       complete.as("decode_complete"))
   }
 
+  /** HTTP caching policy from a response header block (RFC 9111,
+    * shared-cache semantics) — the recrawl scheduler's input: a
+    * polite crawler re-fetches on the origin's declared freshness,
+    * revalidates with the response's validator, and never stores what
+    * the origin forbade. Header-confined regexes over the same raw
+    * header block [[httpResponseParts]] carries:
+    *   - `no-store` OR `private` → not cacheable by a shared cache;
+    *   - freshness `ttl` = `s-maxage` if present (shared caches,
+    *     §5.2.2.10, overrides) else `max-age`, else −1 (no declared
+    *     freshness → heuristic recrawl);
+    *   - `no-cache` / `must-revalidate` / `max-age=0` → revalidate
+    *     before reuse;
+    *   - validator = `etag` (strong, preferred) else `last-modified`
+    *     else `none`.
+    * Returns `struct(cacheable, ttl, revalidate, validator)` — pure
+    * Column work, zero shuffle. */
+  def cachePolicy(headers: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cc = lower(regexp_extract(headers,
+      "(?im)^cache-control:\\s*([^\\r\\n]*)", 1))
+    def dir(d: String) = cc.rlike("(?:^|[,\\s])" + d + "(?:$|[,\\s])")
+    val sMaxage = regexp_extract(cc,
+      "(?:^|[,\\s])s-maxage=([0-9]+)", 1)
+    val maxAge = regexp_extract(cc,
+      "(?:^|[,\\s])max-age=([0-9]+)", 1)
+    val hasEtag = headers.rlike("(?im)^etag:\\s*\\S")
+    val hasLm = headers.rlike("(?im)^last-modified:\\s*\\S")
+    val ttl = when(length(sMaxage) > 0, sMaxage.cast("long"))
+      .when(length(maxAge) > 0, maxAge.cast("long")).otherwise(lit(-1L))
+    element_at(transform(array(struct(ttl.as("t"),
+      (!(dir("no-store") || dir("private"))).as("c"),
+      (dir("no-cache") || dir("must-revalidate")).as("r"),
+      hasEtag.as("e"), hasLm.as("l"))), p =>
+      struct(
+        p.getField("c").cast("long").as("cacheable"),
+        p.getField("t").as("ttl"),
+        (p.getField("r") || p.getField("t") === 0L)
+          .cast("long").as("revalidate"),
+        when(p.getField("e"), lit("etag"))
+          .when(p.getField("l"), lit("last-modified"))
+          .otherwise(lit("none")).as("validator"))), 1)
+  }
+
   /** Full JVM decode of one HTTP/1.1 response payload — the route
     * target for rows [[httpResponseParts]] marks incomplete, and the
     * correct primary path when bodies are binary (a gzip entity decoded

@@ -309,4 +309,48 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     md("<p>line one<br>line two<br/>line three</p>") shouldBe
       "line one\nline two\nline three"
   }
+
+  "openGraph" should "map og/twitter metas and skip other metas" in {
+    val s = spark
+    import s.implicits._
+    val page = "<head><meta property=\"og:title\" content=\"T1\"/>" +
+      "<meta content=\"article\" property=\"og:type\"/>" +
+      "<meta name=\"twitter:card\" content=\"summary\"/>" +
+      "<meta name=\"viewport\" content=\"width=device-width\"/></head>"
+    Seq(page).toDF("html").select(Html.openGraph(col("html")))
+      .as[Map[String, String]].collect().head shouldBe
+      Map("og:title" -> "T1", "og:type" -> "article",
+        "twitter:card" -> "summary")
+  }
+
+  it should "let a later duplicate win" in {
+    val s = spark
+    import s.implicits._
+    val page = "<meta property=\"og:title\" content=\"first\"/>" +
+      "<meta property=\"og:title\" content=\"second\"/>"
+    Seq(page).toDF("html").select(Html.openGraph(col("html")))
+      .as[Map[String, String]].collect()
+      .head("og:title") shouldBe "second"
+  }
+
+  "imgCandidates" should "parse srcset widths plus the src fallback" in {
+    val s = spark
+    import s.implicits._
+    val page = "<img srcset=\"/a-480.jpg 480w, /a-800.jpg 800w\" " +
+      "src=\"/a.jpg\"><img src=\"/b.png\">"
+    Seq(page).toDF("html").select(Html.imgCandidates(col("html")))
+      .as[Seq[Seq[(String, Long)]]].collect().head shouldBe
+      Seq(Seq(("/a-480.jpg", 480L), ("/a-800.jpg", 800L), ("/a.jpg", 0L)),
+        Seq(("/b.png", 0L)))
+  }
+
+  it should "handle srcset-only images and density descriptors" in {
+    val s = spark
+    import s.implicits._
+    // 2x density has no width descriptor -> width 0
+    val page = "<img srcset=\"/c.jpg 2x, /c-big.jpg 1200w\">"
+    Seq(page).toDF("html").select(Html.imgCandidates(col("html")))
+      .as[Seq[Seq[(String, Long)]]].collect().head shouldBe
+      Seq(Seq(("/c.jpg", 0L), ("/c-big.jpg", 1200L)))
+  }
 }

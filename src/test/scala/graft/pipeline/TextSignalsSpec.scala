@@ -115,4 +115,36 @@ class TextSignalsSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .select("c.arxiv").as[Seq[String]].collect().head
     r shouldBe Seq("2101.00123", "1912.1234v2")
   }
+
+  private def lic(t: String): (String, Long) = {
+    val s = spark
+    import s.implicits._
+    Seq(t).toDF("text").select(TextOps.licenseDetect(col("text")).as("l"))
+      .select("l.license", "l.matched").as[(String, Long)].collect().head
+  }
+
+  "licenseDetect" should "prefer an explicit SPDX identifier" in {
+    lic("Permission is hereby granted, free of charge\n" +
+      "SPDX-License-Identifier: Apache-2.0") shouldBe (("Apache-2.0", 1L))
+  }
+
+  it should "recognize characteristic phrases per license" in {
+    lic("under the Apache License, Version 2.0")._1 shouldBe "Apache-2.0"
+    lic("the GNU General Public License as published by the Free " +
+      "Software Foundation, version 3")._1 shouldBe "GPL-3.0"
+    lic("the GNU Lesser General Public License, version 3")._1 shouldBe
+      "LGPL-3.0"
+    lic("the GNU Affero General Public License v. version 3")._1 shouldBe
+      "AGPL-3.0"
+    lic("Permission is hereby granted, free of charge, to any person")
+      ._1 shouldBe "MIT"
+    lic("Redistribution and use in source and binary forms")._1 shouldBe
+      "BSD-3-Clause"
+    lic("licensed under Creative Commons Attribution 4.0")._1 shouldBe
+      "CC-BY-4.0"
+  }
+
+  it should "return none when nothing fires" in {
+    lic("plain prose about licensing in general") shouldBe (("none", 0L))
+  }
 }

@@ -350,4 +350,38 @@ class WarcSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .as[(Long, Long, String, Boolean)].collect().head
     got shouldBe ((9L, 200L, "text/html", true))
   }
+
+  private def policy(headers: String): (Long, Long, Long, String) = {
+    val s = spark
+    import s.implicits._
+    Seq(headers).toDF("h")
+      .select(Warc.cachePolicy(org.apache.spark.sql.functions.col("h"))
+        .as("p"))
+      .select("p.cacheable", "p.ttl", "p.revalidate", "p.validator")
+      .as[(Long, Long, Long, String)].collect().head
+  }
+
+  "cachePolicy" should "honor no-store and private for a shared cache" in {
+    policy("HTTP/1.1 200 OK\r\nCache-Control: no-store\r\n") shouldBe
+      ((0L, -1L, 0L, "none"))
+    policy("HTTP/1.1 200 OK\r\nCache-Control: private, max-age=60\r\n")
+      ._1 shouldBe 0L
+  }
+
+  it should "prefer s-maxage over max-age and flag max-age=0" in {
+    policy("X: y\r\nCache-Control: public, max-age=600, s-maxage=30\r\n")
+      ._2 shouldBe 30L
+    policy("X: y\r\nCache-Control: max-age=0\r\n")._3 shouldBe 1L
+  }
+
+  it should "revalidate on no-cache/must-revalidate and pick validators" in {
+    policy("Cache-Control: no-cache\r\nETag: \"x\"\r\n") shouldBe
+      ((1L, -1L, 1L, "etag"))
+    policy("Cache-Control: max-age=5\r\n" +
+      "Last-Modified: Tue, 01 Jul 2025 00:00:00 GMT\r\n") shouldBe
+      ((1L, 5L, 0L, "last-modified"))
+    // directive substring traps: "no-cachex" / "private-beta" must not fire
+    policy("Cache-Control: no-cachex, max-age=9\r\n")._3 shouldBe 0L
+    policy("Cache-Control: private-beta, max-age=9\r\n")._1 shouldBe 1L
+  }
 }
