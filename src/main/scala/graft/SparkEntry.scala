@@ -1321,6 +1321,86 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JSON schema inference (round 13): the field/type census over
+    // flat JSONL lines, with a PLANTED TYPE DRIFT (score is a number
+    // on even ids, a quoted string on odd) the histogram must surface;
+    // the (key,vtype)->count agg is the one shuffle, map-side
+    // combinable — the corpus-census shape at 100 TB
+    "q_json_schema" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val score = when(id % 2 === 0,
+        concat(lit("\"score\":"), (id % 100).cast("string")))
+        .otherwise(concat(lit("\"score\":\""), (id % 100).cast("string"),
+          lit("\"")))
+      val line = concat(lit("{\"id\":"), ids,
+        lit(",\"name\":\"n"), ids, lit("\","), score,
+        lit(",\"active\":"),
+        when(id % 3 === 0, lit("true")).otherwise(lit("false")),
+        lit(",\"tags\":[\"a\",\"b\"]"),
+        when(id % 5 === 0, lit(",\"extra\":{}")).otherwise(lit("")),
+        lit("}"))
+      docs.select(posexplode(sources.Jsonl.schemaTypeTokens(line))
+          .as(Seq("i", "kv")))
+        .groupBy(col("kv.key").as("key"), col("kv.vtype").as("vtype"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("key", "vtype")
+    }),
+
+    // meta-refresh redirects (round 13): the in-HTML redirect channel
+    // — instant and delayed redirects (sloppy comma/quote spellings
+    // included), timed reloads without a target, and the absent class
+    "q_meta_refresh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      val meta = when(id % 4 === 0,
+        concat(lit("<meta http-equiv=\"refresh\" content=\"0; url=/land/"),
+          ids, lit("\">")))
+        .when(id % 4 === 1,
+          concat(lit("<meta HTTP-EQUIV='Refresh' content=\"5, URL='/next/"),
+            ids, lit("'\">")))
+        .when(id % 4 === 2,
+          lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+        .otherwise(lit(""))
+      val page = concat(lit("<html><head>"), meta,
+        lit("<meta charset=\"utf-8\"></head><body>stub</body></html>"))
+      docs.select(id, pipeline.Html.metaRefresh(page).as("r"))
+        .select(col("doc_id"), col("r.has_refresh").as("has_refresh"),
+          col("r.delay").as("delay"), col("r.url").as("url"))
+        .orderBy("doc_id")
+    }),
+
+    // hreflang alternates (round 13): the multilingual edition cluster
+    // — per-page language links (subset by residue) plus x-default,
+    // with a rel=stylesheet decoy that must not leak into the set
+    "q_hreflang" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val id = col("doc_id")
+      val ids = id.cast("string")
+      def alt(lang: String, path: Column) = concat(
+        lit("<link rel=\"alternate\" hreflang=\"" + lang + "\" href=\""),
+        path, lit("\">"))
+      val page = concat(lit("<html><head>"),
+        lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
+        alt("en", concat(lit("https://ex.org/en/p"), ids)),
+        when(id % 2 === 0,
+          alt("de", concat(lit("https://ex.org/de/p"), ids)))
+          .otherwise(lit("")),
+        when(id % 3 === 0,
+          alt("fr", concat(lit("https://ex.org/fr/p"), ids)))
+          .otherwise(lit("")),
+        alt("x-default", concat(lit("https://ex.org/p"), ids)),
+        lit("</head><body>x</body></html>"))
+      docs.select(id,
+          posexplode(pipeline.Html.hreflangAlternates(page))
+            .as(Seq("alt", "a")))
+        .select(col("doc_id"), col("alt").cast("long").as("alt"),
+          col("a.lang").as("lang"), col("a.href").as("href"))
+        .orderBy("doc_id", "alt")
+    }),
+
     // PDF structure probe (round 12, +xref-stream arm round 13):
     // build→walk round-trip through the classic xref machinery — header
     // version, tail-first startxref, 20-byte-entry census arithmetic,
@@ -6377,6 +6457,68 @@ object SparkEntry {
         |                 WHEN cand = 0 THEN 480 WHEN cand = 1 THEN 800
         |                 ELSE 1200 END AS BIGINT) AS width
         |FROM grid ORDER BY doc_id, img, cand""".stripMargin,
+
+    // the field/type histogram closed form from the residue plan —
+    // the score drift split across parities, extra only on the %5=0
+    // class; counts always nonzero at every driver scale
+    "q_json_schema" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT key, vtype, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'id' AS key, 'number' AS vtype, count(*) AS n FROM d
+        |  UNION ALL SELECT 'name', 'string', count(*) FROM d
+        |  UNION ALL SELECT 'score', 'number', count(*) FROM d
+        |    WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT 'score', 'string', count(*) FROM d
+        |    WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT 'active', 'boolean', count(*) FROM d
+        |  UNION ALL SELECT 'tags', 'array', count(*) FROM d
+        |  UNION ALL SELECT 'extra', 'object', count(*) FROM d
+        |    WHERE doc_id % 5 = 0)
+        |ORDER BY key, vtype""".stripMargin,
+
+    // (has_refresh, delay, url) closed form per residue class — the
+    // sloppy comma/single-quote arm must parse like the clean one
+    "q_meta_refresh" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END
+        |            AS BIGINT) AS has_refresh,
+        |       CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+        |                 WHEN doc_id % 4 = 1 THEN 5
+        |                 WHEN doc_id % 4 = 2 THEN 30
+        |                 ELSE -1 END AS BIGINT) AS delay,
+        |       CASE WHEN doc_id % 4 = 0
+        |              THEN '/land/' || CAST(doc_id AS VARCHAR)
+        |            WHEN doc_id % 4 = 1
+        |              THEN '/next/' || CAST(doc_id AS VARCHAR)
+        |            ELSE '' END AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the per-page hreflang cluster closed form: en, then de/fr on
+    // their residues, then x-default; the stylesheet decoy contributes
+    // nothing
+    "q_hreflang" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS has_de,
+        |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS has_fr
+        |  FROM documents)
+        |SELECT doc_id, CAST(alt AS BIGINT) AS alt, lang, href FROM (
+        |  SELECT doc_id, 0 AS alt, 'en' AS lang,
+        |         'https://ex.org/en/p' || CAST(doc_id AS VARCHAR) AS href
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'de',
+        |         'https://ex.org/de/p' || CAST(doc_id AS VARCHAR)
+        |  FROM base WHERE has_de = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1 + has_de, 'fr',
+        |         'https://ex.org/fr/p' || CAST(doc_id AS VARCHAR)
+        |  FROM base WHERE has_fr = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1 + has_de + has_fr, 'x-default',
+        |         'https://ex.org/p' || CAST(doc_id AS VARCHAR)
+        |  FROM base)
+        |ORDER BY doc_id, alt""".stripMargin,
 
     // one license per residue class, SPDX id on class 0, nothing on
     // class 6

@@ -407,6 +407,51 @@ object Html {
     })
   }
 
+  /** `<meta http-equiv=refresh>` redirect extraction — the IN-HTML
+    * redirect channel (the 1990s pattern still everywhere on parked
+    * and migrated pages) that complements the 3xx Location chain
+    * ([[graft.sources.Warc]] `redirectHops`): a crawler that ignores
+    * it indexes shell pages and misses the content. Returns
+    * `struct(has_refresh, delay, url)` — delay in seconds, url as
+    * written (absent url = a timed reload, url ""). Spec shape per
+    * WHATWG: `content="N; url=TARGET"`, case-insensitive, the
+    * separator/quoting sloppy in the wild (`;` or `,`, optional
+    * quotes) — handled. */
+  def metaRefresh(html: Column): Column = {
+    val tag = regexp_extract(html,
+      "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*>", 0)
+    val content = regexp_extract(tag,
+      "(?is)content\\s*=\\s*\"([^\"]*)\"", 1)
+    val delay = regexp_extract(content, "^\\s*([0-9]+)", 1)
+    val url = regexp_extract(content,
+      "(?i)[;,]\\s*url\\s*=\\s*['\"]?([^'\"\\s]+)", 1)
+    element_at(transform(array(struct(
+      (length(tag) > 0 && length(delay) > 0).as("h"),
+      delay.as("d"), url.as("u"))), p =>
+      struct(
+        p.getField("h").cast("long").as("has_refresh"),
+        when(p.getField("h"), p.getField("d").cast("long"))
+          .otherwise(lit(-1L)).as("delay"),
+        p.getField("u").as("url"))), 1)
+  }
+
+  /** `<link rel=alternate hreflang=…>` extraction — the multilingual
+    * site map (Google's hreflang cluster semantics): the set of
+    * language editions of one page, the alignment signal a parallel-
+    * corpus pipeline mines (`x-default` marks the language selector).
+    * Returns `array<struct<lang, href>>` in document order. */
+  def hreflangAlternates(html: Column): Column = {
+    val tags = regexp_extract_all(html,
+      lit("(?is)<link\\b[^>]*rel\\s*=\\s*[\"']alternate[\"'][^>]*>"),
+      lit(0))
+    filter(transform(tags, t => struct(
+      lower(regexp_extract(t,
+        "(?i)hreflang\\s*=\\s*[\"']([A-Za-z0-9-]+|x-default)[\"']", 1))
+        .as("lang"),
+      regexp_extract(t, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1).as("href"))),
+      e => length(e.getField("lang")) > 0)
+  }
+
   /** HTML→Markdown-lite conversion — the markdownify/trafilatura
     * output format most LLM pretraining corpora standardize on, because
     * it KEEPS document structure (headings, lists, links, emphasis) as

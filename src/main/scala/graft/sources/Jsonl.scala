@@ -78,4 +78,35 @@ object Jsonl {
     * compression/partitioning policy lives in one place. */
   def writeDocuments(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Distributed JSON SCHEMA INFERENCE over flat JSONL lines — the
+    * first question against an unfamiliar corpus drop: which fields
+    * exist, with which types, how often, and does any field's type
+    * DRIFT across producers (the `"score": 3.2` vs `"score": "3.2"`
+    * split that breaks a declared-schema read halfway through a
+    * 100 TB load). Per line, one regex scan captures each top-level
+    * key with the FIRST CHARACTER of its value — enough to class it
+    * as string/number/boolean/null/array/object without parsing; the
+    * caller explodes and aggregates `(key, vtype) -> count` into the
+    * field histogram (map-side-combinable, the only shuffle).
+    * Flat-object scan by design: nested keys belong to a second pass
+    * over the extracted subtree, not to a corpus census. */
+  def schemaTypeTokens(line: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val toks = regexp_extract_all(line,
+      lit("\"[A-Za-z_][A-Za-z0-9_]*\"\\s*:\\s*(?:\"|-|[0-9]|t|f|n|\\[|\\{)"),
+      lit(0))
+    transform(toks, t => {
+      val first = regexp_extract(t, ":\\s*(.)$", 1)
+      struct(
+        regexp_extract(t, "\"([A-Za-z_][A-Za-z0-9_]*)\"", 1).as("key"),
+        when(first === "\"", lit("string"))
+          .when(first.rlike("[0-9-]"), lit("number"))
+          .when(first.isin("t", "f"), lit("boolean"))
+          .when(first === "n", lit("null"))
+          .when(first === "[", lit("array"))
+          .otherwise(lit("object")).as("vtype"))
+    })
+  }
 }

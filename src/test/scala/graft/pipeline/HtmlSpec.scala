@@ -353,4 +353,37 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       .as[Seq[Seq[(String, Long)]]].collect().head shouldBe
       Seq(Seq(("/c.jpg", 0L), ("/c-big.jpg", 1200L)))
   }
+
+  private def refresh(page: String): (Long, Long, String) = {
+    val s = spark
+    import s.implicits._
+    Seq(page).toDF("html").select(Html.metaRefresh(col("html")).as("r"))
+      .select("r.has_refresh", "r.delay", "r.url")
+      .as[(Long, Long, String)].collect().head
+  }
+
+  "metaRefresh" should "parse clean and sloppy refresh spellings" in {
+    refresh("<meta http-equiv=\"refresh\" content=\"0; url=/x\">") shouldBe
+      ((1L, 0L, "/x"))
+    refresh("<meta HTTP-EQUIV='Refresh' content=\"5, URL='/y'\">") shouldBe
+      ((1L, 5L, "/y"))
+    refresh("<meta http-equiv=refresh content=\"30\">") shouldBe
+      ((1L, 30L, ""))
+    refresh("<meta charset=utf-8><p>no refresh</p>") shouldBe
+      ((0L, -1L, ""))
+  }
+
+  "hreflangAlternates" should "collect hreflang links and skip decoys" in {
+    val s = spark
+    import s.implicits._
+    val page = "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<link rel=\"alternate\" hreflang=\"en\" href=\"/en\">" +
+      "<link hreflang=\"de-AT\" rel=\"alternate\" href=\"/de\">" +
+      "<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/f\">" +
+      "<link rel=\"alternate\" hreflang=\"x-default\" href=\"/\">"
+    Seq(page).toDF("html")
+      .select(Html.hreflangAlternates(col("html")))
+      .as[Seq[(String, String)]].collect().head shouldBe
+      Seq(("en", "/en"), ("de-at", "/de"), ("x-default", "/"))
+  }
 }

@@ -109,4 +109,33 @@ class JsonlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       df.orderBy("doc_id").collect().map(_.toSeq)
     key(streamed) shouldBe key(batch)
   }
+
+  "schemaTypeTokens" should "class every top-level value by first char" in {
+    val s = spark
+    import s.implicits._
+    val line = """{"a":1,"b":"x","c":true,"d":false,"e":null,""" +
+      """"f":[1,2],"g":{},"h":-3.5}"""
+    Seq(line).toDF("l")
+      .select(org.apache.spark.sql.functions.explode(
+        Jsonl.schemaTypeTokens(org.apache.spark.sql.functions.col("l")))
+        .as("kv"))
+      .select("kv.key", "kv.vtype").as[(String, String)]
+      .collect().toSeq shouldBe Seq(
+      ("a", "number"), ("b", "string"), ("c", "boolean"),
+      ("d", "boolean"), ("e", "null"), ("f", "array"), ("g", "object"),
+      ("h", "number"))
+  }
+
+  it should "not read string CONTENT as keys" in {
+    val s = spark
+    import s.implicits._
+    // the value text contains a colon-adjacent quoted word — not a key
+    val line = """{"msg":"see: 42","n":7}"""
+    Seq(line).toDF("l")
+      .select(org.apache.spark.sql.functions.explode(
+        Jsonl.schemaTypeTokens(org.apache.spark.sql.functions.col("l")))
+        .as("kv"))
+      .select("kv.key").as[String].collect().toSeq shouldBe
+      Seq("msg", "n")
+  }
 }

@@ -57,7 +57,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-QUERIES=q_agg_lineitem,q_skew_distinct,q_salted_agg,q_sketch_distinct,q_sketch_quantiles,q_cube_lineitem,q_rollup_lineitem,q_topk_orders,q_rank_topk,q_dense_rank_topk,q_window_family,q_pivot_orders,q_text_stats,q_text_quality,q_lang_id,q_unigram_logprob,q_bigram_logprob,q_text_repetition,q_decontaminate,q_doc_fingerprint,q_text_redact,q_dedup_exact,q_dedup_normalized,q_dedup_jaccard,q_dedup_minhash,q_dedup_incremental,q_dedup_incremental_minhash,q_source_cap,q_dedup_clusters,q_dedup_keep_best,q_dedup_simhash,q_multimodal_features,q_sketch_topk_tokens,q_sample_uniform,q_sample_stratified,q_sample_token_budget,q_shard_assignment,q_pack_sequences,q_curation_e2e,q_pipeline_to_shards,q_pipeline_to_shards_skewed,q_set_ops,q_sample_temperature,q_quality_topfrac,q_doc_chunks,q_exact_quantiles,q_tfidf,q_semantic_dedup_text,q_substring_dedup,q_semi_anti,q_outer_join,q_join_agg,q_bucketed_join,q_salted_join,q_events_window,q_events_sessions,q_events_json,q_events_enrich,q_events_running_totals,q_asof_join,q_range_join,q_interval_join,q_inverted_index,q_index_probe,q_filter_funnel,q_datacard,q_events_rolling,q_sessions_capped,q_first_touch,q_sample_fixed_k,q_snapshot_diff,q_apply_changes,q_pmi_bigrams,q_decontaminate_bloom,q_retention,q_session_paths,q_profile_docs,q_histogram_chars,q_funnel,q_gap_fill,q_skipgram,q_split_assign,q_top_tokens_source,q_quality_winsor,q_minmax_scale,q_equidepth_hist,q_ols_trend,q_token_entropy,q_twa,q_basket_pairs,q_rolling_active,q_zorder_key,q_lang_mix,q_interarrival,q_hll_rollup,q_table_checksum,q_incremental_agg,q_conversion_latency,q_novelty,q_interval_join_outer,q_dup_cluster_sizes,q_substring_remove,q_jsonl_roundtrip,q_pagerank,q_ridge_quality,q_ridge_by_source,q_dsir_select,q_bpe_merges,q_bpe_segment,q_source_kl,q_zipf,q_events_sliding,q_ngram_diversity,q_quality_model_topk,q_ppr,q_weighted_sample,q_snapshot_drift,q_rate_anomaly,q_pct_rank,q_kll_rollup,q_theta_overlap,q_phash,q_triangles,q_clustering_coeff,q_ks_drift,q_cdc_chunks,q_source_signature,q_split_leakage_safe,q_kcore,q_loo_influence,q_cv_ridge,q_logistic_lang,q_bootstrap_mean,q_negative_pairs,q_cusum_drift,q_calibration,q_conformal,q_ab_test,q_pack_nosplit,q_conformal_mondrian,q_contamination_overlap,q_contamination_overlap_bloom,q_source_overlap,q_waterfill_budget,q_weighted_quantiles,q_audio_sig,q_video_sig,q_boilerplate_remove,q_kmeans,q_ann_cosine,q_hard_negatives,q_ann_lsh,q_ann_sq,q_ann_ivfpq_refine,q_prototypes,q_pca,q_hits,q_quantile_normalize,q_ann_ivfpq,q_label_backfill,q_coo_roundtrip,q_distance_matrix_roundtrip,q_center_embedding,q_init_moments,q_update_step,q_bm25_topk,q_pii_luhn,q_pii_luhn_mask,q_mp4_probe,q_url_canonical,q_url_dedup,q_domain_cap,q_warc_probe,q_html_extract,q_wordpiece_segment,q_domain_prior_model,q_phash_invariance,q_crawl_e2e,q_line_dedup,q_robots_gate,q_sitemap_probe,q_link_graph,q_crawl_frontier,q_unigram_segment,q_gopher_rules,q_mixture_weights,q_text_normalize,q_anchor_text,q_sitemap_discovery,q_http_probe,q_kneser_ney,q_robots_ua,q_sitemap_index,q_psl_domain,q_cdx_index,q_crawl_budget,q_warc_revisit,q_ccnet_buckets,q_wet_roundtrip,q_script_detect,q_shard_manifest,q_justext_context,q_html_meta,q_url_resolve,q_canonical_dedup,q_noindex_gate,q_charset_detect,q_feed_probe,q_blocklist_filter,q_exif_probe,q_redirect_resolve,q_jsonld_extract,q_wat_export,q_zip_probe,q_pdf_probe,q_pretokenize,q_robots_asof,q_http_decode,q_idn_fold,q_cdxj_export,q_mime_probe
+QUERIES=q_agg_lineitem,q_skew_distinct,q_salted_agg,q_sketch_distinct,q_sketch_quantiles,q_cube_lineitem,q_rollup_lineitem,q_topk_orders,q_rank_topk,q_dense_rank_topk,q_window_family,q_pivot_orders,q_text_stats,q_text_quality,q_lang_id,q_unigram_logprob,q_bigram_logprob,q_text_repetition,q_decontaminate,q_doc_fingerprint,q_text_redact,q_dedup_exact,q_dedup_normalized,q_dedup_jaccard,q_dedup_minhash,q_dedup_incremental,q_dedup_incremental_minhash,q_source_cap,q_dedup_clusters,q_dedup_keep_best,q_dedup_simhash,q_multimodal_features,q_sketch_topk_tokens,q_sample_uniform,q_sample_stratified,q_sample_token_budget,q_shard_assignment,q_pack_sequences,q_curation_e2e,q_pipeline_to_shards,q_pipeline_to_shards_skewed,q_set_ops,q_sample_temperature,q_quality_topfrac,q_doc_chunks,q_exact_quantiles,q_tfidf,q_semantic_dedup_text,q_substring_dedup,q_semi_anti,q_outer_join,q_join_agg,q_bucketed_join,q_salted_join,q_events_window,q_events_sessions,q_events_json,q_events_enrich,q_events_running_totals,q_asof_join,q_range_join,q_interval_join,q_inverted_index,q_index_probe,q_filter_funnel,q_datacard,q_events_rolling,q_sessions_capped,q_first_touch,q_sample_fixed_k,q_snapshot_diff,q_apply_changes,q_pmi_bigrams,q_decontaminate_bloom,q_retention,q_session_paths,q_profile_docs,q_histogram_chars,q_funnel,q_gap_fill,q_skipgram,q_split_assign,q_top_tokens_source,q_quality_winsor,q_minmax_scale,q_equidepth_hist,q_ols_trend,q_token_entropy,q_twa,q_basket_pairs,q_rolling_active,q_zorder_key,q_lang_mix,q_interarrival,q_hll_rollup,q_table_checksum,q_incremental_agg,q_conversion_latency,q_novelty,q_interval_join_outer,q_dup_cluster_sizes,q_substring_remove,q_jsonl_roundtrip,q_pagerank,q_ridge_quality,q_ridge_by_source,q_dsir_select,q_bpe_merges,q_bpe_segment,q_source_kl,q_zipf,q_events_sliding,q_ngram_diversity,q_quality_model_topk,q_ppr,q_weighted_sample,q_snapshot_drift,q_rate_anomaly,q_pct_rank,q_kll_rollup,q_theta_overlap,q_phash,q_triangles,q_clustering_coeff,q_ks_drift,q_cdc_chunks,q_source_signature,q_split_leakage_safe,q_kcore,q_loo_influence,q_cv_ridge,q_logistic_lang,q_bootstrap_mean,q_negative_pairs,q_cusum_drift,q_calibration,q_conformal,q_ab_test,q_pack_nosplit,q_conformal_mondrian,q_contamination_overlap,q_contamination_overlap_bloom,q_source_overlap,q_waterfill_budget,q_weighted_quantiles,q_audio_sig,q_video_sig,q_boilerplate_remove,q_kmeans,q_ann_cosine,q_hard_negatives,q_ann_lsh,q_ann_sq,q_ann_ivfpq_refine,q_prototypes,q_pca,q_hits,q_quantile_normalize,q_ann_ivfpq,q_label_backfill,q_coo_roundtrip,q_distance_matrix_roundtrip,q_center_embedding,q_init_moments,q_update_step,q_bm25_topk,q_pii_luhn,q_pii_luhn_mask,q_mp4_probe,q_url_canonical,q_url_dedup,q_domain_cap,q_warc_probe,q_html_extract,q_wordpiece_segment,q_domain_prior_model,q_phash_invariance,q_crawl_e2e,q_line_dedup,q_robots_gate,q_sitemap_probe,q_link_graph,q_crawl_frontier,q_unigram_segment,q_gopher_rules,q_mixture_weights,q_text_normalize,q_anchor_text,q_sitemap_discovery,q_http_probe,q_kneser_ney,q_robots_ua,q_sitemap_index,q_psl_domain,q_cdx_index,q_crawl_budget,q_warc_revisit,q_ccnet_buckets,q_wet_roundtrip,q_script_detect,q_shard_manifest,q_justext_context,q_html_meta,q_url_resolve,q_canonical_dedup,q_noindex_gate,q_charset_detect,q_feed_probe,q_blocklist_filter,q_exif_probe,q_redirect_resolve,q_jsonld_extract,q_wat_export,q_zip_probe,q_pdf_probe,q_pretokenize,q_robots_asof,q_http_decode,q_idn_fold,q_cdxj_export,q_mime_probe,q_tar_probe,q_sentence_split,q_html_tables,q_csv_dialect,q_markdown_export,q_readability,q_code_detect,q_doc_dates,q_frontmatter,q_citation_extract,q_http_cache,q_opengraph,q_srcset,q_license_detect,q_json_schema,q_meta_refresh,q_hreflang
 
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} sbt -batch \
   "runMain graft.Verify target/sf1eq target/verify_sf1eq $QUERIES"
