@@ -367,7 +367,8 @@ object Html {
       lower(regexp_extract(t,
         "(?i)(?:property|name)\\s*=\\s*[\"']((?:og|twitter):[A-Za-z0-9_:]+)[\"']",
         1)).as("key"),
-      regexp_extract(t, "(?is)content\\s*=\\s*\"([^\"]*)\"", 1)
+      attrValue(regexp_extract(t,
+        "(?is)[\\s\"']content\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
         .as("value"))), e => length(e.getField("key")) > 0)
     // last-meta-wins by construction: drop any earlier binding of the
     // key before adding — map_from_entries THROWS on duplicates under
@@ -388,8 +389,10 @@ object Html {
     val tags = regexp_extract_all(html,
       lit("(?is)<img\\b[^>]*>"), lit(0))
     transform(tags, t => {
-      val srcset = regexp_extract(t, "(?is)srcset\\s*=\\s*\"([^\"]*)\"", 1)
-      val src = regexp_extract(t, "(?is)\\bsrc\\s*=\\s*\"([^\"]*)\"", 1)
+      val srcset = attrValue(regexp_extract(t,
+        "(?is)[\\s\"']srcset\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
+      val src = attrValue(regexp_extract(t,
+        "(?is)[\\s\"']src\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
       val fromSet = transform(
         filter(split(srcset, ","), e => length(btrim(e)) > 0),
         e => {
@@ -420,8 +423,8 @@ object Html {
   def metaRefresh(html: Column): Column = {
     val tag = regexp_extract(html,
       "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*>", 0)
-    val content = regexp_extract(tag,
-      "(?is)content\\s*=\\s*\"([^\"]*)\"", 1)
+    val content = attrValue(regexp_extract(tag,
+      "(?is)[\\s\"']content\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
     val delay = regexp_extract(content, "^\\s*([0-9]+)", 1)
     val url = regexp_extract(content,
       "(?i)[;,]\\s*url\\s*=\\s*['\"]?([^'\"\\s]+)", 1)
@@ -448,7 +451,9 @@ object Html {
       lower(regexp_extract(t,
         "(?i)hreflang\\s*=\\s*[\"']([A-Za-z0-9-]+|x-default)[\"']", 1))
         .as("lang"),
-      regexp_extract(t, "(?is)href\\s*=\\s*\"([^\"]*)\"", 1).as("href"))),
+      attrValue(regexp_extract(t,
+        "(?is)[\\s\"']href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1))
+        .as("href"))),
       e => length(e.getField("lang")) > 0)
   }
 
@@ -468,8 +473,8 @@ object Html {
       "(?is)<head\\b[^>]*>.*?</head\\s*>|<script\\b[^>]*>.*?</script\\s*>" +
         "|<style\\b[^>]*>.*?</style\\s*>|<!--.*?-->", " ")
     val links = regexp_replace(noHead,
-      "(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>",
-      "[$2]($1)")
+      "(?is)<a\\b[^>]*href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')[^>]*>(.*?)</a\\s*>",
+      "[$3]($1$2)")
     val strong = regexp_replace(links,
       "(?is)<(?:b|strong)\\b[^>]*>(.*?)</(?:b|strong)\\s*>", "**$1**")
     val em = regexp_replace(strong,

@@ -795,6 +795,38 @@ class PlanShapeSpec extends AnyFlatSpec with Matchers with SparkTestBase {
     }
   }
 
+  "the round-13 narrow-map rows" should "shuffle only for the final sort" in {
+    // sentence split, tables, markdown, readability, code, dates,
+    // frontmatter, citations, cache policy, og, srcset, licenses,
+    // meta-refresh, hreflang: all pure per-document column work — a
+    // hash-partitioned Exchange anywhere means a regression to a
+    // join/agg spelling
+    for (name <- Seq("q_sentence_split", "q_html_tables",
+      "q_markdown_export", "q_readability", "q_code_detect",
+      "q_doc_dates", "q_frontmatter", "q_citation_extract",
+      "q_http_cache", "q_opengraph", "q_srcset", "q_license_detect",
+      "q_meta_refresh", "q_hreflang", "q_csv_dialect")) {
+      val plan = formattedPlan(name)
+      withClue(name) {
+        plan should not include "Exchange hashpartitioning"
+        plan should not include "Join"
+        plan should not include "HashAggregate"
+      }
+    }
+  }
+
+  "q_json_schema" should "partial-aggregate the census before its one shuffle" in {
+    val plan = formattedPlan("q_json_schema")
+    plan.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") should be >= 2
+    // exactly one hash-partitioned Exchange (the census agg); the only
+    // other Exchange is the presentation sort's range partitioning
+    plan.linesIterator
+      .count(_.contains("Arguments: hashpartitioning")) shouldBe 1
+    plan.linesIterator
+      .count(_.contains("Arguments: rangepartitioning")) shouldBe 1
+  }
+
   "the flagship entry" should "smoke-run on sf0.001 with rows > 0" in {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -373,6 +373,23 @@ class HtmlSpec extends AnyFlatSpec with Matchers with SparkTestBase {
       ((0L, -1L, ""))
   }
 
+  it should "accept single-quoted and bare attribute spellings" in {
+    refresh("<meta http-equiv=refresh content='3; url=/sq'>") shouldBe
+      ((1L, 3L, "/sq"))
+    refresh("<meta http-equiv=refresh content=7>") shouldBe
+      ((1L, 7L, ""))
+    val s = spark
+    import s.implicits._
+    Seq("<img src=/bare.png><img srcset='/sq.jpg 640w'>").toDF("html")
+      .select(Html.imgCandidates(col("html")))
+      .as[Seq[Seq[(String, Long)]]].collect().head shouldBe
+      Seq(Seq(("/bare.png", 0L)), Seq(("/sq.jpg", 640L)))
+    Seq("<meta property='og:title' content='Sq Title'/>").toDF("html")
+      .select(Html.openGraph(col("html")))
+      .as[Map[String, String]].collect().head shouldBe
+      Map("og:title" -> "Sq Title")
+  }
+
   "hreflangAlternates" should "collect hreflang links and skip decoys" in {
     val s = spark
     import s.implicits._
