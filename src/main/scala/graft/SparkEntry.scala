@@ -2013,8 +2013,12 @@ object SparkEntry {
         .otherwise(concat(lit("HTTP/1.1 "), status,
           lit("\r\nServer: synth\r\nContent-Type: "), ctype,
           lit("\r\n\r\n"), col("text")))
-      val withH = docs.select(col("doc_id"), payload.as("payload"),
-          sources.Warc.httpResponseParts(payload).as("h"))
+      // payload aliased in its own projection before the parts split: the
+      // synthesis tree (incl. the chunk-encode folds) is evaluated once
+      // per row; httpResponseParts then reads the attribute
+      val withH = docs.select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), col("payload"),
+          sources.Warc.httpResponseParts(col("payload")).as("h"))
         .localCheckpoint()
       val ok = withH.where(col("h.decode_complete"))
         .select(col("doc_id"), col("h.status"), col("h.content_type"),
@@ -2437,10 +2441,13 @@ object SparkEntry {
     // inverse → quadratic form) mirrored term-for-term by the oracle
     "q_loo_influence" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: the LOO operator passes over feats twice
+      // (moment aggregate + the residual/leverage projection)
       val feats = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+        .localCheckpoint()
       ops.Fit.looInfluenceD2(feats, "doc_id", "x1", "x2", "y", lambda = 1.0)
         .select(col("doc_id"),
           (round(col("resid"), 4) + 0.0).as("resid_r"),
@@ -2468,10 +2475,12 @@ object SparkEntry {
     // stratified prefix scan restore the guarantee PER SOURCE
     "q_conformal_mondrian" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: train + per-stratum rank + coverage passes
       val feats = docs.select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+        .localCheckpoint()
       ops.Fit.conformalMondrianD2(feats, "doc_id", "source",
           "x1", "x2", "y")
         .orderBy("source")
@@ -2483,10 +2492,14 @@ object SparkEntry {
     // quantized prediction, exact long sums, two terminal divisions
     "q_calibration" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // slim feature table materialized once: calibrationD2 consumes it
+      // 3× (moment pass, count, rank scan) and each pass would otherwise
+      // re-run the tokenize+quality trees over the corpus
       val feats = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+        .localCheckpoint()
       ops.Fit.calibrationD2(feats, "doc_id", "x1", "x2", "y", nBuckets = 10)
         .select(col("bucket"), col("n"), col("sp"), col("sy"),
           (round(col("mean_pred"), 6) + 0.0).as("mean_pred_r"),
@@ -2503,10 +2516,13 @@ object SparkEntry {
     "q_logistic_lang" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: IRLS makes 4 passes (3 iterations + accuracy)
+      // and each would otherwise re-tokenize the corpus
       val feats = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         (col("lang") === "en").cast("long").as("y"))
+        .localCheckpoint()
       val (n, w, nCorrect) = ops.Fit.logisticElliottD2(
         feats, "x1", "x2", "y", iters = 3, lambda = 1.0)
       Seq((n, w(0), w(1), w(2), nCorrect))
@@ -2526,10 +2542,13 @@ object SparkEntry {
     // SSE term-for-term; every value hash-exact.
     "q_cv_ridge" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: cvRidgeD2 makes two passes (fold moments +
+      // held-out scoring) over the tokenize+quality trees
       val feats = docs.select(col("doc_id"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+        .localCheckpoint()
       ops.Fit.cvRidgeD2(feats, "doc_id", "x1", "x2", "y", k = 5, lambda = 1.0)
         .select(col("fold"), col("n_train"), col("n_test"),
           (round(col("w0"), 6) + 0.0).as("w0_r"),
@@ -2549,10 +2568,13 @@ object SparkEntry {
     // the GroupedTopKLimit bounded-heap operator, so no source is sorted
     "q_quality_model_topk" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: consumed by the train-slice moment pass AND
+      // the full scoring pass
       val feats = docs.select(col("doc_id"), col("source"),
         col("n_chars").cast("long").as("x1"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("x2"),
         floor(pipeline.TextOps.qualityExpr * 1e6 + 0.5).cast("long").as("y"))
+        .localCheckpoint()
       val train = ops.Sampling.assignSplit(feats, "doc_id", splitFractions)
         .where(col("split") === "train")
       val (_, w) = ops.Fit.ridgeNormal(train, Seq("x1", "x2"), "y",
@@ -5332,12 +5354,17 @@ object SparkEntry {
     * lines repeat heavily across docs — exactly the C4 regime. */
   private def multiLineDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
-    val t = pipeline.TextOps.tokens(col("text"))
-    val nLines = ceil(size(t) / lit(8.0)).cast("int")
-    val lines = when(size(t) > 0,
-      transform(sequence(lit(0), nLines - 1),
-        j => array_join(slice(t, j * 8 + 1, lit(8)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // token array bound once: the per-line slice lambda otherwise
+    // re-ran the whole tokenization per GENERATED LINE (~tokens/8
+    // evaluations per row — the q_gopher_rules hot spot)
+    val lines = pipeline.TextOps.bindOnce(
+        pipeline.TextOps.tokens(col("text"))) { t =>
+      val nLines = ceil(size(t) / lit(8.0)).cast("int")
+      when(size(t) > 0,
+        transform(sequence(lit(0), nLines - 1),
+          j => array_join(slice(t, j * 8 + 1, lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
     docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
   }
 

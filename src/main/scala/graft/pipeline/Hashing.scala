@@ -14,9 +14,16 @@ object Hashing {
 
   val Bits = 60
 
-  /** Column form (pure Catalyst, codegen'd — no UDF). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Column form — a native codegen expression computing the long
+    * straight from the digest bytes. Value-identical to the previous
+    * composed spelling `conv(substring(md5(c), 1, 15), 16, 10)` (pinned
+    * by `HashingSpec`), which allocated and re-parsed two hex strings
+    * per call — the dominant per-hash cost on shingle/token-dense
+    * operators. */
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.{graftglue => glue}
+    glue.column(graft.expressions.Md5Prefix60(glue.expression(c)))
+  }
 
   /** JVM form, bit-identical to [[hash60]]. */
   def hash60(s: String): Long = hash60(s.getBytes("UTF-8"))

@@ -112,26 +112,49 @@ object Html {
     decodeEntities(c7)
   }
 
+  private val AlnumChars =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** Linked-character count of a raw line (sentinels in place): in each
+    * post-U+0001 segment, the length of the part before U+0002. The
+    * sentinel split is bound once — the raw spelling ran it twice (slice
+    * arg + size arg). */
+  private def linkedChars(line: Column): Column =
+    graft.pipeline.TextOps.bindOnce(split(line, LinkOpen, -1)) { parts =>
+      aggregate(
+        transform(slice(parts, lit(2), size(parts) - 1),
+          seg => length(substring_index(seg, LinkClose, 1))),
+        lit(0), (acc, x) => acc + x)
+    }
+
   /** Per-line class for the context-aware rule: 2 = GOOD (passes the
     * full jusText-lite rule), 1 = SHORT (non-empty, prose-like density
     * and link ratio, but under the size gates — jusText's "short"
     * class, eligible for neighbor rescue), 0 = BAD (empty, symbol-heavy,
-    * or link-dense — never rescued). Integer arithmetic only. */
-  private def lineClassAndText(line: Column, minChars: Int,
-                               minWords: Int): (Column, Column) = {
-    val (keep, t) = lineKeepAndText(line, minChars, minWords)
-    val total = length(t)
-    val alnum = total - length(translate(t,
-      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789", ""))
-    val linked = aggregate(
-      transform(slice(split(line, LinkOpen, -1), lit(2),
-        size(split(line, LinkOpen, -1)) - 1),
-        seg => length(substring_index(seg, LinkClose, 1))),
-      lit(0), (acc, x) => acc + x)
-    val proseLike = total > 0 && alnum * 10 >= total * 4 &&
-      linked * 2 <= total
-    (when(keep, lit(2)).when(proseLike, lit(1)).otherwise(lit(0)), t)
-  }
+    * or link-dense — never rescued). Integer arithmetic only. Emits
+    * `struct(c, t)`; the cleaned text and the counts are bound once per
+    * line (the tuple-returning spelling re-ran the trim/replace chain
+    * per reference — ~6 evaluations per line). */
+  private def lineClassStruct(line: Column, minChars: Int,
+                              minWords: Int): Column =
+    graft.pipeline.TextOps.bindOnce(cleanedLine(line)) { t =>
+      graft.pipeline.TextOps.bindOnce(struct(
+          length(t).as("total"),
+          (length(t) - length(translate(t, AlnumChars, ""))).as("alnum"),
+          linkedChars(line).as("linked"))) { m =>
+        val total = m.getField("total")
+        val alnum = m.getField("alnum")
+        val linked = m.getField("linked")
+        val words = when(total === 0, lit(0))
+          .otherwise(size(split(t, "\\s+", -1)))
+        val keep = total >= minChars && words >= minWords &&
+          alnum * 10 >= total * 4 && linked * 2 <= total
+        val proseLike = total > 0 && alnum * 10 >= total * 4 &&
+          linked * 2 <= total
+        struct(when(keep, lit(2)).when(proseLike, lit(1))
+          .otherwise(lit(0)).as("c"), t.as("t"))
+      }
+    }
 
   /** Context-aware extraction — the full jusText neighbor pass on top of
     * the [[htmlToText]] line rule: a GOOD line is always kept, a BAD
@@ -161,10 +184,7 @@ object Html {
     // content blocks — jusText segments by block, so they must not
     // stand between a short line and its rescuing neighbor
     val assessed = filter(
-      transform(lines, l => {
-        val (cls, t) = lineClassAndText(l, minChars, minWords)
-        struct(cls.as("c"), t.as("t"))
-      }),
+      transform(lines, l => lineClassStruct(l, minChars, minWords)),
       s => length(s.getField("t")) > 0)
     val emptyStamped = array()
       .cast("array<struct<c:int,t:string,pg:boolean>>")
@@ -197,33 +217,35 @@ object Html {
       acc => array_join(reverse(acc.getField("k")), "\n"))
   }
 
+  /** Sentinels stripped + trimmed — the cleaned text of one line. */
+  private def cleanedLine(line: Column): Column =
+    trim(call_function("replace",
+      call_function("replace", line, lit(LinkOpen), lit("")),
+      lit(LinkClose), lit("")))
+
   /** The jusText-lite keep rule on ONE already-stripped line (sentinels
     * still in place). Integer arithmetic only — both engines replay it
-    * bit-for-bit. */
-  private def lineKeepAndText(line: Column, minChars: Int,
-                              minWords: Int): (Column, Column) = {
-    val clean = call_function("replace",
-      call_function("replace", line, lit(LinkOpen), lit("")),
-      lit(LinkClose), lit(""))
-    val t = trim(clean)
-    val total = length(t)
-    // alnum count as length minus translate-removal — a plain string
-    // expression, much cheaper per line than a regex pass; value-equal
-    // to the oracle's regexp_replace('[^A-Za-z0-9]') spelling
-    val alnum = total - length(translate(t,
-      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789", ""))
-    val words = when(total === 0, lit(0))
-      .otherwise(size(split(t, "\\s+", -1)))
-    // linked chars: in each post-U+0001 segment, the part before U+0002
-    val linked = aggregate(
-      transform(slice(split(line, LinkOpen, -1), lit(2),
-        size(split(line, LinkOpen, -1)) - 1),
-        seg => length(substring_index(seg, LinkClose, 1))),
-      lit(0), (acc, x) => acc + x)
-    val keep = total >= minChars && words >= minWords &&
-      alnum * 10 >= total * 4 && linked * 2 <= total
-    (keep, t)
-  }
+    * bit-for-bit. Emits `struct(k, t)`; text and counts bound once per
+    * line (see [[lineClassStruct]]).
+    * alnum counts as length minus translate-removal — a plain string
+    * expression, much cheaper per line than a regex pass; value-equal
+    * to the oracle's regexp_replace('[^A-Za-z0-9]') spelling. */
+  private def lineKeepStruct(line: Column, minChars: Int,
+                             minWords: Int): Column =
+    graft.pipeline.TextOps.bindOnce(cleanedLine(line)) { t =>
+      graft.pipeline.TextOps.bindOnce(struct(
+          length(t).as("total"),
+          (length(t) - length(translate(t, AlnumChars, ""))).as("alnum"),
+          linkedChars(line).as("linked"))) { m =>
+        val total = m.getField("total")
+        val words = when(total === 0, lit(0))
+          .otherwise(size(split(t, "\\s+", -1)))
+        val keep = total >= minChars && words >= minWords &&
+          m.getField("alnum") * 10 >= total * 4 &&
+          m.getField("linked") * 2 <= total
+        struct(keep.as("k"), t.as("t"))
+      }
+    }
 
   /** Full extraction: markup removal + per-line boilerplate filter,
     * kept lines re-joined with `\n`. Empty string when nothing reads
@@ -233,10 +255,8 @@ object Html {
     require(minChars > 0 && minWords > 0,
       s"thresholds must be positive, got ($minChars, $minWords)")
     val lines = split(stripMarkup(html), "\n", -1)
-    val assessed = transform(lines, l => {
-      val (keep, t) = lineKeepAndText(l, minChars, minWords)
-      struct(keep.as("k"), t.as("t"))
-    })
+    val assessed = transform(lines,
+      l => lineKeepStruct(l, minChars, minWords))
     array_join(
       transform(filter(assessed, s => s.getField("k")),
         s => s.getField("t")), "\n")

@@ -29,6 +29,21 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** Evaluate a (possibly lambda-bearing) expression ONCE per row and fan
+    * its value out to `f`'s many references — the Column-level form of the
+    * repo's pack-once idiom. Catalyst's subexpression elimination skips
+    * any subtree containing a lambda function (SPARK-35410), so every
+    * *reference* to a HOF-built Column like [[tokens]] re-runs the whole
+    * split+filter per row; expressions like the quality composite that
+    * reference the token array 5× were paying 5 tokenizations per row.
+    * Packing the value into a literal 1-element array and routing all
+    * consumers through a `transform` lambda variable makes the engine
+    * evaluate it exactly once, whatever the consumer fan-out — same value,
+    * same type, same null behavior (the lambda body sees the same input
+    * the raw expression would). */
+  private[graft] def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
   /** NULL instead of an ANSI DIVIDE_BY_ZERO error: an empty/whitespace-only
     * document has zero tokens, and its per-token ratios are undefined, not
     * a job-killing exception. */
@@ -56,8 +71,11 @@ object TextOps {
     * BPE-ish token count, mean token length. One narrow projection — no
     * shuffle, no UDF. */
   def textStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
+    // token array bound once (referenced 4× below — see bindOnce's note)
+    val toks = col("__toks")
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
@@ -156,10 +174,12 @@ object TextOps {
     // no positional self-join, no shuffle before the count aggregates
     // (zip_with pads the shorter side with null; the padded last pair is
     // filtered) — measured 17.8 s → the join spelling's cost at the
-    // 100k-doc fixture was two exploded-token shuffles
-    val t = tokens(col("text"))
-    val pairs = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
+    // 100k-doc fixture was two exploded-token shuffles. The token array is
+    // bindOnce-bound: the three references below otherwise tokenize 3×.
+    val pairs = bindOnce(tokens(col("text"))) { t =>
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
     val bigrams = docs
       .select(col("doc_id"), explode(pairs).as("bg"))
       .where(col("bg.w2").isNotNull)
@@ -335,22 +355,26 @@ object TextOps {
     * corpus curation: stopword density (fluency proxy), type/token ratio
     * (repetition proxy), alpha-character ratio (boilerplate/markup proxy),
     * mean token length (gibberish proxy). Composite in [0, 1]. */
+  /** All four quality signals from ONE tokenization: the token array is
+    * bound in its own projection (an alias referenced many times is not
+    * re-inlined by CollapseProject — the [[graft.pipeline.Dedup.shingles]]
+    * discipline), so the split+filter runs once per row instead of the 9×
+    * the inline spelling paid (each ratio referenced [[tokens]] 2×, the
+    * composite another 5×). Values are bit-identical to the inline form. */
   def qualityScore(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      round(stopRatioExpr, 6).as("stop_ratio_r"),
-      round(typeRatioExpr, 6).as("type_ratio_r"),
-      round(alphaRatioExpr, 6).as("alpha_ratio_r"),
-      qualityExpr.as("quality_r"))
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id"),
+        round(stopRatioOf(col("__toks")), 6).as("stop_ratio_r"),
+        round(typeRatioOf(col("__toks")), 6).as("type_ratio_r"),
+        round(alphaRatioExpr, 6).as("alpha_ratio_r"),
+        qualityOf(col("text"), col("__toks")).as("quality_r"))
 
-  private def stopRatioExpr: Column = {
-    val toks = tokens(col("text"))
+  private def stopRatioOf(toks: Column): Column =
     safeDiv(hitCount(toks, stopwords), size(toks).cast("double"))
-  }
-  private def typeRatioExpr: Column = {
-    val toks = tokens(col("text"))
+  private def typeRatioOf(toks: Column): Column =
     safeDiv(size(array_distinct(toks)), size(toks).cast("double"))
-  }
   // letter COUNT via replace-length, not regexp_extract_all: the latter
   // materializes an array entry per matched character — allocation-heavy
   // on long documents for a number the length difference gives directly
@@ -358,23 +382,31 @@ object TextOps {
     length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")),
     length(col("text")).cast("double"))
 
-  /** The composite quality score of [[qualityScore]] as a bare `Column`
-    * over a `text` column, for pipelines that already project per-doc
-    * columns: computing the gate inline in the same projection avoids a
-    * self-join against a separate `qualityScore` pass. Same expression,
-    * same rounding — the two spellings are value-identical. */
-  def qualityExpr: Column = {
-    val meanLen = safeDiv(length(col("text")).cast("double"),
-      size(tokens(col("text"))).cast("double"))
+  /** The composite score over an already-bound token array — the shared
+    * arithmetic of [[qualityExpr]] and [[qualityScore]] (one spelling, so
+    * the two can never drift). */
+  private def qualityOf(text: Column, toks: Column): Column = {
+    val meanLen = safeDiv(length(text).cast("double"),
+      size(toks).cast("double"))
     // weights: fluent docs have some stopwords (target ~10%+), healthy
     // type variety, mostly letters, and 3–10 char mean tokens
     val score =
-      least(stopRatioExpr * 5.0, lit(1.0)) * 0.3 +
-        least(typeRatioExpr * 2.0, lit(1.0)) * 0.3 +
+      least(stopRatioOf(toks) * 5.0, lit(1.0)) * 0.3 +
+        least(typeRatioOf(toks) * 2.0, lit(1.0)) * 0.3 +
         alphaRatioExpr * 0.2 +
         when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.0) * 0.2
     round(score, 6)
   }
+
+  /** The composite quality score of [[qualityScore]] as a bare `Column`
+    * over a `text` column, for pipelines that already project per-doc
+    * columns: computing the gate inline in the same projection avoids a
+    * self-join against a separate `qualityScore` pass. Same expression,
+    * same rounding — the two spellings are value-identical. The token
+    * array rides a [[bindOnce]] lambda, so the 5 token references cost
+    * one tokenization per row, not five. */
+  def qualityExpr: Column =
+    bindOnce(tokens(col("text")))(toks => qualityOf(col("text"), toks))
 
   /** Marker-word sets for the n-gram/function-word language-ID heuristic.
     * Deterministic scoring — argmax over per-language hit counts, ties
@@ -386,15 +418,28 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq.empty) // scored by CJK character presence instead
 
-  def langId(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id") +: langScoreExprs.map { case (l, s) => s.as(s"score_$l") }
-        :+ predLangExpr.as("pred_lang"): _*)
+  /** Per-language scores + argmax from ONE tokenization: scores bind in
+    * their own projection (multi-referenced aliases are not re-inlined),
+    * and the argmax CASE chain then folds over cheap attribute references.
+    * The inline spelling paid ~24 tokenizations per row — 8 for the score
+    * columns plus up to 16 inside the fold-doubled argmax tree. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+      .select(
+        col("doc_id") +: langScoreExprsBound(col("text"), col("__toks"))
+          .map { case (l, s) => s.as(s"score_$l") }: _*)
+    val scoreCols = langMarkers.map { case (l, _) => l -> col(s"score_$l") }
+    scored.select(
+      col("doc_id") +: scoreCols.map { case (l, s) => s.as(s"score_$l") }
+        :+ argmaxLang(scoreCols).as("pred_lang"): _*)
+  }
 
-  private def langScoreExprs: Seq[(String, Column)] = langScoreExprsOn(col("text"))
+  private def langScoreExprsOn(text: Column): Seq[(String, Column)] =
+    langScoreExprsBound(text, tokens(text))
 
-  private def langScoreExprsOn(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  private def langScoreExprsBound(text: Column,
+                                  toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, words) =>
       val s =
         if (lang == "zh")
@@ -402,7 +447,17 @@ object TextOps {
         else hitCount(toks, words)
       lang -> s.cast("long")
     }
-  }
+
+  /** Argmax with first-wins tie-break as a pure CASE chain, over ALREADY
+    * CHEAP score columns (attributes or lambda variables — the fold
+    * duplicates each score reference up to 2^k times, which is free only
+    * when the reference is free). */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column =
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
 
   /** [[langId]]'s predicted language as a bare `Column` over a `text`
     * column — argmax with first-wins tie-break, as a pure CASE chain. Lets
@@ -410,15 +465,19 @@ object TextOps {
     * langId pass. */
   def predLangExpr: Column = predLangExprOn(col("text"))
 
-  /** [[predLangExpr]] over an arbitrary text column (e.g. a chunk). */
-  def predLangExprOn(text: Column): Column = {
-    val scores = langScoreExprsOn(text)
-    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
-      case ((bestScore, bestLang), (lang, s)) =>
-        (when(s > bestScore, s).otherwise(bestScore),
-          when(s > bestScore, lit(lang)).otherwise(bestLang))
-    }._2
-  }
+  /** [[predLangExpr]] over an arbitrary text column (e.g. a chunk).
+    * Two nested [[bindOnce]] levels: the token array is evaluated once,
+    * the 5 scores once each — the argmax fold then fans out over lambda
+    * struct-field reads instead of re-running split/filter/regex trees
+    * (the inline spelling re-evaluated them up to 16× per row). */
+  def predLangExprOn(text: Column): Column =
+    bindOnce(tokens(text)) { toks =>
+      bindOnce(struct(langScoreExprsBound(text, toks)
+          .map { case (l, s) => s.as(s"s_$l") }: _*)) { packed =>
+        argmaxLang(langMarkers.map { case (l, _) =>
+          l -> packed.getField(s"s_$l") })
+      }
+    }
 
   /** Mixed-language detection: language-ID each NON-OVERLAPPING
     * `chunkTokens`-token chunk of a document, then per doc report the
@@ -543,10 +602,10 @@ object TextOps {
     * all-pairs anything. Short documents (< n tokens) report 0 for the
     * n-gram signals via the left joins. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
     val base = docs.select(
       col("doc_id"),
-      (lit(1.0) - safeDiv(size(array_distinct(t)), size(t).cast("double")))
+      bindOnce(tokens(col("text")))(t =>
+        lit(1.0) - safeDiv(size(array_distinct(t)), size(t).cast("double")))
         .as("dup_token_frac"))
     // both n-gram signals ride Dedup.shingles — one shared windowing/
     // hashing implementation (same 60-bit-collision contract as every
@@ -796,9 +855,9 @@ object TextOps {
                      idCol: String = "doc_id"): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     require(stride > 0, s"stride must be positive, got $stride")
-    val toks = tokens(col(textCol))
     docs
-      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
       .where(col("__n") > 0)
       .select(col(idCol),
         posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
@@ -1014,10 +1073,16 @@ object TextOps {
     require(0 < minWords && minWords <= maxWords,
       s"bad word-count bounds [$minWords, $maxWords]")
     val text = col("text")
-    val toks = tokens(text)
+    // token array + trimmed-lines array bound in their own projection
+    // (multi-referenced aliases are not re-inlined): the verdicts below
+    // reference toks 11× (words/chars/alpha + 8 stopword probes) and
+    // lines 3× — the inline spelling re-split the text per reference
+    val toks = col("__toks")
     val words = size(toks).cast("long")
-    val totalChars = aggregate(transform(toks, t => length(t).cast("long")),
-      lit(0L), (a, x) => a + x)
+    // r_meanlen references the char-count fold twice — bound, so the
+    // O(tokens) fold runs once, and as a direct fold (no transform step)
+    val totalChars0 = aggregate(toks, lit(0L),
+      (a, t) => a + length(t).cast("long"))
     val nHash = (length(text) -
       length(call_function("replace", text, lit("#"), lit("")))).cast("long")
     // the paper's ellipsis rule covers both the ASCII spelling and the
@@ -1028,7 +1093,7 @@ object TextOps {
       (length(text) -
         length(call_function("replace", text, lit("…"), lit("")))))
       .cast("long")
-    val lines = transform(split(text, "\n", -1), l => trim(l))
+    val lines = col("__lines")
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l =>
       l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
@@ -1037,14 +1102,19 @@ object TextOps {
       l.endsWith("...") || l.endsWith("…"))).cast("long")
     val alphaWords = size(filter(toks, t =>
       length(t) > length(translate(t, Letters, "")))).cast("long")
-    val stopHits = gopherStopwords
-      .map(w => when(array_contains(toks, w), 1).otherwise(0))
-      .reduce(_ + _)
+    // one intersection pass instead of 8 array_contains scans:
+    // |distinct(toks) ∩ stopwords| ≡ Σ_w [w ∈ toks] because
+    // array_intersect already deduplicates — same 0..8 value
+    val stopHits = size(array_intersect(toks,
+      lit(gopherStopwords.toArray)))
     def flag(c: Column) = c.cast("long")
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), text,
+        tokens(text).as("__toks"),
+        transform(split(text, "\n", -1), l => trim(l)).as("__lines"))
+      .select(col("doc_id"),
       flag(words >= minWords && words <= maxWords).as("r_words"),
-      flag(totalChars >= words * 3 && totalChars <= words * 10)
-        .as("r_meanlen"),
+      flag(bindOnce(totalChars0)(tc =>
+        tc >= words * 3 && tc <= words * 10)).as("r_meanlen"),
       flag((nHash + nEllipsis) * 10 <= words).as("r_symbol"),
       flag(bulletLines * 10 <= nLines * 9).as("r_bullet"),
       flag(ellipsisLines * 10 <= nLines * 3).as("r_ellipsis"),
@@ -1068,9 +1138,10 @@ object TextOps {
 
   def kneserNeyModel(ref: DataFrame, langCol: String = "lang")
       : KneserNeyModel = {
-    val t = tokens(col("text"))
-    val pairs = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = bindOnce(tokens(col("text"))) { t =>
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
     val bigrams = ref
       .select(col(langCol).as("lang"), explode(pairs).as("bg"))
       .where(col("bg.w2").isNotNull)
@@ -1100,9 +1171,10 @@ object TextOps {
     * NULL. Emits `(doc_id, lang, n_bigrams, score_r)`. */
   def kneserNeyScore(docs: DataFrame, model: KneserNeyModel,
                      langCol: String = "lang"): DataFrame = {
-    val t = tokens(col("text"))
-    val pairs = zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val pairs = bindOnce(tokens(col("text"))) { t =>
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
     val docBg = docs
       .select(col("doc_id"), col(langCol).as("lang"), explode(pairs).as("bg"))
       .where(col("bg.w2").isNotNull)

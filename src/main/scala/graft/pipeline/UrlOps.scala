@@ -68,8 +68,8 @@ object UrlOps {
     * start of a new escape, so `%2541` stays `%41` as RFC normalization
     * requires. Malformed escapes (bad hex, truncated) pass through.
     * Pure HOF Columns — codegen'd, no UDF. */
-  def percentDecodeUnreserved(c: Column): Column = {
-    val parts = split(c, "%", -1)
+  def percentDecodeUnreserved(c: Column): Column =
+    TextOps.bindOnce(split(c, "%", -1)) { parts =>
     val decoded = transform(slice(parts, lit(2), size(parts) - 1), seg => {
       val h1 = hexVal(substring(seg, 1, 1))
       val h2 = hexVal(substring(seg, 2, 1))
@@ -104,64 +104,94 @@ object UrlOps {
     * form ([[idnFold]] — RFC 3490, so both spellings of an
     * international site make one key). Empty string when the URL has
     * no `://`. */
-  def canonicalHost(url: Column): Column = {
-    val noFrag = substring_index(url, "#", 1)
-    val rest = call_function("substr", noFrag,
-      call_function("instr", noFrag, lit("://")) + 3)
-    val scheme = lower(substring_index(noFrag, "://", 1))
-    val hp = lower(regexp_extract(rawAuthority(rest), "[^@]*$", 0))
-    // IDN fold applied ONCE, after port stripping (equivalent: ports
-    // are ASCII labels the fold passes through) — wrapping `hp` would
-    // replicate the fold into every `when` branch's duplicated subtree,
-    // the expression-tree blowup SCALE.md documents for this chain
-    val host = idnFold(
-      when(scheme === "http" && hp.endsWith(":80"),
-        call_function("substr", hp, lit(1), length(hp) - 3))
-        .when(scheme === "https" && hp.endsWith(":443"),
-          call_function("substr", hp, lit(1), length(hp) - 4))
-        .otherwise(hp))
-    when(call_function("instr", noFrag, lit("://")) === 0, lit(""))
-      .otherwise(host)
-  }
+  def canonicalHost(url: Column): Column =
+    TextOps.bindOnce(substring_index(url, "#", 1)) { noFrag =>
+      // scheme + host:port bound once: the port-strip CASE below
+      // references hp up to 7× and scheme 2× — as raw subtrees those
+      // re-ran the regexp_extract chain per reference (lambda-bearing
+      // trees are exempt from Catalyst's subexpression elimination)
+      TextOps.bindOnce(struct(
+          lower(substring_index(noFrag, "://", 1)).as("scheme"),
+          lower(regexp_extract(rawAuthority(
+            call_function("substr", noFrag,
+              call_function("instr", noFrag, lit("://")) + 3)),
+            "[^@]*$", 0)).as("hp"))) { p =>
+        val scheme = p.getField("scheme")
+        val hp = p.getField("hp")
+        // IDN fold applied ONCE, after port stripping (equivalent: ports
+        // are ASCII labels the fold passes through) — wrapping `hp` would
+        // replicate the fold into every `when` branch's duplicated
+        // subtree, the expression-tree blowup SCALE.md documents here
+        val host = idnFold(
+          when(scheme === "http" && hp.endsWith(":80"),
+            call_function("substr", hp, lit(1), length(hp) - 3))
+            .when(scheme === "https" && hp.endsWith(":443"),
+              call_function("substr", hp, lit(1), length(hp) - 4))
+            .otherwise(hp))
+        when(call_function("instr", noFrag, lit("://")) === 0, lit(""))
+          .otherwise(host)
+      }
+    }
 
   /** Full canonicalization — see the object doc for the exact rule set.
     * One narrow map over the URL column; no shuffle. */
-  def canonicalizeUrl(url: Column): Column = {
-    val noFrag = substring_index(url, "#", 1)
-    val scheme = lower(substring_index(noFrag, "://", 1))
-    val rest = call_function("substr", noFrag,
-      call_function("instr", noFrag, lit("://")) + 3)
-    val auth = rawAuthority(rest)
-    val host = canonicalHost(url)
-    val pq = percentDecodeUnreserved(
-      call_function("substr", rest, length(auth) + 1))
-    val path = substring_index(pq, "?", 1)
-    val qmark = call_function("instr", pq, lit("?"))
-    val query = when(qmark > 0, call_function("substr", pq, qmark + 1))
-      .otherwise(lit(""))
-    val params = array_sort(filter(split(query, "&", -1),
-      p => length(p) > 0 && !p.rlike(TrackingParamPattern)))
-    val canonQ = when(size(params) > 0,
-      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
-    val canonPath = when(path === "", lit("/")).otherwise(path)
-    when(call_function("instr", noFrag, lit("://")) === 0, noFrag)
-      .otherwise(concat(scheme, lit("://"), host, canonPath, canonQ))
-  }
+  def canonicalizeUrl(url0: Column): Column =
+    // the url tree is bound once (call sites often pass a synthesized or
+    // derived expression — inline it would be re-evaluated per reference
+    // below and inside canonicalHost), and the decoded path?query is
+    // bound once (path/qmark/query reference it 3×)
+    TextOps.bindOnce(url0) { url =>
+      TextOps.bindOnce(substring_index(url, "#", 1)) { noFrag =>
+        val scheme = lower(substring_index(noFrag, "://", 1))
+        val rest = call_function("substr", noFrag,
+          call_function("instr", noFrag, lit("://")) + 3)
+        val auth = rawAuthority(rest)
+        val host = canonicalHost(url)
+        TextOps.bindOnce(percentDecodeUnreserved(
+            call_function("substr", rest, length(auth) + 1))) { pq =>
+          val path = substring_index(pq, "?", 1)
+          val qmark = call_function("instr", pq, lit("?"))
+          val query = when(qmark > 0, call_function("substr", pq, qmark + 1))
+            .otherwise(lit(""))
+          TextOps.bindOnce(array_sort(filter(split(query, "&", -1),
+              p => length(p) > 0 && !p.rlike(TrackingParamPattern)))) { params =>
+            val canonQ = when(size(params) > 0,
+              concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+            val canonPath = when(path === "", lit("/")).otherwise(path)
+            when(call_function("instr", noFrag, lit("://")) === 0, noFrag)
+              .otherwise(concat(scheme, lit("://"), host, canonPath, canonQ))
+          }
+        }
+      }
+    }
 
   /** Registered (pay-level) domain of a canonical host: the label
     * directly below the public suffix. PSL-lite — exact multi-level
     * suffixes from [[MultiLevelSuffixes]], else the last label is the
     * suffix. Hosts with a single label (or an IP — out of scope for the
     * lite list) return unchanged. */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.", -1)
-    val n = size(labels)
-    val last2 = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
-    when(n >= 3 && last2.isin(MultiLevelSuffixes: _*),
-      concat(element_at(labels, -3), lit("."), last2))
-      .when(n >= 2, last2)
-      .otherwise(host)
-  }
+  def registeredDomain(host0: Column): Column =
+    // host + its label array bound once: `labels` is referenced up to 5×
+    // and `last2` 3× below — inline, each reference re-ran the full host
+    // subtree + split (CSE skips lambda-bearing trees)
+    TextOps.bindOnce(host0) { host =>
+      TextOps.bindOnce(split(host, "\\.", -1)) { labels =>
+        val n = size(labels)
+        // the binding is eager where the raw spelling's short-circuit
+        // AND was lazy, so it must carry its own n >= 2 guard: a
+        // single-label host would otherwise throw on element_at(-2)
+        // under ANSI (null here never reaches the output — both last2
+        // branches are n >= 2 gated)
+        TextOps.bindOnce(when(n >= 2,
+            concat(element_at(labels, -2), lit("."),
+              element_at(labels, -1)))) { last2 =>
+          when(n >= 3 && last2.isin(MultiLevelSuffixes: _*),
+            concat(element_at(labels, -3), lit("."), last2))
+            .when(n >= 2, last2)
+            .otherwise(host)
+        }
+      }
+    }
 
   /** SURT key (Sort-friendly URI Reordering Transform — the key format
     * of OpenWayback/Common Crawl CDX capture indexes): scheme dropped,
@@ -172,18 +202,26 @@ object UrlOps {
     * lowercase/strip steps are the canonicalizer's job); non-URLs (no
     * `://`) pass through unchanged. A pure Column — zero shuffle; the
     * index build downstream is one hash aggregation on the key. */
-  def surtKey(canonUrl: Column): Column = {
-    val rest = call_function("substr", canonUrl,
-      call_function("instr", canonUrl, lit("://")) + 3)
-    val auth = regexp_extract(rest, "^[^/]*", 0)
-    val pathq = call_function("substr", rest, length(auth) + 1)
-    val hostOnly = substring_index(auth, ":", 1)
-    val port = when(call_function("instr", auth, lit(":")) > 0,
-      concat(lit(":"), substring_index(auth, ":", -1))).otherwise(lit(""))
-    val rev = array_join(reverse(split(hostOnly, "\\.", -1)), ",")
-    when(call_function("instr", canonUrl, lit("://")) === 0, canonUrl)
-      .otherwise(concat(rev, port, lit(")"), pathq))
-  }
+  def surtKey(canonUrl0: Column): Column =
+    // the canonical-URL tree is bound once (q_cdx_index passes the whole
+    // canonicalizeUrl chain here — inline, its 5 references below each
+    // re-ran the full canonicalization per row), and so are the rest/
+    // authority intermediates (4 references each)
+    TextOps.bindOnce(canonUrl0) { canonUrl =>
+      TextOps.bindOnce(call_function("substr", canonUrl,
+          call_function("instr", canonUrl, lit("://")) + 3)) { rest =>
+        TextOps.bindOnce(regexp_extract(rest, "^[^/]*", 0)) { auth =>
+          val pathq = call_function("substr", rest, length(auth) + 1)
+          val hostOnly = substring_index(auth, ":", 1)
+          val port = when(call_function("instr", auth, lit(":")) > 0,
+            concat(lit(":"), substring_index(auth, ":", -1)))
+            .otherwise(lit(""))
+          val rev = array_join(reverse(split(hostOnly, "\\.", -1)), ",")
+          when(call_function("instr", canonUrl, lit("://")) === 0, canonUrl)
+            .otherwise(concat(rev, port, lit(")"), pathq))
+        }
+      }
+    }
 
   /** RFC 3986 §5.2.4 `remove_dot_segments` over an already-merged path.
     * One `aggregate` fold over the `/`-split segment array: `.` is
@@ -194,19 +232,24 @@ object UrlOps {
     * trailing `.` or `..` leaves the RFC's trailing slash. Empty input
     * normalizes to `/` (the repo-wide empty-path convention shared with
     * [[canonicalizeUrl]]). Pure codegen Column work, O(segments). */
-  def removeDotSegments(path: Column): Column = {
-    val segs = split(path, "/", -1)
-    val stack = aggregate(segs, array().cast("array<string>"),
+  def removeDotSegments(path: Column): Column =
+    TextOps.bindOnce(split(path, "/", -1)) { segs =>
+    val stack0 = aggregate(segs, array().cast("array<string>"),
       (acc, s) =>
         when(s === ".", acc)
           .when(s === "..",
             when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1))
               .otherwise(acc))
           .otherwise(array_append(acc, s)))
-    val withTrail = when(element_at(segs, -1).isin(".", ".."),
-      array_append(stack, lit(""))).otherwise(stack)
-    val joined = array_join(withTrail, "/")
-    when(joined === "", lit("/")).otherwise(joined)
+    // the folded stack is referenced twice below — bind it, or the whole
+    // O(segments) fold runs twice per row
+    TextOps.bindOnce(stack0) { stack =>
+      val withTrail = when(element_at(segs, -1).isin(".", ".."),
+        array_append(stack, lit(""))).otherwise(stack)
+      TextOps.bindOnce(array_join(withTrail, "/")) { joined =>
+        when(joined === "", lit("/")).otherwise(joined)
+      }
+    }
   }
 
   /** RFC 3986 §5.2 reference resolution: the hop between
@@ -232,62 +275,90 @@ object UrlOps {
     * are stripped (a dedup/crawl key never includes one), and an empty
     * resolved path becomes `/` (so `//g` → `http://g/`). Pure Column
     * work — zero shuffle, rides the extraction map. */
-  def resolveReference(base: Column, ref: Column): Column = {
-    val r = substring_index(ref, "#", 1)
-    val b = substring_index(base, "#", 1)
-    val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:")
-    // anchored to a leading scheme — a mere "://" occurrence is not
-    // enough, or "/out?url=https://x" (the ubiquitous outbound-redirect
-    // query pattern) would be mis-parsed as an absolute reference
-    val hasAuthScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
-    // base decomposition
-    val bScheme = substring_index(b, "://", 1)
-    val bRest = call_function("substr", b,
-      call_function("instr", b, lit("://")) + 3)
-    val bAuth = regexp_extract(bRest, "^[^/?]*", 0)
-    val bPathQ = call_function("substr", bRest, length(bAuth) + 1)
-    val bPath = substring_index(bPathQ, "?", 1)
-    // ref path/query split (query carried verbatim, '?' included)
-    val rPath = substring_index(r, "?", 1)
-    val rQmark = call_function("instr", r, lit("?"))
-    val rQuery = when(rQmark > 0, call_function("substr", r, rQmark))
-      .otherwise(lit(""))
-    // absolute and network-path refs share one decomposition: a
-    // network-path ref's target IS base-scheme + ":" + ref (RFC §5.2.2)
-    val absT = when(hasAuthScheme, r)
-      .otherwise(concat(bScheme, lit(":"), r))
-    val aScheme = substring_index(absT, "://", 1)
-    val aRest = call_function("substr", absT,
-      call_function("instr", absT, lit("://")) + 3)
-    val aAuth = regexp_extract(aRest, "^[^/?]*", 0)
-    val aPathQ = call_function("substr", aRest, length(aAuth) + 1)
-    val aPath = substring_index(aPathQ, "?", 1)
-    val aQmark = call_function("instr", aPathQ, lit("?"))
-    val aQuery = when(aQmark > 0, call_function("substr", aPathQ, aQmark))
-      .otherwise(lit(""))
-    // RFC §5.2.3 merge for relative-path refs
-    val bDir = when(bPath.contains("/"), regexp_extract(bPath, "^(.*/)", 1))
-      .otherwise(lit(""))
-    val merged = when(length(bAuth) > 0 && bPath === "",
-      concat(lit("/"), rPath)).otherwise(concat(bDir, rPath))
-    // ONE dot-removal instance fed by a branch dispatch: every Column
-    // reference duplicates its subtree, so three removeDotSegments
-    // call sites would triple the (large) fold tree — measured 3× plan
-    // size and a whole-stage-codegen blowout on the driver row
-    val isAbs = hasAuthScheme || r.startsWith("//")
-    val dotInput = when(isAbs, aPath)
-      .when(r.startsWith("/"), rPath)
-      .otherwise(merged)
-    val cleaned = removeDotSegments(dotInput)
-    val prefix = when(isAbs, concat(aScheme, lit("://"), aAuth))
-      .otherwise(concat(bScheme, lit("://"), bAuth))
-    val suffix = when(isAbs, aQuery).otherwise(rQuery)
-    when(hasScheme && !hasAuthScheme, r)
-      .when(r === "", b)
-      .when(r.startsWith("?") && !isAbs,
-        concat(bScheme, lit("://"), bAuth, bPath, r))
-      .otherwise(concat(prefix, cleaned, suffix))
-  }
+  def resolveReference(base: Column, ref: Column): Column =
+    // Every intermediate below is referenced several times by the branch
+    // dispatch (r up to 8×, bAuth/bPath/aPathQ 3× each) and lambda-bearing
+    // trees are exempt from subexpression elimination, so the raw spelling
+    // re-ran each decomposition per reference per row. The intermediates
+    // are bound once per dependency layer (structs group same-layer
+    // values so one bind serves several) — values are expression-for-
+    // expression identical to the raw form.
+    TextOps.bindOnce(struct(substring_index(ref, "#", 1).as("r"),
+        substring_index(base, "#", 1).as("b"))) { rb =>
+      val r = rb.getField("r")
+      val b = rb.getField("b")
+      // anchored to a leading scheme — a mere "://" occurrence is not
+      // enough, or "/out?url=https://x" (the ubiquitous outbound-redirect
+      // query pattern) would be mis-parsed as an absolute reference
+      TextOps.bindOnce(struct(
+          r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*:").as("hasScheme"),
+          r.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://").as("hasAuthScheme"),
+          substring_index(b, "://", 1).as("bScheme"),
+          call_function("substr", b,
+            call_function("instr", b, lit("://")) + 3).as("bRest"))) { p =>
+        val hasScheme = p.getField("hasScheme")
+        val hasAuthScheme = p.getField("hasAuthScheme")
+        val bScheme = p.getField("bScheme")
+        val bRest = p.getField("bRest")
+        // absolute and network-path refs share one decomposition: a
+        // network-path ref's target IS base-scheme + ":" + ref (RFC §5.2.2)
+        TextOps.bindOnce(struct(
+            regexp_extract(bRest, "^[^/?]*", 0).as("bAuth"),
+            when(hasAuthScheme, r)
+              .otherwise(concat(bScheme, lit(":"), r)).as("absT"))) { q =>
+          val bAuth = q.getField("bAuth")
+          val absT = q.getField("absT")
+          TextOps.bindOnce(struct(
+              substring_index(call_function("substr", bRest,
+                length(bAuth) + 1), "?", 1).as("bPath"),
+              substring_index(r, "?", 1).as("rPath"),
+              substring_index(absT, "://", 1).as("aScheme"),
+              call_function("substr", absT,
+                call_function("instr", absT, lit("://")) + 3)
+                .as("aRest"))) { s =>
+            val bPath = s.getField("bPath")
+            val rPath = s.getField("rPath")
+            val aScheme = s.getField("aScheme")
+            val aRest = s.getField("aRest")
+            // ref query carried verbatim, '?' included
+            val rQmark = call_function("instr", r, lit("?"))
+            val rQuery = when(rQmark > 0,
+              call_function("substr", r, rQmark)).otherwise(lit(""))
+            TextOps.bindOnce(regexp_extract(aRest, "^[^/?]*", 0)) { aAuth =>
+              TextOps.bindOnce(call_function("substr", aRest,
+                  length(aAuth) + 1)) { aPathQ =>
+                val aPath = substring_index(aPathQ, "?", 1)
+                val aQmark = call_function("instr", aPathQ, lit("?"))
+                val aQuery = when(aQmark > 0,
+                  call_function("substr", aPathQ, aQmark)).otherwise(lit(""))
+                // RFC §5.2.3 merge for relative-path refs
+                val bDir = when(bPath.contains("/"),
+                  regexp_extract(bPath, "^(.*/)", 1)).otherwise(lit(""))
+                val merged = when(length(bAuth) > 0 && bPath === "",
+                  concat(lit("/"), rPath)).otherwise(concat(bDir, rPath))
+                // ONE dot-removal instance fed by a branch dispatch: three
+                // removeDotSegments call sites would triple the (large)
+                // fold tree — measured 3× plan size and a whole-stage-
+                // codegen blowout on the driver row
+                val isAbs = hasAuthScheme || r.startsWith("//")
+                val dotInput = when(isAbs, aPath)
+                  .when(r.startsWith("/"), rPath)
+                  .otherwise(merged)
+                val cleaned = removeDotSegments(dotInput)
+                val prefix = when(isAbs, concat(aScheme, lit("://"), aAuth))
+                  .otherwise(concat(bScheme, lit("://"), bAuth))
+                val suffix = when(isAbs, aQuery).otherwise(rQuery)
+                when(hasScheme && !hasAuthScheme, r)
+                  .when(r === "", b)
+                  .when(r.startsWith("?") && !isAbs,
+                    concat(bScheme, lit("://"), bAuth, bPath, r))
+                  .otherwise(concat(prefix, cleaned, suffix))
+              }
+            }
+          }
+        }
+      }
+    }
 
   /** Per-domain `Crawl-delay` (the de-facto politeness field Bing and
     * Yandex honor; not in RFC 9309 but ubiquitous in published

@@ -81,11 +81,16 @@ object Wordpiece {
       sequence(lit(1), length(tok)),
       struct(lit(1).as("pos"), lit("").as("seg")),
       (acc, i) => {
-        val l = matchLen(i)
+        // match length bound once INSIDE the cursor branch (the raw
+        // spelling evaluated the whole longest-match when-chain twice
+        // per active position — for the cursor advance and the piece
+        // substring; skipped positions still evaluate nothing)
         when(i === acc.getField("pos"),
-          struct((acc.getField("pos") + l).as("pos"),
-            concat(acc.getField("seg"), lit(" "),
-              call_function("substring", tok, i, l)).as("seg")))
+          TextOps.bindOnce(matchLen(i)) { l =>
+            struct((acc.getField("pos") + l).as("pos"),
+              concat(acc.getField("seg"), lit(" "),
+                call_function("substring", tok, i, l)).as("seg"))
+          })
           .otherwise(acc)
       },
       acc => trim(acc.getField("seg")))

@@ -304,27 +304,34 @@ object Warc {
       sequence(lit(1), lit(MaxDecodedChunks)), init, (acc, _) => {
         val rem = acc.getField("rem")
         val out = acc.getField("out")
-        val sizeLine = substring_index(rem, Crlf, 1)
-        val szStr = trim(substring_index(sizeLine, ";", 1))
-        // ≤7 hex digits keeps the size safely inside an int (a single
-        // chunk >256 MB in one row is out of scope at any scale)
-        val valid = szStr.rlike("^[0-9a-fA-F]{1,7}$") &&
-          call_function("instr", rem, lit(Crlf)) > 0
-        val sz = conv(szStr, 16, 10).cast("int")
-        val data = call_function("substr", rem,
-          length(sizeLine) + 3, sz)
-        val nextRem = call_function("substr", rem,
-          length(sizeLine) + 2 + sz + 2 + 1)
-        when(acc.getField("done"), acc)
-          .when(!valid,
-            struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
-              lit(false).as("ok")))
-          .when(sz === 0,
-            struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
-              lit(true).as("ok")))
-          .otherwise(struct(nextRem.as("rem"),
-            concat(out, data).as("out"), lit(false).as("done"),
-            lit(false).as("ok")))
+        // the size line is bound once per ACTIVE step (inside the
+        // otherwise-branch, so finished rows still skip all work): the
+        // raw spelling referenced it 3× per step — 3 remainder scans —
+        // and lambda-bearing trees are exempt from subexpression
+        // elimination
+        when(acc.getField("done"), acc).otherwise(
+          graft.pipeline.TextOps.bindOnce(
+              substring_index(rem, Crlf, 1)) { sizeLine =>
+            val szStr = trim(substring_index(sizeLine, ";", 1))
+            // ≤7 hex digits keeps the size safely inside an int (a single
+            // chunk >256 MB in one row is out of scope at any scale)
+            val valid = szStr.rlike("^[0-9a-fA-F]{1,7}$") &&
+              call_function("instr", rem, lit(Crlf)) > 0
+            val sz = conv(szStr, 16, 10).cast("int")
+            val data = call_function("substr", rem,
+              length(sizeLine) + 3, sz)
+            val nextRem = call_function("substr", rem,
+              length(sizeLine) + 2 + sz + 2 + 1)
+            when(!valid,
+              struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
+                lit(false).as("ok")))
+              .when(sz === 0,
+                struct(rem.as("rem"), out.as("out"), lit(true).as("done"),
+                  lit(true).as("ok")))
+              .otherwise(struct(nextRem.as("rem"),
+                concat(out, data).as("out"), lit(false).as("done"),
+                lit(false).as("ok")))
+          })
       }, acc => {
         // exactly MaxDecodedChunks data chunks leaves the terminator
         // unconsumed by the loop — a remainder that IS the last-chunk
@@ -423,36 +430,64 @@ object Warc {
     * [[httpDecode]]). Callers MUST either gate on it or hand incomplete
     * rows to the seam; treating a false row's body as the document is
     * exactly the silent-truncation bug this flag exists to kill. */
-  def httpResponseParts(payload: org.apache.spark.sql.Column)
+  def httpResponseParts(payload0: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val statusStr = regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
-    val status = when(length(statusStr) > 0, statusStr.cast("long"))
-      .otherwise(lit(0L))
-    val blankCrlf = call_function("instr", payload, lit("\r\n\r\n"))
-    val blankLf = call_function("instr", payload, lit("\n\n"))
-    val useCrlf = blankCrlf > 0 && (blankLf === 0 || blankCrlf <= blankLf)
-    val blank = when(useCrlf, blankCrlf).otherwise(blankLf)
-    val skip = when(useCrlf, lit(4)).otherwise(lit(2))
-    val headers = when(blank > 0,
-      call_function("substr", payload, lit(1), blank - 1)).otherwise(payload)
-    val ctype = lower(trim(regexp_extract(headers,
-      "(?im)^content-type:\\s*([^;\\r\\n]*)", 1)))
-    val chunked = headers.rlike("(?im)^transfer-encoding:\\s*chunked\\s*$")
-    // identity/absent passes; gzip/deflate/br need the binary seam
-    val cenc = lower(trim(regexp_extract(headers,
-      "(?im)^content-encoding:\\s*([^\\r\\n]*)", 1)))
-    val encOk = cenc.isin("", "identity")
-    val rawBody = when(status === 0L, payload)
-      .when(blank > 0, call_function("substr", payload, blank + skip))
-      .otherwise(lit(""))
-    val dp = when(status > 0L && chunked, dechunkParts(rawBody))
-      .otherwise(struct(rawBody.as("body"), lit(true).as("complete")))
-    val complete = status === 0L ||
-      (dp.getField("complete") && encOk)
-    struct(status.as("status"), ctype.as("content_type"),
-      dp.getField("body").as("body"),
-      complete.as("decode_complete"))
+    import graft.pipeline.TextOps.bindOnce
+    // Layered once-bindings (values identical to the raw spelling): the
+    // payload (often a synthesized expression at call sites) is referenced
+    // ~8× below, `blank` 3×, `headers` 3×, the raw body 2×, and the
+    // dechunk fold's result struct 2× — as raw subtrees each reference
+    // re-ran everything beneath it per row (lambda-bearing trees are
+    // exempt from subexpression elimination), so the dechunk fold itself
+    // executed twice per chunked row.
+    bindOnce(payload0) { payload =>
+      bindOnce(struct(
+          regexp_extract(payload, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+            .as("statusStr"),
+          call_function("instr", payload, lit("\r\n\r\n")).as("blankCrlf"),
+          call_function("instr", payload, lit("\n\n")).as("blankLf"))) { p =>
+        val statusStr = p.getField("statusStr")
+        val blankCrlf = p.getField("blankCrlf")
+        val blankLf = p.getField("blankLf")
+        val useCrlf = blankCrlf > 0 && (blankLf === 0 || blankCrlf <= blankLf)
+        bindOnce(struct(
+            when(length(statusStr) > 0, statusStr.cast("long"))
+              .otherwise(lit(0L)).as("status"),
+            when(useCrlf, blankCrlf).otherwise(blankLf).as("blank"),
+            when(useCrlf, lit(4)).otherwise(lit(2)).as("skip"))) { q =>
+          val status = q.getField("status")
+          val blank = q.getField("blank")
+          val skip = q.getField("skip")
+          bindOnce(when(blank > 0,
+              call_function("substr", payload, lit(1), blank - 1))
+              .otherwise(payload)) { headers =>
+            val ctype = lower(trim(regexp_extract(headers,
+              "(?im)^content-type:\\s*([^;\\r\\n]*)", 1)))
+            val chunked =
+              headers.rlike("(?im)^transfer-encoding:\\s*chunked\\s*$")
+            // identity/absent passes; gzip/deflate/br need the binary seam
+            val cenc = lower(trim(regexp_extract(headers,
+              "(?im)^content-encoding:\\s*([^\\r\\n]*)", 1)))
+            val encOk = cenc.isin("", "identity")
+            bindOnce(when(status === 0L, payload)
+                .when(blank > 0,
+                  call_function("substr", payload, blank + skip))
+                .otherwise(lit(""))) { rawBody =>
+              bindOnce(when(status > 0L && chunked, dechunkParts(rawBody))
+                  .otherwise(struct(rawBody.as("body"),
+                    lit(true).as("complete")))) { dp =>
+                val complete = status === 0L ||
+                  (dp.getField("complete") && encOk)
+                struct(status.as("status"), ctype.as("content_type"),
+                  dp.getField("body").as("body"),
+                  complete.as("decode_complete"))
+              }
+            }
+          }
+        }
+      }
+    }
   }
 
   /** HTTP caching policy from a response header block (RFC 9111,
