@@ -3457,8 +3457,12 @@ object SparkEntry {
     // the same hash-ordered token prefix as q_sample_token_budget
     "q_waterfill_budget" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: three passes consume it (global total, the
+      // waterline inventory aggregate, the prefix scan) and each would
+      // otherwise re-tokenize the corpus
       val projected = docs.select(col("doc_id"), col("lang"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint()
       val total = projected.agg(sum("n_tokens")).first.getLong(0)
       val budget = (BigInt(4) * BigInt(total) / BigInt(5)).toLong
       ops.Sampling.waterfillTokenBudget(projected, "doc_id", "lang",
@@ -3536,8 +3540,11 @@ object SparkEntry {
     // sits still; targets in exact integer arithmetic, crossing test all-long
     "q_weighted_quantiles" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialized once: the mass-totals collect and the prefix scan
+      // both consume it — each would otherwise re-tokenize the corpus
       val projected = docs.select(col("doc_id"), col("source"), col("n_chars"),
         size(pipeline.TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint()
       ops.Sketches.weightedQuantilesPerStratum(projected,
         "doc_id", "source", "n_chars", col("n_tokens"),
         Map("p50" -> ((50L, 100L)), "p90" -> ((90L, 100L))),

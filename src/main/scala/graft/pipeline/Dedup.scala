@@ -138,6 +138,18 @@ object Dedup {
     * MinHash verify path; one formula, one implementation). */
   private[pipeline] def jaccardOfShingles(sh: DataFrame, theta: Double,
                                           candidates: Option[DataFrame] = None): DataFrame = {
+    // Round-13 optimization note — candidate-doc semi-join pre-filtering
+    // of `sh` (guide §3.2: probe-side reduction before the verify joins)
+    // was implemented and MEASURED REJECTED at bench scale: with
+    // checkpointed cands/filtered-shingles it measured 4.6 s vs 1.8 s
+    // (q_dedup_minhash, sf0.1, interleaved with a control row), and lazy
+    // it re-executed the banded candidate subtree per reference (11 s+).
+    // The existing one-job spelling already deduplicates the doc_id-keyed
+    // shingle exchanges via ReuseExchange (the i-join and the sizes agg
+    // hash-partition the same subtree identically), so the only
+    // scale-relevant gain would be the (j, sh_hash)-keyed exchange — at
+    // 100 TB route the verify through `minHashIncremental`'s store probe
+    // instead, whose shuffle is already ∝ batch + candidates.
     val sizes = shingleSizes(sh)
     val inter = candidates match {
       case None =>
