@@ -960,8 +960,12 @@ object TextOps {
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // materialized once: the postings subtree and the corpus-stats
+    // aggregate are separate passes (and postings is itself consumed by
+    // the df count AND the scoring join) — each would re-tokenize
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("__t"))
+      .localCheckpoint()
     val postings = toks
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
