@@ -70,8 +70,26 @@ object Graph {
     // sort-based join whose per-iteration sort costs MORE than the slim
     // hash shuffle it saves (12.1 s vs 5.5 s warm at sf0.1); and a
     // checkpointed LogicalRDD reports UnknownPartitioning, so
-    // checkpoint-after-repartition buys nothing. At 100 TB, bucket the
-    // edge table by src and the same join plans exchange-free.
+    // checkpoint-after-repartition buys nothing.
+    //
+    // Round-14 re-test of the full co-location spelling (VERDICT item 1)
+    // — persist(repartition(parallelism, src)) so the InMemoryRelation
+    // REPORTS hashpartitioning + SHUFFLE_HASH hints so the join stays
+    // sort-free — measured WORSE in every regime on this host and was
+    // reverted (numbers in OPTIMIZATION_r14.md, plans in plans/r14/):
+    //   · sf0.1, default broadcast threshold: 6.3 vs 5.8 s (hints
+    //     suppress the planner's broadcast: forced-SHJ spellings hit
+    //     10–22 s, and persisting the live lineage 36–88 s driver-side);
+    //   · sf1eq (~510k nodes, 4M edges), default threshold: ~equal;
+    //   · sf1eq with the broadcast threshold forced to 1 KB (the true
+    //     past-broadcast regime a 100 TB graph lives in): plain unhinted
+    //     SMJ 13.4 s vs the persist+SHJ route 35–38 s — the per-superstep
+    //     SMJ sort of the slim 2-long edge row is CHEAPER here than
+    //     5 supersteps of InMemoryTableScan decompression + forced hash
+    //     builds. The no-op "after" plan is the measured optimum of the
+    //     spellings tried; at genuine cluster scale the lever remains a
+    //     BUCKETED edge table (ops.Bucketing) whose scan reports the
+    //     partitioning without an in-memory cache in the loop.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .localCheckpoint()
@@ -208,14 +226,31 @@ object Graph {
                      nodes: Option[DataFrame] = None): DataFrame = {
     // canonical simple edge set, consumed 4× (degrees, orientation, wedge
     // closing join) — cut the lineage once
-    val e = edges
+    val e = cleanUV(edges).localCheckpoint()
+    triangleCountsClean(e, degreesOf(e).localCheckpoint(), nodes)
+  }
+
+  /** Canonical simple `(u, v)` edge set (u < v, no self-loops, distinct)
+    * — the cleaning pass every undirected-graph operator here shares. */
+  private def cleanUV(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+
+  /** Degrees of a cleaned `(u, v)` edge table. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] body over an ALREADY cleaned+materialized edge
+    * table and its (materialized) degree table — the seam that lets
+    * [[clusteringCoefficients]] share one clean+distinct+degree pass
+    * instead of re-running both (the degree table is referenced three
+    * times below, the edge table twice more; both arrive as leaves). */
+  private def triangleCountsClean(e: DataFrame, deg: DataFrame,
+                                  nodes: Option[DataFrame]): DataFrame = {
     // (deg, id) total order: strictly more edges, or same degree + higher id
     val ew = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -255,15 +290,13 @@ object Graph {
     * artifact" score; emits `(node, deg, triangles, coeff)`. */
   def clusteringCoefficients(edges: DataFrame,
                              nodes: Option[DataFrame] = None): DataFrame = {
-    val e = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleCounts(e.select(col("u").as("src"), col("v").as("dst")),
-      nodes)
+    // one clean+distinct pass and one degree aggregation, shared with the
+    // triangle pass through the materialized seam (previously the triangle
+    // call re-cleaned the already-cleaned edges and re-derived degrees —
+    // a full extra distinct exchange + explode+agg over the edge set)
+    val e = cleanUV(edges).localCheckpoint()
+    val deg = degreesOf(e).localCheckpoint()
+    val tri = triangleCountsClean(e, deg, nodes)
     tri.join(deg, Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
         col("triangles"),
@@ -307,7 +340,13 @@ object Graph {
     while (!converged && rounds < maxRounds) {
       val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select("node")
+      // materialize the survivor set once per round: it feeds BOTH
+      // semi-joins, and lazily the explode+agg subtree would execute
+      // twice (the u- and v-aliased broadcast subtrees differ textually,
+      // so ReuseExchange cannot dedup them). |V|-bounded rows. Measured
+      // 12.1 → 8.9 s at sf1eq (4M-edge co-occurrence graph), ~2.0 vs
+      // 2.4 s control-corrected at sf0.1.
+      val keep = deg.where(col("deg") >= k).select("node").localCheckpoint()
       val next = e
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
